@@ -1,0 +1,62 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Framing vs BASELINE.md: the reference's numbers are per-op µs latencies on
+warm mmaps; Spark adds fixed per-job overhead, so (as recorded in
+BASELINE.md) the comparison is amortized batched throughput — e.g. the
+reference's '1024 cofreq calculations' loop is one costats_sweep job here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from iodf_spark.session import get_spark  # noqa: E402
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+    spark = get_spark("iodf_spark_bench")
+
+    timings: dict[str, float] = {}
+
+    # ingest + index build (BASELINE.md 'indexed ingest'): load lineitem,
+    # assign row ids, build + materialize the inverted index
+    t0 = time.perf_counter()
+    ix, n = entrymod._lineitem_index(spark, sf_dir)
+    timings["index_build"] = time.perf_counter() - t0
+
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        rows = df.count()
+        timings[name] = time.perf_counter() - t0
+        _ = rows
+
+    total = sum(timings.values())
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "sf": sf,
+                "rows_lineitem": n,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,243 @@
+"""Inverted (col, value) -> row-set index — the heart of the reference
+(writeIndex Dfs.scala:338-395, IndexConf/analyzers IndexedDf.scala:15-34,
+probe IndexedDf.scala:71-85; SURVEY.md section 2.3).
+
+Spark-first design:
+
+* The index is itself a DataFrame (as in the reference, where the index df's
+  column ids are (colName, value) pairs):
+
+      (col_name: string, value_kind: tinyint, value_bool, value_long,
+       value_double, value_str, bucket: long, row_ids: array<long>, f: long)
+
+  One row per (col, token, bucket); `row_ids` is the sorted posting list of
+  the rows in that bucket containing the token; `f` is the bucket-local
+  count. Global selectivity = sum(f) over buckets.
+
+* **Typed keys**: index keys keep their value's native type and sort by
+  (column name, type rank, typed value) — reproducing the reference's
+  cross-type total order (IoTypes.scala:104-123: Boolean < numeric <
+  String; golden io/test/df/index_exp.txt shows numeric keys in numeric
+  order, not lexical).
+
+* **Analyzers** (IndexedDf.scala:19-33): per-column expression
+  Column -> Column(array). Default identity `v -> [v]`; text columns use
+  `split` — tokenization stays JVM-side (no Python UDF in the build path).
+
+* **Scale**: build is explode -> groupBy(col, value, bucket) — a single
+  shuffle whose key space is (col, token, bucket); bucketing caps every
+  posting array at bucket_size ids, so a pathologically frequent token
+  becomes many medium rows instead of one giant row (skew-safe, SURVEY.md
+  section 7). Written partitioned by col_name and sorted within partitions
+  by the typed key, giving partition pruning on col_name and min/max
+  row-group skipping on values for probes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iodf_spark.plans.rowset import DEFAULT_BUCKET_SIZE, PostingSet
+
+# type ranks for the cross-type key order (IoTypes.scala:104-123)
+KIND_BOOL, KIND_NUM, KIND_STR = 0, 1, 2
+
+INDEX_KEY_COLS = ["col_name", "value_kind", "value_bool", "value_long", "value_double", "value_str"]
+
+Analyzer = Callable[[Column], Column]
+
+
+def identity_analyzer(c: Column) -> Column:
+    """Default analyzer: v -> [v] (IndexedDf.scala:15-18)."""
+    return F.array(c)
+
+
+def text_analyzer(c: Column) -> Column:
+    """Whitespace tokenizer, the reference's test analyzer
+    (DfTest.scala:69-70: v.split(" "))."""
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+class IndexConf:
+    """Per-column analyzer configuration (IndexedDf.scala:15-34).
+
+    `analyzers` maps column name -> Analyzer; columns in `exclude` are not
+    indexed (`withoutField`); by default every remaining column is indexed
+    with the identity analyzer.
+    """
+
+    def __init__(
+        self,
+        analyzers: dict[str, Analyzer] | None = None,
+        exclude: set[str] | None = None,
+        include: list[str] | None = None,
+    ):
+        self.analyzers = analyzers or {}
+        self.exclude = exclude or set()
+        self.include = include
+
+    def analyzer_for(self, col: str) -> Analyzer:
+        return self.analyzers.get(col, identity_analyzer)
+
+    def columns(self, df: DataFrame) -> list[str]:
+        cols = self.include if self.include is not None else [c for c in df.columns if c != "row_id"]
+        return [c for c in cols if c not in self.exclude and c != "row_id"]
+
+
+def _typed_value_cols(dtype: T.DataType) -> tuple[int, Column, Column, Column, Column]:
+    """Map a token column (already analyzed) of the given Spark type to the
+    (kind, bool, long, double, str) typed-key encoding."""
+    v = F.col("_token")
+    if isinstance(dtype, T.BooleanType):
+        return (
+            KIND_BOOL,
+            v,
+            F.lit(None).cast("long"),
+            F.lit(None).cast("double"),
+            v.cast("string"),
+        )
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return (
+            KIND_NUM,
+            F.lit(None).cast("boolean"),
+            v.cast("long"),
+            v.cast("double"),
+            v.cast("string"),
+        )
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return (
+            KIND_NUM,
+            F.lit(None).cast("boolean"),
+            F.lit(None).cast("long"),
+            v.cast("double"),
+            v.cast("string"),
+        )
+    # strings, dates, timestamps, anything else: canonical string key
+    return (
+        KIND_STR,
+        F.lit(None).cast("boolean"),
+        F.lit(None).cast("long"),
+        F.lit(None).cast("double"),
+        v.cast("string"),
+    )
+
+
+def build_index(
+    df: DataFrame,
+    conf: IndexConf | None = None,
+    bucket_size: int = DEFAULT_BUCKET_SIZE,
+) -> DataFrame:
+    """Build the inverted index DataFrame for `df` (must carry row_id).
+
+    Per column: analyze -> explode tokens -> (col, typed token, bucket) ->
+    posting list. All columns are melted into ONE DataFrame before the single
+    groupBy shuffle (vs the reference's per-column sequential passes,
+    Dfs.scala:342-381 — on a cluster one wide job beats C sequential jobs).
+    """
+    conf = conf or IndexConf()
+    dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
+    melted = []
+    for col in conf.columns(df):
+        analyzer = conf.analyzer_for(col)
+        tokens = df.select(
+            "row_id", F.explode(analyzer(F.col(col))).alias("_token")
+        ).filter(F.col("_token").isNotNull())
+        token_type = tokens.schema["_token"].dataType
+        kind, vb, vl, vd, vs = _typed_value_cols(token_type)
+        melted.append(
+            tokens.select(
+                F.lit(col).alias("col_name"),
+                F.lit(kind).cast("tinyint").alias("value_kind"),
+                vb.alias("value_bool"),
+                vl.alias("value_long"),
+                vd.alias("value_double"),
+                vs.alias("value_str"),
+                (F.col("row_id") / bucket_size).cast("long").alias("bucket"),
+                F.col("row_id"),
+            )
+        )
+    all_tokens = melted[0]
+    for m in melted[1:]:
+        all_tokens = all_tokens.unionByName(m)
+    # collect_set: a token occurring k times in one row still sets one bit
+    # (the reference's posting list is a bitmap — inherently set-valued)
+    return all_tokens.groupBy(*INDEX_KEY_COLS, "bucket").agg(
+        F.sort_array(F.collect_set("row_id")).alias("row_ids"),
+    ).withColumn("f", F.size("row_ids").cast("long"))
+
+
+def write_index(index_df: DataFrame, path: str) -> None:
+    """Persist partitioned by col_name (partition pruning for probes),
+    sorted within partitions by typed key (Parquet min/max row-group
+    skipping on value probes) — the Spark analog of the reference's sorted
+    colIds invariant (Dfs.scala:250)."""
+    (
+        index_df.repartition("col_name")
+        .sortWithinPartitions(
+            "value_kind", "value_bool", "value_long", "value_double", "value_str", "bucket"
+        )
+        .write.mode("overwrite")
+        .partitionBy("col_name")
+        .parquet(path)
+    )
+
+
+def read_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def _key_pred(col: str, value) -> Column:
+    """Typed probe predicate on the index key columns."""
+    p = F.col("col_name") == col
+    if isinstance(value, bool):
+        return p & (F.col("value_kind") == KIND_BOOL) & (F.col("value_bool") == value)
+    if isinstance(value, int):
+        return p & (F.col("value_kind") == KIND_NUM) & (F.col("value_long") == value)
+    if isinstance(value, float):
+        return p & (F.col("value_kind") == KIND_NUM) & (F.col("value_double") == value)
+    return p & (F.col("value_kind") == KIND_STR) & (F.col("value_str") == str(value))
+
+
+def probe(index_df: DataFrame, col: str, value, n: int,
+          bucket_size: int = DEFAULT_BUCKET_SIZE) -> PostingSet:
+    """openIndex((col, value)) (IndexedDf.scala:71-85): select the posting
+    lists for one typed key. A miss yields the empty set (IndexedDf.scala:79).
+    col_name partition pruning + value row-group skipping make this a
+    near-point read."""
+    df = index_df.filter(_key_pred(col, value)).select("bucket", "row_ids")
+    return PostingSet(df, n, bucket_size)
+
+
+def f(index_df: DataFrame, col: str, value) -> int:
+    """Selectivity of one key (IndexedDf.scala:91-96): sum of bucket-local
+    counts — no posting-list materialization."""
+    row = (
+        index_df.filter(_key_pred(col, value))
+        .agg(F.coalesce(F.sum("f"), F.lit(0)).alias("f"))
+        .collect()[0]
+    )
+    return int(row["f"])
+
+
+def col_values(index_df: DataFrame, col: str) -> DataFrame:
+    """Sorted distinct values of a column via the index (colNameValues,
+    IndexedDf.scala:50-69 — the reference's MinBound/MaxBound range scan
+    over index keys becomes a col_name partition scan + distinct)."""
+    return (
+        index_df.filter(F.col("col_name") == col)
+        .select("value_kind", "value_bool", "value_long", "value_double", "value_str")
+        .groupBy("value_kind", "value_bool", "value_long", "value_double", "value_str")
+        .agg(F.lit(1))
+        .select("value_kind", "value_bool", "value_long", "value_double", "value_str")
+        .orderBy("value_kind", "value_bool", "value_long", "value_double", "value_str")
+    )
+
+
+def key_stats(index_df: DataFrame) -> DataFrame:
+    """(col, value) -> global selectivity: the index's statistics surface
+    (sum over buckets)."""
+    return index_df.groupBy(*INDEX_KEY_COLS).agg(F.sum("f").alias("f"))

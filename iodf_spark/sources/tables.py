@@ -1,0 +1,105 @@
+"""Table loading and row identity.
+
+The reference addresses rows by position 0..n-1 (Df.scala:65-76) and its
+index bitmaps refer to row positions. Spark has no stable row position, so
+every managed table gets an explicit ``row_id: long`` column (SURVEY.md
+section 1.5).
+
+Two assignment strategies:
+
+* :func:`with_row_id` — deterministic: ``row_number() over (order by natural
+  key) - 1``. Used for tests and oracle comparison, where the DuckDB oracle
+  can reproduce the identical numbering. Involves a global sort, which is
+  fine at test scale but is NOT the 100 TB path.
+
+* :func:`with_row_id_scalable` — the cluster-scale path: per-partition local
+  ``row_number`` plus a partition-offset fixup (classic zipWithIndex shape).
+  One narrow pass + one tiny driver-side offset table (#partitions rows);
+  no global sort, no wide shuffle. Ids are contiguous 0..n-1 but follow
+  partition order rather than a key order — exactly the reference's
+  "ingest order" semantics (rows keep ingest order forever, SURVEY.md 2.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Natural (deterministic, unique) ordering keys per table — used only by the
+# deterministic row_id path so Spark and the DuckDB oracle agree on numbering.
+NATURAL_KEYS: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str, row_id: bool = False) -> DataFrame:
+    """Open a testdata table lazily (Parquet scan; column pruning and filter
+    pushdown apply downstream). With ``row_id=True``, attach the
+    deterministic row id."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if row_id:
+        df = with_row_id(df, NATURAL_KEYS[name])
+    return df
+
+
+def with_row_id(df: DataFrame, order_keys: list[str]) -> DataFrame:
+    """Deterministic row_id = row_number() over natural-key order, 0-based.
+
+    Oracle-reproducible; global sort — test-scale only. Use
+    :func:`with_row_id_scalable` for cluster-scale ingest.
+    """
+    w = Window.orderBy(*[F.col(k) for k in order_keys])
+    return df.withColumn("row_id", F.row_number().over(w).cast("long") - F.lit(1).cast("long"))
+
+
+def with_row_id_scalable(df: DataFrame) -> DataFrame:
+    """Contiguous 0..n-1 row ids without a global sort.
+
+    Narrow plan: stamp each row with its partition id and a within-partition
+    monotonic id, count rows per partition (small agg — #partitions rows),
+    compute cumulative offsets on the driver, broadcast-join them back, and
+    add. This is the DataFrame rendition of ``rdd.zipWithIndex`` and scales
+    to any partition count; the only driver-side state is one long per
+    partition.
+    """
+    spark = df.sparkSession
+    stamped = df.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_mid", F.monotonically_increasing_id()
+    )
+    counts = stamped.groupBy("_pid").count().collect()
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+    )
+    w = Window.partitionBy("_pid").orderBy("_mid")
+    return (
+        stamped.join(F.broadcast(offset_df), "_pid")
+        .withColumn("row_id", F.row_number().over(w).cast("long") - 1 + F.col("_offset"))
+        .drop("_pid", "_mid", "_offset")
+    )

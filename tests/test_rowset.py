@@ -1,0 +1,81 @@
+"""Property-matrix tests for the posting-list row-set algebra against a
+pure-Python set ground truth — mirrors the reference's BitsTest strategy
+(BitsTest.scala:45-139: random bits at sparsity p=2^-i, all ops checked
+against the Seq[Boolean] ground truth).
+
+Small n + small bucket_size so bucketing boundaries are exercised.
+"""
+
+import random
+
+import pytest
+
+from iodf_spark.plans.rowset import PostingSet
+
+N = 200
+BS = 32  # deliberately tiny buckets: ops must cross bucket boundaries
+
+
+def make_sets(spark, seed: int, p_denom: int):
+    rng = random.Random(seed)
+    a = [i for i in range(N) if rng.random() < 1.0 / p_denom]
+    b = [i for i in range(N) if rng.random() < 1.0 / p_denom]
+    return (
+        set(a),
+        set(b),
+        PostingSet.from_positions(spark, a, N, BS),
+        PostingSet.from_positions(spark, b, N, BS),
+    )
+
+
+@pytest.mark.parametrize("round_", [0, 1, 2])
+def test_algebra_matches_ground_truth(spark, round_):
+    p_denom = 2 ** (round_ + 1)
+    sa, sb, pa, pb = make_sets(spark, round_, p_denom)
+    universe = set(range(N))
+
+    assert pa.f() == len(sa)
+    assert (pa & pb).to_list() == sorted(sa & sb)
+    assert (pa | pb).to_list() == sorted(sa | sb)
+    assert pa.andnot(pb).to_list() == sorted(sa - sb)
+    assert (~pa).to_list() == sorted(universe - sa)
+    # fAnd without materialization (B1): count equals len of intersection
+    assert (pa & pb).f() == len(sa & sb)
+
+
+def test_merge_is_concatenation_not_or(spark):
+    # B5: merge concatenates row spaces (ioseq/IoBits.scala:328-348)
+    sa, sb, pa, pb = make_sets(spark, 42, 4)
+    merged = pa.merge(pb)
+    assert merged.n == 2 * N
+    expected = sorted(sa) + [N + i for i in sorted(sb)]
+    assert merged.to_list() == expected
+    # unaligned: a view with non-bucket-aligned length, then merge
+    va = pa.view(5, 100)  # length 95, not a multiple of BS
+    merged2 = va.merge(pb)
+    exp2 = sorted(i - 5 for i in sa if 5 <= i < 100) + [95 + i for i in sorted(sb)]
+    assert merged2.to_list() == exp2
+    assert merged2.n == 95 + N
+
+
+def test_view_slices_and_rebases(spark):
+    sa, _, pa, _ = make_sets(spark, 7, 2)
+    v = pa.view(10, 150)
+    assert v.n == 140
+    assert v.to_list() == sorted(i - 10 for i in sa if 10 <= i < 150)
+    # view of view composes (Df.scala:104-107)
+    vv = v.view(20, 60)
+    assert vv.to_list() == sorted(i - 30 for i in sa if 30 <= i < 70)
+
+
+def test_empty_and_full(spark):
+    e = PostingSet.empty(spark, N, BS)
+    f = PostingSet.full(spark, N, BS)
+    assert e.f() == 0
+    assert f.f() == N
+    assert (~e).f() == N
+    assert (~f).f() == 0
+    sa, _, pa, _ = make_sets(spark, 3, 2)
+    assert (pa & f).to_list() == sorted(sa)
+    assert (pa & e).f() == 0
+    assert (pa | e).to_list() == sorted(sa)
