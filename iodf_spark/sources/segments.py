@@ -1,0 +1,223 @@
+"""Segment store — the LSM-flavored storage model of the reference
+(SURVEY.md §1.4, §2.1): a table is an ordered list of immutable segments;
+"updates" are new segments; reads see the logical concatenation
+(MultiDf.scala:33-184); compaction rewrites many segments into one
+(writeMergedDf, Dfs.scala:222-228).
+
+Spark-first rendition:
+
+* segment  = one Parquet dir written once (S1 writeDf ≈ df.write.parquet)
+* manifest = JSON file listing (segment_id, n_rows, row_id_offset) —
+  the row spaces of segments laid end-to-end (MultiDf.scala:182)
+* open     = read all segment dirs, global row_id = offset + local row_id,
+  columns outer-aligned with unionByName(allowMissingColumns=True) and
+  per-column default fill (MultiDf.scala:125-142: missing bitmap columns
+  read as all-false; we map that to coalesce(col, default))
+* compact  = one job rewriting the union as a single segment — the
+  merge is pure concatenation, order-preserving (B5 semantics)
+* indexed segments additionally store the per-segment inverted index;
+  the multi-segment index view shifts each segment's posting lists by its
+  row offset (MultiBits 'shard' alignment, utils/MultiBits.scala:11-23,
+  comes for free: buckets are recomputed from global ids)
+
+Scale notes: the manifest is tiny driver-side metadata (one entry per
+segment). Opening N segments is one multi-path Parquet scan — Spark reads
+them as one FileScan with partition-level parallelism; no k-way merge
+needed because the index view is a DataFrame union, and probes prune by
+col_name partition + segment pruning.
+
+Writes publish atomically: data first, manifest last (tmp + rename —
+Utils.scala:91-99 atomicWrite).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iodf_spark.operators.index import IndexConf, build_index
+from iodf_spark.plans.rowset import DEFAULT_BUCKET_SIZE
+from iodf_spark.sources.tables import with_row_id, with_row_id_scalable
+
+
+class SegmentStore:
+    def __init__(self, path: str, bucket_size: int = DEFAULT_BUCKET_SIZE):
+        self.path = path
+        self.bucket_size = bucket_size
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------------
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "manifest.json")
+
+    def manifest(self) -> list[dict]:
+        if not os.path.exists(self._manifest_path):
+            return []
+        with open(self._manifest_path) as fh:
+            return json.load(fh)
+
+    def _publish(self, entries: list[dict]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(entries, fh, indent=1)
+        os.replace(tmp, self._manifest_path)  # atomic publish
+
+    def total_rows(self) -> int:
+        return sum(e["n_rows"] for e in self.manifest())
+
+    # -- write ---------------------------------------------------------------
+
+    def write_segment(
+        self,
+        df: DataFrame,
+        order_keys: list[str] | None = None,
+        index_conf: IndexConf | None = None,
+    ) -> dict:
+        """Append one immutable segment (S1/S3/S5). Local row ids are
+        0..n-1 within the segment; the global offset comes from the
+        manifest. With index_conf, the segment's inverted index is built
+        and stored alongside (writeIndexedDf, Dfs.scala:489-510)."""
+        entries = self.manifest()
+        seg_id = max((e["segment_id"] for e in entries), default=-1) + 1
+        if "row_id" not in df.columns:
+            df = (
+                with_row_id(df, order_keys) if order_keys else with_row_id_scalable(df)
+            )
+        seg_path = os.path.join(self.path, f"seg-{seg_id:05d}")
+        df.write.mode("overwrite").parquet(os.path.join(seg_path, "data"))
+        n = df.sparkSession.read.parquet(os.path.join(seg_path, "data")).count()
+        if index_conf is not None:
+            ix = build_index(
+                df.sparkSession.read.parquet(os.path.join(seg_path, "data")),
+                index_conf,
+                bucket_size=self.bucket_size,
+            )
+            (
+                ix.repartition("col_name")
+                .sortWithinPartitions("value_kind", "value_str", "bucket")
+                .write.mode("overwrite")
+                .partitionBy("col_name")
+                .parquet(os.path.join(seg_path, "index"))
+            )
+        offset = sum(e["n_rows"] for e in entries)
+        entry = {
+            "segment_id": seg_id,
+            "n_rows": n,
+            "row_id_offset": offset,
+            "indexed": index_conf is not None,
+        }
+        self._publish(entries + [entry])
+        return entry
+
+    # -- read ----------------------------------------------------------------
+
+    def open(
+        self, spark: SparkSession, defaults: dict[str, object] | None = None
+    ) -> DataFrame:
+        """Logical concatenation of all segments with globally-offset
+        row_id; missing columns null-filled by unionByName, then
+        default-filled per `defaults` (MultiDf default columns,
+        MultiDf.scala:125-142)."""
+        entries = self.manifest()
+        if not entries:
+            return spark.createDataFrame([], "row_id long")
+        parts = []
+        for e in entries:
+            seg = spark.read.parquet(os.path.join(self.path, f"seg-{e['segment_id']:05d}", "data"))
+            parts.append(
+                seg.withColumn("row_id", F.col("row_id") + F.lit(e["row_id_offset"]))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        if defaults:
+            for col, dv in defaults.items():
+                if col in out.columns:
+                    out = out.withColumn(col, F.coalesce(F.col(col), F.lit(dv)))
+        return out
+
+    def open_index(self, spark: SparkSession) -> DataFrame:
+        """Multi-segment index view: per-segment posting lists shifted into
+        the global row space and re-bucketed. Offsets are constants folded
+        into the array transform — a narrow map, no shuffle unless buckets
+        straddle (then one re-group, same as PostingSet.merge)."""
+        entries = [e for e in self.manifest() if e.get("indexed")]
+        if not entries:
+            raise ValueError("no indexed segments")
+        bs = self.bucket_size
+        parts = []
+        for e in entries:
+            ix = spark.read.parquet(os.path.join(self.path, f"seg-{e['segment_id']:05d}", "index"))
+            off = e["row_id_offset"]
+            if off % bs == 0:
+                shifted = ix.select(
+                    "col_name", "value_kind", "value_bool", "value_long",
+                    "value_double", "value_str",
+                    (F.col("bucket") + off // bs).alias("bucket"),
+                    F.transform("row_ids", lambda x: x + off).alias("row_ids"),
+                    "f",
+                )
+                parts.append(shifted)
+            else:
+                exploded = ix.select(
+                    "col_name", "value_kind", "value_bool", "value_long",
+                    "value_double", "value_str",
+                    F.explode(F.transform("row_ids", lambda x: x + off)).alias("row_id"),
+                )
+                parts.append(
+                    exploded.select(
+                        "*", (F.col("row_id") / bs).cast("long").alias("bucket")
+                    )
+                    .groupBy(
+                        "col_name", "value_kind", "value_bool", "value_long",
+                        "value_double", "value_str", "bucket",
+                    )
+                    .agg(F.sort_array(F.collect_set("row_id")).alias("row_ids"))
+                    .withColumn("f", F.size("row_ids").cast("long"))
+                )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # a (key, bucket) straddled by two segments appears twice -> coalesce
+        return (
+            out.groupBy(
+                "col_name", "value_kind", "value_bool", "value_long",
+                "value_double", "value_str", "bucket",
+            )
+            .agg(F.sort_array(F.flatten(F.collect_list("row_ids"))).alias("row_ids"))
+            .withColumn("f", F.size("row_ids").cast("long"))
+        )
+
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(
+        self,
+        spark: SparkSession,
+        defaults: dict[str, object] | None = None,
+        index_conf: IndexConf | None = None,
+    ) -> "SegmentStore":
+        """writeMergedDf (Dfs.scala:222-228): rewrite all segments as one.
+        Pure order-preserving concatenation — global row_ids become the new
+        segment's local ids. Index is rebuilt in the merged row space
+        (writeMergedIndexedDf, Dfs.scala:476-487)."""
+        merged = self.open(spark, defaults)
+        tmp_path = self.path + ".compact"
+        new = SegmentStore(tmp_path, self.bucket_size)
+        new.write_segment(merged, index_conf=index_conf)
+        # swap: publish compacted store under the original path
+        import shutil
+
+        for e in self.manifest():
+            shutil.rmtree(os.path.join(self.path, f"seg-{e['segment_id']:05d}"))
+        seg_dirs = [d for d in os.listdir(tmp_path) if d.startswith("seg-")]
+        for d in seg_dirs:
+            os.replace(os.path.join(tmp_path, d), os.path.join(self.path, d))
+        self._publish(new.manifest())
+        shutil.rmtree(tmp_path)
+        return self

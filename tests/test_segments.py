@@ -1,0 +1,92 @@
+"""Segment-store tests mirroring the reference's merge-invariant suite
+(DfTest.scala:417-427, 469-496, 531-557: merged(i)==A(i),
+merged(|A|+i)==B(i), size additivity, per-column and per-index-key) and the
+empty/degenerate cases (DfTest.scala:593-627)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from iodf_spark.operators import index as idx
+from iodf_spark.sources.segments import SegmentStore
+from iodf_spark.sources.tables import load_table
+
+
+@pytest.fixture()
+def store(tmp_path):
+    s = SegmentStore(str(tmp_path / "store"), bucket_size=1024)
+    yield s
+    shutil.rmtree(s.path, ignore_errors=True)
+
+
+def _three_slices(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem", row_id=True)
+    a = li.filter(F.col("row_id") < 2000).drop("row_id")
+    b = li.filter((F.col("row_id") >= 2000) & (F.col("row_id") < 4500)).drop("row_id")
+    c = li.filter(F.col("row_id") >= 4500).drop("row_id")
+    return li, a, b, c
+
+
+def test_multi_segment_union_preserves_rows(spark, sf_dir, store):
+    li, a, b, c = _three_slices(spark, sf_dir)
+    for part in (a, b, c):
+        store.write_segment(part, order_keys=["l_orderkey", "l_linenumber"])
+    opened = store.open(spark)
+    assert store.total_rows() == li.count()
+    assert opened.count() == li.count()
+    # merge invariant: merged(offset + i) == segment(i) for every column
+    cols = ["row_id", "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]
+    got = [tuple(r) for r in opened.select(cols).orderBy("row_id").collect()]
+    exp = [tuple(r) for r in li.select(cols).orderBy("row_id").collect()]
+    assert got == exp  # slices were in row_id order, so concat == original
+
+
+def test_missing_column_default_fill(spark, store):
+    df1 = spark.createDataFrame([(1, True), (2, False)], "k long, flag boolean")
+    df2 = spark.createDataFrame([(3,), (4,)], "k long")
+    store.write_segment(df1, order_keys=["k"])
+    store.write_segment(df2, order_keys=["k"])
+    opened = store.open(spark, defaults={"flag": False})
+    rows = {r["k"]: r["flag"] for r in opened.collect()}
+    # MultiDf.scala:125-142 — absent bitmap columns read as all-false
+    assert rows == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_indexed_multi_segment_probe_equals_whole(spark, sf_dir, store):
+    li, a, b, c = _three_slices(spark, sf_dir)
+    conf = idx.IndexConf(include=["l_returnflag", "l_linestatus"])
+    for part in (a, b, c):
+        store.write_segment(part, order_keys=["l_orderkey", "l_linenumber"], index_conf=conf)
+    n = store.total_rows()
+    multi_ix = store.open_index(spark)
+    whole_ix = idx.build_index(li, conf, bucket_size=1024)
+    for col, val in [("l_returnflag", "R"), ("l_linestatus", "F")]:
+        assert idx.f(multi_ix, col, val) == idx.f(whole_ix, col, val)
+        assert (
+            idx.probe(multi_ix, col, val, n, 1024).to_list()
+            == idx.probe(whole_ix, col, val, n, 1024).to_list()
+        )
+
+
+def test_compaction_preserves_order_and_index(spark, sf_dir, store):
+    li, a, b, c = _three_slices(spark, sf_dir)
+    conf = idx.IndexConf(include=["l_returnflag"])
+    for part in (a, b, c):
+        store.write_segment(part, order_keys=["l_orderkey", "l_linenumber"], index_conf=conf)
+    before = [tuple(r) for r in store.open(spark).orderBy("row_id").select("row_id", "l_orderkey").collect()]
+    store.compact(spark, index_conf=conf)
+    assert len(store.manifest()) == 1
+    after = [tuple(r) for r in store.open(spark).orderBy("row_id").select("row_id", "l_orderkey").collect()]
+    assert before == after
+    n = store.total_rows()
+    assert idx.f(store.open_index(spark), "l_returnflag", "R") == li.filter(
+        F.col("l_returnflag") == "R"
+    ).count()
+    assert n == li.count()
+
+
+def test_empty_store(spark, store):
+    # zero-segment merge (DfTest.scala:593-627)
+    assert store.manifest() == []
+    assert store.open(spark).count() == 0
