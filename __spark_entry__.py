@@ -187,6 +187,39 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_FEATURES = ["o_orderstatus", "o_orderpriority"]
+KNN_QUERY = {"o_orderstatus": "F", "o_orderpriority": "1-URGENT"}
+KNN_TARGET_SQL = "o_totalprice > 150000"
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = ("orders", sf_dir)
+    if key not in _cache:
+        _cache[key] = load_table(spark, sf_dir, "orders", row_id=True).cache()
+    return _cache[key]  # type: ignore[return-value]
+
+
+def q_knn_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: co-occurrence-trained per-(col,value) weight pairs."""
+    from iodf_spark.operators.knn import key_value_weights
+
+    od = _orders(spark, sf_dir)
+    w = key_value_weights(od, KNN_FEATURES, F.expr(KNN_TARGET_SQL), 0.0)
+    return w.select(
+        "col_name", "value", F.round("w1", 9).alias("w1"), F.round("w2", 9).alias("w2")
+    ).orderBy("col_name", "value")
+
+
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2-M4: top-20 nearest rows to a query item by trained distance."""
+    from iodf_spark.operators.knn import key_value_weights, knn
+
+    od = _orders(spark, sf_dir)
+    w = key_value_weights(od, KNN_FEATURES, F.expr(KNN_TARGET_SQL), 0.0)
+    top = knn(od, KNN_FEATURES, w, KNN_QUERY, 20)
+    return top.select("row_id", F.round("dist", 9).alias("dist"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_f": q_index_f,
@@ -200,6 +233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "costats": q_costats,
         "costats_sweep": q_costats_sweep,
         "q1_pricing_summary": q1_pricing_summary,
+        "knn_weights": q_knn_weights,
+        "knn_topk": q_knn_topk,
     }
 
 
@@ -213,6 +248,47 @@ def _costats_oracle(counts_subquery: str, extra_cols: str = "") -> str:
     return (
         f"SELECT {extra_cols}n, fa, fb, fab, {derived} FROM ({counts_subquery})"
     )
+
+
+def _knn_ctes() -> str:
+    d = costats_sql_exprs(round_to=None)
+    melt_arms = " UNION ALL ".join(
+        f"SELECT row_id, t, '{c}' AS col_name, {c}::VARCHAR AS value FROM base" for c in KNN_FEATURES
+    )
+    q_rows = ", ".join(f"('{c}', '{v}')" for c, v in KNN_QUERY.items())
+    return f"""
+        base AS (
+          SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id,
+                 o_orderstatus, o_orderpriority, ({KNN_TARGET_SQL}) AS t
+          FROM orders),
+        consts AS (SELECT count(*)::BIGINT AS n, count(*) FILTER (t)::BIGINT AS fb FROM base),
+        melted AS (SELECT * FROM ({melt_arms}) WHERE value IS NOT NULL),
+        counts AS (
+          SELECT col_name, value, count(*)::BIGINT AS fa, count(*) FILTER (t)::BIGINT AS fab,
+                 (SELECT n FROM consts) AS n, (SELECT fb FROM consts) AS fb
+          FROM melted GROUP BY col_name, value),
+        weights AS (
+          SELECT col_name, value,
+                 abs(ln(({d['d_ft']}) / ({d['d_ff']}))) AS w1,
+                 abs(ln(({d['d_tt']}) / ({d['d_tf']}))) AS w2
+          FROM counts),
+        qkv(col_name, value) AS (VALUES {q_rows}),
+        wq AS (
+          SELECT w.col_name, w.value, w.w1, w.w2, (q.value IS NOT NULL) AS in_q
+          FROM weights w LEFT JOIN qkv q ON w.col_name = q.col_name AND w.value = q.value),
+        baseline AS (SELECT coalesce(sum(w2), 0e0) AS b FROM wq WHERE in_q),
+        perrow AS (
+          SELECT m.row_id,
+                 sum(CASE WHEN NOT w.in_q THEN w.w1 ELSE 0e0 END) AS w1_only,
+                 sum(CASE WHEN w.in_q THEN w.w2 ELSE 0e0 END) AS w2_overlap
+          FROM melted m JOIN wq w ON m.col_name = w.col_name AND m.value = w.value
+          GROUP BY m.row_id),
+        dists AS (
+          SELECT b.row_id,
+                 coalesce(p.w1_only, 0e0) + (SELECT b FROM baseline)
+                   - coalesce(p.w2_overlap, 0e0) AS dist
+          FROM base b LEFT JOIN perrow p ON b.row_id = p.row_id)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -282,5 +358,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "knn_weights": f"""
+            WITH {_knn_ctes()}
+            SELECT col_name, value, round(w1, 9) AS w1, round(w2, 9) AS w2
+            FROM weights ORDER BY col_name, value
+        """,
+        "knn_topk": f"""
+            WITH {_knn_ctes()}
+            SELECT row_id, round(dist, 9) AS dist
+            FROM dists ORDER BY dist, row_id LIMIT 20
         """,
     }
