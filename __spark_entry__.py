@@ -187,6 +187,171 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# relational suite — operators absent in the reference (SURVEY.md §2.6, 2.7,
+# 2.8, 2.10) that a complete engine must provide; all Catalyst built-ins.
+
+
+def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 joins: fact-to-dim star join with broadcast dims (customer and
+    nation are small: broadcast hash join, no shuffle of orders)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 semi/anti joins: customers with orders vs without, one row of
+    counts (left_semi + left_anti — the relational form of the reference's
+    bitmap intersection-as-semi-join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    with_orders = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).count()
+    without = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).count()
+    return spark.createDataFrame(
+        [(with_orders, without)], "with_orders long, without_orders long"
+    )
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 window functions: top-3 orders per customer by totalprice
+    (row_number over partitioned ordered window, deterministic tie-break)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk", F.round("o_totalprice", 2).alias("price"))
+        .orderBy("o_custkey", "rk")
+    )
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 analytic frame: running revenue per customer over order dates."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 T3/T4 top-k: TakeOrderedAndProject, deterministic tie-break."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .limit(10)
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 set operations as table ops: INTERSECT / EXCEPT on customer key
+    sets (customers with both open and finished orders; only-open)."""
+    orders = load_table(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    both = f_cust.intersect(o_cust).count()
+    only_open = o_cust.distinct().exceptAll(f_cust.distinct()).count()
+    return spark.createDataFrame([(both, only_open)], "both long, only_open long")
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 grouping sets: rollup over (returnflag, linestatus) with
+    subtotals and grand total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 as-of join (absent in Spark SQL; custom operator
+    iodf_spark.operators.asof.join_asof — union + windowed last_value, one
+    shuffle, no cross product). Each event picks the latest order of the
+    same customer at-or-before the event time."""
+    from iodf_spark.operators.asof import join_asof
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("custkey"), "ts"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = join_asof(
+        events, orders, on="custkey", left_time="ts", right_time="o_orderdate",
+        right_cols=["o_orderkey"],
+    )
+    return joined.select("event_id", "custkey", "o_orderkey").orderBy("event_id")
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 range join: events bucketed into value tiers via broadcast
+    conditional join (BroadcastNestedLoopJoin on a tiny build side)."""
+    from iodf_spark.operators.asof import join_range
+
+    events = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 5.0), ("mid", 5.0, 20.0), ("high", 20.0, 1e9)],
+        "tier string, lo double, hi double",
+    )
+    return (
+        join_range(events, tiers, F.col("value"), "lo", "hi")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("tier")
+    )
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 event-time tumbling window (batch form of the streaming agg):
+    per-hour, per-type counts and mean value."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.col("w.start").cast("string").alias("hour_start"),
+            "event_type",
+            "cnt",
+            "avg_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
 KNN_FEATURES = ["o_orderstatus", "o_orderpriority"]
 KNN_QUERY = {"o_orderstatus": "F", "o_orderpriority": "1-URGENT"}
 KNN_TARGET_SQL = "o_totalprice > 150000"
@@ -235,6 +400,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "knn_weights": q_knn_weights,
         "knn_topk": q_knn_topk,
+        "join_agg": q_join_agg,
+        "semi_anti_join": q_semi_anti_join,
+        "window_rank": q_window_rank,
+        "window_running_sum": q_window_running_sum,
+        "topk": q_topk,
+        "set_ops": q_set_ops,
+        "rollup": q_rollup,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "events_windowed": q_events_windowed,
     }
 
 
@@ -358,6 +533,80 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "join_agg": """
+            SELECT n_name, count(*)::BIGINT AS n_orders,
+                   round(sum(o_totalprice), 4) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "semi_anti_join": """
+            SELECT (SELECT count(*) FROM customer WHERE c_custkey IN
+                      (SELECT o_custkey FROM orders))::BIGINT AS with_orders,
+                   (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+                      (SELECT o_custkey FROM orders))::BIGINT AS without_orders
+        """,
+        "window_rank": """
+            SELECT o_custkey, o_orderkey, rk, price FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey)::INT AS rk,
+                     round(o_totalprice, 2) AS price
+              FROM orders)
+            WHERE rk <= 3 ORDER BY o_custkey, rk
+        """,
+        "window_running_sum": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS running_total
+            FROM orders ORDER BY o_custkey, o_orderkey
+        """,
+        "topk": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "set_ops": """
+            SELECT (SELECT count(*) FROM
+                     (SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+                      INTERSECT
+                      SELECT o_custkey FROM orders WHERE o_orderstatus='O'))::BIGINT AS both,
+                   (SELECT count(*) FROM
+                     (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='O'
+                      EXCEPT
+                      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='F'))::BIGINT
+                   AS only_open
+        """,
+        "rollup": """
+            SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt,
+                   round(sum(l_quantity), 4) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "asof_join": """
+            SELECT e.event_id, e.user_id AS custkey, o.o_orderkey
+            FROM events e
+            ASOF LEFT JOIN (SELECT o_custkey AS custkey, o_orderdate,
+                                   max(o_orderkey) AS o_orderkey
+                            FROM orders GROUP BY 1, 2) o
+            ON e.user_id = o.custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id
+        """,
+        "range_join": """
+            SELECT t.tier, count(*)::BIGINT AS cnt, round(avg(e.value), 6) AS avg_value
+            FROM events e
+            LEFT JOIN (VALUES ('low', 0e0, 5e0), ('mid', 5e0, 20e0), ('high', 20e0, 1e9))
+                 AS t(tier, lo, hi)
+            ON e.value >= t.lo AND e.value < t.hi
+            GROUP BY t.tier ORDER BY t.tier
+        """,
+        "events_windowed": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+                   event_type, count(*)::BIGINT AS cnt, round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type
         """,
         "knn_weights": f"""
             WITH {_knn_ctes()}

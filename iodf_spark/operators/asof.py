@@ -1,0 +1,94 @@
+"""As-of and range joins — operators absent from both the reference
+(SURVEY.md §2.6: no joins at all) and core Spark SQL; implemented
+shuffle-efficiently as compositions of built-in DataFrame ops.
+
+as-of join (backward): for each left row, the single latest right row with
+``right_time <= left_time`` per key. Implemented with the union + windowed
+last_value trick rather than a range join: tag both inputs, sort within key
+by (time, tag) where right rows sort before left rows at equal time, and
+carry the last non-null right payload forward. ONE shuffle on the key, no
+cross-product, no per-key driver loop — survives 100x scale-up as long as
+the key space partitions (a single hot key can be pre-salted by time
+buckets; AQE does not split window skew).
+
+range join: small ranges table broadcast + conditional join (Catalyst emits
+BroadcastNestedLoopJoin, fine when the build side is tiny and the condition
+is selective).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def join_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    right_cols: list[str] | None = None,
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """Backward as-of left join. `on` key column names must match on both
+    sides. Right rows must be unique per (key, time) — pre-dedupe if not.
+
+    Returned columns: all of left + the requested right_cols (null when no
+    right row is at-or-before the left time, or outside tolerance)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys]
+    payload = F.struct(F.col(right_time).alias("_t"), *[F.col(c) for c in right_cols])
+
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_time).alias("_time"),
+        F.lit(0).alias("_tag"),
+        payload.alias("_payload"),
+    )
+    left_cols = left.columns
+    l_ = left.select(
+        *[F.col(c) for c in left_cols],
+        F.col(left_time).alias("_time"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+    )
+    r_aligned = r.select(
+        *[F.lit(None).cast(dict(zip(left.columns, [f.dataType for f in left.schema.fields]))[c]).alias(c)
+          if c not in keys else F.col(c)
+          for c in left_cols],
+        "_time",
+        "_tag",
+        "_payload",
+    )
+    unioned = l_.unionByName(r_aligned)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_time", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("_m", F.last("_payload", ignorenulls=True).over(w)).filter(
+        F.col("_tag") == 1
+    )
+    if tolerance is not None:
+        matched = matched.withColumn(
+            "_m",
+            F.when(F.col("_m._t") >= F.col("_time") - tolerance, F.col("_m")),
+        )
+    out_cols = [F.col(c) for c in left_cols] + [F.col(f"_m.{c}").alias(c) for c in right_cols]
+    return matched.select(*out_cols)
+
+
+def join_range(
+    left: DataFrame,
+    ranges: DataFrame,
+    value: Column,
+    lo: str,
+    hi: str,
+) -> DataFrame:
+    """Join left rows to the (small) ranges table where lo <= value < hi.
+    The ranges side is broadcast — no shuffle of the big side."""
+    return left.join(
+        F.broadcast(ranges), (value >= F.col(lo)) & (value < F.col(hi)), "left_outer"
+    )

@@ -59,6 +59,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, row_id: bool = False
     pushdown apply downstream). With ``row_id=True``, attach the
     deterministic row id."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # TIMESTAMP(NANOS) read as long ns (see session.py); truncate to µs —
+        # the same truncation DuckDB applies (its timestamps are µs)
+        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
     if row_id:
         df = with_row_id(df, NATURAL_KEYS[name])
     return df
