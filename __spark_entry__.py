@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iodf_spark.functions.costats_math import costats_sql_exprs
+from iodf_spark.operators import dedup, similarity, textstats
 from iodf_spark.operators import index as idx
 from iodf_spark.operators.costats import costats_index, costats_sweep
 from iodf_spark.plans.rowset import PostingSet
@@ -185,6 +186,75 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline suite: dedup, similarity search, text analysis,
+# multimodal plumbing (first-class components per the build brief)
+
+ANN_QUERY_IDS = [0, 1, 2]
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iodf_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iodf_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iodf_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iodf_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iodf_spark.operators.similarity import cosine_pairs
+
+    return cosine_pairs(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iodf_spark.operators.similarity import ann_brute_force
+
+    return ann_brute_force(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", ANN_QUERY_IDS
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iodf_spark.operators.similarity import ann_lsh
+
+    return ann_lsh(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", ANN_QUERY_IDS
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iodf_spark.operators.textstats import text_stats
+
+    return text_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: synthesize a payload, decode metadata via an
+    Arrow-batched mapInPandas (deterministic fake codec — the oracle
+    reproduces it from byte lengths)."""
+    from iodf_spark.operators.multimodal import attach_payload, decode_metadata
+
+    docs = attach_payload(load_table(spark, sf_dir, "documents"), "text")
+    return decode_metadata(docs, "doc_id").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -410,6 +480,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "events_windowed": q_events_windowed,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_pairs": q_embedding_pairs,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "text_stats": q_text_stats,
+        "multimodal_meta": q_multimodal_meta,
     }
 
 
@@ -617,5 +696,24 @@ def oracle_sql() -> dict[str, str]:
             WITH {_knn_ctes()}
             SELECT row_id, round(dist, 9) AS dist
             FROM dists ORDER BY dist, row_id LIMIT 20
+        """,
+        "dedup_exact": dedup.exact_dedup_oracle("doc_id", "text", "documents"),
+        "dedup_jaccard": dedup.jaccard_pairs_oracle("doc_id", "text", "documents"),
+        "dedup_minhash": dedup.minhash_lsh_pairs_oracle("doc_id", "text", "documents"),
+        "dedup_simhash": dedup.simhash_pairs_oracle("doc_id", "text", "documents"),
+        "embedding_pairs": similarity.cosine_pairs_oracle("vec_id", "embedding", "embeddings"),
+        "ann_topk": similarity.ann_brute_force_oracle(
+            "vec_id", "embedding", "embeddings", ANN_QUERY_IDS
+        ),
+        "ann_lsh": similarity.ann_lsh_oracle(
+            "vec_id", "embedding", "embeddings", ANN_QUERY_IDS
+        ),
+        "text_stats": textstats.text_stats_oracle("doc_id", "text", "documents"),
+        "multimodal_meta": """
+            SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+                   (1 + octet_length(encode(text)) % 64)::INT AS width,
+                   (1 + octet_length(encode(text)) % 48)::INT AS height,
+                   3::INT AS channels
+            FROM documents ORDER BY doc_id
         """,
     }

@@ -1,0 +1,130 @@
+"""Deterministic text hashing / shingling / sketching expressions, emitted
+in two SQL dialects ('spark' and 'duckdb') from one definition — so every
+hash-based operator (fingerprinting, MinHash LSH, SimHash) is EXACTLY
+reproducible by the DuckDB oracle, not just statistically similar.
+
+All hashes are engine-independent by construction: a polynomial rolling
+hash over unicode codepoints, acc = (acc*31 + cp) mod (1e9+7), folded
+left-to-right with a constant seed — no reliance on murmur3/xxhash, whose
+implementations differ between engines.
+
+The operators stay JVM-side in Spark (higher-order functions: transform/
+aggregate/filter are codegen'd; no Python UDFs in the hot path).
+"""
+
+from __future__ import annotations
+
+MOD = 1_000_000_007
+MULT = 31
+SEED = 7
+
+
+def _d(dialect: str) -> bool:
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(dialect)
+    return dialect == "spark"
+
+
+def chars(e: str, dialect: str) -> str:
+    return f"split({e}, '')" if _d(dialect) else f"regexp_split_to_array({e}, '')"
+
+
+def codepoints(e: str, dialect: str) -> str:
+    c = chars(e, dialect)
+    if _d(dialect):
+        return f"transform({c}, _ch -> ascii(_ch))"
+    return f"list_transform({c}, _ch -> unicode(_ch))"
+
+
+def fold_hash(arr: str, dialect: str, seed: int = SEED) -> str:
+    """Polynomial fold of an integer array."""
+    if _d(dialect):
+        return (
+            f"aggregate({arr}, cast({seed} as bigint), "
+            f"(_acc, _x) -> (_acc * {MULT} + _x) % {MOD})"
+        )
+    return (
+        f"list_reduce(list_prepend({seed}::BIGINT, {arr}), "
+        f"(_acc, _x) -> (_acc * {MULT} + _x) % {MOD})"
+    )
+
+
+def text_hash(e: str, dialect: str) -> str:
+    """Deterministic 0..1e9+7 hash of a string expression."""
+    return fold_hash(codepoints(e, dialect), dialect)
+
+
+def tokens(e: str, dialect: str) -> str:
+    """Whitespace tokens, empties dropped."""
+    if _d(dialect):
+        return f"filter(split({e}, '\\\\s+'), _t -> _t <> '')"
+    return f"list_filter(string_split_regex({e}, '\\s+'), _t -> _t <> '')"
+
+
+def token_hashes(e: str, dialect: str) -> str:
+    """array<long> of per-token hashes."""
+    t = tokens(e, dialect)
+    if _d(dialect):
+        inner = text_hash("_tok", dialect)
+        return f"transform({t}, _tok -> {inner})"
+    inner = text_hash("_tok", dialect)
+    return f"list_transform({t}, _tok -> {inner})"
+
+
+def shingle_hashes(th: str, dialect: str, n: int = 3) -> str:
+    """Distinct hashes of word n-grams, folded from a PRE-COMPUTED token-hash
+    array expression `th` (pass a column name — the expression is repeated,
+    so keep it cheap). Documents shorter than n tokens yield an empty array."""
+    if _d(dialect):
+        gram_hash = fold_hash(f"slice({th}, _i + 1, {n})", dialect)
+        return (
+            f"array_distinct(case when size({th}) >= {n} "
+            f"then transform(sequence(0, size({th}) - {n}), _i -> {gram_hash}) "
+            f"else cast(array() as array<bigint>) end)"
+        )
+    gram_hash = fold_hash(f"list_slice({th}, _i + 1, _i + {n})", dialect)
+    return (
+        f"list_distinct(list_transform(range(greatest(len({th}) - {n - 1}, 0)), "
+        f"_i -> {gram_hash}))"
+    )
+
+
+def minhash_sig(arr: str, dialect: str, i: int) -> str:
+    """i-th MinHash of a hash-array expression: min over (a_i*x + b_i) mod P,
+    a_i/b_i small deterministic odd constants. NULL (empty array) for empty
+    inputs."""
+    a, b = 2 * i + 3, 5 * i + 7
+    if _d(dialect):
+        return f"array_min(transform({arr}, _x -> (_x * {a} + {b}) % {MOD}))"
+    return f"list_min(list_transform({arr}, _x -> (_x * {a} + {b}) % {MOD}))"
+
+
+def band_hash(sig_cols: list[str], dialect: str) -> str:
+    """Combine r signature columns into one band key (fixed-arity fold)."""
+    acc = str(SEED)
+    for c in sig_cols:
+        acc = f"((({acc}) * {MULT} + ({c})) % {MOD})"
+    return acc
+
+
+def simhash32(e: str, dialect: str, src: str | None = None) -> str:
+    """32-bit SimHash of the token-hash multiset: bit b set iff the sum of
+    (+1/-1 per token, by bit b of its hash) is >= 0."""
+    arr = src if src is not None else token_hashes(e, dialect)
+    terms = []
+    for b in range(32):
+        if _d(dialect):
+            s = (
+                f"aggregate(transform({arr}, _x -> 2 * cast(shiftright(_x, {b}) & 1 as bigint) - 1), "
+                f"cast(0 as bigint), (_a, _v) -> _a + _v)"
+            )
+        else:
+            s = f"coalesce(list_sum(list_transform({arr}, _x -> 2 * ((_x >> {b}) & 1) - 1)), 0)"
+        terms.append(f"(case when {s} >= 0 then cast({1 << b} as bigint) else 0 end)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def hamming32(a: str, b: str, dialect: str) -> str:
+    if _d(dialect):
+        return f"bit_count({a} ^ {b})"
+    return f"bit_count(xor({a}::BIGINT, {b}::BIGINT))"

@@ -1,0 +1,156 @@
+"""Multimodal (image/audio/video) column handling for training-data
+pipelines. Media payloads are opaque `binary` columns with a typed metadata
+struct; decode / feature-extraction / resize / frame-sampling run as
+Arrow-batched Pandas UDFs over mapInPandas — the Spark-side plumbing
+(schemas, batch iteration, partitioning) is real and tested.
+
+The actual codecs are STUBBED: this container has no image/audio libraries,
+so `decode` uses a clearly-marked deterministic fake (byte-arithmetic) and
+raises NotImplementedError when a real codec is requested. Swap
+`_fake_decode_meta` for PIL/torchaudio/ffmpeg calls in production — the
+dataflow around it does not change.
+
+Scale notes: mapInPandas streams Arrow record batches — no row-at-a-time
+serde; binary payloads never pass through Python object pickling. Batch
+size bounds executor memory via spark.sql.execution.arrow.maxRecordsPerBatch.
+Feature vectors come back as array<float> ready for the similarity
+operators (operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+
+def _fake_decode_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """FAKE deterministic 'decode': metadata derived from byte arithmetic so
+    tests and the DuckDB oracle can reproduce it. Replace with a real codec
+    (PIL.Image.open etc.) in production."""
+    n = len(payload)
+    return n, 1 + n % 64, 1 + n % 48, 3
+
+
+def _fake_features(payload: bytes, dim: int) -> list[float]:
+    """FAKE deterministic feature vector: polynomial byte hash per dim."""
+    out = []
+    acc = 7
+    for d in range(dim):
+        acc = (acc * 31 + (payload[d % len(payload)] if payload else 0) + d) % 1_000_000_007
+        out.append(float(acc % 1000) / 1000.0)
+    return out
+
+
+def attach_payload(df: DataFrame, text_col: str) -> DataFrame:
+    """Test helper: synthesize a binary payload column from text (the
+    testdata has no real media; the plumbing doesn't care)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def decode_metadata(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
+    """Decode media metadata via mapInPandas (Arrow-batched). Output:
+    (id, n_bytes, width, height, channels)."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())] + list(META_SCHEMA.fields)
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_fake_decode_meta(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "n_bytes": [m[0] for m in metas],
+                    "width": [m[1] for m in metas],
+                    "height": [m[2] for m in metas],
+                    "channels": [m[3] for m in metas],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, out_schema)
+
+
+def extract_features(
+    df: DataFrame, id_col: str, payload_col: str = "payload", dim: int = 8
+) -> DataFrame:
+    """Per-payload feature vector (array<float>) via mapInPandas."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "features": [_fake_features(p, dim) for p in pdf[payload_col]],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(feats, out_schema)
+
+
+def frame_sample(
+    df: DataFrame, id_col: str, payload_col: str = "payload", n_frames: int = 4
+) -> DataFrame:
+    """'Video' frame sampling: split the payload into n_frames byte ranges,
+    one output row per frame with its offset/length (the decode of each
+    frame would plug in here). Output: (id, frame_idx, offset, length)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("length", T.LongType()),
+        ]
+    )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, lens = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                n = len(p)
+                step = max(n // n_frames, 1)
+                for k in range(n_frames):
+                    off = min(k * step, n)
+                    ids.append(i)
+                    idxs.append(k)
+                    offs.append(off)
+                    lens.append(min(step, n - off))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "offset": offs, "length": lens}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(frames, out_schema)
+
+
+def decode_real(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
+    """Real-codec decode path — requires an image library.
+
+    STUB: raises NotImplementedError in this environment (no PIL/cv2
+    installed); kept so the API surface is complete and the import-gate
+    pattern is explicit."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decode needs PIL; this environment stubs it — use "
+            "decode_metadata (deterministic fake) instead"
+        ) from e
+    raise NotImplementedError("real decode not wired in this build")

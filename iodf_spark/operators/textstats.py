@@ -1,0 +1,113 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language identification (marker-word + CJK heuristic), document
+fingerprinting. All JVM-side (regex + higher-order functions, no Python
+UDFs), all emitted in both Spark and DuckDB dialects so the oracle
+reproduces every score exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iodf_spark.functions import texthash as TH
+
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+PUNCT_RE = "[^A-Za-z0-9\\s]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "es": ["el", "los", "las", "y", "es", "un", "una", "para", "en", "que"],
+}
+LANGS = ["de", "en", "es", "fr"]  # deterministic priority order for argmax ties
+CJK_RE = "[\\u4e00-\\u9fff]"
+
+
+def _arr_lit(words: list[str], dialect: str) -> str:
+    inner = ", ".join(f"'{w}'" for w in words)
+    return f"array({inner})" if dialect == "spark" else f"[{inner}]"
+
+
+def _lang_score(toks: str, lang: str, dialect: str) -> str:
+    """# distinct marker words of `lang` present in the token array."""
+    lit = _arr_lit(STOPWORDS[lang], dialect)
+    if dialect == "spark":
+        return f"size(array_intersect({toks}, {lit}))"
+    return f"len(list_intersect({toks}, {lit}))"
+
+
+def _exprs(text: str, dialect: str) -> dict[str, str]:
+    """All text metrics as dialect SQL over a token-array expr `_tok` and the
+    raw text column. Keys = output column names."""
+    sp = dialect == "spark"
+    n_tokens = f"size(_tok)" if sp else "len(_tok)"
+    cps = TH.codepoints(text, dialect)
+    # Spark SQL string literals process backslash escapes; DuckDB's don't
+    bpe_re = BPE_RE.replace("\\", "\\\\") if sp else BPE_RE
+    punct_re = PUNCT_RE.replace("\\", "\\\\") if sp else PUNCT_RE
+    if sp:
+        n_bpe = f"size(regexp_extract_all({text}, '{bpe_re}', 0))"
+        n_punct = f"size(regexp_extract_all({text}, '{punct_re}', 0))"
+        cjk = f"size(filter({cps}, _c -> _c >= 19968 and _c <= 40959))"
+    else:
+        n_bpe = f"len(regexp_extract_all({text}, '{bpe_re}'))"
+        n_punct = f"len(regexp_extract_all({text}, '{punct_re}'))"
+        cjk = f"len(list_filter({cps}, _c -> _c >= 19968 and _c <= 40959))"
+    n_chars = f"length({text})"
+    punct_ratio = f"({n_punct} * 1e0 / greatest({n_chars}, 1))"
+    scores = {lang: _lang_score("_tok", lang, dialect) for lang in LANGS}
+    stop_hits = "(" + " + ".join(scores.values()) + ")"
+    stop_ratio = f"({stop_hits} * 1e0 / greatest({n_tokens}, 1))"
+    quality = (
+        f"({stop_ratio} * 4e-1 + (1e0 - {punct_ratio}) * 3e-1 "
+        f"+ least({n_tokens}, 100) * 3e-3)"
+    )
+    # deterministic argmax cascade: CJK presence wins outright; otherwise the
+    # first language (in LANGS order) whose score is >= 1 and >= every later
+    # language's score — identical formula text in both dialects
+    case = f"case when {cjk} > 0 then 'zh' "
+    for i, lang in enumerate(LANGS):
+        conds = [f"{scores[lang]} >= 1"] + [
+            f"{scores[lang]} >= {scores[other]}" for other in LANGS[i + 1 :]
+        ]
+        case += f"when {' and '.join(conds)} then '{lang}' "
+    case += "else 'unknown' end"
+    return {
+        "n_tokens": f"{n_tokens}",
+        "n_bpe_pieces": f"{n_bpe}",
+        "n_chars": f"{n_chars}",
+        "punct_ratio": f"round({punct_ratio}, 6)",
+        "stopword_ratio": f"round({stop_ratio}, 6)",
+        "quality_score": f"round({quality}, 6)",
+        "lang_pred": case,
+        "fingerprint": TH.fold_hash(
+            TH.codepoints(f"trim(regexp_replace(lower({text}), '\\\\s+', ' '))"
+                          if sp else f"trim(regexp_replace(lower({text}), '\\s+', ' ', 'g'))",
+                          dialect),
+            dialect,
+        ),
+    }
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document metrics: token/BPE-piece/char counts, punctuation and
+    stopword ratios, composite quality score, predicted language,
+    64-bit-range fingerprint of the normalized text."""
+    exprs = _exprs(text_col, "spark")
+    toks = df.withColumn("_tok", F.expr(TH.tokens(text_col, "spark")))
+    return toks.select(
+        F.col(id_col), *[F.expr(v).alias(k) for k, v in exprs.items()]
+    ).orderBy(id_col)
+
+
+def text_stats_oracle(id_col: str, text_col: str, table: str) -> str:
+    exprs = _exprs(text_col, "duckdb")
+    cols = ", ".join(f"{v} AS {k}" for k, v in exprs.items())
+    return f"""
+        SELECT {id_col}, {cols}
+        FROM (SELECT {id_col}, {text_col}, {TH.tokens(text_col, 'duckdb')} AS _tok
+              FROM {table})
+        ORDER BY {id_col}
+    """

@@ -1,0 +1,87 @@
+"""Training-data pipeline operators vs their DuckDB oracle twins (the
+oracle generators emit the same formulas in the DuckDB dialect, so equality
+here is exact, including LSH banding) and the multimodal Arrow plumbing vs
+Python ground truth."""
+
+import duckdb
+import pytest
+
+from iodf_spark.operators import dedup as D
+from iodf_spark.operators import multimodal as MM
+from iodf_spark.operators import similarity as S
+from iodf_spark.operators import textstats as TS
+from iodf_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return c
+
+
+def _match(sdf, con, sql):
+    s = sorted(tuple(r) for r in sdf.collect())
+    d = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert len(s) == len(d)
+    assert s == d
+
+
+def test_dedup_family(spark, sf_dir, con):
+    docs = load_table(spark, sf_dir, "documents")
+    _match(D.exact_dedup(docs, "doc_id", "text"), con, D.exact_dedup_oracle("doc_id", "text", "documents"))
+    _match(D.jaccard_pairs(docs, "doc_id", "text"), con, D.jaccard_pairs_oracle("doc_id", "text", "documents"))
+    _match(D.minhash_lsh_pairs(docs, "doc_id", "text"), con, D.minhash_lsh_pairs_oracle("doc_id", "text", "documents"))
+    _match(D.simhash_pairs(docs, "doc_id", "text"), con, D.simhash_pairs_oracle("doc_id", "text", "documents"))
+
+
+def test_minhash_finds_all_high_jaccard_pairs(spark, sf_dir):
+    # LSH recall sanity: every pair the exact algorithm finds at >= 0.9
+    # must be found by the banded MinHash path at the same threshold
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r["doc_a"], r["doc_b"]) for r in D.jaccard_pairs(docs, "doc_id", "text", threshold=0.9).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.9).collect()}
+    assert exact == lsh
+
+
+def test_similarity_family(spark, sf_dir, con):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [0, 1, 2]
+    _match(S.cosine_pairs(emb, "vec_id", "embedding"), con, S.cosine_pairs_oracle("vec_id", "embedding", "embeddings"))
+    _match(S.ann_brute_force(emb, "vec_id", "embedding", q), con, S.ann_brute_force_oracle("vec_id", "embedding", "embeddings", q))
+    _match(S.ann_lsh(emb, "vec_id", "embedding", q), con, S.ann_lsh_oracle("vec_id", "embedding", "embeddings", q))
+
+
+def test_text_stats(spark, sf_dir, con):
+    docs = load_table(spark, sf_dir, "documents")
+    _match(TS.text_stats(docs, "doc_id", "text"), con, TS.text_stats_oracle("doc_id", "text", "documents"))
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    payloads = {r["doc_id"]: r["text"].encode() for r in docs.collect()}
+    with_p = MM.attach_payload(docs, "text")
+
+    meta = {r["doc_id"]: r for r in MM.decode_metadata(with_p, "doc_id").collect()}
+    assert set(meta) == set(payloads)
+    for i, p in payloads.items():
+        exp = MM._fake_decode_meta(p)
+        assert (meta[i]["n_bytes"], meta[i]["width"], meta[i]["height"], meta[i]["channels"]) == exp
+
+    feats = {r["doc_id"]: r["features"] for r in MM.extract_features(with_p, "doc_id", dim=8).collect()}
+    for i, p in payloads.items():
+        assert feats[i] == pytest.approx(MM._fake_features(p, 8), rel=1e-6)
+
+    frames = MM.frame_sample(with_p, "doc_id", n_frames=4).collect()
+    assert len(frames) == 4 * len(payloads)
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, p in payloads.items():
+        fs = sorted(by_doc[i], key=lambda r: r["frame_idx"])
+        assert [f["frame_idx"] for f in fs] == [0, 1, 2, 3]
+        assert all(f["offset"] + f["length"] <= len(p) for f in fs)
+
+    with pytest.raises(NotImplementedError):
+        MM.decode_real(with_p, "doc_id")
