@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iodf_spark.functions.costats_math import costats_sql_exprs
-from iodf_spark.operators import dedup, similarity, textstats
+from iodf_spark.operators import dedup, sessions, similarity, textstats
 from iodf_spark.operators import index as idx
 from iodf_spark.operators.costats import costats_index, costats_sweep
 from iodf_spark.plans.rowset import PostingSet
@@ -422,6 +422,36 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sessionization operator: gap-based per-user sessions (batch
+    form; the streaming form uses applyInPandasWithState)."""
+    from iodf_spark.operators.sessions import sessionize
+
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+_STREAM_COUNTER = [0]
+
+
+def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 Structured Streaming: file-source stream over events,
+    event-time tumbling window + watermark, driven to completion with the
+    availableNow trigger into a memory sink. Semantically equal to the
+    batch aggregation, which is what the oracle checks."""
+    from iodf_spark.streaming.ingest import (
+        run_to_memory,
+        stream_events,
+        windowed_event_counts,
+    )
+
+    _STREAM_COUNTER[0] += 1
+    name = f"stream_windowed_{_STREAM_COUNTER[0]}"
+    agg = windowed_event_counts(stream_events(spark, sf_dir))
+    return run_to_memory(agg, name, output_mode="complete").orderBy(
+        "hour_start", "event_type"
+    )
+
+
 KNN_FEATURES = ["o_orderstatus", "o_orderpriority"]
 KNN_QUERY = {"o_orderstatus": "F", "o_orderpriority": "1-URGENT"}
 KNN_TARGET_SQL = "o_totalprice > 150000"
@@ -489,6 +519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "text_stats": q_text_stats,
         "multimodal_meta": q_multimodal_meta,
+        "sessionize": q_sessionize,
+        "stream_windowed": q_stream_windowed,
     }
 
 
@@ -715,5 +747,11 @@ def oracle_sql() -> dict[str, str]:
                    (1 + octet_length(encode(text)) % 48)::INT AS height,
                    3::INT AS channels
             FROM documents ORDER BY doc_id
+        """,
+        "sessionize": sessions.sessionize_oracle("events"),
+        "stream_windowed": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+                   event_type, count(*)::BIGINT AS cnt, round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type
         """,
     }

@@ -62,7 +62,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, row_id: bool = False
     if name == "events":
         # TIMESTAMP(NANOS) read as long ns (see session.py); truncate to µs —
         # the same truncation DuckDB applies (its timestamps are µs)
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        # integer division — ns epochs (~1.7e18) overflow double precision
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if row_id:
         df = with_row_id(df, NATURAL_KEYS[name])
     return df

@@ -1,0 +1,156 @@
+"""Structured Streaming surface (SURVEY.md §2.11 — absent in the reference,
+whose 'incremental' story is LSM segment accumulation; Structured Streaming
+with availableNow + foreachBatch writing per-batch segments reproduces that
+exactly, and event-time windows/watermarks extend it).
+
+* stream_events: file-source stream over the events parquet (ns timestamps
+  converted like the batch path).
+* stream_ingest_segments: micro-batch ingest — every batch becomes one
+  immutable segment in a SegmentStore (foreachBatch; the reference's
+  append-a-segment-per-write, Dfs.scala:181-220, driven by a stream).
+* windowed_event_counts: event-time tumbling-window aggregation with a
+  watermark for late data.
+* run_to_memory: drive any streaming DataFrame to completion with the
+  availableNow trigger into a named in-memory sink and return the result
+  as a batch DataFrame (used by the driver queries; in production the sink
+  would be a parquet/Delta path with a real trigger).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iodf_spark.sources.segments import SegmentStore
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the file stream source needs a directory; expose the single parquet
+    # file through a per-sf temp dir of symlinks (testdata is read-only)
+    import hashlib
+    import os
+
+    link_dir = f"/tmp/iodf_stream_src_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(link_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time tumbling window with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.col("w.start").cast("string").alias("hour_start"),
+            "event_type",
+            "cnt",
+            "avg_value",
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Drive a streaming DataFrame to completion (availableNow) into an
+    in-memory table; returns the materialized result."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    gap-based per-user sessionization. State = the open session per user,
+    carried across micro-batches; each batch emits every session touched in
+    that batch (closed sessions finally, the open session provisionally —
+    a later batch may extend and re-emit it). For a single availableNow
+    batch the output equals the batch sessionize operator."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_id long, n_events long, "
+        "session_start string, session_end string"
+    )
+    state_schema = "session_id long, start_us long, end_us long, n long"
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fmt(us: int) -> str:
+        return pd.Timestamp(us, unit="us").strftime("%Y-%m-%d %H:%M:%S.%f")
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        ts_us.sort()
+        if state.exists:
+            sid, s0, e0, n0 = state.get
+        else:
+            sid, s0, e0, n0 = -1, None, None, 0
+        out = []
+        for t in ts_us:
+            if s0 is not None and t - e0 <= gap_us:
+                e0, n0 = t, n0 + 1
+            else:
+                if s0 is not None:
+                    out.append((user_id, sid, n0, fmt(s0), fmt(e0)))
+                sid, s0, e0, n0 = sid + 1, t, t, 1
+        if s0 is not None:
+            out.append((user_id, sid, n0, fmt(s0), fmt(e0)))
+            state.update((sid, s0, e0, n0))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_id", "n_events", "session_start", "session_end"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_ingest_segments(
+    events: DataFrame,
+    store: SegmentStore,
+    order_keys: list[str] | None = None,
+    index_conf=None,
+) -> None:
+    """Micro-batch ingest: one immutable segment per micro-batch (the
+    streaming rendition of the reference's segment-append + MultiDf read)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.write_segment(batch_df, order_keys=order_keys, index_conf=index_conf)
+
+    q = (
+        events.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", store.path + "/_checkpoint")
+        .start()
+    )
+    q.awaitTermination()

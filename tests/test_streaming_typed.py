@@ -1,0 +1,82 @@
+"""Streaming surface + typed dataframe surface tests.
+
+Streaming: availableNow micro-batch ingest into a SegmentStore, windowed
+agg vs batch equivalent, stateful sessionize vs the batch operator.
+Typed: dataclass round-trip mirroring the reference's 1024-item sanity
+check (DfTest.scala:324-381: items(i) == df(i) for all i)."""
+
+import dataclasses
+import random
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from iodf_spark.operators.sessions import sessionize
+from iodf_spark.sources.segments import SegmentStore
+from iodf_spark.sources.tables import load_table
+from iodf_spark.sources.typed import collect_typed, create_typed_df, schema_for, typed_row
+from iodf_spark.streaming.ingest import (
+    run_to_memory,
+    stream_events,
+    stream_ingest_segments,
+    stream_sessionize,
+    windowed_event_counts,
+)
+
+
+def test_stream_windowed_equals_batch(spark, sf_dir):
+    agg = windowed_event_counts(stream_events(spark, sf_dir))
+    got = run_to_memory(agg, "t_stream_win", output_mode="complete")
+    events = load_table(spark, sf_dir, "events")
+    exp = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("w.start").cast("string").alias("hour_start"), "event_type", "cnt", "avg_value")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_stream_sessionize_equals_batch(spark, sf_dir):
+    got = run_to_memory(stream_sessionize(stream_events(spark, sf_dir)), "t_stream_sess")
+    exp = sessionize(load_table(spark, sf_dir, "events"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_stream_ingest_segments(spark, sf_dir, tmp_path):
+    store = SegmentStore(str(tmp_path / "sstore"))
+    stream_ingest_segments(stream_events(spark, sf_dir), store)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert store.total_rows() == n_events
+    assert store.open(spark).count() == n_events
+    shutil.rmtree(store.path, ignore_errors=True)
+
+
+@dataclasses.dataclass
+class ExampleItem:
+    name: str
+    quantity: int
+    price: float
+    big: bool
+
+
+def test_typed_roundtrip(spark):
+    rng = random.Random(42)
+    items = [
+        ExampleItem(
+            name=f"item-{rng.randint(0, 999)}",
+            quantity=rng.randint(0, 10**9),
+            price=rng.random() * 100,
+            big=rng.random() < 0.5,
+        )
+        for _ in range(256)
+    ]
+    df = create_typed_df(spark, items)
+    # schema fields sorted by name (reference invariant)
+    assert [f.name for f in schema_for(ExampleItem).fields] == ["big", "name", "price", "quantity"]
+    back = collect_typed(df, ExampleItem)
+    assert back == items
+    # point row materialization
+    assert typed_row(df, ExampleItem, 123) == items[123]
+    with pytest.raises(IndexError):
+        typed_row(df, ExampleItem, 10_000)
