@@ -452,6 +452,130 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iodf_spark.operators.similarity import ann_ivf
+
+    return ann_ivf(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", ANN_QUERY_IDS
+    )
+
+
+# ---------------------------------------------------------------------------
+# segment store (S5/S7, MultiDf/E3, B5 writeMergedDf) — LSM segments with
+# manifest offsets, multi-segment union + default fill, cross-segment index
+# probe, compaction invariance.
+
+SEG_STATUS_ORDER = "CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1 ELSE 2 END"
+# global row_id of the 3-segment store: segments written in status order
+# F, O, P, each ordered by o_orderkey (manifest offsets = concatenation)
+SEG_RID = (
+    f"(SELECT *, row_number() OVER (ORDER BY {SEG_STATUS_ORDER}, o_orderkey) - 1"
+    " AS row_id FROM orders)"
+)
+
+
+def _orders_store(spark: SparkSession, sf_dir: str, compact: bool = False):
+    """Build (once per sf_dir) a 3-segment orders store: one segment per
+    o_orderstatus, each indexed on o_orderpriority; the 'O' segment carries
+    an extra column to exercise MultiDf default-fill. The compact variant
+    rewrites the 3 segments into 1 (writeMergedDf)."""
+    import tempfile
+
+    from iodf_spark.sources.segments import SegmentStore
+
+    key = ("orders_store_compact" if compact else "orders_store", sf_dir)
+    if key not in _cache:
+        store = SegmentStore(tempfile.mkdtemp(prefix="iodf_segs_"))
+        od = load_table(spark, sf_dir, "orders")
+        conf = idx.IndexConf(include=["o_orderpriority"])
+        for status in ["F", "O", "P"]:
+            seg = od.filter(F.col("o_orderstatus") == status)
+            if status == "O":
+                seg = seg.withColumn("flag", F.lit(1))
+            store.write_segment(seg, order_keys=["o_orderkey"], index_conf=conf)
+        if compact:
+            store.compact(spark, defaults={"flag": 0}, index_conf=conf)
+        _cache[key] = store
+    return _cache[key]
+
+
+def q_segments_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/E3 multi-segment open: logical concatenation with manifest row-id
+    offsets; missing columns default-filled (MultiDf.scala:125-142)."""
+    store = _orders_store(spark, sf_dir)
+    return store.open(spark, defaults={"flag": 0}).select(
+        "row_id", "o_orderkey", "o_orderstatus", F.col("flag").cast("int").alias("flag")
+    )
+
+
+def q_segments_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 cross-segment index probe: per-segment posting lists shifted into
+    the global row space (MultiBits sharding), one key probed."""
+    store = _orders_store(spark, sf_dir)
+    ix = store.open_index(spark)
+    return idx.probe(ix, "o_orderpriority", "1-URGENT", store.total_rows()).to_rows()
+
+
+def q_segments_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """writeMergedDf (Dfs.scala:222-228): compaction rewrites 3 segments as
+    1; order-preserving concat keeps every (row_id, row) binding — checked
+    via a content checksum plus the segment count."""
+    store = _orders_store(spark, sf_dir, compact=True)
+    df = store.open(spark, defaults={"flag": 0})
+    return df.agg(
+        F.lit(len(store.manifest())).cast("int").alias("n_segments"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
+    )
+
+
+def q_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4/P3 typed surface: dataclass items -> columnarized df with
+    ingest-order row_id -> row materialized back as a dataclass
+    (TypedDf.scala:9-18; sorted-field invariant Dfs.scala:417-423)."""
+    import dataclasses
+
+    from iodf_spark.sources.typed import collect_typed, create_typed_df
+
+    @dataclasses.dataclass
+    class NationItem:
+        n_name: str
+        n_nationkey: int
+        n_regionkey: int
+
+    rows = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    items = [
+        NationItem(
+            n_name=r.n_name,
+            n_nationkey=int(r.n_nationkey),
+            n_regionkey=int(r.n_regionkey),
+        )
+        for r in rows
+    ]
+    tdf = create_typed_df(spark, items)
+    if collect_typed(tdf, NationItem) != items:  # apply(i) round-trip invariant
+        raise AssertionError("typed round-trip mismatch")
+    return tdf.select("row_id", "n_name", "n_nationkey", "n_regionkey")
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11/§2.12 custom stateful streaming operator: gap-based
+    sessionization via applyInPandasWithState driven with availableNow;
+    single-batch output equals the batch sessionize operator (the oracle)."""
+    from iodf_spark.streaming.ingest import (
+        run_to_memory,
+        stream_events,
+        stream_sessionize,
+    )
+
+    _STREAM_COUNTER[0] += 1
+    name = f"stream_sessions_{_STREAM_COUNTER[0]}"
+    out = stream_sessionize(stream_events(spark, sf_dir))
+    return run_to_memory(out, name, output_mode="append").orderBy(
+        "user_id", "session_id"
+    )
+
+
 KNN_FEATURES = ["o_orderstatus", "o_orderpriority"]
 KNN_QUERY = {"o_orderstatus": "F", "o_orderpriority": "1-URGENT"}
 KNN_TARGET_SQL = "o_totalprice > 150000"
@@ -517,6 +641,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pairs": q_embedding_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "segments_union": q_segments_union,
+        "segments_index_probe": q_segments_index_probe,
+        "segments_compact": q_segments_compact,
+        "typed_roundtrip": q_typed_roundtrip,
+        "stream_sessionize": q_stream_sessionize,
         "text_stats": q_text_stats,
         "multimodal_meta": q_multimodal_meta,
         "sessionize": q_sessionize,
@@ -740,6 +870,28 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": similarity.ann_lsh_oracle(
             "vec_id", "embedding", "embeddings", ANN_QUERY_IDS
         ),
+        "ann_ivf": similarity.ann_ivf_oracle(
+            "vec_id", "embedding", "embeddings", ANN_QUERY_IDS
+        ),
+        "segments_union": f"""
+            SELECT row_id, o_orderkey, o_orderstatus,
+                   (CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::INT AS flag
+            FROM {SEG_RID}
+        """,
+        "segments_index_probe": f"""
+            SELECT row_id FROM {SEG_RID} WHERE o_orderpriority = '1-URGENT'
+        """,
+        "segments_compact": f"""
+            SELECT 1::INT AS n_segments, count(*)::BIGINT AS n_rows,
+                   sum(row_id * o_orderkey)::BIGINT AS checksum
+            FROM {SEG_RID}
+        """,
+        "typed_roundtrip": """
+            SELECT row_number() OVER (ORDER BY n_nationkey) - 1 AS row_id,
+                   n_name, n_nationkey, n_regionkey
+            FROM nation
+        """,
+        "stream_sessionize": sessions.sessionize_oracle("events"),
         "text_stats": textstats.text_stats_oracle("doc_id", "text", "documents"),
         "multimodal_meta": """
             SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,

@@ -151,6 +151,111 @@ def ann_brute_force_oracle(
     """
 
 
+def ann_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 4,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: the corpus is partitioned into inverted lists by
+    nearest centroid; queries probe only the `n_probe` nearest lists.
+    Centroids are deterministic (the vectors with id < n_centroids — a
+    fixed 'training sample'), so assignment and results are
+    oracle-checkable. Scale path: centroids are tiny and broadcast both
+    times; the corpus is scanned once to assign cells (narrow after the
+    broadcast join) and candidate generation touches only probed cells —
+    at 100 TB the assigned corpus is written partitioned by cell so probes
+    prune to n_probe/n_centroids of the data."""
+    cent = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("_ce")
+    )
+    corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    wa = Window.partitionBy("neighbor_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    assigned = (
+        corpus.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", F.expr(cosine_expr("_cv", "_ce", "spark")))
+        .withColumn("_r", F.row_number().over(wa))
+        .filter(F.col("_r") == 1)
+        .select("cid", "neighbor_id", "_cv")
+    )
+    q = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    qcells = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", F.expr(cosine_expr("_qv", "_ce", "spark")))
+        .withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select("cid", "query_id", "_qv")
+    )
+    scored = (
+        F.broadcast(qcells)
+        .join(assigned, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.expr(cosine_expr("_qv", "_cv", "spark")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_ivf_oracle(
+    id_col: str,
+    vec_col: str,
+    table: str,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 4,
+    n_probe: int = 2,
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    acos = cosine_expr("c._cv", "ct._ce", "duckdb")
+    qccos = cosine_expr("q._qv", "ct._ce", "duckdb")
+    cos = cosine_expr("qc._qv", "a._cv", "duckdb")
+    return f"""
+        WITH cent AS (SELECT {id_col} AS cid, {vec_col} AS _ce FROM {table}
+                      WHERE {id_col} < {n_centroids}),
+        corpus AS (SELECT {id_col} AS neighbor_id, {vec_col} AS _cv FROM {table}),
+        ascore AS (
+          SELECT c.neighbor_id, c._cv, ct.cid, {acos} AS ccos
+          FROM corpus c CROSS JOIN cent ct),
+        assigned AS (
+          SELECT cid, neighbor_id, _cv FROM (
+            SELECT *, row_number() OVER (PARTITION BY neighbor_id
+                                         ORDER BY ccos DESC, cid) AS _r
+            FROM ascore) WHERE _r = 1),
+        q AS (SELECT {id_col} AS query_id, {vec_col} AS _qv FROM {table}
+              WHERE {id_col} IN ({ids})),
+        qscore AS (
+          SELECT q.query_id, q._qv, ct.cid, {qccos} AS ccos
+          FROM q CROSS JOIN cent ct),
+        qcells AS (
+          SELECT cid, query_id, _qv FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY ccos DESC, cid) AS _r
+            FROM qscore) WHERE _r <= {n_probe}),
+        scored AS (
+          SELECT qc.query_id, a.neighbor_id, {cos} AS cos
+          FROM qcells qc JOIN assigned a ON qc.cid = a.cid
+          WHERE qc.query_id <> a.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id)::INT AS rank
+          FROM scored)
+        SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+        FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
 def ann_lsh(
     df: DataFrame,
     id_col: str,
