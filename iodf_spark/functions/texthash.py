@@ -76,10 +76,14 @@ def shingle_hashes(th: str, dialect: str, n: int = 3) -> str:
     array expression `th` (pass a column name — the expression is repeated,
     so keep it cheap). Documents shorter than n tokens yield an empty array."""
     if _d(dialect):
-        gram_hash = fold_hash(f"slice({th}, _i + 1, {n})", dialect)
+        # unrolled fold (same integers as fold_hash over the slice): direct
+        # element_at chain, ~10x faster than per-shingle slice + aggregate
+        acc = f"cast({SEED} as bigint)"
+        for j in range(1, n + 1):
+            acc = f"((({acc}) * {MULT} + element_at({th}, _i + {j})) % {MOD})"
         return (
             f"array_distinct(case when size({th}) >= {n} "
-            f"then transform(sequence(0, size({th}) - {n}), _i -> {gram_hash}) "
+            f"then transform(sequence(0, size({th}) - {n}), _i -> {acc}) "
             f"else cast(array() as array<bigint>) end)"
         )
     gram_hash = fold_hash(f"list_slice({th}, _i + 1, _i + {n})", dialect)

@@ -59,10 +59,36 @@ def exact_dedup_oracle(id_col: str, text_col: str, table: str) -> str:
 # n-gram Jaccard (exact)
 
 
-def _with_shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
+def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(_id, _sh: sorted distinct shingle hashes, _sz) per document.
+
+    Shingle hashes are built on the exploded token stream with window
+    lead() — scalar whole-stage-codegen arithmetic — rather than array
+    higher-order functions: Catalyst's CollapseProject inlines a
+    token-hash-array expression into every lambda reference, silently
+    recomputing the whole array per element access (measured 3-10x blowup).
+    One shuffle on _id; values identical to the per-array fold."""
+    from pyspark.sql.window import Window
+
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.expr(TH.tokens(text_col, "spark"))).alias("_pos", "_t"),
+    ).withColumn("_h", F.expr(TH.text_hash("_t", "spark")))
+    w = Window.partitionBy("_id").orderBy("_pos")
+    acc = f"cast({TH.SEED} as bigint)"
+    for j in range(n):
+        acc = f"((({acc}) * {TH.MULT} + _h{j}) % {TH.MOD})"
+    with_leads = tok.select(
+        "_id",
+        F.col("_h").alias("_h0"),
+        *[F.lead("_h", j).over(w).alias(f"_h{j}") for j in range(1, n)],
+    )
+    shingled = with_leads.filter(F.col(f"_h{n - 1}").isNotNull()).withColumn(
+        "_s", F.expr(acc)
+    )
     return (
-        df.withColumn("_th", F.expr(TH.token_hashes(text_col, "spark")))
-        .withColumn("_sh", F.expr(TH.shingle_hashes("_th", "spark", n)))
+        shingled.groupBy("_id")
+        .agg(F.sort_array(F.collect_set("_s")).alias("_sh"))
         .withColumn("_sz", F.size("_sh"))
         .filter(F.col("_sz") > 0)
     )
@@ -72,27 +98,47 @@ def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
 ) -> DataFrame:
     """EXACT n-gram-Jaccard near-duplicate pairs >= threshold.
-    Candidates via the inverted shared-shingle join (a pair with Jaccard > 0
-    must share a shingle), common counts by pair, closed-form Jaccard."""
-    sh = _with_shingles(df, text_col, n).select(
-        F.col(id_col).alias("_id"), "_sz", F.explode("_sh").alias("_s")
+
+    Candidate generation uses PREFIX FILTERING (AllPairs/PPJoin): under a
+    global total order of shingle hashes, a pair with J >= t must share a
+    shingle among each side's first (sz - ceil(t*sz) + 1) sorted shingles —
+    so only prefixes are exploded into the self-join, cutting candidate
+    pairs by orders of magnitude on hot shingles while staying LOSSLESS
+    (the exact array_intersect verification restores precision; the prefix
+    lemma guarantees recall). ceil(t*sz) is computed in exact integer
+    arithmetic so no float rounding can shorten a prefix."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    tn, td = frac.numerator, frac.denominator
+    docs = _with_shingles(df, id_col, text_col, n).cache()
+    prefix = F.expr(
+        f"slice(_sh, 1, cast(_sz - (({tn} * _sz + {td - 1}) div {td}) + 1 as int))"
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
+    pref = docs.select("_id", F.explode(prefix).alias("_s"))
+    a, b = pref.alias("a"), pref.alias("b")
+    cands = (
         a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("_common"),
-            F.any_value(F.col("a._sz")).alias("_sza"),
-            F.any_value(F.col("b._sz")).alias("_szb"),
-        )
+        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    da = docs.select(
+        F.col("_id").alias("doc_a"), F.col("_sh").alias("_sha"), F.col("_sz").alias("_sza")
+    )
+    db = docs.select(
+        F.col("_id").alias("doc_b"), F.col("_sh").alias("_shb"), F.col("_sz").alias("_szb")
+    )
+    verified = (
+        cands.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("_common", F.size(F.array_intersect("_sha", "_shb")))
         .withColumn(
             "jaccard",
             F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common")),
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def jaccard_pairs_oracle(
@@ -132,12 +178,20 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs via MinHash signatures + LSH banding, then EXACT
     Jaccard verification of the candidates (so output = candidates that
-    truly clear the threshold; banding only bounds recall)."""
-    sh = _with_shingles(df, text_col, n)
-    sig_cols = [
-        F.expr(TH.minhash_sig("_sh", "spark", i)).alias(f"_sig{i}") for i in range(num_hashes)
+    truly clear the threshold; banding only bounds recall).
+
+    Signatures are computed by explode + groupBy-min — whole-stage-codegen
+    integer aggregates (identical values to a per-row array fold: min is
+    order-independent) instead of interpreted higher-order lambdas; the
+    band self-join carries only ids, with shingle arrays re-joined by id
+    for verification (small shuffles, no array payloads through the join)."""
+    sized = _with_shingles(df, id_col, text_col, n).select("_id", "_sh").cache()
+    ex = sized.select("_id", F.explode("_sh").alias("_x"))
+    sig_aggs = [
+        F.min((F.col("_x") * (2 * i + 3) + (5 * i + 7)) % TH.MOD).alias(f"_sig{i}")
+        for i in range(num_hashes)
     ]
-    sigs = sh.select(F.col(id_col).alias("_id"), "_sh", *sig_cols)
+    sigs = ex.groupBy("_id").agg(*sig_aggs)
     n_bands = num_hashes // band_rows
     band_structs = [
         F.struct(
@@ -148,9 +202,9 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
-    banded = sigs.select(
-        "_id", "_sh", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("_id", "_sh", "bk.band", "bk.key")
+    banded = sigs.select("_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "_id", "bk.band", "bk.key"
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -159,19 +213,19 @@ def minhash_lsh_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("doc_a"),
-            F.col("b._id").alias("doc_b"),
-            F.col("a._sh").alias("_sha"),
-            F.col("b._sh").alias("_shb"),
-        )
+        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    verified = cands.withColumn(
-        "jaccard",
-        F.size(F.array_intersect("_sha", "_shb"))
-        / (F.size("_sha") + F.size("_shb") - F.size(F.array_intersect("_sha", "_shb"))),
-    ).filter(F.col("jaccard") >= threshold)
+    verified = (
+        cands.join(sized.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sha")), "doc_a")
+        .join(sized.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_shb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sha", "_shb"))
+            / (F.size("_sha") + F.size("_shb") - F.size(F.array_intersect("_sha", "_shb"))),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
     return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -228,13 +282,30 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by 32-bit SimHash: candidates share at least one of
     the 4 bytes (pigeonhole guarantees recall for hamming <= 3), verified
-    by exact hamming distance."""
-    hashed = (
+    by exact hamming distance.
+
+    Per-bit vote sums come from explode + groupBy (32 codegen'd integer
+    sum aggregates over the token-hash multiset) instead of 32 interpreted
+    array folds per row; bit b is set iff 2*count_of_set_bit >= n_tokens —
+    algebraically identical to the reference sum(+1/-1) >= 0 criterion."""
+    toks = (
         df.withColumn("_th", F.expr(TH.token_hashes(text_col, "spark")))
         .filter(F.size("_th") > 0)
-        .withColumn("_sh32", F.expr(TH.simhash32(text_col, "spark", src="_th")))
-        .select(F.col(id_col).alias("_id"), "_sh32")
+        .select(F.col(id_col).alias("_id"), "_th")
     )
+    ex = toks.select("_id", F.explode("_th").alias("_x"))
+    bit_aggs = [
+        F.sum(F.shiftright(F.col("_x"), bit).bitwiseAND(F.lit(1))).alias(f"_b{bit}")
+        for bit in range(32)
+    ]
+    sums = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"), *bit_aggs)
+    sh32 = None
+    for bit in range(32):
+        term = F.when(
+            F.col(f"_b{bit}") * 2 >= F.col("_n"), F.lit(1 << bit).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sh32 = term if sh32 is None else sh32 + term
+    hashed = sums.select("_id", sh32.alias("_sh32")).cache()
     bands = hashed.select(
         "_id",
         "_sh32",

