@@ -558,6 +558,24 @@ def q_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tdf.select("row_id", "n_name", "n_nationkey", "n_regionkey")
 
 
+def q_index_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2/§2.12 analyzers: a text column indexed with the whitespace
+    tokenizer (the reference's test analyzer, DfTest.scala:69-70) — one
+    value fans out to N index tokens; probe one token -> row-id set."""
+    key = ("doc_text_index", sf_dir)
+    if key not in _cache:
+        docs = load_table(spark, sf_dir, "documents", row_id=True)
+        n = docs.count()
+        ix = idx.build_index(
+            docs,
+            idx.IndexConf(include=["text"], analyzers={"text": idx.text_analyzer}),
+        ).cache()
+        ix.count()
+        _cache[key] = (ix, n)
+    ix, n = _cache[key]  # type: ignore[assignment]
+    return idx.probe(ix, "text", "spark", n).to_rows()
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11/§2.12 custom stateful streaming operator: gap-based
     sessionization via applyInPandasWithState driven with availableNow;
@@ -646,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segments_index_probe": q_segments_index_probe,
         "segments_compact": q_segments_compact,
         "typed_roundtrip": q_typed_roundtrip,
+        "index_text_tokens": q_index_text_tokens,
         "stream_sessionize": q_stream_sessionize,
         "text_stats": q_text_stats,
         "multimodal_meta": q_multimodal_meta,
@@ -892,6 +911,14 @@ def oracle_sql() -> dict[str, str]:
             FROM nation
         """,
         "stream_sessionize": sessions.sessionize_oracle("events"),
+        "index_text_tokens": """
+            SELECT row_id
+            FROM (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS row_id, text
+                  FROM documents)
+            WHERE list_contains(
+                list_filter(string_split_regex(text, '\\s+'), _t -> _t <> ''),
+                'spark')
+        """,
         "text_stats": textstats.text_stats_oracle("doc_id", "text", "documents"),
         "multimodal_meta": """
             SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
