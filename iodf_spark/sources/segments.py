@@ -36,6 +36,8 @@ import json
 import os
 import tempfile
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -193,6 +195,18 @@ class SegmentStore:
             .agg(F.sort_array(F.flatten(F.collect_list("row_ids"))).alias("row_ids"))
             .withColumn("f", F.size("row_ids").cast("long"))
         )
+
+    def have_segments(
+        self,
+        build: "Callable[[], DataFrame]",
+        order_keys: list[str] | None = None,
+        index_conf: IndexConf | None = None,
+    ) -> dict | None:
+        """haveIndexedDf (Dfs.scala:546-554): create-if-absent memoization —
+        build and write only when the store is empty; idempotent ingest."""
+        if self.manifest():
+            return None
+        return self.write_segment(build(), order_keys=order_keys, index_conf=index_conf)
 
     # -- maintenance ---------------------------------------------------------
 

@@ -69,6 +69,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, row_id: bool = False
     return df
 
 
+def write_seq(df: DataFrame, col: str, path: str) -> None:
+    """writeSeq (Dfs.scala:231-242): one column as a standalone stored
+    object — here a single-column Parquet dir keeping row_id so the column
+    re-aligns with its table on read."""
+    cols = ["row_id", col] if "row_id" in df.columns else [col]
+    df.select(*cols).write.mode("overwrite").parquet(path)
+
+
+def open_seq(spark: SparkSession, path: str) -> DataFrame:
+    """openSeq (Dfs.scala:231-242): open a standalone column."""
+    return spark.read.parquet(path)
+
+
 def with_row_id(df: DataFrame, order_keys: list[str]) -> DataFrame:
     """Deterministic row_id = row_number() over natural-key order, 0-based.
 

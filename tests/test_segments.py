@@ -90,3 +90,32 @@ def test_empty_store(spark, store):
     # zero-segment merge (DfTest.scala:593-627)
     assert store.manifest() == []
     assert store.open(spark).count() == 0
+
+
+def test_have_segments_is_create_if_absent(spark, sf_dir, store):
+    # haveIndexedDf (Dfs.scala:546-554): second call is a no-op
+    li, a, _, _ = _three_slices(spark, sf_dir)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return a
+
+    first = store.have_segments(build, order_keys=["l_orderkey", "l_linenumber"])
+    assert first is not None and calls == [1]
+    again = store.have_segments(build, order_keys=["l_orderkey", "l_linenumber"])
+    assert again is None and calls == [1]
+    assert len(store.manifest()) == 1
+
+
+def test_write_open_seq_roundtrip(spark, sf_dir, tmp_path):
+    from iodf_spark.sources.tables import load_table, open_seq, write_seq
+
+    li = load_table(spark, sf_dir, "lineitem", row_id=True)
+    path = str(tmp_path / "qty_seq")
+    write_seq(li, "l_quantity", path)
+    col = open_seq(spark, path)
+    assert col.columns == ["row_id", "l_quantity"]
+    got = {r["row_id"]: r["l_quantity"] for r in col.collect()}
+    want = {r["row_id"]: r["l_quantity"] for r in li.select("row_id", "l_quantity").collect()}
+    assert got == want
