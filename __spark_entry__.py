@@ -594,6 +594,25 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ingest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 micro-batch segment ingest: the event stream lands as
+    immutable segments via foreachBatch (the reference's
+    append-a-segment-per-write, Dfs.scala:181-220, driven by a stream);
+    result checks row count and row_id contiguity of the opened store."""
+    import tempfile
+
+    from iodf_spark.sources.segments import SegmentStore
+    from iodf_spark.streaming.ingest import stream_events, stream_ingest_segments
+
+    store = SegmentStore(tempfile.mkdtemp(prefix="iodf_stream_segs_"))
+    stream_ingest_segments(stream_events(spark, sf_dir), store, order_keys=["event_id"])
+    df = store.open(spark)
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.max("row_id") + 1).cast("long").alias("max_rid_plus1"),
+    )
+
+
 KNN_FEATURES = ["o_orderstatus", "o_orderpriority"]
 KNN_QUERY = {"o_orderstatus": "F", "o_orderpriority": "1-URGENT"}
 KNN_TARGET_SQL = "o_totalprice > 150000"
@@ -666,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typed_roundtrip": q_typed_roundtrip,
         "index_text_tokens": q_index_text_tokens,
         "stream_sessionize": q_stream_sessionize,
+        "stream_ingest_segments": q_stream_ingest_segments,
         "text_stats": q_text_stats,
         "multimodal_meta": q_multimodal_meta,
         "sessionize": q_sessionize,
@@ -911,6 +931,10 @@ def oracle_sql() -> dict[str, str]:
             FROM nation
         """,
         "stream_sessionize": sessions.sessionize_oracle("events"),
+        "stream_ingest_segments": """
+            SELECT count(*)::BIGINT AS n_rows, count(*)::BIGINT AS max_rid_plus1
+            FROM events
+        """,
         "index_text_tokens": """
             SELECT row_id
             FROM (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS row_id, text

@@ -1,4 +1,4 @@
-"""Bitmap KNN with co-occurrence-trained feature weights (ml/Knn.scala;
+r"""Bitmap KNN with co-occurrence-trained feature weights (ml/Knn.scala;
 SURVEY.md §2.13 M1-M4) as DataFrame jobs.
 
 Semantics (re-derived from the reference's behavior, not its code):
