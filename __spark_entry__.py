@@ -51,8 +51,8 @@ def _lineitem_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
 # SQL fragment: lineitem with the deterministic row_id (matches
 # iodf_spark.sources.tables.with_row_id's natural-key numbering)
 LI_RID = (
-    "(SELECT *, row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS row_id"
-    " FROM lineitem)"
+    "(SELECT *, row_number() OVER (ORDER BY l_orderkey, l_linenumber,"
+    " l_extendedprice) - 1 AS row_id FROM lineitem)"
 )
 
 

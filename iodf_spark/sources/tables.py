@@ -47,7 +47,11 @@ NATURAL_KEYS: dict[str, list[str]] = {
     "supplier": ["s_suppkey"],
     "part": ["p_partkey"],
     "orders": ["o_orderkey"],
-    "lineitem": ["l_orderkey", "l_linenumber"],
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic testdata;
+    # l_extendedprice breaks the ties (verified unique at sf0.001-0.1) —
+    # a non-unique order would make row numbering depend on shuffle arrival
+    # order and diverge from the oracle's row_number()
+    "lineitem": ["l_orderkey", "l_linenumber", "l_extendedprice"],
     "events": ["event_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
@@ -83,13 +87,35 @@ def open_seq(spark: SparkSession, path: str) -> DataFrame:
 
 
 def with_row_id(df: DataFrame, order_keys: list[str]) -> DataFrame:
-    """Deterministic row_id = row_number() over natural-key order, 0-based.
+    """Deterministic row_id = rank in natural-key order, 0-based —
+    WITHOUT a single-task global window.
 
-    Oracle-reproducible; global sort — test-scale only. Use
-    :func:`with_row_id_scalable` for cluster-scale ingest.
+    Range-partition on the keys, number within each partition, then add
+    per-partition offsets (computed from actual partition counts, so the
+    numbering is exact regardless of where the sampled range boundaries
+    fall). Equal keys land in one range partition, so global id ==
+    row_number() over (order by keys) - 1, oracle-reproducible, while
+    every stage stays parallel — the same plan works on 1000 executors.
     """
-    w = Window.orderBy(*[F.col(k) for k in order_keys])
-    return df.withColumn("row_id", F.row_number().over(w).cast("long") - F.lit(1).cast("long"))
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    part = df.repartitionByRange(n_parts, *[F.col(k) for k in order_keys])
+    stamped = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=False)
+    counts = stamped.groupBy("_pid").count().collect()
+    offsets, acc = {}, 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    offset_df = df.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
+    )
+    w = Window.partitionBy("_pid").orderBy(*[F.col(k) for k in order_keys])
+    return (
+        stamped.join(F.broadcast(offset_df), "_pid")
+        .withColumn(
+            "row_id", F.row_number().over(w).cast("long") - 1 + F.col("_offset")
+        )
+        .drop("_pid", "_offset")
+    )
 
 
 def with_row_id_scalable(df: DataFrame) -> DataFrame:

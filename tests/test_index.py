@@ -57,7 +57,7 @@ def test_posting_lists_match_row_ids(sf_dir, li, li_index):
         for r in _duck(
             sf_dir,
             """SELECT rid FROM (
-                 SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rid,
+                 SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_extendedprice) - 1 AS rid,
                         l_returnflag
                  FROM LINEITEM) WHERE l_returnflag = 'R' ORDER BY rid""",
         ).fetchall()

@@ -31,7 +31,7 @@ def _three_slices(spark, sf_dir):
 def test_multi_segment_union_preserves_rows(spark, sf_dir, store):
     li, a, b, c = _three_slices(spark, sf_dir)
     for part in (a, b, c):
-        store.write_segment(part, order_keys=["l_orderkey", "l_linenumber"])
+        store.write_segment(part, order_keys=["l_orderkey", "l_linenumber", "l_extendedprice"])
     opened = store.open(spark)
     assert store.total_rows() == li.count()
     assert opened.count() == li.count()
@@ -57,7 +57,7 @@ def test_indexed_multi_segment_probe_equals_whole(spark, sf_dir, store):
     li, a, b, c = _three_slices(spark, sf_dir)
     conf = idx.IndexConf(include=["l_returnflag", "l_linestatus"])
     for part in (a, b, c):
-        store.write_segment(part, order_keys=["l_orderkey", "l_linenumber"], index_conf=conf)
+        store.write_segment(part, order_keys=["l_orderkey", "l_linenumber", "l_extendedprice"], index_conf=conf)
     n = store.total_rows()
     multi_ix = store.open_index(spark)
     whole_ix = idx.build_index(li, conf, bucket_size=1024)
@@ -73,7 +73,7 @@ def test_compaction_preserves_order_and_index(spark, sf_dir, store):
     li, a, b, c = _three_slices(spark, sf_dir)
     conf = idx.IndexConf(include=["l_returnflag"])
     for part in (a, b, c):
-        store.write_segment(part, order_keys=["l_orderkey", "l_linenumber"], index_conf=conf)
+        store.write_segment(part, order_keys=["l_orderkey", "l_linenumber", "l_extendedprice"], index_conf=conf)
     before = [tuple(r) for r in store.open(spark).orderBy("row_id").select("row_id", "l_orderkey").collect()]
     store.compact(spark, index_conf=conf)
     assert len(store.manifest()) == 1
@@ -101,9 +101,9 @@ def test_have_segments_is_create_if_absent(spark, sf_dir, store):
         calls.append(1)
         return a
 
-    first = store.have_segments(build, order_keys=["l_orderkey", "l_linenumber"])
+    first = store.have_segments(build, order_keys=["l_orderkey", "l_linenumber", "l_extendedprice"])
     assert first is not None and calls == [1]
-    again = store.have_segments(build, order_keys=["l_orderkey", "l_linenumber"])
+    again = store.have_segments(build, order_keys=["l_orderkey", "l_linenumber", "l_extendedprice"])
     assert again is None and calls == [1]
     assert len(store.manifest()) == 1
 
