@@ -85,3 +85,47 @@ def test_multimodal_plumbing(spark, sf_dir):
 
     with pytest.raises(NotImplementedError):
         MM.decode_real(with_p, "doc_id")
+
+
+def test_jaccard_prefix_filter_lossless_vs_bruteforce(spark):
+    # prefix filtering must be lossless for pairs >= threshold: compare to a
+    # pure-Python brute force over random small docs (mirrors the
+    # reference's ground-truth-matrix test style, BitsTest.scala:45-114)
+    import itertools
+    import random
+
+    from iodf_spark.operators.dedup import jaccard_pairs
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    docs = []
+    for i in range(60):
+        base = [rng.choice(vocab) for _ in range(rng.randint(3, 14))]
+        docs.append((i, " ".join(base)))
+        if rng.random() < 0.5:  # planted near-dups
+            mutated = list(base)
+            if rng.random() < 0.7 and len(mutated) > 4:
+                mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+            docs.append((1000 + i, " ".join(mutated)))
+
+    def shingles(text, n=3):
+        toks = text.split()
+        out = set()
+        for j in range(len(toks) - n + 1):
+            out.add(tuple(toks[j : j + n]))
+        return out
+
+    want = set()
+    by_id = {i: shingles(t) for i, t in docs if shingles(t)}
+    for a, b in itertools.combinations(sorted(by_id), 2):
+        sa, sb = by_id[a], by_id[b]
+        inter = len(sa & sb)
+        if inter and inter / (len(sa) + len(sb) - inter) >= 0.8:
+            want.add((a, b))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert got == want
