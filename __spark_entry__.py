@@ -363,6 +363,20 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 grouping sets: full cube over (o_orderstatus, o_orderpriority)
+    — all four grouping-set combinations in one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 as-of join (absent in Spark SQL; custom operator
     iodf_spark.operators.asof.join_asof — union + windowed last_value, one
@@ -668,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk": q_topk,
         "set_ops": q_set_ops,
         "rollup": q_rollup,
+        "cube": q_cube,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "events_windowed": q_events_windowed,
@@ -865,6 +880,12 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 4) AS sum_qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "cube": """
+            SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS cnt,
+                   round(sum(o_totalprice), 4) AS sum_price
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus, o_orderpriority
         """,
         "asof_join": """
             SELECT e.event_id, e.user_id AS custkey, o.o_orderkey
