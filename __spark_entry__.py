@@ -377,6 +377,19 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 approximate aggregates (absent in the reference): HLL distinct
+    count + quantile sketch over lineitem. No oracle entry on purpose —
+    sketch results are engine-specific (the driver records the weaker
+    rows-only check); the exact counterparts are covered by other queries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 as-of join (absent in Spark SQL; custom operator
     iodf_spark.operators.asof.join_asof — union + windowed last_value, one
@@ -683,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "rollup": q_rollup,
         "cube": q_cube,
+        "approx_aggregates": q_approx_aggregates,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "events_windowed": q_events_windowed,
