@@ -608,6 +608,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionization via applyInPandasWithState driven with availableNow;
     single-batch output equals the batch sessionize operator (the oracle)."""
     from iodf_spark.streaming.ingest import (
+        finalize_sessions,
         run_to_memory,
         stream_events,
         stream_sessionize,
@@ -616,9 +617,8 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     _STREAM_COUNTER[0] += 1
     name = f"stream_sessions_{_STREAM_COUNTER[0]}"
     out = stream_sessionize(stream_events(spark, sf_dir))
-    return run_to_memory(out, name, output_mode="append").orderBy(
-        "user_id", "session_id"
-    )
+    emitted = run_to_memory(out, name, output_mode="append")
+    return finalize_sessions(emitted).orderBy("user_id", "session_id")
 
 
 def q_stream_ingest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:

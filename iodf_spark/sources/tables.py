@@ -58,10 +58,25 @@ NATURAL_KEYS: dict[str, list[str]] = {
 }
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any SparkSession able to read the testdata, regardless of how it
+    was built. Both confs are runtime-settable SQL confs:
+
+    * ``nanosAsLong`` — events.parquet stores TIMESTAMP(NANOS); without this
+      a vanilla session raises PARQUET_TYPE_ILLEGAL.
+    * session timezone pinned to UTC — timestamp-formatting queries must not
+      depend on the host JVM default timezone.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str, row_id: bool = False) -> DataFrame:
     """Open a testdata table lazily (Parquet scan; column pruning and filter
     pushdown apply downstream). With ``row_id=True``, attach the
-    deterministic row id."""
+    deterministic row id. Self-sufficient under any SparkSession (sets the
+    required runtime confs itself)."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # TIMESTAMP(NANOS) read as long ns (see session.py); truncate to µs —

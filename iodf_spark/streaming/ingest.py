@@ -42,6 +42,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
 
+    from iodf_spark.sources.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
     link_dir = f"/tmp/iodf_stream_src_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     os.makedirs(link_dir, exist_ok=True)
     link = os.path.join(link_dir, "events.parquet")
@@ -88,7 +91,17 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     carried across micro-batches; each batch emits every session touched in
     that batch (closed sessions finally, the open session provisionally —
     a later batch may extend and re-emit it). For a single availableNow
-    batch the output equals the batch sessionize operator."""
+    batch the output equals the batch sessionize operator.
+
+    Determinism notes (CORRECTNESS_r01 hash-mismatch fix): event times cross
+    the Arrow boundary as raw epoch microseconds (``unix_micros``), never as
+    pandas timestamps — Spark's Arrow conversion renders timestamps in the
+    *session-local* wall clock, so any tz-sensitive path would shift every
+    session under a non-UTC driver session. Formatting builds the string from
+    the raw epoch value (tz-free). Because append mode re-emits the open
+    session per micro-batch, callers that need exactly-one-row-per-session
+    must finalize with :func:`finalize_sessions` (pure batch agg) — correct
+    under any micro-batch split of the input."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -100,13 +113,14 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     gap_us = gap_minutes * 60 * 1_000_000
 
     def fmt(us: int) -> str:
+        # epoch-µs -> naive UTC string; no session-timezone dependence
         return pd.Timestamp(us, unit="us").strftime("%Y-%m-%d %H:%M:%S.%f")
 
     def fn(key, pdfs, state):
         (user_id,) = key
         ts_us: list[int] = []
         for pdf in pdfs:
-            ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+            ts_us.extend(int(v) for v in pdf["ts_us"])
         ts_us.sort()
         if state.exists:
             sid, s0, e0, n0 = state.get
@@ -128,8 +142,23 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             columns=["user_id", "session_id", "n_events", "session_start", "session_end"],
         )
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    # tz-immune handoff: epoch µs as int64, computed JVM-side
+    keyed = events.select("user_id", F.unix_micros(F.col("ts")).alias("ts_us"))
+    return keyed.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def finalize_sessions(emitted: DataFrame) -> DataFrame:
+    """Collapse append-mode provisional re-emissions to one final row per
+    (user_id, session_id). A session only ever *extends* across batches —
+    session_start is fixed, n_events and session_end grow monotonically —
+    so max() per key reconstructs the final state regardless of how
+    availableNow split the input into micro-batches."""
+    return emitted.groupBy("user_id", "session_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.min("session_start").alias("session_start"),
+        F.max("session_end").alias("session_end"),
     )
 
 

@@ -43,6 +43,47 @@ def test_stream_sessionize_equals_batch(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
 
 
+def test_stream_sessionize_multibatch_matches_batch(spark, sf_dir, tmp_path):
+    """Split events into 3 time-contiguous files and force one micro-batch
+    per file (maxFilesPerTrigger=1): sessions crossing batch boundaries get
+    provisionally re-emitted in append mode; finalize_sessions must collapse
+    them to exactly the batch-operator output (CORRECTNESS_r01 regression)."""
+    import glob
+    import os
+
+    from iodf_spark.streaming.ingest import finalize_sessions
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    lo, hi = events.agg(F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    src = tmp_path / "src"
+    src.mkdir()
+    chunks = [
+        events.filter(F.unix_micros("ts") <= cut1),
+        events.filter((F.unix_micros("ts") > cut1) & (F.unix_micros("ts") <= cut2)),
+        events.filter(F.unix_micros("ts") > cut2),
+    ]
+    for i, ch in enumerate(chunks):
+        d = tmp_path / f"chunk{i}"
+        ch.coalesce(1).write.parquet(str(d))
+        (part,) = glob.glob(str(d / "part-*.parquet"))
+        dst = src / f"{i:02d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    raw = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    emitted = run_to_memory(stream_sessionize(raw), "t_sess_multibatch")
+    # provisional re-emissions must exist (a crossing session emitted >1x)
+    # unless no session crossed a boundary — either way finalize == batch
+    got = finalize_sessions(emitted)
+    exp = sessionize(events)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
 def test_stream_ingest_segments(spark, sf_dir, tmp_path):
     store = SegmentStore(str(tmp_path / "sstore"))
     stream_ingest_segments(stream_events(spark, sf_dir), store)

@@ -15,8 +15,20 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod  # noqa: E402
-from iodf_spark.session import get_spark  # noqa: E402
 from iodf_spark.sources.tables import TABLES  # noqa: E402
+
+
+def vanilla_spark():
+    """Build the session the way the DRIVER gate does — vanilla, none of the
+    repo's session.py confs — so conf-dependence bugs reproduce locally
+    (CORRECTNESS_r01: 4 queries failed only under the driver's session)."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle_check_vanilla")
+        .getOrCreate()
+    )
 
 
 def norm_cell(v):
@@ -44,7 +56,7 @@ def norm_rows(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("oracle_check")
+    spark = vanilla_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
