@@ -92,44 +92,78 @@ def quant_expr(vec: str, dialect: str) -> str:
 
 
 def cosine_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.45
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.45,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: all pairs with quantized cosine >=
-    threshold. Exact all-pairs baseline as a block matmul: each partition
-    multiplies its block of vectors against the (broadcast) corpus matrix —
-    int64-exact dots, float64 normalization identical to the oracle's.
-    At 100 TB the broadcast side becomes a block-grid join (corpus split
-    into column blocks joined to row blocks); the per-block kernel is the
-    same matmul. Use the LSH/IVF buckets as the pre-filter when recall < 1
-    is acceptable."""
+    threshold, as a fully distributed block-grid self-join — nothing is ever
+    collected to the driver.
+
+    The corpus is hash-split into ``n_blocks`` blocks; the pair space is the
+    upper-triangular grid of block pairs (ba <= bb). Every row is shuffled to
+    the grid cells it participates in (A-side copies to cells (blk, bb>=blk),
+    B-side copies to cells (ba<=blk, blk)), then one Arrow-batched
+    ``applyInPandas`` kernel per cell runs the exact int64 block matmul.
+
+    Scale: shuffle volume is (n_blocks+1)x the corpus and per-cell memory is
+    ~2*N/n_blocks rows, so pick n_blocks ~ N*rowbytes/executor_mem; work is
+    the inherent O(N^2) dots but vectorized and spread over
+    n_blocks*(n_blocks+1)/2 independent cells. Use the LSH/IVF buckets as a
+    pre-filter when recall < 1 is acceptable. Scores stay oracle-exact: dots
+    are int64 (any summation order), normalization float64 as in the oracle.
+    """
     import numpy as np
     import pandas as pd
 
+    spark = df.sparkSession
+    if n_blocks is None:
+        n_blocks = max(4, min(16, spark.sparkContext.defaultParallelism))
+    nb = int(n_blocks)
+
     q = df.select(
         F.col(id_col).alias("id"), F.expr(quant_expr(vec_col, "spark")).alias("qv")
+    ).withColumn("_blk", F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).cast("int"))
+
+    # replicate each row to its grid cells: A-side rows fan to (blk, bb>=blk),
+    # B-side rows fan to (ba<=blk, blk); a pair {x, y} with blocks (bx, by)
+    # meets in exactly one cell: (min(bx,by), max(bx,by))
+    a_side = q.withColumn(
+        "_bb", F.explode(F.sequence(F.col("_blk"), F.lit(nb - 1)))
+    ).select(F.col("_blk").alias("_ba"), "_bb", "id", "qv", F.lit(0).alias("_side"))
+    b_side = q.withColumn(
+        "_ba", F.explode(F.sequence(F.lit(0), F.col("_blk")))
+    ).select("_ba", F.col("_blk").alias("_bb"), "id", "qv", F.lit(1).alias("_side"))
+    cells = a_side.unionByName(b_side)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        diagonal = pdf["_ba"].iat[0] == pdf["_bb"].iat[0]
+        a = pdf[pdf["_side"] == 0]
+        b = pdf[pdf["_side"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        aid = a["id"].to_numpy()
+        bid = b["id"].to_numpy()
+        A = np.array(a["qv"].tolist(), dtype=np.int64)
+        B = np.array(b["qv"].tolist(), dtype=np.int64)
+        an = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+        bn = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+        C = (A @ B.T) / (an[:, None] * bn[None, :])
+        if diagonal:
+            # same rows on both sides: emit each pair once, ordered
+            mask = (C >= threshold) & (aid[:, None] < bid[None, :])
+        else:
+            # disjoint blocks: pair appears only in this cell; normalize order
+            mask = (C >= threshold) & (aid[:, None] != bid[None, :])
+        ai, bj = np.nonzero(mask)
+        id_a = np.minimum(aid[ai], bid[bj])
+        id_b = np.maximum(aid[ai], bid[bj])
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos": C[ai, bj]})
+
+    out = cells.groupBy("_ba", "_bb").applyInPandas(
+        kernel, "id_a long, id_b long, cos double"
     )
-    pdf = q.toPandas()
-    ids_all = pdf["id"].to_numpy()
-    M = np.array(pdf["qv"].tolist(), dtype=np.int64)
-    norms = np.sqrt((M * M).sum(axis=1).astype(np.float64))
-    bc = df.sparkSession.sparkContext.broadcast((ids_all, M, norms))
-
-    def gen(batches):
-        b_ids, b_m, b_norms = bc.value
-        for batch in batches:
-            if len(batch) == 0:
-                continue
-            aid = batch["id"].to_numpy()
-            A = np.array(batch["qv"].tolist(), dtype=np.int64)
-            an = np.sqrt((A * A).sum(axis=1).astype(np.float64))
-            C = (A @ b_m.T) / (an[:, None] * b_norms[None, :])
-            mask = (C >= threshold) & (aid[:, None] < b_ids[None, :])
-            ai, bj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"id_a": aid[ai], "id_b": b_ids[bj], "cos": C[ai, bj]}
-            )
-
-    out = q.mapInPandas(gen, "id_a long, id_b long, cos double")
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
