@@ -75,31 +75,35 @@ class SegmentStore:
 
     # -- write ---------------------------------------------------------------
 
-    def write_segment(
+    def _write_segment_files(
         self,
         df: DataFrame,
+        seg_id: int,
+        index_conf: IndexConf | None,
         order_keys: list[str] | None = None,
-        index_conf: IndexConf | None = None,
+        n_rows: int | None = None,
     ) -> dict:
-        """Append one immutable segment (S1/S3/S5). Local row ids are
-        0..n-1 within the segment; the global offset comes from the
-        manifest. With index_conf, the segment's inverted index is built
-        and stored alongside (writeIndexedDf, Dfs.scala:489-510)."""
-        entries = self.manifest()
-        seg_id = max((e["segment_id"] for e in entries), default=-1) + 1
+        """Write one segment's data (and index) under seg-<id>/ WITHOUT
+        touching the manifest. Job-count discipline (constant-factor fix):
+        the row-id stamping job already yields the exact row count, and the
+        index is built from the same in-memory (checkpointed) plan — so a
+        plain write is 2 jobs (stamp + write) and an indexed write is 3,
+        instead of re-reading the written Parquet once for a count and once
+        more for the index build."""
         if "row_id" not in df.columns:
-            df = (
-                with_row_id(df, order_keys) if order_keys else with_row_id_scalable(df)
+            df, n_rows = (
+                with_row_id(df, order_keys, return_count=True)
+                if order_keys
+                else with_row_id_scalable(df, return_count=True)
             )
         seg_path = os.path.join(self.path, f"seg-{seg_id:05d}")
         df.write.mode("overwrite").parquet(os.path.join(seg_path, "data"))
-        n = df.sparkSession.read.parquet(os.path.join(seg_path, "data")).count()
+        if n_rows is None:
+            # caller supplied a pre-stamped df with unknown count: Parquet
+            # metadata-only count on the files just written (no data scan)
+            n_rows = df.sparkSession.read.parquet(os.path.join(seg_path, "data")).count()
         if index_conf is not None:
-            ix = build_index(
-                df.sparkSession.read.parquet(os.path.join(seg_path, "data")),
-                index_conf,
-                bucket_size=self.bucket_size,
-            )
+            ix = build_index(df, index_conf, bucket_size=self.bucket_size)
             (
                 ix.repartition("col_name")
                 .sortWithinPartitions("value_kind", "value_str", "bucket")
@@ -107,13 +111,29 @@ class SegmentStore:
                 .partitionBy("col_name")
                 .parquet(os.path.join(seg_path, "index"))
             )
-        offset = sum(e["n_rows"] for e in entries)
-        entry = {
+        return {
             "segment_id": seg_id,
-            "n_rows": n,
-            "row_id_offset": offset,
+            "n_rows": int(n_rows),
             "indexed": index_conf is not None,
         }
+
+    def write_segment(
+        self,
+        df: DataFrame,
+        order_keys: list[str] | None = None,
+        index_conf: IndexConf | None = None,
+        n_rows: int | None = None,
+    ) -> dict:
+        """Append one immutable segment (S1/S3/S5). Local row ids are
+        0..n-1 within the segment; the global offset comes from the
+        manifest. With index_conf, the segment's inverted index is built
+        and stored alongside (writeIndexedDf, Dfs.scala:489-510)."""
+        entries = self.manifest()
+        seg_id = max((e["segment_id"] for e in entries), default=-1) + 1
+        entry = self._write_segment_files(
+            df, seg_id, index_conf, order_keys=order_keys, n_rows=n_rows
+        )
+        entry["row_id_offset"] = sum(e["n_rows"] for e in entries)
         self._publish(entries + [entry])
         return entry
 
@@ -219,19 +239,31 @@ class SegmentStore:
         """writeMergedDf (Dfs.scala:222-228): rewrite all segments as one.
         Pure order-preserving concatenation — global row_ids become the new
         segment's local ids. Index is rebuilt in the merged row space
-        (writeMergedIndexedDf, Dfs.scala:476-487)."""
-        merged = self.open(spark, defaults)
-        tmp_path = self.path + ".compact"
-        new = SegmentStore(tmp_path, self.bucket_size)
-        new.write_segment(merged, index_conf=index_conf)
-        # swap: publish compacted store under the original path
+        (writeMergedIndexedDf, Dfs.scala:476-487).
+
+        Crash-safe ordering ('data first, manifest last'): the merged
+        segment is written under the next non-colliding seg-<id> name in
+        place, the manifest is atomically republished to point at it, and
+        only THEN are the old segment dirs removed — a crash at any point
+        leaves a manifest whose segments all exist (old or new), and
+        cleanup of orphaned dirs is idempotent."""
         import shutil
 
-        for e in self.manifest():
-            shutil.rmtree(os.path.join(self.path, f"seg-{e['segment_id']:05d}"))
-        seg_dirs = [d for d in os.listdir(tmp_path) if d.startswith("seg-")]
-        for d in seg_dirs:
-            os.replace(os.path.join(tmp_path, d), os.path.join(self.path, d))
-        self._publish(new.manifest())
-        shutil.rmtree(tmp_path)
+        entries = self.manifest()
+        if not entries:
+            return self
+        merged = self.open(spark, defaults)
+        new_id = max(e["segment_id"] for e in entries) + 1
+        # row count is already known from the manifest — no count job at all
+        entry = self._write_segment_files(
+            merged, new_id, index_conf, n_rows=self.total_rows()
+        )
+        entry["row_id_offset"] = 0
+        self._publish([entry])
+        # deferred, idempotent cleanup of the superseded segments
+        for e in entries:
+            shutil.rmtree(
+                os.path.join(self.path, f"seg-{e['segment_id']:05d}"),
+                ignore_errors=True,
+            )
         return self

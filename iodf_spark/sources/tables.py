@@ -101,7 +101,7 @@ def open_seq(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def with_row_id(df: DataFrame, order_keys: list[str]) -> DataFrame:
+def with_row_id(df: DataFrame, order_keys: list[str], return_count: bool = False):
     """Deterministic row_id = rank in natural-key order, 0-based —
     WITHOUT a single-task global window.
 
@@ -124,16 +124,19 @@ def with_row_id(df: DataFrame, order_keys: list[str]) -> DataFrame:
         [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
     )
     w = Window.partitionBy("_pid").orderBy(*[F.col(k) for k in order_keys])
-    return (
+    out = (
         stamped.join(F.broadcast(offset_df), "_pid")
         .withColumn(
             "row_id", F.row_number().over(w).cast("long") - 1 + F.col("_offset")
         )
         .drop("_pid", "_offset")
     )
+    # `acc` is the total row count — already paid for by the offset job, so
+    # callers (segment writes) can reuse it instead of running another count
+    return (out, acc) if return_count else out
 
 
-def with_row_id_scalable(df: DataFrame) -> DataFrame:
+def with_row_id_scalable(df: DataFrame, return_count: bool = False):
     """Contiguous 0..n-1 row ids without a global sort.
 
     Narrow plan: stamp each row with its partition id and a within-partition
@@ -157,8 +160,9 @@ def with_row_id_scalable(df: DataFrame) -> DataFrame:
         [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
     )
     w = Window.partitionBy("_pid").orderBy("_mid")
-    return (
+    out = (
         stamped.join(F.broadcast(offset_df), "_pid")
         .withColumn("row_id", F.row_number().over(w).cast("long") - 1 + F.col("_offset"))
         .drop("_pid", "_mid", "_offset")
     )
+    return (out, acc) if return_count else out
