@@ -41,7 +41,9 @@ def _lineitem_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
         li = _lineitem(spark, sf_dir)
         n = li.count()
         ix = idx.build_index(
-            li, idx.IndexConf(include=["l_returnflag", "l_linestatus", "l_quantity"])
+            li,
+            idx.IndexConf(include=["l_returnflag", "l_linestatus", "l_quantity"]),
+            n_rows=n,
         ).cache()
         ix.count()
         _cache[key] = (ix, n)
@@ -109,8 +111,9 @@ def q_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1-B4 + B8: f, fAnd, OR, ANDNOT, NOT over two index bitmaps, all via
     the bucket-local posting-list kernels."""
     ix, n = _lineitem_index(spark, sf_dir)
-    a = idx.probe(ix, "l_returnflag", "R", n)
-    b = idx.probe(ix, "l_linestatus", "F", n)
+    # both keys are 2-3-value columns: f ~ n/3 >> n/256, dense at every sf
+    a = idx.probe(ix, "l_returnflag", "R", n, encoding_hint="dense")
+    b = idx.probe(ix, "l_linestatus", "F", n, encoding_hint="dense")
     rows = [
         a.f_col().select(F.col("f").alias("f_a")),
         b.f_col().select(F.col("f").alias("f_b")),
@@ -128,8 +131,8 @@ def q_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_merge_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5: merge = concatenation of row spaces (NOT logical OR)."""
     ix, n = _lineitem_index(spark, sf_dir)
-    a = idx.probe(ix, "l_returnflag", "R", n)
-    b = idx.probe(ix, "l_linestatus", "F", n)
+    a = idx.probe(ix, "l_returnflag", "R", n, encoding_hint="dense")
+    b = idx.probe(ix, "l_linestatus", "F", n, encoding_hint="dense")
     return a.merge(b).to_rows()
 
 

@@ -42,20 +42,48 @@ def costats_predicates(
 def costats_index(
     index_df: DataFrame, key_a: tuple[str, object], key_b: tuple[str, object], n: int,
     round_to: int | None = 9,
+    bucket_size: int = None,
 ) -> DataFrame:
     """fA, fB from key selectivities; fAB via bucket-aligned intersect —
     mirrors `coStats` over two opened bitmaps (IndexedDf.scala:97-110) with
     the fAnd kernel's no-materialization property (utils/LBits.scala:116-123):
-    the intersect+count fuses into one join+agg job."""
-    a = index_df.filter(idx._key_pred(*key_a)).select("bucket", F.col("row_ids").alias("a_ids"))
-    b = index_df.filter(idx._key_pred(*key_b)).select("bucket", F.col("row_ids").alias("b_ids"))
+    the intersect+count fuses into one join+agg job. Handles both index
+    encodings per bucket: sparse id arrays (array_intersect) and dense
+    packed words (word-AND + bit_count — DenseIoBits' andCount), plus the
+    mixed membership-filter case."""
+    from iodf_spark.plans.rowset import DEFAULT_BUCKET_SIZE, _member
+
+    bs = bucket_size or DEFAULT_BUCKET_SIZE
+    has_words = "words" in index_df.columns
+    w_col = (
+        F.col("words") if has_words else F.lit(None).cast("array<long>")
+    )
+    a = index_df.filter(idx._key_pred(*key_a)).select(
+        "bucket", F.col("row_ids").alias("a_ids"), w_col.alias("a_words")
+    )
+    b = index_df.filter(idx._key_pred(*key_b)).select(
+        "bucket", F.col("row_ids").alias("b_ids"), w_col.alias("b_words")
+    )
+    pop = "aggregate({w}, 0L, (_a, _w) -> _a + bit_count(_w))"
     joined = a.join(b, "bucket", "full_outer").select(
-        F.coalesce(F.size("a_ids"), F.lit(0)).alias("fa_part"),
-        F.coalesce(F.size("b_ids"), F.lit(0)).alias("fb_part"),
-        F.when(
-            F.col("a_ids").isNotNull() & F.col("b_ids").isNotNull(),
-            F.size(F.array_intersect("a_ids", "b_ids")),
-        ).otherwise(F.lit(0)).alias("fab_part"),
+        F.expr(
+            f"CASE WHEN a_words IS NOT NULL THEN {pop.format(w='a_words')} "
+            "WHEN a_ids IS NOT NULL THEN cast(size(a_ids) as long) ELSE 0L END"
+        ).alias("fa_part"),
+        F.expr(
+            f"CASE WHEN b_words IS NOT NULL THEN {pop.format(w='b_words')} "
+            "WHEN b_ids IS NOT NULL THEN cast(size(b_ids) as long) ELSE 0L END"
+        ).alias("fb_part"),
+        F.expr(
+            "CASE WHEN (a_ids IS NULL AND a_words IS NULL) "
+            "OR (b_ids IS NULL AND b_words IS NULL) THEN 0L "
+            "WHEN a_words IS NULL AND b_words IS NULL "
+            "THEN cast(size(array_intersect(a_ids, b_ids)) as long) "
+            "WHEN a_words IS NOT NULL AND b_words IS NOT NULL "
+            f"THEN {pop.format(w='zip_with(a_words, b_words, (_x, _y) -> _x & _y)')} "
+            f"WHEN a_words IS NULL THEN cast(size(filter(a_ids, _x -> {_member('_x', 'b_words', bs)})) as long) "
+            f"ELSE cast(size(filter(b_ids, _x -> {_member('_x', 'a_words', bs)})) as long) END"
+        ).alias("fab_part"),
     )
     counts = joined.agg(
         F.lit(n).cast("long").alias("n"),

@@ -41,7 +41,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from iodf_spark.plans.rowset import DEFAULT_BUCKET_SIZE, PostingSet
+from iodf_spark.plans.rowset import (
+    DEFAULT_BUCKET_SIZE,
+    DENSITY_SHIFT,
+    WORD_BITS,
+    PostingSet,
+    _n_words,
+)
 
 # type ranks for the cross-type key order (IoTypes.scala:104-123)
 KIND_BOOL, KIND_NUM, KIND_STR = 0, 1, 2
@@ -130,6 +136,8 @@ def build_index(
     df: DataFrame,
     conf: IndexConf | None = None,
     bucket_size: int = DEFAULT_BUCKET_SIZE,
+    n_rows: int | None = None,
+    adaptive: bool = True,
 ) -> DataFrame:
     """Build the inverted index DataFrame for `df` (must carry row_id).
 
@@ -137,6 +145,14 @@ def build_index(
     posting list. All columns are melted into ONE DataFrame before the single
     groupBy shuffle (vs the reference's per-column sequential passes,
     Dfs.scala:342-381 — on a cluster one wide job beats C sequential jobs).
+
+    With ``adaptive`` (default), each key's representation is chosen by the
+    reference's density rule (utils/LBits.scala:107-114): keys with global
+    selectivity f*256 > n store per-bucket packed 64-bit ``words`` instead
+    of ``row_ids`` arrays — a 64x footprint cut for gender=M-style keys, and
+    probes on them run the dense bitwise kernels. Per-key global f costs one
+    window pass; the dense keys' ids take one extra bit_or shuffle at build.
+    ``n_rows`` (row count of df) is counted if not supplied.
     """
     conf = conf or IndexConf()
     dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
@@ -165,9 +181,67 @@ def build_index(
         all_tokens = all_tokens.unionByName(m)
     # collect_set: a token occurring k times in one row still sets one bit
     # (the reference's posting list is a bitmap — inherently set-valued)
-    return all_tokens.groupBy(*INDEX_KEY_COLS, "bucket").agg(
-        F.sort_array(F.collect_set("row_id")).alias("row_ids"),
-    ).withColumn("f", F.size("row_ids").cast("long"))
+    if not adaptive:
+        return (
+            all_tokens.groupBy(*INDEX_KEY_COLS, "bucket")
+            .agg(F.sort_array(F.collect_set("row_id")).alias("row_ids"))
+            .withColumn("f", F.size("row_ids").cast("long"))
+            .withColumn("words", F.lit(None).cast("array<long>"))
+        )
+    if n_rows is None:
+        n_rows = df.count()
+    bs, wb, nw = bucket_size, WORD_BITS, _n_words(bucket_size)
+    # Route each key to its target encoding with a BROADCAST of just the
+    # dense keys: by the density rule a column can have at most 256 keys
+    # with f > n/256, so the broadcast side is bounded at 256 x #columns
+    # rows no matter the data size. Join key is (col_name, value_kind,
+    # value_str) — value_str is populated for every kind, so the join is a
+    # plain (null-free) broadcast equi-join; the token stream stays narrow.
+    # Occurrence count over-estimates f when a row repeats a token, which
+    # can only over-route a borderline key to dense — an encoding heuristic,
+    # never a correctness issue (words dedup via bit_or).
+    route_keys = ["col_name", "value_kind", "value_str"]
+    dense_keys = (
+        all_tokens.groupBy(*route_keys)
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter((F.col("_occ") * (1 << DENSITY_SHIFT)) > F.lit(int(n_rows)))
+        .select(*route_keys, F.lit(True).alias("_dense"))
+    )
+    routed = all_tokens.join(F.broadcast(dense_keys), route_keys, "left")
+    sparse_part = (
+        routed.filter(F.col("_dense").isNull())
+        .groupBy(*INDEX_KEY_COLS, "bucket")
+        .agg(F.sort_array(F.collect_set("row_id")).alias("row_ids"))
+        .withColumn("f", F.size("row_ids").cast("long"))
+        .withColumn("words", F.lit(None).cast("array<long>"))
+    )
+    dense_part = (
+        routed.filter(F.col("_dense").isNotNull())
+        .select(
+            *INDEX_KEY_COLS,
+            "bucket",
+            F.expr(f"cast(pmod(row_id, {bs}) div {wb} as int)").alias("_w"),
+            F.expr(
+                f"shiftleft(1L, cast(pmod(pmod(row_id, {bs}), {wb}) as int))"
+            ).alias("_bit"),
+        )
+        .groupBy(*INDEX_KEY_COLS, "bucket", "_w")
+        .agg(F.expr("bit_or(_bit)").alias("_word"))
+        .groupBy(*INDEX_KEY_COLS, "bucket")
+        .agg(F.map_from_entries(F.collect_list(F.struct("_w", "_word"))).alias("_m"))
+        .select(
+            *INDEX_KEY_COLS,
+            "bucket",
+            F.lit(None).cast("array<long>").alias("row_ids"),
+            F.expr(
+                f"transform(sequence(0, {nw - 1}), _i -> coalesce(element_at(_m, _i), 0L))"
+            ).alias("words"),
+        )
+        .withColumn(
+            "f", F.expr("aggregate(words, 0L, (_a, _w) -> _a + bit_count(_w))")
+        )
+    )
+    return sparse_part.unionByName(dense_part, allowMissingColumns=False)
 
 
 def write_index(index_df: DataFrame, path: str) -> None:
@@ -196,20 +270,44 @@ def _key_pred(col: str, value) -> Column:
     if isinstance(value, bool):
         return p & (F.col("value_kind") == KIND_BOOL) & (F.col("value_bool") == value)
     if isinstance(value, int):
-        return p & (F.col("value_kind") == KIND_NUM) & (F.col("value_long") == value)
+        # float/double-typed columns leave value_long NULL (only
+        # value_double is populated) — an int probe must still hit rows
+        # where price == 5.0, so match either typed slot
+        return (
+            p
+            & (F.col("value_kind") == KIND_NUM)
+            & ((F.col("value_long") == value) | (F.col("value_double") == float(value)))
+        )
     if isinstance(value, float):
         return p & (F.col("value_kind") == KIND_NUM) & (F.col("value_double") == value)
     return p & (F.col("value_kind") == KIND_STR) & (F.col("value_str") == str(value))
 
 
 def probe(index_df: DataFrame, col: str, value, n: int,
-          bucket_size: int = DEFAULT_BUCKET_SIZE) -> PostingSet:
+          bucket_size: int = DEFAULT_BUCKET_SIZE,
+          encoding_hint: str | None = None) -> PostingSet:
     """openIndex((col, value)) (IndexedDf.scala:71-85): select the posting
     lists for one typed key. A miss yields the empty set (IndexedDf.scala:79).
     col_name partition pruning + value row-group skipping make this a
-    near-point read."""
-    df = index_df.filter(_key_pred(col, value)).select("bucket", "row_ids")
-    return PostingSet(df, n, bucket_size)
+    near-point read. The result carries whichever encoding the key was
+    stored with (sparse row_ids or dense words); PostingSet kernels handle
+    both.
+
+    ``encoding_hint`` ("sparse"|"dense") is an expert plan hint, like
+    ``broadcast()``: when the caller knows the key's density class (the
+    build rule f*256 > n is deterministic), passing it lets downstream set
+    algebra compile the bare specialized kernels instead of the general
+    dual-dispatch plan. A WRONG hint produces wrong (empty) results — only
+    hint keys whose density class is known."""
+    cols = ["bucket", "row_ids"] + (["words"] if "words" in index_df.columns else [])
+    df = index_df.filter(_key_pred(col, value)).select(*cols)
+    if encoding_hint is not None:
+        encodings = {encoding_hint}
+    elif "words" not in index_df.columns:
+        encodings = {"sparse"}
+    else:
+        encodings = None
+    return PostingSet(df, n, bucket_size, encodings)
 
 
 def f(index_df: DataFrame, col: str, value) -> int:

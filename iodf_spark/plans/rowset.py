@@ -2,30 +2,41 @@
 (utils/LBits.scala:12-75) and its set-algebra kernels (ioseq/IoBits.scala:
 187-348, SURVEY.md section 2.4).
 
-Two representations, mirroring the reference's dense/sparse adaptivity:
+Representations, mirroring the reference's dense/sparse adaptivity
+(utils/LBits.scala:107-114 picks DenseIoBits when f*256 > n, sparse id
+arrays otherwise; dense kernels DenseIoBits.scala:149-326):
 
 1. **Predicate path** (default): a row set IS a boolean Column over the data
    DataFrame. AND/OR/NOT are Column algebra; `f` (popcount, LBits.scala:18)
    is `filter(pred).count()`. Catalyst pushes predicates into the Parquet
    scan; Tungsten vectorizes. Used when no materialized index exists.
 
-2. **Posting-list path** (:class:`PostingSet`): a row set is a DataFrame of
-   bucketed sorted row-id arrays `(bucket: long, row_ids: array<long>)`,
-   bucket = row_id // bucket_size. This is the materialized-index
-   representation. Set algebra stays JVM-side and bucket-local:
-   AND = join on bucket + `array_intersect`, OR = full-outer join +
-   `array_union`, ANDNOT = `array_except`, NOT = `array_except(universe,
-   ids)` with the universe generated per bucket via `sequence()`. No row
-   explosion, no driver collect; each array is capped at bucket_size
-   elements so giant posting lists stay distributed (SURVEY.md section 7,
-   "Giant posting lists").
+2. **Posting path** (:class:`PostingSet`): a row set is a DataFrame of
+   per-bucket rows `(bucket: long, row_ids: array<long> | null,
+   words: array<long> | null)` — exactly one of the two encodings non-null
+   per row, chosen by the reference's density rule at build time:
+
+   * *sparse*: sorted distinct row ids within the bucket — compact when
+     f << bucket rows; kernels are array_intersect/union/except.
+   * *dense*: bucket_size/64 packed 64-bit words (bit i of word w = row
+     ``bucket*bucket_size + w*64 + i``) — 64x smaller than an id array at
+     full density; kernels are zip_with bitwise ops + bit_count popcounts,
+     the Spark expression analog of DenseIoBits' long-word loops.
+
+   Mixed-encoding ops never materialize the big side: AND/ANDNOT against a
+   dense bucket filter the sparse ids with an O(1) bit_get membership test;
+   only OR/ANDNOT *into* a dense bucket scatter the (small) sparse side
+   into words via one bit_or aggregation. Set algebra stays JVM-side and
+   bucket-local; no row explosion, no driver collect; arrays are capped at
+   bucket_size so giant posting lists stay distributed.
 
 `merge` is **concatenation** of row spaces (offsets shifted), NOT logical OR
 (ioseq/IoBits.scala:328-348 — see SURVEY.md B5): `a.merge(b)` has
 n = a.n + b.n and b's ids shifted by a.n.
 
-Both paths must agree; tests/test_rowset.py checks them against a pure-Python
-ground truth (mirrors BitsTest.scala's representation matrix).
+All representation combinations must agree; tests/test_rowset.py checks the
+dense x sparse x adaptive matrix against a pure-Python ground truth
+(mirroring BitsTest.scala:237-281's representation matrix).
 """
 
 from __future__ import annotations
@@ -34,6 +45,39 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_BUCKET_SIZE = 1 << 16
+WORD_BITS = 64
+# the reference's adaptivity rule: dense when f * 2^8 > n
+DENSITY_SHIFT = 8
+
+
+def dense_preferred(f: int, n: int) -> bool:
+    """utils/LBits.scala:107-114: pick the packed-words encoding when the
+    set holds more than n/256 ids (a 64Ki bucket of packed words costs 8 KiB
+    — the break-even vs 8-byte ids is f = bucket/256 exactly)."""
+    return (f << DENSITY_SHIFT) > n
+
+
+def _n_words(bucket_size: int) -> int:
+    return -(-bucket_size // WORD_BITS)
+
+
+def _member(x: str, words: str, bucket_size: int) -> str:
+    """SQL: is global row id `x` set in the same-bucket dense `words`.
+    Bit position is pos%64 of the WITHIN-BUCKET position (pos = x mod
+    bucket_size) — for bucket sizes that are multiples of 64 this equals
+    x mod 64, but the general form also handles tiny test buckets."""
+    return (
+        f"bit_get({words}[cast(pmod({x}, {bucket_size}) div {WORD_BITS} as int)], "
+        f"cast(pmod(pmod({x}, {bucket_size}), {WORD_BITS}) as int)) = 1"
+    )
+
+
+_POPCOUNT = (
+    "CASE WHEN words IS NOT NULL THEN aggregate(words, 0L, (_a, _w) -> _a + bit_count(_w)) "
+    "ELSE cast(size(row_ids) as long) END"
+)
+
+_NONEMPTY = "coalesce(size(row_ids) > 0, exists(words, _w -> _w != 0))"
 
 
 def predicate_counts(df: DataFrame, pred_a: Column, pred_b: Column) -> DataFrame:
@@ -49,18 +93,70 @@ def predicate_counts(df: DataFrame, pred_a: Column, pred_b: Column) -> DataFrame
     )
 
 
-class PostingSet:
-    """Bucketed posting-list row set over a row space of ``n`` rows.
+def explode_posting(df: DataFrame, id_cols: list[str], bucket_size: int) -> DataFrame:
+    """Dual-encoding `trues` scan: (id_cols..., bucket, row_ids|words) ->
+    (id_cols..., row_id). Sparse rows explode their arrays; dense rows
+    posexplode words, skip zero words, and expand set bits."""
+    if "words" not in df.columns:
+        return df.select(*id_cols, F.explode("row_ids").alias("row_id"))
+    sparse = df.filter(F.col("row_ids").isNotNull()).select(
+        *id_cols, F.explode("row_ids").alias("row_id")
+    )
+    dense = (
+        df.filter(F.col("words").isNotNull())
+        .select(*id_cols, "bucket", F.posexplode("words").alias("_w", "_word"))
+        .filter(F.col("_word") != 0)
+        .select(
+            *id_cols,
+            F.explode(
+                F.expr(
+                    f"transform(filter(sequence(0, {WORD_BITS - 1}), "
+                    f"_b -> bit_get(_word, cast(_b as int)) = 1), "
+                    f"_b -> bucket * {bucket_size}L + _w * {WORD_BITS}L + _b)"
+                )
+            ).alias("row_id"),
+        )
+    )
+    return sparse.unionByName(dense)
 
-    df schema: (bucket: long, row_ids: array<long> sorted ascending, distinct,
-    all within [bucket*bucket_size, (bucket+1)*bucket_size)). Buckets with
-    empty arrays may be absent.
+
+class PostingSet:
+    """Bucketed posting-list / packed-bitmap row set over ``n`` rows.
+
+    df schema: (bucket: long, row_ids: array<long> | null, words:
+    array<long> | null) — per row exactly one encoding non-null. Sparse
+    arrays are sorted ascending, distinct, within the bucket's id range;
+    dense words arrays have exactly bucket_size/64 elements. Buckets with
+    no set bits may be absent.
     """
 
-    def __init__(self, df: DataFrame, n: int, bucket_size: int = DEFAULT_BUCKET_SIZE):
-        self.df = df
+    BOTH = frozenset(("sparse", "dense"))
+
+    def __init__(
+        self,
+        df: DataFrame,
+        n: int,
+        bucket_size: int = DEFAULT_BUCKET_SIZE,
+        encodings: frozenset | None = None,
+    ):
+        self.df = self._with_dual(df)
         self.n = int(n)
         self.bucket_size = bucket_size
+        # which physical encodings MAY appear among this set's rows — static
+        # plan-time knowledge, like a join hint: constructors know it exactly,
+        # probes of an adaptive index don't (both possible). Ops use it to
+        # pick specialized single-expression kernels over the general dual
+        # CASE kernels (and to skip the scatter sub-plan entirely when a
+        # mixed bucket is statically impossible).
+        self.encodings = frozenset(encodings) if encodings else self.BOTH
+
+    @staticmethod
+    def _with_dual(df: DataFrame) -> DataFrame:
+        if "words" not in df.columns:
+            df = df.withColumn("words", F.lit(None).cast("array<long>"))
+        if "row_ids" not in df.columns:
+            df = df.withColumn("row_ids", F.lit(None).cast("array<long>"))
+        return df.select("bucket", "row_ids", "words")
 
     # -- constructors -------------------------------------------------------
 
@@ -71,28 +167,73 @@ class PostingSet:
         pred: Column,
         n: int,
         bucket_size: int = DEFAULT_BUCKET_SIZE,
+        encoding: str = "sparse",
     ) -> "PostingSet":
-        """Materialize a predicate into posting lists (index-build shape:
-        Dfs.scala:357-366). One shuffle on bucket; map-side partial
-        collect_list applies."""
-        df = (
-            data.filter(pred)
-            .select((F.col("row_id") / bucket_size).cast("long").alias("bucket"), "row_id")
-            .groupBy("bucket")
-            .agg(F.sort_array(F.collect_list("row_id")).alias("row_ids"))
-        )
-        return cls(df, n, bucket_size)
+        """Materialize a predicate into posting rows (index-build shape:
+        Dfs.scala:357-366). One shuffle on bucket (map-side partial agg);
+        `encoding` is "sparse" | "dense" | "adaptive" (the reference's
+        f*256 > n rule; adaptive pays one count job to decide)."""
+        return cls._from_ids(data.filter(pred).select("row_id"), n, bucket_size, encoding)
 
     @classmethod
     def from_row_ids(
-        cls, ids: DataFrame, n: int, bucket_size: int = DEFAULT_BUCKET_SIZE
+        cls,
+        ids: DataFrame,
+        n: int,
+        bucket_size: int = DEFAULT_BUCKET_SIZE,
+        encoding: str = "sparse",
     ) -> "PostingSet":
+        return cls._from_ids(ids, n, bucket_size, encoding)
+
+    @classmethod
+    def _from_ids(
+        cls, ids: DataFrame, n: int, bucket_size: int, encoding: str
+    ) -> "PostingSet":
+        if encoding == "adaptive":
+            f = ids.count()
+            encoding = "dense" if dense_preferred(f, n) else "sparse"
+        if encoding == "dense":
+            return cls(
+                cls._ids_to_words(ids, bucket_size), n, bucket_size, {"dense"}
+            )
         df = (
-            ids.select((F.col("row_id") / bucket_size).cast("long").alias("bucket"), "row_id")
+            ids.select(
+                (F.col("row_id") / bucket_size).cast("long").alias("bucket"), "row_id"
+            )
             .groupBy("bucket")
             .agg(F.sort_array(F.collect_set("row_id")).alias("row_ids"))
         )
-        return cls(df, n, bucket_size)
+        return cls(df, n, bucket_size, {"sparse"})
+
+    @staticmethod
+    def _ids_to_words(ids: DataFrame, bucket_size: int) -> DataFrame:
+        """Distributed scatter (row_id) -> (bucket, words): bit_or partial
+        aggregation per 64-bit word, then per-bucket gap-filled assembly —
+        both stages codegen aggregates, one shuffle."""
+        nw = _n_words(bucket_size)
+        return (
+            ids.select(
+                (F.col("row_id") / bucket_size).cast("long").alias("bucket"),
+                F.expr(
+                    f"cast(pmod(row_id, {bucket_size}) div {WORD_BITS} as int)"
+                ).alias("_w"),
+                F.expr(
+                    f"shiftleft(1L, cast(pmod(pmod(row_id, {bucket_size}), {WORD_BITS}) as int))"
+                ).alias("_bit"),
+            )
+            .groupBy("bucket", "_w")
+            .agg(F.expr("bit_or(_bit)").alias("_word"))
+            .groupBy("bucket")
+            .agg(
+                F.map_from_entries(F.collect_list(F.struct("_w", "_word"))).alias("_m")
+            )
+            .select(
+                "bucket",
+                F.expr(
+                    f"transform(sequence(0, {nw - 1}), _i -> coalesce(element_at(_m, _i), 0L))"
+                ).alias("words"),
+            )
+        )
 
     @classmethod
     def from_positions(
@@ -101,39 +242,59 @@ class PostingSet:
         positions: list[int],
         n: int,
         bucket_size: int = DEFAULT_BUCKET_SIZE,
+        encoding: str = "sparse",
     ) -> "PostingSet":
         ids = spark.createDataFrame([(int(p),) for p in positions], "row_id long")
-        return cls.from_row_ids(ids, n, bucket_size)
+        return cls.from_row_ids(ids.distinct(), n, bucket_size, encoding)
 
     @classmethod
     def empty(
         cls, spark: SparkSession, n: int, bucket_size: int = DEFAULT_BUCKET_SIZE
     ) -> "PostingSet":
         return cls(
-            spark.createDataFrame([], "bucket long, row_ids array<long>"), n, bucket_size
+            spark.createDataFrame([], "bucket long, row_ids array<long>"),
+            n,
+            bucket_size,
+            {"sparse"},
         )
 
     @classmethod
     def full(
         cls, spark: SparkSession, n: int, bucket_size: int = DEFAULT_BUCKET_SIZE
     ) -> "PostingSet":
-        """All rows 0..n-1 — generated distributively (spark.range, one
-        sequence() per bucket; no driver-side materialization)."""
-        df = cls._universe(spark, n, bucket_size)
-        return cls(df, n, bucket_size)
+        """All rows 0..n-1, generated distributively as packed words (a full
+        set is maximally dense — DenseIoBits is the reference's encoding for
+        it too)."""
+        df = cls._universe_dual(spark, n, bucket_size).select(
+            "bucket", F.col("u_words").alias("words")
+        )
+        return cls(df, n, bucket_size, {"dense"})
 
     @staticmethod
-    def _universe(spark: SparkSession, n: int, bucket_size: int) -> DataFrame:
-        n_buckets = -(-n // bucket_size)  # 0 buckets when n == 0
+    def _universe_dual(spark: SparkSession, n: int, bucket_size: int) -> DataFrame:
+        """Per-bucket universe in BOTH encodings (tail clipped to n). The
+        unused encoding is only referenced under a CASE branch downstream,
+        so it is never evaluated for rows that don't need it."""
+        bs, wb = bucket_size, WORD_BITS
+        nw = _n_words(bs)
+        n_buckets = -(-n // bs)  # 0 buckets when n == 0
+        # valid bits in word _w of this bucket: clip to BOTH the bucket size
+        # and the row-space tail n
+        valid = f"(least({bs}L, {n}L - id * {bs}) - _w * {wb})"
         return spark.range(n_buckets).select(
             F.col("id").alias("bucket"),
-            F.sequence(
-                F.col("id") * bucket_size,
-                F.least(F.col("id") * bucket_size + bucket_size, F.lit(n)) - 1,
-            ).alias("row_ids"),
+            F.expr(f"sequence(id * {bs}, least(id * {bs} + {bs}, {n}L) - 1)").alias(
+                "u_ids"
+            ),
+            F.expr(
+                f"transform(sequence(0, {nw - 1}), _w -> "
+                f"CASE WHEN {valid} >= {wb} THEN -1L "
+                f"WHEN {valid} <= 0 THEN 0L "
+                f"ELSE shiftleft(1L, cast({valid} as int)) - 1L END)"
+            ).alias("u_words"),
         )
 
-    # -- algebra (bucket-local, JVM-side array kernels) ---------------------
+    # -- algebra (bucket-local, JVM-side kernels) ---------------------------
 
     def _check(self, other: "PostingSet") -> None:
         if self.n != other.n or self.bucket_size != other.bucket_size:
@@ -142,74 +303,261 @@ class PostingSet:
                 f"({other.n},{other.bucket_size})"
             )
 
-    def __and__(self, other: "PostingSet") -> "PostingSet":
-        """Materialized AND (ioseq/IoBits.scala:187-233). Inner join on
-        bucket (co-partitioned: both sides hash-partitioned on the same key)
-        + vectorized array_intersect."""
-        self._check(other)
-        a, b = self.df.alias("a"), other.df.alias("b")
-        df = (
-            a.join(b, "bucket", "inner")
-            .select("bucket", F.array_intersect("a.row_ids", "b.row_ids").alias("row_ids"))
-            .filter(F.size("row_ids") > 0)
+    def _sides(self, other: "PostingSet") -> tuple[DataFrame, DataFrame]:
+        a = self.df.select(
+            "bucket",
+            F.col("row_ids").alias("a_ids"),
+            F.col("words").alias("a_words"),
         )
-        return PostingSet(df, self.n, self.bucket_size)
+        b = other.df.select(
+            "bucket",
+            F.col("row_ids").alias("b_ids"),
+            F.col("words").alias("b_words"),
+        )
+        return a, b
+
+    def _pure(self, enc: str) -> bool:
+        return self.encodings == frozenset((enc,))
+
+    def __and__(self, other: "PostingSet") -> "PostingSet":
+        """Materialized AND (ioseq/IoBits.scala:187-233; dense kernel
+        DenseIoBits.scala:210-239). Inner join on bucket (co-partitioned) +
+        per-row kernel: intersect (ss), word-AND (dd), or an O(sparse-side)
+        bit_get membership filter (mixed — never expands the dense side).
+        Statically-known encodings compile to the bare kernel instead of the
+        general dual CASE."""
+        self._check(other)
+        bs = self.bucket_size
+        a, b = self._sides(other)
+        j = a.join(b, "bucket", "inner")
+        if self._pure("sparse") and other._pure("sparse"):
+            df = j.select(
+                "bucket", F.array_intersect("a_ids", "b_ids").alias("row_ids")
+            ).filter(F.size("row_ids") > 0)
+            return PostingSet(df, self.n, bs, {"sparse"})
+        if self._pure("dense") and other._pure("dense"):
+            df = j.select(
+                "bucket",
+                F.expr("zip_with(a_words, b_words, (_x, _y) -> _x & _y)").alias("words"),
+            ).filter(F.expr("exists(words, _w -> _w != 0)"))
+            return PostingSet(df, self.n, bs, {"dense"})
+        if self._pure("sparse") and other._pure("dense"):
+            df = j.select(
+                "bucket",
+                F.expr(f"filter(a_ids, _x -> {_member('_x', 'b_words', bs)})").alias(
+                    "row_ids"
+                ),
+            ).filter(F.size("row_ids") > 0)
+            return PostingSet(df, self.n, bs, {"sparse"})
+        if self._pure("dense") and other._pure("sparse"):
+            df = j.select(
+                "bucket",
+                F.expr(f"filter(b_ids, _x -> {_member('_x', 'a_words', bs)})").alias(
+                    "row_ids"
+                ),
+            ).filter(F.size("row_ids") > 0)
+            return PostingSet(df, self.n, bs, {"sparse"})
+        row_ids = F.expr(
+            "CASE WHEN a_words IS NULL AND b_words IS NULL THEN array_intersect(a_ids, b_ids) "
+            f"WHEN a_words IS NULL THEN filter(a_ids, _x -> {_member('_x', 'b_words', bs)}) "
+            f"WHEN b_words IS NULL THEN filter(b_ids, _x -> {_member('_x', 'a_words', bs)}) "
+            "ELSE NULL END"
+        )
+        words = F.expr(
+            "CASE WHEN a_words IS NOT NULL AND b_words IS NOT NULL "
+            "THEN zip_with(a_words, b_words, (_x, _y) -> _x & _y) ELSE NULL END"
+        )
+        df = (
+            j.select("bucket", row_ids.alias("row_ids"), words.alias("words"))
+            .filter(F.expr(_NONEMPTY))
+        )
+        return PostingSet(df, self.n, bs)
 
     def __or__(self, other: "PostingSet") -> "PostingSet":
-        """Logical OR — absent in the reference (SURVEY.md B8) but free here."""
+        """Logical OR — absent in the reference (SURVEY.md B8) but free here.
+        Full-outer join; ss/dd/one-sided buckets are single expressions;
+        mixed buckets scatter the sparse side into words (bit_or agg over
+        just those ids) and word-OR — the dense side is never exploded."""
         self._check(other)
-        a, b = self.df.alias("a"), other.df.alias("b")
-        df = a.join(b, "bucket", "full_outer").select(
-            "bucket",
-            F.sort_array(
-                F.array_union(
-                    F.coalesce("a.row_ids", F.array().cast("array<long>")),
-                    F.coalesce("b.row_ids", F.array().cast("array<long>")),
-                )
-            ).alias("row_ids"),
+        bs = self.bucket_size
+        a, b = self._sides(other)
+        j = a.join(b, "bucket", "full_outer")
+        if self._pure("sparse") and other._pure("sparse"):
+            df = j.select(
+                "bucket",
+                F.sort_array(
+                    F.array_union(
+                        F.coalesce("a_ids", F.array().cast("array<long>")),
+                        F.coalesce("b_ids", F.array().cast("array<long>")),
+                    )
+                ).alias("row_ids"),
+            )
+            return PostingSet(df, self.n, bs, {"sparse"})
+        if self._pure("dense") and other._pure("dense"):
+            nw = _n_words(bs)
+            df = j.select(
+                "bucket",
+                F.expr(
+                    f"zip_with(coalesce(a_words, array_repeat(0L, {nw})), "
+                    f"coalesce(b_words, array_repeat(0L, {nw})), (_x, _y) -> _x | _y)"
+                ).alias("words"),
+            )
+            return PostingSet(df, self.n, bs, {"dense"})
+        mixed = F.expr(
+            "(a_words IS NOT NULL AND b_ids IS NOT NULL) OR "
+            "(a_ids IS NOT NULL AND b_words IS NOT NULL)"
         )
-        return PostingSet(df, self.n, self.bucket_size)
+        easy = j.filter(~mixed).select(
+            "bucket",
+            F.expr(
+                "CASE WHEN a_ids IS NULL AND a_words IS NULL THEN b_ids "
+                "WHEN b_ids IS NULL AND b_words IS NULL THEN a_ids "
+                "WHEN a_ids IS NOT NULL AND b_ids IS NOT NULL "
+                "THEN sort_array(array_union(a_ids, b_ids)) ELSE NULL END"
+            ).alias("row_ids"),
+            F.expr(
+                "CASE WHEN a_ids IS NULL AND a_words IS NULL THEN b_words "
+                "WHEN b_ids IS NULL AND b_words IS NULL THEN a_words "
+                "WHEN a_words IS NOT NULL AND b_words IS NOT NULL "
+                "THEN zip_with(a_words, b_words, (_x, _y) -> _x | _y) ELSE NULL END"
+            ).alias("words"),
+        )
+        hard = j.filter(mixed).select(
+            "bucket",
+            F.coalesce("a_words", "b_words").alias("_dw"),
+            F.coalesce("a_ids", "b_ids").alias("_si"),
+        )
+        scattered = self._ids_to_words(
+            hard.select("bucket", F.explode("_si").alias("row_id")), bs
+        ).withColumnRenamed("words", "_sw")
+        merged = (
+            hard.join(scattered, "bucket")
+            .select(
+                "bucket",
+                F.lit(None).cast("array<long>").alias("row_ids"),
+                F.expr("zip_with(_dw, _sw, (_x, _y) -> _x | _y)").alias("words"),
+            )
+        )
+        return PostingSet(easy.unionByName(merged), self.n, bs)
 
     def andnot(self, other: "PostingSet") -> "PostingSet":
-        """A AND NOT B (ioseq/IoBits.scala:235-302)."""
+        """A AND NOT B (ioseq/IoBits.scala:235-302). Left join; the only
+        scatter is clearing a (small) sparse B out of a dense A."""
         self._check(other)
-        a, b = self.df.alias("a"), other.df.alias("b")
-        df = (
-            a.join(b, "bucket", "left_outer")
+        bs = self.bucket_size
+        a, b = self._sides(other)
+        j = a.join(b, "bucket", "left_outer")
+        if self._pure("sparse"):
+            # result is a subset of a sparse A: never needs a scatter
+            if other._pure("sparse"):
+                expr = (
+                    "CASE WHEN b_ids IS NULL THEN a_ids "
+                    "ELSE array_except(a_ids, b_ids) END"
+                )
+            elif other._pure("dense"):
+                expr = (
+                    "CASE WHEN b_words IS NULL THEN a_ids "
+                    f"ELSE filter(a_ids, _x -> NOT ({_member('_x', 'b_words', bs)})) END"
+                )
+            else:
+                expr = (
+                    "CASE WHEN b_ids IS NULL AND b_words IS NULL THEN a_ids "
+                    "WHEN b_ids IS NOT NULL THEN array_except(a_ids, b_ids) "
+                    f"ELSE filter(a_ids, _x -> NOT ({_member('_x', 'b_words', bs)})) END"
+                )
+            df = j.select("bucket", F.expr(expr).alias("row_ids")).filter(
+                F.size("row_ids") > 0
+            )
+            return PostingSet(df, self.n, bs, {"sparse"})
+        if self._pure("dense") and other._pure("dense"):
+            nw = _n_words(bs)
+            df = j.select(
+                "bucket",
+                F.expr(
+                    f"zip_with(a_words, coalesce(b_words, array_repeat(0L, {nw})), "
+                    "(_x, _y) -> _x & ~_y)"
+                ).alias("words"),
+            ).filter(F.expr("exists(words, _w -> _w != 0)"))
+            return PostingSet(df, self.n, bs, {"dense"})
+        hard_cond = F.expr("a_words IS NOT NULL AND b_ids IS NOT NULL")
+        easy = j.filter(~hard_cond).select(
+            "bucket",
+            F.expr(
+                "CASE WHEN a_ids IS NOT NULL AND b_ids IS NULL AND b_words IS NULL THEN a_ids "
+                "WHEN a_ids IS NOT NULL AND b_ids IS NOT NULL THEN array_except(a_ids, b_ids) "
+                f"WHEN a_ids IS NOT NULL THEN filter(a_ids, _x -> NOT ({_member('_x', 'b_words', bs)})) "
+                "ELSE NULL END"
+            ).alias("row_ids"),
+            F.expr(
+                "CASE WHEN a_words IS NOT NULL AND b_words IS NOT NULL "
+                "THEN zip_with(a_words, b_words, (_x, _y) -> _x & ~_y) "
+                "WHEN a_words IS NOT NULL THEN a_words ELSE NULL END"
+            ).alias("words"),
+        )
+        hard = j.filter(hard_cond).select("bucket", "a_words", "b_ids")
+        scattered = self._ids_to_words(
+            hard.select("bucket", F.explode("b_ids").alias("row_id")), bs
+        ).withColumnRenamed("words", "_sw")
+        merged = (
+            hard.join(scattered, "bucket")
             .select(
                 "bucket",
-                F.array_except(
-                    F.col("a.row_ids"), F.coalesce("b.row_ids", F.array().cast("array<long>"))
-                ).alias("row_ids"),
+                F.lit(None).cast("array<long>").alias("row_ids"),
+                F.expr("zip_with(a_words, _sw, (_x, _y) -> _x & ~_y)").alias("words"),
             )
-            .filter(F.size("row_ids") > 0)
         )
-        return PostingSet(df, self.n, self.bucket_size)
+        df = easy.unionByName(merged).filter(F.expr(_NONEMPTY))
+        return PostingSet(df, self.n, bs)
 
     def __invert__(self) -> "PostingSet":
-        """Complement with tail masking (ioseq/IoBits.scala:304-326): the
-        per-bucket universe is generated by sequence(), clipped to n."""
+        """Complement with tail masking (ioseq/IoBits.scala:304-326;
+        DenseIoBits.scala:241-261): per-bucket universe joined left; sparse
+        rows subtract ids, dense rows word-ANDNOT, absent buckets become
+        full (dense) universe rows."""
         spark = self.df.sparkSession
-        u = self._universe(spark, self.n, self.bucket_size).alias("u")
-        b = self.df.alias("b")
-        df = (
-            u.join(b, "bucket", "left_outer")
-            .select(
+        bs = self.bucket_size
+        u = self._universe_dual(spark, self.n, bs)
+        j = u.join(self.df, "bucket", "left_outer")
+        if self._pure("sparse"):
+            df = j.select(
                 "bucket",
-                F.array_except(
-                    F.col("u.row_ids"), F.coalesce("b.row_ids", F.array().cast("array<long>"))
+                F.expr(
+                    "array_except(u_ids, coalesce(row_ids, array()))"
                 ).alias("row_ids"),
-            )
-            .filter(F.size("row_ids") > 0)
-        )
-        return PostingSet(df, self.n, self.bucket_size)
+            ).filter(F.size("row_ids") > 0)
+            return PostingSet(df, self.n, bs, {"sparse"})
+        if self._pure("dense"):
+            nw = _n_words(bs)
+            df = j.select(
+                "bucket",
+                F.expr(
+                    f"zip_with(u_words, coalesce(words, array_repeat(0L, {nw})), "
+                    "(_u, _x) -> _u & ~_x)"
+                ).alias("words"),
+            ).filter(F.expr("exists(words, _w -> _w != 0)"))
+            return PostingSet(df, self.n, bs, {"dense"})
+        df = j.select(
+            "bucket",
+            F.expr(
+                "CASE WHEN row_ids IS NOT NULL THEN array_except(u_ids, row_ids) "
+                "ELSE NULL END"
+            ).alias("row_ids"),
+            F.expr(
+                "CASE WHEN row_ids IS NOT NULL THEN NULL "
+                "WHEN words IS NOT NULL THEN zip_with(u_words, words, (_u, _x) -> _u & ~_x) "
+                "ELSE u_words END"
+            ).alias("words"),
+        ).filter(F.expr(_NONEMPTY))
+        return PostingSet(df, self.n, bs)
 
     def merge(self, other: "PostingSet") -> "PostingSet":
         """Concatenation of row spaces (NOT logical OR — ioseq/IoBits.scala:
         328-348, SURVEY.md B5): result has n = a.n + b.n, b's ids shifted by
         a.n. When a.n is bucket-aligned the shift is a pure bucket renumber
-        (no data movement); otherwise ids are re-bucketed with array
-        transforms + one re-group of the (rare) straddling buckets."""
+        for BOTH encodings (dense words don't change at all) and buckets are
+        disjoint — a no-shuffle union. Otherwise b is re-bucketed (one
+        shuffle over b's ids) and only the single straddling bucket is
+        coalesced."""
         if self.bucket_size != other.bucket_size:
             raise ValueError("bucket_size mismatch")
         bs = self.bucket_size
@@ -217,22 +565,32 @@ class PostingSet:
         if offset % bs == 0:
             shifted = other.df.select(
                 (F.col("bucket") + offset // bs).alias("bucket"),
-                F.transform("row_ids", lambda x: x + offset).alias("row_ids"),
+                F.expr(f"transform(row_ids, _x -> _x + {offset}L)").alias("row_ids"),
+                "words",
             )
-        else:
-            shifted = (
-                other.df.select(
-                    F.explode(F.transform("row_ids", lambda x: x + offset)).alias("row_id")
-                )
-                .select((F.col("row_id") / bs).cast("long").alias("bucket"), "row_id")
-                .groupBy("bucket")
-                .agg(F.sort_array(F.collect_list("row_id")).alias("row_ids"))
+            return PostingSet(
+                self.df.unionByName(shifted),
+                self.n + other.n,
+                bs,
+                self.encodings | other.encodings,
             )
-        merged = self.df.unionByName(shifted)
-        # straddling bucket appears in both inputs -> coalesce by union
-        df = merged.groupBy("bucket").agg(
-            F.sort_array(F.flatten(F.collect_list("row_ids"))).alias("row_ids")
+        shifted = (
+            explode_posting(other.df, [], bs)
+            .select((F.col("row_id") + offset).alias("row_id"))
+            .select((F.col("row_id") / bs).cast("long").alias("bucket"), "row_id")
+            .groupBy("bucket")
+            .agg(F.sort_array(F.collect_list("row_id")).alias("row_ids"))
         )
+        merged = self.df.unionByName(self._with_dual(shifted))
+        sb = offset // bs  # the only bucket both row spaces can touch
+        clean = merged.filter(F.col("bucket") != sb)
+        straddle = (
+            explode_posting(merged.filter(F.col("bucket") == sb), [], bs)
+            .select((F.col("row_id") / bs).cast("long").alias("bucket"), "row_id")
+            .groupBy("bucket")
+            .agg(F.sort_array(F.collect_list("row_id")).alias("row_ids"))
+        )
+        df = clean.unionByName(self._with_dual(straddle))
         return PostingSet(df, self.n + other.n, bs)
 
     def view(self, start: int, until: int) -> "PostingSet":
@@ -247,20 +605,28 @@ class PostingSet:
     # -- observations -------------------------------------------------------
 
     def f(self) -> int:
-        """Popcount (LBits.scala:18; dense kernel DenseIoBits.scala:196-208).
-        Distributed sum of per-bucket cardinalities — no materialized AND
-        needed for fAnd: (a & b).f() fuses into one join+agg job."""
-        row = self.df.agg(F.coalesce(F.sum(F.size("row_ids")), F.lit(0)).alias("f")).collect()[0]
-        return int(row["f"])
+        """Popcount (LBits.scala:18; dense kernel DenseIoBits.scala:196-208
+        = bit_count over words). Distributed sum of per-bucket cardinalities
+        — no materialized AND needed for fAnd: (a & b).f() fuses into one
+        join+agg job."""
+        return int(self.f_col().collect()[0]["f"])
 
     def f_col(self) -> DataFrame:
-        return self.df.agg(F.coalesce(F.sum(F.size("row_ids")), F.lit(0)).cast("long").alias("f"))
+        if self._pure("sparse"):
+            pop = F.size("row_ids").cast("long")
+        elif self._pure("dense"):
+            pop = F.expr("aggregate(words, 0L, (_a, _w) -> _a + bit_count(_w))")
+        else:
+            pop = F.expr(_POPCOUNT)
+        return self.df.agg(F.coalesce(F.sum(pop), F.lit(0)).cast("long").alias("f"))
 
     def to_rows(self) -> DataFrame:
         """Explode to a (row_id: long) DataFrame — the `trues` scanner
         equivalent (utils/MergeSortIterator.scala:34-36); in the DataFrame
         model a seekable cursor is just a filtered ordered scan."""
-        return self.df.select(F.explode("row_ids").alias("row_id"))
+        if self._pure("sparse"):
+            return self.df.select(F.explode("row_ids").alias("row_id"))
+        return explode_posting(self.df, [], self.bucket_size)
 
     def to_list(self) -> list[int]:
         """Driver-side sorted positions — TEST/debug only, never in the

@@ -103,7 +103,7 @@ class SegmentStore:
             # metadata-only count on the files just written (no data scan)
             n_rows = df.sparkSession.read.parquet(os.path.join(seg_path, "data")).count()
         if index_conf is not None:
-            ix = build_index(df, index_conf, bucket_size=self.bucket_size)
+            ix = build_index(df, index_conf, bucket_size=self.bucket_size, n_rows=n_rows)
             (
                 ix.repartition("col_name")
                 .sortWithinPartitions("value_kind", "value_str", "bucket")
@@ -165,55 +165,61 @@ class SegmentStore:
         return out
 
     def open_index(self, spark: SparkSession) -> DataFrame:
-        """Multi-segment index view: per-segment posting lists shifted into
-        the global row space and re-bucketed. Offsets are constants folded
-        into the array transform — a narrow map, no shuffle unless buckets
-        straddle (then one re-group, same as PostingSet.merge)."""
+        """Multi-segment index view: per-segment posting rows shifted into
+        the global row space (MultiBits 'shard' alignment,
+        utils/MultiBits.scala:11-23).
+
+        Fast path — every segment offset bucket-aligned: the shift is a
+        bucket renumber (dense words unchanged, id arrays + constant), and
+        segment row spaces are disjoint per bucket, so the view is a pure
+        union: NO shuffle at all. General path: all encodings explode to
+        ids (dual-aware), shift, and regroup once — sparse output."""
+        from iodf_spark.plans.rowset import explode_posting
+
         entries = [e for e in self.manifest() if e.get("indexed")]
         if not entries:
             raise ValueError("no indexed segments")
         bs = self.bucket_size
+        key_cols = [
+            "col_name", "value_kind", "value_bool", "value_long",
+            "value_double", "value_str",
+        ]
+        aligned = all(e["row_id_offset"] % bs == 0 for e in entries)
         parts = []
         for e in entries:
-            ix = spark.read.parquet(os.path.join(self.path, f"seg-{e['segment_id']:05d}", "index"))
+            ix = spark.read.parquet(
+                os.path.join(self.path, f"seg-{e['segment_id']:05d}", "index")
+            )
+            if "words" not in ix.columns:
+                ix = ix.withColumn("words", F.lit(None).cast("array<long>"))
             off = e["row_id_offset"]
-            if off % bs == 0:
-                shifted = ix.select(
-                    "col_name", "value_kind", "value_bool", "value_long",
-                    "value_double", "value_str",
-                    (F.col("bucket") + off // bs).alias("bucket"),
-                    F.transform("row_ids", lambda x: x + off).alias("row_ids"),
-                    "f",
-                )
-                parts.append(shifted)
-            else:
-                exploded = ix.select(
-                    "col_name", "value_kind", "value_bool", "value_long",
-                    "value_double", "value_str",
-                    F.explode(F.transform("row_ids", lambda x: x + off)).alias("row_id"),
-                )
+            if aligned:
                 parts.append(
-                    exploded.select(
-                        "*", (F.col("row_id") / bs).cast("long").alias("bucket")
+                    ix.select(
+                        *key_cols,
+                        (F.col("bucket") + off // bs).alias("bucket"),
+                        F.expr(f"transform(row_ids, _x -> _x + {off}L)").alias("row_ids"),
+                        "words",
+                        "f",
                     )
-                    .groupBy(
-                        "col_name", "value_kind", "value_bool", "value_long",
-                        "value_double", "value_str", "bucket",
+                )
+            else:
+                parts.append(
+                    explode_posting(ix, key_cols, bs).select(
+                        *key_cols, (F.col("row_id") + off).alias("row_id")
                     )
-                    .agg(F.sort_array(F.collect_set("row_id")).alias("row_ids"))
-                    .withColumn("f", F.size("row_ids").cast("long"))
                 )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        # a (key, bucket) straddled by two segments appears twice -> coalesce
+        if aligned:
+            return out
         return (
-            out.groupBy(
-                "col_name", "value_kind", "value_bool", "value_long",
-                "value_double", "value_str", "bucket",
-            )
-            .agg(F.sort_array(F.flatten(F.collect_list("row_ids"))).alias("row_ids"))
+            out.select("*", (F.col("row_id") / bs).cast("long").alias("bucket"))
+            .groupBy(*key_cols, "bucket")
+            .agg(F.sort_array(F.collect_set("row_id")).alias("row_ids"))
             .withColumn("f", F.size("row_ids").cast("long"))
+            .withColumn("words", F.lit(None).cast("array<long>"))
         )
 
     def have_segments(

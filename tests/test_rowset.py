@@ -16,31 +16,57 @@ N = 200
 BS = 32  # deliberately tiny buckets: ops must cross bucket boundaries
 
 
-def make_sets(spark, seed: int, p_denom: int):
+def make_sets(spark, seed: int, p_denom: int, enc_a: str = "sparse", enc_b: str = "sparse"):
     rng = random.Random(seed)
     a = [i for i in range(N) if rng.random() < 1.0 / p_denom]
     b = [i for i in range(N) if rng.random() < 1.0 / p_denom]
     return (
         set(a),
         set(b),
-        PostingSet.from_positions(spark, a, N, BS),
-        PostingSet.from_positions(spark, b, N, BS),
+        PostingSet.from_positions(spark, a, N, BS, encoding=enc_a),
+        PostingSet.from_positions(spark, b, N, BS, encoding=enc_b),
     )
 
 
-@pytest.mark.parametrize("round_", [0, 1, 2])
-def test_algebra_matches_ground_truth(spark, round_):
+# the reference's representation matrix (BitsTest.scala:237-281): every op
+# must agree for every combination of physical encodings
+ENCODINGS = [
+    ("sparse", "sparse"),
+    ("sparse", "dense"),
+    ("dense", "sparse"),
+    ("dense", "dense"),
+    ("adaptive", "adaptive"),
+]
+
+
+@pytest.mark.parametrize("enc_a,enc_b", ENCODINGS)
+@pytest.mark.parametrize("round_", [0, 2])
+def test_algebra_matches_ground_truth(spark, round_, enc_a, enc_b):
     p_denom = 2 ** (round_ + 1)
-    sa, sb, pa, pb = make_sets(spark, round_, p_denom)
+    sa, sb, pa, pb = make_sets(spark, round_, p_denom, enc_a, enc_b)
     universe = set(range(N))
 
     assert pa.f() == len(sa)
     assert (pa & pb).to_list() == sorted(sa & sb)
     assert (pa | pb).to_list() == sorted(sa | sb)
     assert pa.andnot(pb).to_list() == sorted(sa - sb)
+    assert pb.andnot(pa).to_list() == sorted(sb - sa)
     assert (~pa).to_list() == sorted(universe - sa)
+    assert (~pb).to_list() == sorted(universe - sb)
     # fAnd without materialization (B1): count equals len of intersection
     assert (pa & pb).f() == len(sa & sb)
+    # ops compose across encodings: (a & ~b) == a andnot b
+    assert (pa & (~pb)).to_list() == sorted(sa - sb)
+
+
+@pytest.mark.parametrize("enc", ["sparse", "dense"])
+def test_merge_and_view_per_encoding(spark, enc):
+    sa, sb, pa, pb = make_sets(spark, 11, 2, enc, enc)
+    merged = pa.merge(pb)
+    assert merged.n == 2 * N
+    assert merged.to_list() == sorted(sa) + [N + i for i in sorted(sb)]
+    v = pa.view(10, 150)
+    assert v.to_list() == sorted(i - 10 for i in sa if 10 <= i < 150)
 
 
 def test_merge_is_concatenation_not_or(spark):
