@@ -244,6 +244,29 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: each query also scans the n_planes Hamming-1
+    buckets — higher recall at query-side fan-out cost only."""
+    from iodf_spark.operators.similarity import ann_lsh
+
+    return ann_lsh(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        ANN_QUERY_IDS, multi_probe=True,
+    )
+
+
+def q_ann_ivf64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF at 64 centroids / 8 probes: exercises the max_by cell-assignment
+    aggregation at a centroid count where a row_number window would sort a
+    64x expansion."""
+    from iodf_spark.operators.similarity import ann_ivf
+
+    return ann_ivf(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        ANN_QUERY_IDS, n_centroids=64, n_probe=8,
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iodf_spark.operators.textstats import text_stats
 
@@ -606,6 +629,53 @@ def q_index_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.probe(ix, "text", "spark", n).to_rows()
 
 
+def q_table_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/Df.view on a DATA table (Df.scala:96-114): row-range slice
+    re-based to 0, composed twice (view of view) — the reference's
+    views-of-views invariant, checked against the oracle's arithmetic."""
+    from iodf_spark.sources.tables import view
+
+    od = _orders(spark, sf_dir)
+    v = view(view(od, 100, 2000), 50, 400)  # == view(od, 150, 500)
+    return v.select("row_id", "o_orderkey", "o_totalprice").orderBy("row_id")
+
+
+def q_write_open_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 writeSeq/openSeq (Dfs.scala:231-242): one column stored as a
+    standalone object and re-opened, re-aligned by row_id."""
+    import tempfile
+
+    from iodf_spark.sources.tables import open_seq, write_seq
+
+    na = load_table(spark, sf_dir, "nation", row_id=True)
+    path = tempfile.mkdtemp(prefix="iodf_seq_") + "/n_name"
+    write_seq(na, "n_name", path)
+    return open_seq(spark, path).orderBy("row_id")
+
+
+def q_have_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 haveIndexedDf (Dfs.scala:546-554): create-if-absent memoization —
+    the first call builds and writes, the second is a no-op; the opened
+    store holds exactly one segment with the table's rows."""
+    import tempfile
+
+    from iodf_spark.sources.segments import SegmentStore
+
+    store = SegmentStore(tempfile.mkdtemp(prefix="iodf_have_"))
+    first = store.have_segments(
+        lambda: load_table(spark, sf_dir, "region"), order_keys=["r_regionkey"]
+    )
+    second = store.have_segments(
+        lambda: load_table(spark, sf_dir, "region"), order_keys=["r_regionkey"]
+    )
+    return store.open(spark).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.lit(len(store.manifest())).cast("int").alias("n_segments"),
+        F.lit(first is not None).alias("first_wrote"),
+        F.lit(second is None).alias("second_noop"),
+    )
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11/§2.12 custom stateful streaming operator: gap-based
     sessionization via applyInPandasWithState driven with availableNow;
@@ -676,6 +746,21 @@ def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("row_id", F.round("dist", 9).alias("dist"))
 
 
+def q_knn_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 with the optional candidate filter (ml/Knn.scala:71-76:
+    knn(k, v, filter)): rank only rows passing a non-trivial predicate —
+    the filter prunes ~half the candidates before distance evaluation."""
+    from iodf_spark.operators.knn import key_value_weights, knn
+
+    od = _orders(spark, sf_dir)
+    w = key_value_weights(od, KNN_FEATURES, F.expr(KNN_TARGET_SQL), 0.0)
+    top = knn(
+        od, KNN_FEATURES, w, KNN_QUERY, 20,
+        row_filter=F.col("o_totalprice") < 100000,
+    )
+    return top.select("row_id", F.round("dist", 9).alias("dist"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_f": q_index_f,
@@ -691,6 +776,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "knn_weights": q_knn_weights,
         "knn_topk": q_knn_topk,
+        "knn_topk_filtered": q_knn_topk_filtered,
+        "table_view": q_table_view,
+        "write_open_seq": q_write_open_seq,
+        "have_segments": q_have_segments,
         "join_agg": q_join_agg,
         "semi_anti_join": q_semi_anti_join,
         "window_rank": q_window_rank,
@@ -710,7 +799,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pairs": q_embedding_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_mp": q_ann_lsh_multiprobe,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf64": q_ann_ivf64,
         "segments_union": q_segments_union,
         "segments_index_probe": q_segments_index_probe,
         "segments_compact": q_segments_compact,
@@ -746,7 +837,7 @@ def _knn_ctes() -> str:
     return f"""
         base AS (
           SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id,
-                 o_orderstatus, o_orderpriority, ({KNN_TARGET_SQL}) AS t
+                 o_orderstatus, o_orderpriority, o_totalprice, ({KNN_TARGET_SQL}) AS t
           FROM orders),
         consts AS (SELECT count(*)::BIGINT AS n, count(*) FILTER (t)::BIGINT AS fb FROM base),
         melted AS (SELECT * FROM ({melt_arms}) WHERE value IS NOT NULL),
@@ -936,6 +1027,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_id, round(dist, 9) AS dist
             FROM dists ORDER BY dist, row_id LIMIT 20
         """,
+        "knn_topk_filtered": f"""
+            WITH {_knn_ctes()}
+            SELECT d.row_id, round(d.dist, 9) AS dist
+            FROM dists d JOIN base b USING (row_id)
+            WHERE b.o_totalprice < 100000
+            ORDER BY dist, d.row_id LIMIT 20
+        """,
+        "table_view": """
+            WITH rid AS (
+              SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id,
+                     o_orderkey, o_totalprice
+              FROM orders)
+            SELECT row_id - 150 AS row_id, o_orderkey, o_totalprice
+            FROM rid WHERE row_id >= 150 AND row_id < 500 ORDER BY row_id
+        """,
+        "write_open_seq": """
+            SELECT row_number() OVER (ORDER BY n_nationkey) - 1 AS row_id, n_name
+            FROM nation ORDER BY row_id
+        """,
+        "have_segments": """
+            SELECT count(*)::BIGINT AS n_rows, 1::INT AS n_segments,
+                   true AS first_wrote, true AS second_noop
+            FROM region
+        """,
         "dedup_exact": dedup.exact_dedup_oracle("doc_id", "text", "documents"),
         "dedup_jaccard": dedup.jaccard_pairs_oracle("doc_id", "text", "documents"),
         "dedup_minhash": dedup.minhash_lsh_pairs_oracle("doc_id", "text", "documents"),
@@ -947,8 +1062,15 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": similarity.ann_lsh_oracle(
             "vec_id", "embedding", "embeddings", ANN_QUERY_IDS
         ),
+        "ann_lsh_mp": similarity.ann_lsh_oracle(
+            "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, multi_probe=True
+        ),
         "ann_ivf": similarity.ann_ivf_oracle(
             "vec_id", "embedding", "embeddings", ANN_QUERY_IDS
+        ),
+        "ann_ivf64": similarity.ann_ivf_oracle(
+            "vec_id", "embedding", "embeddings", ANN_QUERY_IDS,
+            n_centroids=64, n_probe=8,
         ),
         "segments_union": f"""
             SELECT row_id, o_orderkey, o_orderstatus,

@@ -135,8 +135,20 @@ def knn(
     weights: DataFrame,
     query: dict[str, object],
     k: int,
+    row_filter: Column | None = None,
 ) -> DataFrame:
     """M4: top-k nearest by trained distance — TakeOrderedAndProject (no
     full sort materialization); ties broken by row_id (the reference's
-    stable sort over row order)."""
-    return distances(df, feature_cols, weights, query).orderBy("dist", "row_id").limit(k)
+    stable sort over row order).
+
+    ``row_filter`` is the reference's optional candidate bitmap
+    (ml/Knn.scala:71-76: knn(k, v, filter) ranks only rows in the filter).
+    Distances are row-local and the query-side baseline is candidate-
+    independent, so filtering candidates FIRST is semantically identical
+    and lets Catalyst push the predicate into the scan."""
+    cand = df.filter(row_filter) if row_filter is not None else df
+    return (
+        distances(cand, feature_cols, weights, query)
+        .orderBy("dist", "row_id")
+        .limit(k)
+    )

@@ -258,13 +258,17 @@ def ann_ivf(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("_ce")
     )
     corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    wa = Window.partitionBy("neighbor_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    # cell assignment as an argmax AGGREGATION (max_by over (ccos, -cid) =
+    # best cosine, lowest cid on ties), not a row_number window: partial
+    # aggregation combines map-side, so the n_centroids-fold expansion
+    # collapses per partition before the shuffle — one narrow agg at any
+    # centroid count, vs the window's full sort-shuffle of the expansion
     assigned = (
         corpus.crossJoin(F.broadcast(cent))
         .withColumn("ccos", F.expr(cosine_expr("_cv", "_ce", "spark")))
-        .withColumn("_r", F.row_number().over(wa))
-        .filter(F.col("_r") == 1)
-        .select("cid", "neighbor_id", "_cv")
+        .groupBy("neighbor_id")
+        .agg(F.expr("max_by(struct(cid, _cv), struct(ccos, -cid))").alias("_a"))
+        .select(F.col("_a.cid").alias("cid"), "neighbor_id", F.col("_a._cv").alias("_cv"))
     )
     q = df.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
@@ -348,15 +352,28 @@ def ann_lsh(
     query_ids: list[int],
     k: int = 10,
     n_planes: int = 4,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """LSH-bucketed ANN: both sides keyed by sign-projection bucket; each
     query scans only its bucket (recall < 1 by design — the scale path).
-    Bucketing and scores are deterministic, so this is oracle-checkable."""
+    Bucketing and scores are deterministic, so this is oracle-checkable.
+
+    ``multi_probe``: each query also probes the n_planes buckets at Hamming
+    distance 1 (flip one sign bit) — the classic multi-probe LSH recall
+    boost that costs query-side fan-out only (the corpus is hashed once;
+    no extra corpus passes)."""
     bucket = F.expr(lsh_bucket_expr(vec_col, n_planes, "spark"))
     with_b = df.withColumn("_bkt", bucket)
     q = with_b.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "_bkt"
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("_bkt"), *[F.expr(f"_bkt ^ {1 << j}") for j in range(n_planes)]
+        )
+        q = q.select(
+            "query_id", "_qv", F.explode(probes).alias("_bkt")
+        )
     c = with_b.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "_bkt"
     )
@@ -382,13 +399,23 @@ def ann_lsh_oracle(
     query_ids: list[int],
     k: int = 10,
     n_planes: int = 4,
+    multi_probe: bool = False,
 ) -> str:
     ids = ", ".join(str(i) for i in query_ids)
     bkt = lsh_bucket_expr(vec_col, n_planes, "duckdb")
     cos = cosine_expr("q._qv", "c._cv", "duckdb")
+    if multi_probe:
+        # DuckDB: xor() function (the ^ operator is exponentiation there)
+        flips = ", ".join(f"xor(_bkt, {1 << j})" for j in range(n_planes))
+        q_cte = f"""q AS (
+            SELECT query_id, _qv, unnest([_bkt, {flips}]) AS _bkt
+            FROM (SELECT _id AS query_id, _v AS _qv, _bkt FROM wb
+                  WHERE _id IN ({ids})))"""
+    else:
+        q_cte = f"q AS (SELECT _id AS query_id, _v AS _qv, _bkt FROM wb WHERE _id IN ({ids}))"
     return f"""
         WITH wb AS (SELECT {id_col} AS _id, {vec_col} AS _v, {bkt} AS _bkt FROM {table}),
-        q AS (SELECT _id AS query_id, _v AS _qv, _bkt FROM wb WHERE _id IN ({ids})),
+        {q_cte},
         c AS (SELECT _id AS neighbor_id, _v AS _cv, _bkt FROM wb),
         scored AS (
           SELECT q.query_id, c.neighbor_id, {cos} AS cos

@@ -88,6 +88,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, row_id: bool = False
     return df
 
 
+def view(df: DataFrame, start: int, until: int) -> DataFrame:
+    """Df.view (Df.scala:96-114): row-range slice [start, until) of a
+    row_id-addressed table, re-based to 0 — the data-table twin of
+    PostingSet.view. Views COMPOSE (Df.scala:104-107: a view of a view
+    addresses the outer view's row space): ``view(view(df, a, b), c, d)``
+    equals ``view(df, a+c, min(a+d, b))``. The row_id range predicate
+    pushes into the Parquet scan; the re-base is a narrow projection."""
+    return df.filter(
+        (F.col("row_id") >= start) & (F.col("row_id") < until)
+    ).withColumn("row_id", F.col("row_id") - F.lit(start).cast("long"))
+
+
 def write_seq(df: DataFrame, col: str, path: str) -> None:
     """writeSeq (Dfs.scala:231-242): one column as a standalone stored
     object — here a single-column Parquet dir keeping row_id so the column
