@@ -195,6 +195,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data pipeline suite: dedup, similarity search, text analysis,
 # multimodal plumbing (first-class components per the build brief)
 
+EMB_DIM = 64  # fixed embedding width of the testdata corpus
 ANN_QUERY_IDS = [0, 1, 2]
 
 
@@ -1057,20 +1058,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dedup.simhash_pairs_oracle("doc_id", "text", "documents"),
         "embedding_pairs": similarity.cosine_pairs_oracle("vec_id", "embedding", "embeddings"),
         "ann_topk": similarity.ann_brute_force_oracle(
-            "vec_id", "embedding", "embeddings", ANN_QUERY_IDS
+            "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM
         ),
         "ann_lsh": similarity.ann_lsh_oracle(
-            "vec_id", "embedding", "embeddings", ANN_QUERY_IDS
+            "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM
         ),
         "ann_lsh_mp": similarity.ann_lsh_oracle(
-            "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, multi_probe=True
+            "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, multi_probe=True,
+            dim=EMB_DIM,
         ),
         "ann_ivf": similarity.ann_ivf_oracle(
-            "vec_id", "embedding", "embeddings", ANN_QUERY_IDS
+            "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM
         ),
         "ann_ivf64": similarity.ann_ivf_oracle(
             "vec_id", "embedding", "embeddings", ANN_QUERY_IDS,
-            n_centroids=64, n_probe=8,
+            n_centroids=64, n_probe=8, dim=EMB_DIM,
         ),
         "segments_union": f"""
             SELECT row_id, o_orderkey, o_orderstatus,

@@ -46,6 +46,7 @@ from iodf_spark.plans.rowset import (
     DENSITY_SHIFT,
     WORD_BITS,
     PostingSet,
+    _assemble_words,
     _n_words,
 )
 
@@ -228,14 +229,12 @@ def build_index(
         .groupBy(*INDEX_KEY_COLS, "bucket", "_w")
         .agg(F.expr("bit_or(_bit)").alias("_word"))
         .groupBy(*INDEX_KEY_COLS, "bucket")
-        .agg(F.map_from_entries(F.collect_list(F.struct("_w", "_word"))).alias("_m"))
+        .agg(F.sort_array(F.collect_list(F.struct("_w", "_word"))).alias("_es"))
         .select(
             *INDEX_KEY_COLS,
             "bucket",
             F.lit(None).cast("array<long>").alias("row_ids"),
-            F.expr(
-                f"transform(sequence(0, {nw - 1}), _i -> coalesce(element_at(_m, _i), 0L))"
-            ).alias("words"),
+            F.expr(_assemble_words("_es", nw)).alias("words"),
         )
         .withColumn(
             "f", F.expr("aggregate(words, 0L, (_a, _w) -> _a + bit_count(_w))")

@@ -26,7 +26,23 @@ from pyspark.sql.window import Window
 from iodf_spark.functions.texthash import MOD, MULT, SEED
 
 
-def _dot(a: str, b: str, dialect: str) -> str:
+def _dot(a: str, b: str, dialect: str, dim: int | None = None) -> str:
+    """Dot product. With ``dim`` known (embedding columns have a fixed
+    width), the sum is UNROLLED into dim codegen'd subscript terms —
+    higher-order-function folds are interpreted per element (~µs each,
+    the round-1 lesson), so unrolling is a 5-20x win in hot joins. The
+    unrolled left-associative ascending sum performs the identical
+    float64 addition order as the sequential fold, so engine and oracle
+    stay bit-equal in any mix."""
+    if dim is not None:
+        if dialect == "spark":
+            terms = [
+                f"cast({a}[{i}] as double) * cast({b}[{i}] as double)"
+                for i in range(dim)
+            ]
+        else:
+            terms = [f"{a}[{i + 1}]::DOUBLE * {b}[{i + 1}]::DOUBLE" for i in range(dim)]
+        return "(" + " + ".join(terms) + ")"
     if dialect == "spark":
         return (
             f"aggregate(zip_with({a}, {b}, (_x, _y) -> cast(_x as double) * cast(_y as double)), "
@@ -38,11 +54,20 @@ def _dot(a: str, b: str, dialect: str) -> str:
     )
 
 
-def cosine_expr(a: str, b: str, dialect: str) -> str:
+def cosine_expr(a: str, b: str, dialect: str, dim: int | None = None) -> str:
     return (
-        f"({_dot(a, b, dialect)}) / "
-        f"(sqrt({_dot(a, a, dialect)}) * sqrt({_dot(b, b, dialect)}))"
+        f"({_dot(a, b, dialect, dim)}) / "
+        f"(sqrt({_dot(a, a, dialect, dim)}) * sqrt({_dot(b, b, dialect, dim)}))"
     )
+
+
+def norm_expr(vec: str, dialect: str, dim: int | None = None) -> str:
+    """sqrt(<v, v>) — precomputed per ROW so pair-scoring joins evaluate
+    only the cross dot: cos = dot(a,b) / (a_norm * b_norm) performs the
+    exact same float64 operations as cosine_expr (sqrt then multiply),
+    just factored out of the O(pairs) loop — bit-identical, 3x less work
+    and 3x smaller codegen."""
+    return f"sqrt({_dot(vec, vec, dialect, dim)})"
 
 
 def _plane_component(j: int, d: str, dialect: str) -> str:
@@ -52,11 +77,29 @@ def _plane_component(j: int, d: str, dialect: str) -> str:
     return f"(2 * (({h}) % 2) - 1)"
 
 
-def lsh_bucket_expr(vec: str, n_planes: int, dialect: str) -> str:
-    """Bucket id in [0, 2^n_planes): bit j = sign of <vec, plane_j>."""
+def _plane_sign(j: int, d: int) -> int:
+    """Python twin of :func:`_plane_component` — same integer formula, so
+    plan-time-folded signs equal the SQL-computed ones exactly."""
+    h = ((SEED * MULT + j) % MOD * MULT + d) % MOD
+    return 2 * (h % 2) - 1
+
+
+def lsh_bucket_expr(vec: str, n_planes: int, dialect: str, dim: int | None = None) -> str:
+    """Bucket id in [0, 2^n_planes): bit j = sign of <vec, plane_j>. With
+    ``dim`` known the ±1 hyperplane signs fold to literals at plan time and
+    each projection unrolls to dim codegen'd terms (same addition order as
+    the fold — see _dot)."""
     bits = []
     for j in range(n_planes):
-        if dialect == "spark":
+        if dim is not None:
+            sub = (lambda i: f"{vec}[{i}]") if dialect == "spark" else (
+                lambda i: f"{vec}[{i + 1}]"
+            )
+            cast = "cast({} as double)" if dialect == "spark" else "{}::DOUBLE"
+            proj = " + ".join(
+                f"({cast.format(sub(d))} * {_plane_sign(j, d)})" for d in range(dim)
+            )
+        elif dialect == "spark":
             proj = (
                 f"aggregate(zip_with({vec}, sequence(0, size({vec}) - 1), "
                 f"(_x, _d) -> cast(_x as double) * {_plane_component(j, '_d', dialect)}), "
@@ -69,6 +112,13 @@ def lsh_bucket_expr(vec: str, n_planes: int, dialect: str) -> str:
             )
         bits.append(f"(case when ({proj}) >= 0 then {1 << j} else 0 end)")
     return "(" + " + ".join(bits) + ")"
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int | None:
+    """One limit-1 scan to learn the fixed embedding width at plan time —
+    unlocks the unrolled codegen kernels (see _dot)."""
+    row = df.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
+    return int(row[0]["_d"]) if row else None
 
 
 # --------------------------------------------------------------------------
@@ -192,18 +242,26 @@ def ann_brute_force(
     vec_col: str,
     query_ids: list[int],
     k: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query vector (queries drawn from the corpus by
     id). Query side is broadcast; ranking is a per-query window top-k with
     deterministic tie-break."""
+    dim = dim or _infer_dim(df, vec_col)
     q = df.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.expr(norm_expr(vec_col, "spark", dim)).alias("_qn"),
     )
-    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.expr(norm_expr(vec_col, "spark", dim)).alias("_cn"),
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.expr(cosine_expr("_qv", "_cv", "spark")))
+        .withColumn("cos", F.expr(f"({_dot('_qv', '_cv', 'spark', dim)}) / (_qn * _cn)"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -215,10 +273,11 @@ def ann_brute_force(
 
 
 def ann_brute_force_oracle(
-    id_col: str, vec_col: str, table: str, query_ids: list[int], k: int = 10
+    id_col: str, vec_col: str, table: str, query_ids: list[int], k: int = 10,
+    dim: int | None = None,
 ) -> str:
     ids = ", ".join(str(i) for i in query_ids)
-    cos = cosine_expr("q._qv", "c._cv", "duckdb")
+    cos = cosine_expr("q._qv", "c._cv", "duckdb", dim)
     return f"""
         WITH q AS (SELECT {id_col} AS query_id, {vec_col} AS _qv FROM {table}
                    WHERE {id_col} IN ({ids})),
@@ -244,6 +303,7 @@ def ann_ivf(
     k: int = 10,
     n_centroids: int = 4,
     n_probe: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: the corpus is partitioned into inverted lists by
     nearest centroid; queries probe only the `n_probe` nearest lists.
@@ -254,10 +314,17 @@ def ann_ivf(
     broadcast join) and candidate generation touches only probed cells —
     at 100 TB the assigned corpus is written partitioned by cell so probes
     prune to n_probe/n_centroids of the data."""
+    dim = dim or _infer_dim(df, vec_col)
     cent = df.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("_ce")
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("_ce"),
+        F.expr(norm_expr(vec_col, "spark", dim)).alias("_cen"),
     )
-    corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.expr(norm_expr(vec_col, "spark", dim)).alias("_cvn"),
+    )
     # cell assignment as an argmax AGGREGATION (max_by over (ccos, -cid) =
     # best cosine, lowest cid on ties), not a row_number window: partial
     # aggregation combines map-side, so the n_centroids-fold expansion
@@ -265,27 +332,34 @@ def ann_ivf(
     # centroid count, vs the window's full sort-shuffle of the expansion
     assigned = (
         corpus.crossJoin(F.broadcast(cent))
-        .withColumn("ccos", F.expr(cosine_expr("_cv", "_ce", "spark")))
+        .withColumn("ccos", F.expr(f"({_dot('_cv', '_ce', 'spark', dim)}) / (_cvn * _cen)"))
         .groupBy("neighbor_id")
-        .agg(F.expr("max_by(struct(cid, _cv), struct(ccos, -cid))").alias("_a"))
-        .select(F.col("_a.cid").alias("cid"), "neighbor_id", F.col("_a._cv").alias("_cv"))
+        .agg(F.expr("max_by(struct(cid, _cv, _cvn), struct(ccos, -cid))").alias("_a"))
+        .select(
+            F.col("_a.cid").alias("cid"),
+            "neighbor_id",
+            F.col("_a._cv").alias("_cv"),
+            F.col("_a._cvn").alias("_cvn"),
+        )
     )
     q = df.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.expr(norm_expr(vec_col, "spark", dim)).alias("_qn"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cid"))
     qcells = (
         q.crossJoin(F.broadcast(cent))
-        .withColumn("ccos", F.expr(cosine_expr("_qv", "_ce", "spark")))
+        .withColumn("ccos", F.expr(f"({_dot('_qv', '_ce', 'spark', dim)}) / (_qn * _cen)"))
         .withColumn("_r", F.row_number().over(wq))
         .filter(F.col("_r") <= n_probe)
-        .select("cid", "query_id", "_qv")
+        .select("cid", "query_id", "_qv", "_qn")
     )
     scored = (
         F.broadcast(qcells)
         .join(assigned, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.expr(cosine_expr("_qv", "_cv", "spark")))
+        .withColumn("cos", F.expr(f"({_dot('_qv', '_cv', 'spark', dim)}) / (_qn * _cvn)"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -304,11 +378,12 @@ def ann_ivf_oracle(
     k: int = 10,
     n_centroids: int = 4,
     n_probe: int = 2,
+    dim: int | None = None,
 ) -> str:
     ids = ", ".join(str(i) for i in query_ids)
-    acos = cosine_expr("c._cv", "ct._ce", "duckdb")
-    qccos = cosine_expr("q._qv", "ct._ce", "duckdb")
-    cos = cosine_expr("qc._qv", "a._cv", "duckdb")
+    acos = cosine_expr("c._cv", "ct._ce", "duckdb", dim)
+    qccos = cosine_expr("q._qv", "ct._ce", "duckdb", dim)
+    cos = cosine_expr("qc._qv", "a._cv", "duckdb", dim)
     return f"""
         WITH cent AS (SELECT {id_col} AS cid, {vec_col} AS _ce FROM {table}
                       WHERE {id_col} < {n_centroids}),
@@ -353,6 +428,7 @@ def ann_lsh(
     k: int = 10,
     n_planes: int = 4,
     multi_probe: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed ANN: both sides keyed by sign-projection bucket; each
     query scans only its bucket (recall < 1 by design — the scale path).
@@ -362,26 +438,29 @@ def ann_lsh(
     distance 1 (flip one sign bit) — the classic multi-probe LSH recall
     boost that costs query-side fan-out only (the corpus is hashed once;
     no extra corpus passes)."""
-    bucket = F.expr(lsh_bucket_expr(vec_col, n_planes, "spark"))
-    with_b = df.withColumn("_bkt", bucket)
+    dim = dim or _infer_dim(df, vec_col)
+    bucket = F.expr(lsh_bucket_expr(vec_col, n_planes, "spark", dim))
+    with_b = df.withColumn("_bkt", bucket).withColumn(
+        "_n", F.expr(norm_expr(vec_col, "spark", dim))
+    )
     q = with_b.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "_bkt"
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        F.col("_n").alias("_qn"), "_bkt",
     )
     if multi_probe:
         probes = F.array(
             F.col("_bkt"), *[F.expr(f"_bkt ^ {1 << j}") for j in range(n_planes)]
         )
-        q = q.select(
-            "query_id", "_qv", F.explode(probes).alias("_bkt")
-        )
+        q = q.select("query_id", "_qv", "_qn", F.explode(probes).alias("_bkt"))
     c = with_b.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "_bkt"
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        F.col("_n").alias("_cn"), "_bkt",
     )
     scored = (
         F.broadcast(q)
         .join(c, "_bkt")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.expr(cosine_expr("_qv", "_cv", "spark")))
+        .withColumn("cos", F.expr(f"({_dot('_qv', '_cv', 'spark', dim)}) / (_qn * _cn)"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -400,10 +479,11 @@ def ann_lsh_oracle(
     k: int = 10,
     n_planes: int = 4,
     multi_probe: bool = False,
+    dim: int | None = None,
 ) -> str:
     ids = ", ".join(str(i) for i in query_ids)
-    bkt = lsh_bucket_expr(vec_col, n_planes, "duckdb")
-    cos = cosine_expr("q._qv", "c._cv", "duckdb")
+    bkt = lsh_bucket_expr(vec_col, n_planes, "duckdb", dim)
+    cos = cosine_expr("q._qv", "c._cv", "duckdb", dim)
     if multi_probe:
         # DuckDB: xor() function (the ^ operator is exponentiation there)
         flips = ", ".join(f"xor(_bkt, {1 << j})" for j in range(n_planes))

@@ -80,6 +80,23 @@ _POPCOUNT = (
 _NONEMPTY = "coalesce(size(row_ids) > 0, exists(words, _w -> _w != 0))"
 
 
+def _assemble_words(es: str, nw: int) -> str:
+    """SQL: fixed-length words array from SORTED (word-index, word) entry
+    structs — gap-filled with zero words by run-length concat. O(k + nw)
+    per row with O(1) array subscripts. (A map + element_at gap fill is the
+    obvious alternative, but element_at on a Spark map is a LINEAR scan —
+    nw lookups x k entries made index materialization ~25x slower.)"""
+    last = f"size({es}) - 1"
+    return (
+        f"concat("
+        f"array_repeat(0L, element_at({es}, 1)._w), "
+        f"flatten(transform(sequence(0, {last}), _i -> "
+        f"concat(array(element_at({es}, _i + 1)._word), "
+        f"array_repeat(0L, (CASE WHEN _i = {last} THEN {nw} "
+        f"ELSE element_at({es}, _i + 2)._w END) - element_at({es}, _i + 1)._w - 1)))))"
+    )
+
+
 def predicate_counts(df: DataFrame, pred_a: Column, pred_b: Column) -> DataFrame:
     """One-pass (n, fa, fb, fab) for two predicates — the predicate-path
     `f`/`fAnd` (LBits.scala:18, utils/LBits.scala:116-160) batched into a
@@ -224,15 +241,8 @@ class PostingSet:
             .groupBy("bucket", "_w")
             .agg(F.expr("bit_or(_bit)").alias("_word"))
             .groupBy("bucket")
-            .agg(
-                F.map_from_entries(F.collect_list(F.struct("_w", "_word"))).alias("_m")
-            )
-            .select(
-                "bucket",
-                F.expr(
-                    f"transform(sequence(0, {nw - 1}), _i -> coalesce(element_at(_m, _i), 0L))"
-                ).alias("words"),
-            )
+            .agg(F.sort_array(F.collect_list(F.struct("_w", "_word"))).alias("_es"))
+            .select("bucket", F.expr(_assemble_words("_es", nw)).alias("words"))
         )
 
     @classmethod
