@@ -223,6 +223,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the jaccard pair graph;
+    one canonical survivor per cluster (iterative min-label propagation —
+    the oracle mirrors it with a recursive-CTE transitive closure)."""
+    from iodf_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).orderBy("doc_id")
+
+
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iodf_spark.operators.similarity import cosine_pairs
 
@@ -797,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "embedding_pairs": q_embedding_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -1056,6 +1068,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": dedup.jaccard_pairs_oracle("doc_id", "text", "documents"),
         "dedup_minhash": dedup.minhash_lsh_pairs_oracle("doc_id", "text", "documents"),
         "dedup_simhash": dedup.simhash_pairs_oracle("doc_id", "text", "documents"),
+        "dedup_clusters": dedup.dedup_clusters_oracle("doc_id", "text", "documents"),
         "embedding_pairs": similarity.cosine_pairs_oracle("vec_id", "embedding", "embeddings"),
         "ann_topk": similarity.ann_brute_force_oracle(
             "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM

@@ -364,3 +364,88 @@ def simhash_pairs_oracle(
         SELECT doc_a, doc_b, hamming::INT AS hamming
         FROM pairs WHERE hamming <= {max_hamming}
     """
+
+
+# --------------------------------------------------------------------------
+# Dedup clusters: connected components over near-duplicate pairs
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pairs: DataFrame | None = None,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the pair graph,
+    labeling every document with the minimum doc id of its component and
+    flagging the canonical survivor (keep = doc is its component's min) —
+    the step that turns pair detection into an actual training-set dedup
+    policy (drop all non-canonical members).
+
+    Pregel-style min-label propagation as DataFrame jobs: per iteration one
+    edges-to-labels join + a min aggregation; edges (only near-dup pairs —
+    tiny relative to the corpus) and each label frontier are checkpointed so
+    lineage stays flat. Iterations = component diameter, which for dedup
+    graphs is small (near-dup clusters are cliques-ish); the loop stops as
+    soon as a fixpoint is reached (one count per iteration). At extreme
+    scale swap the propagation for the large-star/small-star CC algorithm
+    — same join primitives, fewer rounds.
+
+    Non-SQL-expressible on the engine side (iterative); the DuckDB oracle
+    uses a recursive CTE transitive closure instead.
+    """
+    if pairs is None:
+        pairs = jaccard_pairs(df, id_col, text_col, n, threshold)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).cast("long").alias("cluster_id"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = edges.join(labels, F.col("src") == F.col("doc_id")).select(
+            F.col("dst").alias("doc_id"), "cluster_id"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+
+
+def dedup_clusters_oracle(
+    id_col: str, text_col: str, table: str, n: int = 3, threshold: float = 0.8
+) -> str:
+    jp = jaccard_pairs_oracle(id_col, text_col, table, n, threshold)
+    return f"""
+        WITH RECURSIVE jp AS ({jp}),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+                  UNION SELECT doc_b, doc_a FROM jp),
+        reach(id, r) AS (
+          SELECT {id_col}::BIGINT, {id_col}::BIGINT FROM {table}
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+        )
+        SELECT id AS doc_id, min(r)::BIGINT AS cluster_id, (id = min(r)) AS keep
+        FROM reach GROUP BY id ORDER BY doc_id
+    """

@@ -129,3 +129,27 @@ def test_jaccard_prefix_filter_lossless_vs_bruteforce(spark):
         for r in jaccard_pairs(df, "doc_id", "text", threshold=0.8).collect()
     }
     assert got == want
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """Connected components must close transitively: pairs (1,2) and (2,3)
+    put 1,2,3 in ONE cluster even though (1,3) is not a pair; singletons
+    keep themselves."""
+    import pandas as pd
+
+    from iodf_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 5, 6], "text": ["x"] * 6})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 5], "doc_b": [2, 3, 6], "jaccard": [1.0] * 3})
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup_clusters(docs, "doc_id", "text", pairs=pairs).collect()
+    }
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        4: (4, True), 5: (5, True), 6: (5, False),
+    }
