@@ -688,6 +688,23 @@ def q_have_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 stateful streaming dedup: first event per (user, event_type)
+    via dropDuplicates state; output counts per event_type (deterministic
+    over the kept set regardless of arrival order)."""
+    from iodf_spark.streaming.ingest import run_to_memory, stream_dedup, stream_events
+
+    _STREAM_COUNTER[0] += 1
+    name = f"stream_dedup_{_STREAM_COUNTER[0]}"
+    kept = stream_dedup(stream_events(spark, sf_dir), ["user_id", "event_type"])
+    out = run_to_memory(kept, name, output_mode="append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("event_type")
+    )
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11/§2.12 custom stateful streaming operator: gap-based
     sessionization via applyInPandasWithState driven with availableNow;
@@ -820,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segments_compact": q_segments_compact,
         "typed_roundtrip": q_typed_roundtrip,
         "index_text_tokens": q_index_text_tokens,
+        "stream_dedup": q_stream_dedup,
         "stream_sessionize": q_stream_sessionize,
         "stream_ingest_segments": q_stream_ingest_segments,
         "text_stats": q_text_stats,
@@ -1104,6 +1122,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY n_nationkey) - 1 AS row_id,
                    n_name, n_nationkey, n_regionkey
             FROM nation
+        """,
+        "stream_dedup": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_kept
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "stream_sessionize": sessions.sessionize_oracle("events"),
         "stream_ingest_segments": """

@@ -149,6 +149,15 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def stream_dedup(events: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Stateful streaming deduplication: keep the first event per key
+    (dropDuplicates on a stream holds the seen-key set in the state store —
+    the streaming twin of exact_dedup; with a watermark the state would be
+    GC'd by event time). Which physical row survives depends on arrival
+    order, so deterministic checks aggregate over the kept set."""
+    return events.dropDuplicates(key_cols)
+
+
 def finalize_sessions(emitted: DataFrame) -> DataFrame:
     """Collapse append-mode provisional re-emissions to one final row per
     (user_id, session_id). A session only ever *extends* across batches —
