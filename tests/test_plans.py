@@ -86,3 +86,50 @@ def test_asof_join_has_no_cross_product(spark):
     plan = plan_of(m.q_asof_join(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_open_index_aligned_is_union_without_shuffle(spark, tmp_path):
+    """Bucket-aligned segment offsets make the multi-segment index view a
+    pure union (bucket renumber + id shift are narrow): any Exchange in
+    the plan is a regression to the explode+regroup path."""
+    from iodf_spark.operators.index import IndexConf
+    from iodf_spark.sources.segments import SegmentStore
+
+    bs = 1 << 8  # small buckets so alignment is reachable with test rows
+    store = SegmentStore(str(tmp_path / "aligned"), bucket_size=bs)
+    orders = load_table(spark, SF, "orders", row_id=True)
+    conf = IndexConf(include=["o_orderstatus"])
+    # two segments of exactly 2*bs rows each -> offsets 0 and 2*bs: aligned
+    seg = orders.filter(F.col("row_id") < 2 * bs).drop("row_id")
+    store.write_segment(seg, order_keys=["o_orderkey"], index_conf=conf)
+    store.write_segment(seg, order_keys=["o_orderkey"], index_conf=conf)
+    assert all(e["row_id_offset"] % bs == 0 for e in store.manifest())
+    plan = plan_of(store.open_index(spark))
+    assert "Exchange" not in plan
+
+
+def test_ivf_assignment_is_aggregate_not_window(spark):
+    """Cell assignment must be a partial-aggregating max_by, not a
+    row_number window over the centroid expansion (windows sort-shuffle
+    the whole expansion; aggregates combine map-side)."""
+    from iodf_spark.operators.similarity import ann_ivf
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = plan_of(ann_ivf(emb, "vec_id", "embedding", [0, 1], n_centroids=4))
+    # exactly one Window remains (the per-query top-k rank + tiny qcells);
+    # the corpus-side assignment contributes HashAggregate, and the corpus
+    # expansion must not be globally sorted
+    assert "max_by" in plan or "HashAggregate" in plan
+
+
+def test_cosine_pairs_is_distributed(spark):
+    """The exact-pair path must stay a grid join: its plan ends in
+    FlatMapGroupsInPandas over the grid keys — never a driver collect
+    (which would not appear in the plan at all, hence also assert the
+    full input scan is present under the pandas node)."""
+    from iodf_spark.operators.similarity import cosine_pairs
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = plan_of(cosine_pairs(emb, "vec_id", "embedding"))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Scan parquet" in plan
