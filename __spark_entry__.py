@@ -285,6 +285,29 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training quality gate: per-doc metrics + keep verdict (composite
+    score, token floor, punctuation ceiling) — one narrow pass."""
+    from iodf_spark.operators.textstats import quality_filter
+
+    return quality_filter(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup CLUSTERS: cosine pair graph (block-grid
+    exact pairs) closed into connected components with a canonical pick —
+    the same policy layer as dedup_clusters, composed over a different
+    similarity signal."""
+    from iodf_spark.operators.dedup import dedup_clusters
+    from iodf_spark.operators.similarity import cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(emb, "vec_id", "embedding").select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return dedup_clusters(emb, "vec_id", "embedding", pairs=pairs).orderBy("doc_id")
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: synthesize a payload, decode metadata via an
     Arrow-batched mapInPandas (deterministic fake codec — the oracle
@@ -826,6 +849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "embedding_clusters": q_embedding_clusters,
+        "quality_filter": q_quality_filter,
         "embedding_pairs": q_embedding_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -1087,6 +1112,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": dedup.minhash_lsh_pairs_oracle("doc_id", "text", "documents"),
         "dedup_simhash": dedup.simhash_pairs_oracle("doc_id", "text", "documents"),
         "dedup_clusters": dedup.dedup_clusters_oracle("doc_id", "text", "documents"),
+        "embedding_clusters": f"""
+            WITH RECURSIVE cp AS (
+              {similarity.cosine_pairs_oracle("vec_id", "embedding", "embeddings")}),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM cp
+                      UNION SELECT id_b, id_a FROM cp),
+            reach(id, r) AS (
+              SELECT vec_id::BIGINT, vec_id::BIGINT FROM embeddings
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            )
+            SELECT id AS doc_id, min(r)::BIGINT AS cluster_id, (id = min(r)) AS keep
+            FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "quality_filter": textstats.quality_filter_oracle("doc_id", "text", "documents"),
         "embedding_pairs": similarity.cosine_pairs_oracle("vec_id", "embedding", "embeddings"),
         "ann_topk": similarity.ann_brute_force_oracle(
             "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM

@@ -111,3 +111,47 @@ def text_stats_oracle(id_col: str, text_col: str, table: str) -> str:
               FROM {table})
         ORDER BY {id_col}
     """
+
+
+# --------------------------------------------------------------------------
+# Quality gate: the filter a training pipeline actually applies
+
+
+QF_MIN_QUALITY = "25e-2"
+QF_MIN_TOKENS = 5
+QF_MAX_PUNCT = "2e-1"
+
+
+def _keep_expr() -> str:
+    """Shared verdict formula over the (rounded) text_stats columns —
+    identical literal text in both dialects so the gate is oracle-exact."""
+    return (
+        f"(quality_score >= {QF_MIN_QUALITY} AND n_tokens >= {QF_MIN_TOKENS} "
+        f"AND punct_ratio <= {QF_MAX_PUNCT})"
+    )
+
+
+def quality_filter(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality verdict: composite score, token floor and
+    punctuation ceiling (the standard pre-training heuristics) — returns
+    every document with its metrics and a keep flag, so the caller can
+    drop, sample, or audit the rejects. Pure column algebra over
+    text_stats: one narrow pass, no shuffle."""
+    stats = text_stats(df, id_col, text_col)
+    return stats.select(
+        id_col,
+        "n_tokens",
+        "punct_ratio",
+        "quality_score",
+        "lang_pred",
+        F.expr(_keep_expr()).alias("keep"),
+    )
+
+
+def quality_filter_oracle(id_col: str, text_col: str, table: str) -> str:
+    return f"""
+        SELECT {id_col}, n_tokens, punct_ratio, quality_score, lang_pred,
+               {_keep_expr()} AS keep
+        FROM ({text_stats_oracle(id_col, text_col, table)})
+        ORDER BY {id_col}
+    """
