@@ -318,6 +318,34 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_metadata(docs, "doc_id").orderBy("doc_id")
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video' frame sampling over binary payloads: one row per sampled
+    frame with byte offsets (Arrow-batched mapInPandas; the per-frame
+    decode plugs in at the offsets). Oracle reproduces the pure byte
+    arithmetic."""
+    from iodf_spark.operators.multimodal import attach_payload, frame_sample
+
+    docs = attach_payload(load_table(spark, sf_dir, "documents"), "text")
+    return frame_sample(docs, "doc_id").orderBy("doc_id", "frame_idx")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload feature extraction (array<float> via mapInPandas) — the
+    codec byte loop is not SQL-expressible, so this is a rows-only check:
+    output the vector width and a rounded checksum per doc (deterministic)."""
+    from iodf_spark.operators.multimodal import attach_payload, extract_features
+
+    docs = attach_payload(load_table(spark, sf_dir, "documents"), "text")
+    feats = extract_features(docs, "doc_id")
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("dim"),
+        F.round(
+            F.expr("aggregate(features, cast(0 as double), (a, x) -> a + x)"), 6
+        ).alias("feat_sum"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # relational suite — operators absent in the reference (SURVEY.md §2.6, 2.7,
 # 2.8, 2.10) that a complete engine must provide; all Catalyst built-ins.
@@ -867,6 +895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest_segments": q_stream_ingest_segments,
         "text_stats": q_text_stats,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_features": q_multimodal_features,
         "sessionize": q_sessionize,
         "stream_windowed": q_stream_windowed,
     }
@@ -1186,6 +1216,19 @@ def oracle_sql() -> dict[str, str]:
                    (1 + octet_length(encode(text)) % 48)::INT AS height,
                    3::INT AS channels
             FROM documents ORDER BY doc_id
+        """,
+        "multimodal_frames": """
+            WITH sized AS (
+              SELECT doc_id, octet_length(encode(text))::BIGINT AS n
+              FROM documents),
+            k AS (SELECT unnest(range(4))::INT AS frame_idx)
+            SELECT s.doc_id, k.frame_idx,
+                   least(k.frame_idx * greatest(s.n // 4, 1), s.n)::BIGINT AS "offset",
+                   least(greatest(s.n // 4, 1),
+                         s.n - least(k.frame_idx * greatest(s.n // 4, 1), s.n))::BIGINT
+                     AS length
+            FROM sized s CROSS JOIN k
+            ORDER BY s.doc_id, k.frame_idx
         """,
         "sessionize": sessions.sessionize_oracle("events"),
         "stream_windowed": """
