@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iodf_spark.functions.costats_math import costats_sql_exprs
-from iodf_spark.operators import dedup, sessions, similarity, textstats
+from iodf_spark.operators import dedup, sampling, sessions, similarity, textstats
 from iodf_spark.operators import index as idx
 from iodf_spark.operators.costats import costats_index, costats_sweep
 from iodf_spark.plans.rowset import PostingSet
@@ -197,6 +197,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_DIM = 64  # fixed embedding width of the testdata corpus
 ANN_QUERY_IDS = [0, 1, 2]
+# deterministic per-language downsampling policy for q_stratified_sample
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "unknown": 1.0}
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,6 +285,37 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iodf_spark.operators.textstats import text_stats
 
     return text_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: top-50 tokens by term frequency with document
+    frequency — one partial-agg shuffle + TakeOrdered."""
+    from iodf_spark.operators.textstats import vocab_topk
+
+    return vocab_topk(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: per-language keep rates as a
+    pure row-hash decision (no RNG state, no shuffle) — a re-run or an
+    external engine selects the exact same rows. Output: kept counts per
+    predicted language plus an id checksum proving the same ROWS, not just
+    the same counts, were chosen."""
+    from iodf_spark.operators.sampling import stratified_sample
+    from iodf_spark.operators.textstats import text_stats
+
+    stats = text_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    kept = stratified_sample(
+        stats, "doc_id", "lang_pred", SAMPLE_RATES, default_rate=0.1
+    )
+    return (
+        kept.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("lang_pred")
+    )
 
 
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -879,6 +912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "embedding_clusters": q_embedding_clusters,
         "quality_filter": q_quality_filter,
+        "stratified_sample": q_stratified_sample,
+        "vocab_topk": q_vocab_topk,
         "embedding_pairs": q_embedding_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -1156,6 +1191,17 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY id ORDER BY doc_id
         """,
         "quality_filter": textstats.quality_filter_oracle("doc_id", "text", "documents"),
+        "stratified_sample": f"""
+            SELECT lang_pred, count(*)::BIGINT AS n_kept,
+                   sum(doc_id)::BIGINT AS id_checksum
+            FROM ({sampling.stratified_sample_oracle(
+                f"({textstats.text_stats_oracle('doc_id', 'text', 'documents')})",
+                "doc_id", "lang_pred", SAMPLE_RATES, default_rate=0.1,
+                select="doc_id, lang_pred",
+            )})
+            GROUP BY lang_pred ORDER BY lang_pred
+        """,
+        "vocab_topk": textstats.vocab_topk_oracle("doc_id", "text", "documents"),
         "embedding_pairs": similarity.cosine_pairs_oracle("vec_id", "embedding", "embeddings"),
         "ann_topk": similarity.ann_brute_force_oracle(
             "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM

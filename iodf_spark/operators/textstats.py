@@ -155,3 +155,33 @@ def quality_filter_oracle(id_col: str, text_col: str, table: str) -> str:
         FROM ({text_stats_oracle(id_col, text_col, table)})
         ORDER BY {id_col}
     """
+
+
+def vocab_topk(df: DataFrame, id_col: str, text_col: str, k: int = 50) -> DataFrame:
+    """Corpus vocabulary head: top-k tokens by term frequency, with
+    document frequency — explode + ONE groupBy (map-side partial combine,
+    so the shuffle carries per-partition token counts, not raw tokens) +
+    TakeOrdered for the limit. Deterministic total order (tf desc, token)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.expr(TH.tokens(text_col, "spark"))).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(k)
+    )
+
+
+def vocab_topk_oracle(id_col: str, text_col: str, table: str, k: int = 50) -> str:
+    return f"""
+        SELECT token, count(*)::BIGINT AS tf, count(DISTINCT _id)::BIGINT AS df
+        FROM (SELECT {id_col} AS _id,
+                     unnest({TH.tokens(text_col, 'duckdb')}) AS token
+              FROM {table})
+        GROUP BY token ORDER BY tf DESC, token LIMIT {k}
+    """
