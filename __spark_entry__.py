@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from iodf_spark.functions.costats_math import costats_sql_exprs
 from iodf_spark.operators import dedup, sampling, sessions, similarity, textstats
+from iodf_spark.operators import profile as profile_mod
 from iodf_spark.operators import index as idx
 from iodf_spark.operators.costats import costats_index, costats_sweep
 from iodf_spark.plans.rowset import PostingSet
@@ -287,6 +288,21 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+ORDERS_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile (cardinality + bounds for every column in
+    one pass) — the queryable stats surface; exact distincts so the oracle
+    matches value-for-value."""
+    from iodf_spark.operators.profile import profile
+
+    return profile(load_table(spark, sf_dir, "orders"), ORDERS_PROFILE_COLS)
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary head: top-50 tokens by term frequency with document
     frequency — one partial-agg shuffle + TakeOrdered."""
@@ -530,6 +546,27 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = join_asof(
         events, orders, on="custkey", left_time="ts", right_time="o_orderdate",
         right_cols=["o_orderkey"],
+    )
+    return joined.select("event_id", "custkey", "o_orderkey").orderBy("event_id")
+
+
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 as-of join, FORWARD direction: each event picks the earliest
+    order of the same customer at-or-after the event time (same
+    one-shuffle windowed carry, frame flipped)."""
+    from iodf_spark.operators.asof import join_asof
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("custkey"), "ts"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = join_asof(
+        events, orders, on="custkey", left_time="ts", right_time="o_orderdate",
+        right_cols=["o_orderkey"], direction="forward",
     )
     return joined.select("event_id", "custkey", "o_orderkey").orderBy("event_id")
 
@@ -903,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "approx_aggregates": q_approx_aggregates,
         "asof_join": q_asof_join,
+        "asof_join_forward": q_asof_join_forward,
         "range_join": q_range_join,
         "events_windowed": q_events_windowed,
         "dedup_exact": q_dedup_exact,
@@ -914,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "stratified_sample": q_stratified_sample,
         "vocab_topk": q_vocab_topk,
+        "profile": q_profile,
         "embedding_pairs": q_embedding_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -1125,6 +1164,15 @@ def oracle_sql() -> dict[str, str]:
             ON e.user_id = o.custkey AND e.ts >= o.o_orderdate
             ORDER BY e.event_id
         """,
+        "asof_join_forward": """
+            SELECT e.event_id, e.user_id AS custkey, o.o_orderkey
+            FROM events e
+            ASOF LEFT JOIN (SELECT o_custkey AS custkey, o_orderdate,
+                                   max(o_orderkey) AS o_orderkey
+                            FROM orders GROUP BY 1, 2) o
+            ON e.user_id = o.custkey AND e.ts <= o.o_orderdate
+            ORDER BY e.event_id
+        """,
         "range_join": """
             SELECT t.tier, count(*)::BIGINT AS cnt, round(avg(e.value), 6) AS avg_value
             FROM events e
@@ -1202,6 +1250,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang_pred ORDER BY lang_pred
         """,
         "vocab_topk": textstats.vocab_topk_oracle("doc_id", "text", "documents"),
+        "profile": profile_mod.profile_oracle("orders", ORDERS_PROFILE_COLS),
         "embedding_pairs": similarity.cosine_pairs_oracle("vec_id", "embedding", "embeddings"),
         "ann_topk": similarity.ann_brute_force_oracle(
             "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM

@@ -30,12 +30,21 @@ def join_asof(
     right_time: str,
     right_cols: list[str] | None = None,
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of left join. `on` key column names must match on both
-    sides. Right rows must be unique per (key, time) — pre-dedupe if not.
+    """As-of left join. `on` key column names must match on both sides.
+    Right rows must be unique per (key, time) — pre-dedupe if not.
+
+    ``direction``: "backward" (default) matches the latest right row with
+    right_time <= left_time; "forward" the earliest right row with
+    right_time >= left_time — same one-shuffle union + windowed carry, the
+    window frame and tie order just flip.
 
     Returned columns: all of left + the requested right_cols (null when no
-    right row is at-or-before the left time, or outside tolerance)."""
+    right row is on the matching side of the left time, or outside
+    tolerance)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys]
@@ -63,19 +72,31 @@ def join_asof(
         "_payload",
     )
     unioned = l_.unionByName(r_aligned)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("_time", "_tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = unioned.withColumn("_m", F.last("_payload", ignorenulls=True).over(w)).filter(
-        F.col("_tag") == 1
-    )
-    if tolerance is not None:
-        matched = matched.withColumn(
-            "_m",
-            F.when(F.col("_m._t") >= F.col("_time") - tolerance, F.col("_m")),
+    if direction == "backward":
+        # right rows (tag 0) sort before left at equal time -> included
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("_time", "_tag")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        carry = F.last("_payload", ignorenulls=True).over(w)
+    else:
+        # flip tie order so equal-time right rows fall AFTER the left row,
+        # inside the [current, following] frame
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_time"), F.col("_tag").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = F.first("_payload", ignorenulls=True).over(w)
+    matched = unioned.withColumn("_m", carry).filter(F.col("_tag") == 1)
+    if tolerance is not None:
+        in_tol = (
+            F.col("_m._t") >= F.col("_time") - tolerance
+            if direction == "backward"
+            else F.col("_m._t") <= F.col("_time") + tolerance
+        )
+        matched = matched.withColumn("_m", F.when(in_tol, F.col("_m")))
     out_cols = [F.col(c) for c in left_cols] + [F.col(f"_m.{c}").alias(c) for c in right_cols]
     return matched.select(*out_cols)
 
