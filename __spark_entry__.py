@@ -75,15 +75,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries (SURVEY.md §2 inventory)
 
 
-def q_index_f(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I5/A1: selectivity of one index key (popcount of its bitmap)."""
-    ix, _ = _lineitem_index(spark, sf_dir)
-    return (
-        ix.filter(idx._key_pred("l_returnflag", "R"))
-        .agg(F.coalesce(F.sum("f"), F.lit(0)).cast("long").alias("f"))
-    )
-
-
 def q_index_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I4: sorted distinct values of a column via the index key space."""
     ix, _ = _lineitem_index(spark, sf_dir)
@@ -109,12 +100,17 @@ def q_index_probe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B1-B4 + B8: f, fAnd, OR, ANDNOT, NOT over two index bitmaps, all via
-    the bucket-local posting-list kernels."""
+    """B1-B4 + B8 and I5/A1: f, fAnd, OR, ANDNOT, NOT over two index
+    bitmaps, all via the bucket-local posting-list kernels. ``f_a`` IS the
+    I5 selectivity f(l_returnflag='R') — same popcount kernel the reference
+    exposes as `f(idValue)` (the former separate index_f entry).
+
+    No encoding_hint: the dual-dispatch kernels derive each bucket's
+    encoding from the stored rows (a wrong hint would silently yield empty
+    results and couple query correctness to the adaptive build threshold)."""
     ix, n = _lineitem_index(spark, sf_dir)
-    # both keys are 2-3-value columns: f ~ n/3 >> n/256, dense at every sf
-    a = idx.probe(ix, "l_returnflag", "R", n, encoding_hint="dense")
-    b = idx.probe(ix, "l_linestatus", "F", n, encoding_hint="dense")
+    a = idx.probe(ix, "l_returnflag", "R", n)
+    b = idx.probe(ix, "l_linestatus", "F", n)
     rows = [
         a.f_col().select(F.col("f").alias("f_a")),
         b.f_col().select(F.col("f").alias("f_b")),
@@ -129,19 +125,16 @@ def q_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def q_merge_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B5: merge = concatenation of row spaces (NOT logical OR)."""
-    ix, n = _lineitem_index(spark, sf_dir)
-    a = idx.probe(ix, "l_returnflag", "R", n, encoding_hint="dense")
-    b = idx.probe(ix, "l_linestatus", "F", n, encoding_hint="dense")
-    return a.merge(b).to_rows()
-
-
-def q_view_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4: contiguous row-range view [100, 600) re-based to 0."""
+def q_rowset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 merge + P4 view in one attested entry (former merge_concat +
+    view_slice): merge = concatenation of row SPACES (not logical OR);
+    view = contiguous row-range slice [100, 600) re-based to 0."""
     ix, n = _lineitem_index(spark, sf_dir)
     a = idx.probe(ix, "l_returnflag", "R", n)
-    return a.view(100, 600).to_rows()
+    b = idx.probe(ix, "l_linestatus", "F", n)
+    merged = a.merge(b).to_rows().select(F.lit("merge").alias("op"), "row_id")
+    viewed = a.view(100, 600).to_rows().select(F.lit("view").alias("op"), "row_id")
+    return merged.unionByName(viewed)
 
 
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,17 +151,24 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_costats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2/A3: coStats of two index keys (counts + smoothed probabilities,
-    entropies, per-state lifts, mutual information) via the index path."""
+    """A2/A3 both execution paths in one attested entry (former costats +
+    costats_sweep): the 'index' row computes one pair's contingency stats
+    purely from the inverted index (bucket-local intersect popcounts, no
+    data scan); the 'sweep' rows batch every (va, vb) value pair of two
+    columns into one groupBy job — the reference's 1024-probe loop as one
+    distributed job."""
     ix, n = _lineitem_index(spark, sf_dir)
-    return costats_index(ix, ("l_returnflag", "R"), ("l_linestatus", "F"), n)
-
-
-def q_costats_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 sweep: contingency stats for every (l_returnflag, l_linestatus)
-    value pair in one job."""
+    single = costats_index(ix, ("l_returnflag", "R"), ("l_linestatus", "F"), n).select(
+        F.lit("index").alias("path"),
+        F.lit("R").alias("va"),
+        F.lit("F").alias("vb"),
+        "*",
+    )
     li = _lineitem(spark, sf_dir)
-    return costats_sweep(li, "l_returnflag", "l_linestatus").orderBy("va", "vb")
+    sweep = costats_sweep(li, "l_returnflag", "l_linestatus").select(
+        F.lit("sweep").alias("path"), "*"
+    )
+    return single.unionByName(sweep).orderBy("path", "va", "vb")
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,34 +252,37 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN, single-probe AND multi-probe in one attested entry
+    (former ann_lsh + ann_lsh_mp). Multi-probe additionally scans the
+    n_planes Hamming-1 buckets per query — higher recall at query-side
+    fan-out cost only (the corpus is hashed once)."""
     from iodf_spark.operators.similarity import ann_lsh
 
-    return ann_lsh(
-        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", ANN_QUERY_IDS
+    emb = load_table(spark, sf_dir, "embeddings")
+    single = ann_lsh(emb, "vec_id", "embedding", ANN_QUERY_IDS).select(
+        F.lit("single").alias("probe"), "*"
     )
+    multi = ann_lsh(
+        emb, "vec_id", "embedding", ANN_QUERY_IDS, multi_probe=True
+    ).select(F.lit("multi").alias("probe"), "*")
+    return single.unionByName(multi).orderBy("probe", "query_id", "rank")
 
 
-def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe LSH: each query also scans the n_planes Hamming-1
-    buckets — higher recall at query-side fan-out cost only."""
-    from iodf_spark.operators.similarity import ann_lsh
-
-    return ann_lsh(
-        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        ANN_QUERY_IDS, multi_probe=True,
-    )
-
-
-def q_ann_ivf64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF at 64 centroids / 8 probes: exercises the max_by cell-assignment
-    aggregation at a centroid count where a row_number window would sort a
-    64x expansion."""
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at two index geometries in one attested entry (former
+    ann_ivf + ann_ivf64): 4 centroids / 2 probes, and 64 centroids / 8
+    probes — the latter exercises the max_by cell-assignment aggregation at
+    a centroid count where a row_number window would sort a 64x expansion."""
     from iodf_spark.operators.similarity import ann_ivf
 
-    return ann_ivf(
-        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        ANN_QUERY_IDS, n_centroids=64, n_probe=8,
+    emb = load_table(spark, sf_dir, "embeddings")
+    small = ann_ivf(emb, "vec_id", "embedding", ANN_QUERY_IDS).select(
+        F.lit("ivf4").alias("geometry"), "*"
     )
+    big = ann_ivf(
+        emb, "vec_id", "embedding", ANN_QUERY_IDS, n_centroids=64, n_probe=8
+    ).select(F.lit("ivf64").alias("geometry"), "*")
+    return small.unionByName(big).orderBy("geometry", "query_id", "rank")
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,24 +361,29 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing: synthesize a payload, decode metadata via an
+    """Binary-column plumbing in one attested entry (former multimodal_meta
+    + multimodal_frames): synthesize a payload, decode metadata via an
     Arrow-batched mapInPandas (deterministic fake codec — the oracle
-    reproduces it from byte lengths)."""
-    from iodf_spark.operators.multimodal import attach_payload, decode_metadata
+    reproduces it from byte lengths), and sample 'video' frames per payload
+    (one row per frame with byte offsets in the operator; aggregated here
+    to per-doc frame count / bytes / offset checksum so both mapInPandas
+    paths share one oracle-checked output)."""
+    from iodf_spark.operators.multimodal import (
+        attach_payload,
+        decode_metadata,
+        frame_sample,
+    )
 
     docs = attach_payload(load_table(spark, sf_dir, "documents"), "text")
-    return decode_metadata(docs, "doc_id").orderBy("doc_id")
-
-
-def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'Video' frame sampling over binary payloads: one row per sampled
-    frame with byte offsets (Arrow-batched mapInPandas; the per-frame
-    decode plugs in at the offsets). Oracle reproduces the pure byte
-    arithmetic."""
-    from iodf_spark.operators.multimodal import attach_payload, frame_sample
-
-    docs = attach_payload(load_table(spark, sf_dir, "documents"), "text")
-    return frame_sample(docs, "doc_id").orderBy("doc_id", "frame_idx")
+    meta = decode_metadata(docs, "doc_id")
+    frames = frame_sample(docs, "doc_id").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.sum("length").cast("long").alias("frame_bytes"),
+        F.sum(F.col("offset") * (F.col("frame_idx") + 1)).cast("long").alias(
+            "frame_checksum"
+        ),
+    )
+    return meta.join(frames, "doc_id").orderBy("doc_id")
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,29 +443,19 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10 window functions: top-3 orders per customer by totalprice
-    (row_number over partitioned ordered window, deterministic tie-break)."""
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 window functions in one attested entry (former window_rank +
+    window_running_sum): per-customer price rank (row_number over ordered
+    window, deterministic tie-break) AND running revenue over order dates
+    (unbounded-preceding frame) — both windows share the o_custkey
+    partitioning, so Catalyst evaluates them on ONE shuffle."""
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
+    w_rank = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
-    return (
-        orders.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("o_custkey", "o_orderkey", "rk", F.round("o_totalprice", 2).alias("price"))
-        .orderBy("o_custkey", "rk")
-    )
-
-
-def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10 analytic frame: running revenue per customer over order dates."""
-    from pyspark.sql import Window
-
-    orders = load_table(spark, sf_dir, "orders")
-    w = (
+    w_run = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -465,7 +463,8 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+        F.row_number().over(w_rank).alias("rk"),
+        F.round(F.sum("o_totalprice").over(w_run), 4).alias("running_total"),
     ).orderBy("o_custkey", "o_orderkey")
 
 
@@ -490,29 +489,64 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(both, only_open)], "both long, only_open long")
 
 
-def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.5 grouping sets: rollup over (returnflag, linestatus) with
-    subtotals and grand total."""
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 grouping sets in one attested entry (former rollup + cube):
+    ROLLUP over lineitem (returnflag, linestatus) with subtotals and grand
+    total, plus full CUBE over orders (status, priority) — all grouping-set
+    combinations, one pass each."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    ru = (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
-        .orderBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_quantity"), 4).alias("sum_val"))
+        .select(
+            F.lit("rollup").alias("variant"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "cnt",
+            "sum_val",
+        )
     )
-
-
-def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.5 grouping sets: full cube over (o_orderstatus, o_orderpriority)
-    — all four grouping-set combinations in one pass."""
     orders = load_table(spark, sf_dir, "orders")
-    return (
+    cu = (
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_val"),
         )
-        .orderBy("o_orderstatus", "o_orderpriority")
+        .select(
+            F.lit("cube").alias("variant"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            "cnt",
+            "sum_val",
+        )
     )
+    return ru.unionByName(cu).orderBy("variant", "k1", "k2")
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 pivot (wide contingency reshaping): orders counts and revenue
+    per priority, one column group per order status — Spark's pivot
+    aggregation with an explicit value list (no extra distinct-values scan;
+    single partial+final hash agg)."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 4).alias("rev"),
+        )
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F_cnt"), F.lit(0)).cast("long").alias("f_cnt"),
+        F.col("F_rev").alias("f_rev"),
+        F.coalesce(F.col("O_cnt"), F.lit(0)).cast("long").alias("o_cnt"),
+        F.col("O_rev").alias("o_rev"),
+        F.coalesce(F.col("P_cnt"), F.lit(0)).cast("long").alias("p_cnt"),
+        F.col("P_rev").alias("p_rev"),
+    ).orderBy("o_orderpriority")
 
 
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,10 +563,11 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.6 as-of join (absent in Spark SQL; custom operator
-    iodf_spark.operators.asof.join_asof — union + windowed last_value, one
-    shuffle, no cross product). Each event picks the latest order of the
-    same customer at-or-before the event time."""
+    """§2.6 as-of join, BOTH directions in one attested entry (custom
+    operator iodf_spark.operators.asof.join_asof — union + windowed carry,
+    one shuffle, no cross product). 'backward': each event picks the
+    latest order of the same customer at-or-before the event time;
+    'forward': the earliest at-or-after (same plan, frame flipped)."""
     from iodf_spark.operators.asof import join_asof
 
     events = load_table(spark, sf_dir, "events").select(
@@ -543,32 +578,16 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("custkey"), "o_orderdate")
         .agg(F.max("o_orderkey").alias("o_orderkey"))
     )
-    joined = join_asof(
-        events, orders, on="custkey", left_time="ts", right_time="o_orderdate",
-        right_cols=["o_orderkey"],
-    )
-    return joined.select("event_id", "custkey", "o_orderkey").orderBy("event_id")
-
-
-def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.6 as-of join, FORWARD direction: each event picks the earliest
-    order of the same customer at-or-after the event time (same
-    one-shuffle windowed carry, frame flipped)."""
-    from iodf_spark.operators.asof import join_asof
-
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", F.col("user_id").alias("custkey"), "ts"
-    )
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy(F.col("o_custkey").alias("custkey"), "o_orderdate")
-        .agg(F.max("o_orderkey").alias("o_orderkey"))
-    )
-    joined = join_asof(
-        events, orders, on="custkey", left_time="ts", right_time="o_orderdate",
-        right_cols=["o_orderkey"], direction="forward",
-    )
-    return joined.select("event_id", "custkey", "o_orderkey").orderBy("event_id")
+    out = None
+    for direction in ("backward", "forward"):
+        joined = join_asof(
+            events, orders, on="custkey", left_time="ts", right_time="o_orderdate",
+            right_cols=["o_orderkey"], direction=direction,
+        ).select(
+            F.lit(direction).alias("direction"), "event_id", "custkey", "o_orderkey"
+        )
+        out = joined if out is None else out.unionByName(joined)
+    return out.orderBy("direction", "event_id")
 
 
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -608,6 +627,41 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill (hypertable-style rollup): per-user
+    hourly grid spanning that user's activity, empty buckets filled forward
+    with the last observed hourly mean. Plan: one groupBy to the hourly
+    grain, a tiny per-user span agg, grid synthesis via sequence+explode
+    (narrow — no shuffle beyond the two aggs), left join back on
+    (user, hour) and a last(ignorenulls) carry window. At 100 TB the grid
+    is |users| x |hours| — generated, never stored — and every stage is
+    keyed by user_id, so one partitioning serves the join and the window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("cnt"), F.avg("value").alias("av"))
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.col("h").cast("string").alias("hour_start"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_events"),
+        F.round(F.last("av", ignorenulls=True).over(w), 6).alias("fill_value"),
+    ).orderBy("user_id", "hour_start")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom sessionization operator: gap-based per-user sessions (batch
     form; the streaming form uses applyInPandasWithState)."""
@@ -638,14 +692,6 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from iodf_spark.operators.similarity import ann_ivf
-
-    return ann_ivf(
-        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", ANN_QUERY_IDS
-    )
-
-
 # ---------------------------------------------------------------------------
 # segment store (S5/S7, MultiDf/E3, B5 writeMergedDf) — LSM segments with
 # manifest offsets, multi-segment union + default fill, cross-segment index
@@ -665,22 +711,33 @@ def _orders_store(spark: SparkSession, sf_dir: str, compact: bool = False):
     o_orderstatus, each indexed on o_orderpriority; the 'O' segment carries
     an extra column to exercise MultiDf default-fill. The compact variant
     rewrites the 3 segments into 1 (writeMergedDf)."""
+    import shutil
     import tempfile
 
     from iodf_spark.sources.segments import SegmentStore
 
     key = ("orders_store_compact" if compact else "orders_store", sf_dir)
     if key not in _cache:
-        store = SegmentStore(tempfile.mkdtemp(prefix="iodf_segs_"))
-        od = load_table(spark, sf_dir, "orders")
         conf = idx.IndexConf(include=["o_orderpriority"])
-        for status in ["F", "O", "P"]:
-            seg = od.filter(F.col("o_orderstatus") == status)
-            if status == "O":
-                seg = seg.withColumn("flag", F.lit(1))
-            store.write_segment(seg, order_keys=["o_orderkey"], index_conf=conf)
         if compact:
+            # clone the (cached) 3-segment store and compact the clone —
+            # the segment files are immutable, so a directory copy is
+            # exactly a second store; skips re-running 3 stamp+write+index
+            # rounds that the base build already paid for
+            base = _orders_store(spark, sf_dir, compact=False)
+            path = tempfile.mkdtemp(prefix="iodf_segs_c_")
+            shutil.rmtree(path)
+            shutil.copytree(base.path, path)
+            store = SegmentStore(path)
             store.compact(spark, defaults={"flag": 0}, index_conf=conf)
+        else:
+            store = SegmentStore(tempfile.mkdtemp(prefix="iodf_segs_"))
+            od = load_table(spark, sf_dir, "orders")
+            for status in ["F", "O", "P"]:
+                seg = od.filter(F.col("o_orderstatus") == status)
+                if status == "O":
+                    seg = seg.withColumn("flag", F.lit(1))
+                store.write_segment(seg, order_keys=["o_orderkey"], index_conf=conf)
         _cache[key] = store
     return _cache[key]
 
@@ -703,24 +760,56 @@ def q_segments_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_segments_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """writeMergedDf (Dfs.scala:222-228): compaction rewrites 3 segments as
-    1; order-preserving concat keeps every (row_id, row) binding — checked
-    via a content checksum plus the segment count."""
+    """writeMergedDf (Dfs.scala:222-228) + S7 haveIndexedDf
+    (Dfs.scala:546-554) in one attested entry (former segments_compact +
+    have_segments). 'compact': compaction rewrites 3 segments as 1;
+    order-preserving concat keeps every (row_id, row) binding — checked via
+    a content checksum plus the segment count. 'have': create-if-absent
+    memoization — the first call builds and writes, the second is a no-op
+    (asserted in-process); the opened store holds exactly one segment."""
+    import tempfile
+
+    from iodf_spark.sources.segments import SegmentStore
+
     store = _orders_store(spark, sf_dir, compact=True)
     df = store.open(spark, defaults={"flag": 0})
-    return df.agg(
+    compact_row = df.agg(
+        F.lit("compact").alias("src"),
         F.lit(len(store.manifest())).cast("int").alias("n_segments"),
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
     )
+    hstore = SegmentStore(tempfile.mkdtemp(prefix="iodf_have_"))
+    first = hstore.have_segments(
+        lambda: load_table(spark, sf_dir, "region"), order_keys=["r_regionkey"]
+    )
+    second = hstore.have_segments(
+        lambda: load_table(spark, sf_dir, "region"), order_keys=["r_regionkey"]
+    )
+    if first is None or second is not None:  # create-if-absent invariant
+        raise AssertionError("have_segments memoization broken")
+    have_row = hstore.open(spark).agg(
+        F.lit("have").alias("src"),
+        F.lit(len(hstore.manifest())).cast("int").alias("n_segments"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("row_id") * F.col("r_regionkey")).cast("long").alias("checksum"),
+    )
+    return compact_row.unionByName(have_row)
 
 
 def q_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3/S4/P3 typed surface: dataclass items -> columnarized df with
-    ingest-order row_id -> row materialized back as a dataclass
-    (TypedDf.scala:9-18; sorted-field invariant Dfs.scala:417-423)."""
+    """S3/S4/P3 typed surface + S8 writeSeq/openSeq in one attested entry
+    (former typed_roundtrip + write_open_seq): dataclass items ->
+    columnarized df with ingest-order row_id -> row materialized back as a
+    dataclass (TypedDf.scala:9-18; sorted-field invariant
+    Dfs.scala:417-423). The n_name column is then round-tripped through a
+    standalone stored sequence (Dfs.scala:231-242) and re-aligned by
+    row_id — the output's n_name comes FROM the re-opened seq, so the seq
+    path is value-attested by the same oracle."""
     import dataclasses
+    import tempfile
 
+    from iodf_spark.sources.tables import open_seq, write_seq
     from iodf_spark.sources.typed import collect_typed, create_typed_df
 
     @dataclasses.dataclass
@@ -741,7 +830,12 @@ def q_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tdf = create_typed_df(spark, items)
     if collect_typed(tdf, NationItem) != items:  # apply(i) round-trip invariant
         raise AssertionError("typed round-trip mismatch")
-    return tdf.select("row_id", "n_name", "n_nationkey", "n_regionkey")
+    path = tempfile.mkdtemp(prefix="iodf_seq_") + "/n_name"
+    write_seq(tdf, "n_name", path)
+    seq = open_seq(spark, path)  # (row_id, n_name)
+    return tdf.drop("n_name").join(seq, "row_id").select(
+        "row_id", "n_name", "n_nationkey", "n_regionkey"
+    )
 
 
 def q_index_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -771,42 +865,6 @@ def q_table_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = _orders(spark, sf_dir)
     v = view(view(od, 100, 2000), 50, 400)  # == view(od, 150, 500)
     return v.select("row_id", "o_orderkey", "o_totalprice").orderBy("row_id")
-
-
-def q_write_open_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S8 writeSeq/openSeq (Dfs.scala:231-242): one column stored as a
-    standalone object and re-opened, re-aligned by row_id."""
-    import tempfile
-
-    from iodf_spark.sources.tables import open_seq, write_seq
-
-    na = load_table(spark, sf_dir, "nation", row_id=True)
-    path = tempfile.mkdtemp(prefix="iodf_seq_") + "/n_name"
-    write_seq(na, "n_name", path)
-    return open_seq(spark, path).orderBy("row_id")
-
-
-def q_have_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S7 haveIndexedDf (Dfs.scala:546-554): create-if-absent memoization —
-    the first call builds and writes, the second is a no-op; the opened
-    store holds exactly one segment with the table's rows."""
-    import tempfile
-
-    from iodf_spark.sources.segments import SegmentStore
-
-    store = SegmentStore(tempfile.mkdtemp(prefix="iodf_have_"))
-    first = store.have_segments(
-        lambda: load_table(spark, sf_dir, "region"), order_keys=["r_regionkey"]
-    )
-    second = store.have_segments(
-        lambda: load_table(spark, sf_dir, "region"), order_keys=["r_regionkey"]
-    )
-    return store.open(spark).agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.lit(len(store.manifest())).cast("int").alias("n_segments"),
-        F.lit(first is not None).alias("first_wrote"),
-        F.lit(second is None).alias("second_noop"),
-    )
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -887,62 +945,64 @@ def q_knn_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M2-M4: top-20 nearest rows to a query item by trained distance."""
+    """M2-M4 in one attested entry (former knn_topk + knn_topk_filtered):
+    top-20 nearest rows to a query item by trained distance — 'all'
+    unfiltered, and 'filtered' with the optional candidate predicate
+    (ml/Knn.scala:71-76: knn(k, v, filter)) pruning ~half the candidates
+    before distance evaluation."""
     from iodf_spark.operators.knn import key_value_weights, knn
 
     od = _orders(spark, sf_dir)
     w = key_value_weights(od, KNN_FEATURES, F.expr(KNN_TARGET_SQL), 0.0)
-    top = knn(od, KNN_FEATURES, w, KNN_QUERY, 20)
-    return top.select("row_id", F.round("dist", 9).alias("dist"))
-
-
-def q_knn_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M4 with the optional candidate filter (ml/Knn.scala:71-76:
-    knn(k, v, filter)): rank only rows passing a non-trivial predicate —
-    the filter prunes ~half the candidates before distance evaluation."""
-    from iodf_spark.operators.knn import key_value_weights, knn
-
-    od = _orders(spark, sf_dir)
-    w = key_value_weights(od, KNN_FEATURES, F.expr(KNN_TARGET_SQL), 0.0)
-    top = knn(
+    plain = knn(od, KNN_FEATURES, w, KNN_QUERY, 20).select(
+        F.lit("all").alias("variant"), "row_id", F.round("dist", 9).alias("dist")
+    )
+    filtered = knn(
         od, KNN_FEATURES, w, KNN_QUERY, 20,
         row_filter=F.col("o_totalprice") < 100000,
+    ).select(
+        F.lit("filtered").alias("variant"), "row_id", F.round("dist", 9).alias("dist")
     )
-    return top.select("row_id", F.round("dist", 9).alias("dist"))
+    return plain.unionByName(filtered)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries: the driver's correctness gate attests at most 50
+    queries per round (CORRECTNESS_r01 checked 44/44; CORRECTNESS_r02
+    checked exactly the first 50 of 60 in dict order, silently dropping the
+    tail), so closely-related variants are consolidated into tagged-union
+    entries — every capability keeps an oracle-checked row. Consolidations:
+    index_f -> bitmap_ops (f_a); merge_concat + view_slice -> rowset_ops;
+    costats + costats_sweep -> costats; knn_topk(+filtered);
+    window_rank + window_running_sum -> window_funcs; rollup + cube ->
+    grouping_sets; asof_join(+forward); ann_lsh(+mp); ann_ivf(+64);
+    write_open_seq -> typed_roundtrip; have_segments -> segments_compact;
+    multimodal_frames -> multimodal_meta."""
     return {
-        "index_f": q_index_f,
         "index_distinct_values": q_index_distinct_values,
         "index_stats": q_index_stats,
         "index_probe_rows": q_index_probe_rows,
         "bitmap_ops": q_bitmap_ops,
-        "merge_concat": q_merge_concat,
-        "view_slice": q_view_slice,
+        "rowset_ops": q_rowset_ops,
         "point_lookup": q_point_lookup,
         "costats": q_costats,
-        "costats_sweep": q_costats_sweep,
         "q1_pricing_summary": q1_pricing_summary,
         "knn_weights": q_knn_weights,
         "knn_topk": q_knn_topk,
-        "knn_topk_filtered": q_knn_topk_filtered,
         "table_view": q_table_view,
-        "write_open_seq": q_write_open_seq,
-        "have_segments": q_have_segments,
         "join_agg": q_join_agg,
         "semi_anti_join": q_semi_anti_join,
-        "window_rank": q_window_rank,
-        "window_running_sum": q_window_running_sum,
+        "window_funcs": q_window_funcs,
         "topk": q_topk,
         "set_ops": q_set_ops,
-        "rollup": q_rollup,
-        "cube": q_cube,
+        "grouping_sets": q_grouping_sets,
+        "pivot": q_pivot,
         "approx_aggregates": q_approx_aggregates,
         "asof_join": q_asof_join,
-        "asof_join_forward": q_asof_join_forward,
         "range_join": q_range_join,
         "events_windowed": q_events_windowed,
+        "resample_ffill": q_resample_ffill,
+        "sessionize": q_sessionize,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -953,26 +1013,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "vocab_topk": q_vocab_topk,
         "profile": q_profile,
+        "text_stats": q_text_stats,
         "embedding_pairs": q_embedding_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
-        "ann_lsh_mp": q_ann_lsh_multiprobe,
         "ann_ivf": q_ann_ivf,
-        "ann_ivf64": q_ann_ivf64,
         "segments_union": q_segments_union,
         "segments_index_probe": q_segments_index_probe,
         "segments_compact": q_segments_compact,
         "typed_roundtrip": q_typed_roundtrip,
         "index_text_tokens": q_index_text_tokens,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+        "stream_windowed": q_stream_windowed,
         "stream_dedup": q_stream_dedup,
         "stream_sessionize": q_stream_sessionize,
         "stream_ingest_segments": q_stream_ingest_segments,
-        "text_stats": q_text_stats,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_features": q_multimodal_features,
-        "sessionize": q_sessionize,
-        "stream_windowed": q_stream_windowed,
     }
 
 
@@ -1046,7 +1102,6 @@ def oracle_sql() -> dict[str, str]:
         JOIN (SELECT l_linestatus vb, count(*) fb FROM lineitem GROUP BY 1) b USING (vb)
     """
     return {
-        "index_f": "SELECT count(*)::BIGINT AS f FROM lineitem WHERE l_returnflag = 'R'",
         "index_distinct_values": (
             "SELECT DISTINCT l_returnflag AS value FROM lineitem ORDER BY 1"
         ),
@@ -1069,14 +1124,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (l_returnflag <> 'R')::BIGINT AS f_not_a
             FROM lineitem
         """,
-        "merge_concat": f"""
-            SELECT row_id FROM {LI_RID} WHERE l_returnflag = 'R'
+        "rowset_ops": f"""
+            SELECT 'merge' AS op, row_id FROM {LI_RID} WHERE l_returnflag = 'R'
             UNION ALL
-            SELECT row_id + (SELECT count(*) FROM lineitem) AS row_id
+            SELECT 'merge' AS op, row_id + (SELECT count(*) FROM lineitem) AS row_id
             FROM {LI_RID} WHERE l_linestatus = 'F'
-        """,
-        "view_slice": f"""
-            SELECT row_id - 100 AS row_id FROM {LI_RID}
+            UNION ALL
+            SELECT 'view' AS op, row_id - 100 AS row_id FROM {LI_RID}
             WHERE l_returnflag = 'R' AND row_id >= 100 AND row_id < 600
         """,
         "point_lookup": f"""
@@ -1084,8 +1138,13 @@ def oracle_sql() -> dict[str, str]:
                    strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate_str
             FROM {LI_RID} WHERE row_id = 123
         """,
-        "costats": _costats_oracle(costats_counts),
-        "costats_sweep": _costats_oracle(sweep_counts, extra_cols="va, vb, ") + " ORDER BY va, vb",
+        "costats": f"""
+            SELECT 'index' AS path, 'R' AS va, 'F' AS vb, *
+            FROM ({_costats_oracle(costats_counts)})
+            UNION ALL
+            SELECT 'sweep' AS path, *
+            FROM ({_costats_oracle(sweep_counts, extra_cols="va, vb, ")})
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
@@ -1111,17 +1170,10 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM customer WHERE c_custkey NOT IN
                       (SELECT o_custkey FROM orders))::BIGINT AS without_orders
         """,
-        "window_rank": """
-            SELECT o_custkey, o_orderkey, rk, price FROM (
-              SELECT o_custkey, o_orderkey,
-                     row_number() OVER (PARTITION BY o_custkey
-                                        ORDER BY o_totalprice DESC, o_orderkey)::INT AS rk,
-                     round(o_totalprice, 2) AS price
-              FROM orders)
-            WHERE rk <= 3 ORDER BY o_custkey, rk
-        """,
-        "window_running_sum": """
+        "window_funcs": """
             SELECT o_custkey, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey)::INT AS rk,
                    round(sum(o_totalprice) OVER (
                      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
@@ -1143,35 +1195,39 @@ def oracle_sql() -> dict[str, str]:
                       SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='F'))::BIGINT
                    AS only_open
         """,
-        "rollup": """
-            SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt,
-                   round(sum(l_quantity), 4) AS sum_qty
+        "grouping_sets": """
+            SELECT 'rollup' AS variant, l_returnflag AS k1, l_linestatus AS k2,
+                   count(*)::BIGINT AS cnt, round(sum(l_quantity), 4) AS sum_val
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-            ORDER BY l_returnflag, l_linestatus
-        """,
-        "cube": """
-            SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS cnt,
-                   round(sum(o_totalprice), 4) AS sum_price
+            UNION ALL
+            SELECT 'cube' AS variant, o_orderstatus AS k1, o_orderpriority AS k2,
+                   count(*)::BIGINT AS cnt, round(sum(o_totalprice), 4) AS sum_val
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-            ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "pivot": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (o_orderstatus = 'F')::BIGINT AS f_cnt,
+                   round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 4) AS f_rev,
+                   count(*) FILTER (o_orderstatus = 'O')::BIGINT AS o_cnt,
+                   round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 4) AS o_rev,
+                   count(*) FILTER (o_orderstatus = 'P')::BIGINT AS p_cnt,
+                   round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 4) AS p_rev
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "asof_join": """
-            SELECT e.event_id, e.user_id AS custkey, o.o_orderkey
+            SELECT 'backward' AS direction, e.event_id, e.user_id AS custkey, o.o_orderkey
             FROM events e
             ASOF LEFT JOIN (SELECT o_custkey AS custkey, o_orderdate,
                                    max(o_orderkey) AS o_orderkey
                             FROM orders GROUP BY 1, 2) o
             ON e.user_id = o.custkey AND e.ts >= o.o_orderdate
-            ORDER BY e.event_id
-        """,
-        "asof_join_forward": """
-            SELECT e.event_id, e.user_id AS custkey, o.o_orderkey
+            UNION ALL
+            SELECT 'forward' AS direction, e.event_id, e.user_id AS custkey, o.o_orderkey
             FROM events e
             ASOF LEFT JOIN (SELECT o_custkey AS custkey, o_orderdate,
                                    max(o_orderkey) AS o_orderkey
                             FROM orders GROUP BY 1, 2) o
             ON e.user_id = o.custkey AND e.ts <= o.o_orderdate
-            ORDER BY e.event_id
         """,
         "range_join": """
             SELECT t.tier, count(*)::BIGINT AS cnt, round(avg(e.value), 6) AS avg_value
@@ -1192,16 +1248,15 @@ def oracle_sql() -> dict[str, str]:
             FROM weights ORDER BY col_name, value
         """,
         "knn_topk": f"""
-            WITH {_knn_ctes()}
-            SELECT row_id, round(dist, 9) AS dist
-            FROM dists ORDER BY dist, row_id LIMIT 20
-        """,
-        "knn_topk_filtered": f"""
-            WITH {_knn_ctes()}
-            SELECT d.row_id, round(d.dist, 9) AS dist
-            FROM dists d JOIN base b USING (row_id)
-            WHERE b.o_totalprice < 100000
-            ORDER BY dist, d.row_id LIMIT 20
+            WITH {_knn_ctes()},
+            top_all AS (SELECT row_id, dist FROM dists ORDER BY dist, row_id LIMIT 20),
+            top_filt AS (SELECT d.row_id, d.dist
+                         FROM dists d JOIN base b USING (row_id)
+                         WHERE b.o_totalprice < 100000
+                         ORDER BY d.dist, d.row_id LIMIT 20)
+            SELECT 'all' AS variant, row_id, round(dist, 9) AS dist FROM top_all
+            UNION ALL
+            SELECT 'filtered' AS variant, row_id, round(dist, 9) AS dist FROM top_filt
         """,
         "table_view": """
             WITH rid AS (
@@ -1210,15 +1265,6 @@ def oracle_sql() -> dict[str, str]:
               FROM orders)
             SELECT row_id - 150 AS row_id, o_orderkey, o_totalprice
             FROM rid WHERE row_id >= 150 AND row_id < 500 ORDER BY row_id
-        """,
-        "write_open_seq": """
-            SELECT row_number() OVER (ORDER BY n_nationkey) - 1 AS row_id, n_name
-            FROM nation ORDER BY row_id
-        """,
-        "have_segments": """
-            SELECT count(*)::BIGINT AS n_rows, 1::INT AS n_segments,
-                   true AS first_wrote, true AS second_noop
-            FROM region
         """,
         "dedup_exact": dedup.exact_dedup_oracle("doc_id", "text", "documents"),
         "dedup_jaccard": dedup.jaccard_pairs_oracle("doc_id", "text", "documents"),
@@ -1255,20 +1301,26 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": similarity.ann_brute_force_oracle(
             "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM
         ),
-        "ann_lsh": similarity.ann_lsh_oracle(
-            "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM
-        ),
-        "ann_lsh_mp": similarity.ann_lsh_oracle(
-            "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, multi_probe=True,
-            dim=EMB_DIM,
-        ),
-        "ann_ivf": similarity.ann_ivf_oracle(
-            "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM
-        ),
-        "ann_ivf64": similarity.ann_ivf_oracle(
-            "vec_id", "embedding", "embeddings", ANN_QUERY_IDS,
-            n_centroids=64, n_probe=8, dim=EMB_DIM,
-        ),
+        "ann_lsh": f"""
+            SELECT 'single' AS probe, * FROM ({similarity.ann_lsh_oracle(
+                "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM
+            )})
+            UNION ALL
+            SELECT 'multi' AS probe, * FROM ({similarity.ann_lsh_oracle(
+                "vec_id", "embedding", "embeddings", ANN_QUERY_IDS,
+                multi_probe=True, dim=EMB_DIM,
+            )})
+        """,
+        "ann_ivf": f"""
+            SELECT 'ivf4' AS geometry, * FROM ({similarity.ann_ivf_oracle(
+                "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM
+            )})
+            UNION ALL
+            SELECT 'ivf64' AS geometry, * FROM ({similarity.ann_ivf_oracle(
+                "vec_id", "embedding", "embeddings", ANN_QUERY_IDS,
+                n_centroids=64, n_probe=8, dim=EMB_DIM,
+            )})
+        """,
         "segments_union": f"""
             SELECT row_id, o_orderkey, o_orderstatus,
                    (CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::INT AS flag
@@ -1278,9 +1330,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_id FROM {SEG_RID} WHERE o_orderpriority = '1-URGENT'
         """,
         "segments_compact": f"""
-            SELECT 1::INT AS n_segments, count(*)::BIGINT AS n_rows,
+            SELECT 'compact' AS src, 1::INT AS n_segments, count(*)::BIGINT AS n_rows,
                    sum(row_id * o_orderkey)::BIGINT AS checksum
             FROM {SEG_RID}
+            UNION ALL
+            SELECT 'have' AS src, 1::INT AS n_segments, count(*)::BIGINT AS n_rows,
+                   sum(rid * r_regionkey)::BIGINT AS checksum
+            FROM (SELECT row_number() OVER (ORDER BY r_regionkey) - 1 AS rid,
+                         r_regionkey
+                  FROM region)
         """,
         "typed_roundtrip": """
             SELECT row_number() OVER (ORDER BY n_nationkey) - 1 AS row_id,
@@ -1306,24 +1364,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats": textstats.text_stats_oracle("doc_id", "text", "documents"),
         "multimodal_meta": """
-            SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
-                   (1 + octet_length(encode(text)) % 64)::INT AS width,
-                   (1 + octet_length(encode(text)) % 48)::INT AS height,
-                   3::INT AS channels
-            FROM documents ORDER BY doc_id
-        """,
-        "multimodal_frames": """
             WITH sized AS (
               SELECT doc_id, octet_length(encode(text))::BIGINT AS n
               FROM documents),
-            k AS (SELECT unnest(range(4))::INT AS frame_idx)
-            SELECT s.doc_id, k.frame_idx,
-                   least(k.frame_idx * greatest(s.n // 4, 1), s.n)::BIGINT AS "offset",
-                   least(greatest(s.n // 4, 1),
-                         s.n - least(k.frame_idx * greatest(s.n // 4, 1), s.n))::BIGINT
-                     AS length
-            FROM sized s CROSS JOIN k
-            ORDER BY s.doc_id, k.frame_idx
+            k AS (SELECT unnest(range(4))::INT AS frame_idx),
+            per_frame AS (
+              SELECT s.doc_id,
+                     least(k.frame_idx * greatest(s.n // 4, 1), s.n)::BIGINT AS off,
+                     least(greatest(s.n // 4, 1),
+                           s.n - least(k.frame_idx * greatest(s.n // 4, 1), s.n))::BIGINT
+                       AS len,
+                     k.frame_idx
+              FROM sized s CROSS JOIN k),
+            frames AS (
+              SELECT doc_id, count(*)::INT AS n_frames,
+                     sum(len)::BIGINT AS frame_bytes,
+                     sum(off * (frame_idx + 1))::BIGINT AS frame_checksum
+              FROM per_frame GROUP BY doc_id)
+            SELECT s.doc_id, s.n AS n_bytes,
+                   (1 + s.n % 64)::INT AS width,
+                   (1 + s.n % 48)::INT AS height,
+                   3::INT AS channels,
+                   f.n_frames, f.frame_bytes, f.frame_checksum
+            FROM sized s JOIN frames f USING (doc_id)
+            ORDER BY s.doc_id
+        """,
+        "resample_ffill": """
+            WITH hourly AS (
+              SELECT user_id, date_trunc('hour', ts)::TIMESTAMP AS h,
+                     count(*)::BIGINT AS cnt, avg(value) AS av
+              FROM events GROUP BY 1, 2),
+            span AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+                     FROM hourly GROUP BY 1),
+            grid AS (SELECT user_id,
+                            unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                     FROM span),
+            j AS (SELECT g.user_id, g.h, hy.cnt, hy.av
+                  FROM grid g LEFT JOIN hourly hy
+                  ON g.user_id = hy.user_id AND g.h = hy.h)
+            SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+                   coalesce(cnt, 0)::BIGINT AS n_events,
+                   round(last_value(av IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS fill_value
+            FROM j ORDER BY user_id, hour_start
         """,
         "sessionize": sessions.sessionize_oracle("events"),
         "stream_windowed": """
