@@ -296,11 +296,28 @@ def probe(index_df: DataFrame, col: str, value, n: int,
     ``broadcast()``: when the caller knows the key's density class (the
     build rule f*256 > n is deterministic), passing it lets downstream set
     algebra compile the bare specialized kernels instead of the general
-    dual-dispatch plan. A WRONG hint produces wrong (empty) results — only
-    hint keys whose density class is known."""
+    dual-dispatch plan. The hint is VALIDATED at execution: a bucket row
+    stored in the other encoding raises instead of silently producing
+    empty results (the hint picks kernels, it must never pick wrongness)."""
     cols = ["bucket", "row_ids"] + (["words"] if "words" in index_df.columns else [])
     df = index_df.filter(_key_pred(col, value)).select(*cols)
     if encoding_hint is not None:
+        if encoding_hint not in ("sparse", "dense"):
+            raise ValueError(f"encoding_hint must be sparse|dense, got {encoding_hint!r}")
+        if encoding_hint == "dense" and "words" not in df.columns:
+            raise ValueError("encoding_hint='dense' on a sparse-only (non-adaptive) index")
+        want = "row_ids" if encoding_hint == "sparse" else "words"
+        # fold the check into the kernel column itself so Catalyst column
+        # pruning can't drop it: a NULL (wrong-encoding) row raises
+        df = df.withColumn(
+            want,
+            F.expr(
+                f"CASE WHEN {want} IS NULL THEN "
+                f"cast(raise_error('probe(encoding_hint={encoding_hint}): "
+                f"stored bucket row has the other encoding') as array<bigint>) "
+                f"ELSE {want} END"
+            ),
+        )
         encodings = {encoding_hint}
     elif "words" not in index_df.columns:
         encodings = {"sparse"}

@@ -440,12 +440,21 @@ class PostingSet:
         scattered = self._ids_to_words(
             hard.select("bucket", F.explode("_si").alias("row_id")), bs
         ).withColumnRenamed("words", "_sw")
+        # LEFT join + zero-words fallback: if a mixed bucket's sparse array
+        # were empty (explode yields nothing, so `scattered` misses the
+        # bucket), an inner join would silently drop the bucket's dense
+        # words — the no-empty-arrays invariant is not enforced for
+        # externally supplied DataFrames, so don't rely on it here.
+        nw = _n_words(bs)
         merged = (
-            hard.join(scattered, "bucket")
+            hard.join(scattered, "bucket", "left_outer")
             .select(
                 "bucket",
                 F.lit(None).cast("array<long>").alias("row_ids"),
-                F.expr("zip_with(_dw, _sw, (_x, _y) -> _x | _y)").alias("words"),
+                F.expr(
+                    f"zip_with(_dw, coalesce(_sw, array_repeat(0L, {nw})), "
+                    "(_x, _y) -> _x | _y)"
+                ).alias("words"),
             )
         )
         return PostingSet(easy.unionByName(merged), self.n, bs)
@@ -508,12 +517,18 @@ class PostingSet:
         scattered = self._ids_to_words(
             hard.select("bucket", F.explode("b_ids").alias("row_id")), bs
         ).withColumnRenamed("words", "_sw")
+        # LEFT join + zero-words fallback — see __or__: an empty sparse B
+        # array must clear nothing, not drop the dense A bucket.
+        nw = _n_words(bs)
         merged = (
-            hard.join(scattered, "bucket")
+            hard.join(scattered, "bucket", "left_outer")
             .select(
                 "bucket",
                 F.lit(None).cast("array<long>").alias("row_ids"),
-                F.expr("zip_with(a_words, _sw, (_x, _y) -> _x & ~_y)").alias("words"),
+                F.expr(
+                    f"zip_with(a_words, coalesce(_sw, array_repeat(0L, {nw})), "
+                    "(_x, _y) -> _x & ~_y)"
+                ).alias("words"),
             )
         )
         df = easy.unionByName(merged).filter(F.expr(_NONEMPTY))

@@ -73,6 +73,25 @@ class SegmentStore:
     def total_rows(self) -> int:
         return sum(e["n_rows"] for e in self.manifest())
 
+    def reconcile(self) -> list[str]:
+        """Delete seg-* dirs not referenced by the current manifest.
+
+        A crash between compact's manifest publish and its cleanup loop
+        leaves superseded seg dirs on disk; nothing else ever touches them
+        (they are no longer in the manifest), so without this they leak
+        forever. The manifest-last write ordering makes the reconciliation
+        safe: any dir absent from the manifest is garbage by definition.
+        Called at the start of every compact; also safe to call on open."""
+        import shutil
+
+        live = {f"seg-{e['segment_id']:05d}" for e in self.manifest()}
+        removed = []
+        for name in os.listdir(self.path):
+            if name.startswith("seg-") and name not in live:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+                removed.append(name)
+        return removed
+
     # -- write ---------------------------------------------------------------
 
     def _write_segment_files(
@@ -253,8 +272,7 @@ class SegmentStore:
         only THEN are the old segment dirs removed — a crash at any point
         leaves a manifest whose segments all exist (old or new), and
         cleanup of orphaned dirs is idempotent."""
-        import shutil
-
+        self.reconcile()  # sweep dirs orphaned by an earlier crashed compact
         entries = self.manifest()
         if not entries:
             return self
@@ -266,10 +284,8 @@ class SegmentStore:
         )
         entry["row_id_offset"] = 0
         self._publish([entry])
-        # deferred, idempotent cleanup of the superseded segments
-        for e in entries:
-            shutil.rmtree(
-                os.path.join(self.path, f"seg-{e['segment_id']:05d}"),
-                ignore_errors=True,
-            )
+        # deferred, idempotent cleanup of the superseded segments — the
+        # same manifest-driven sweep that start-of-compact runs, so a crash
+        # here is repaired by the NEXT compact (or an explicit reconcile)
+        self.reconcile()
         return self

@@ -159,8 +159,15 @@ def with_row_id_scalable(df: DataFrame, return_count: bool = False):
     partition.
     """
     spark = df.sparkSession
-    stamped = df.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_mid", F.monotonically_increasing_id()
+    # localCheckpoint pins the stamping: spark_partition_id /
+    # monotonically_increasing_id are nondeterministic across recomputes
+    # (task retry, scan-split changes, nondeterministic upstream), so
+    # without it two actions over this plan — e.g. a segment data-write and
+    # the index build — could see DIFFERENT row_ids for the same row.
+    stamped = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
     )
     counts = stamped.groupBy("_pid").count().collect()
     offsets = {}

@@ -119,3 +119,26 @@ def test_write_open_seq_roundtrip(spark, sf_dir, tmp_path):
     got = {r["row_id"]: r["l_quantity"] for r in col.collect()}
     want = {r["row_id"]: r["l_quantity"] for r in li.select("row_id", "l_quantity").collect()}
     assert got == want
+
+
+def test_reconcile_sweeps_orphan_dirs(spark, store):
+    """A crash between compact's manifest publish and its cleanup loop
+    leaves superseded seg-* dirs on disk; reconcile (run at the start of
+    every compact) must sweep exactly the unreferenced dirs."""
+    import os
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(50)], "k long, v long")
+    store.write_segment(df, order_keys=["k"])
+    # simulate the orphan: a seg dir present on disk but absent from the
+    # manifest (as left by a compact that crashed before cleanup)
+    orphan = os.path.join(store.path, "seg-00999")
+    os.makedirs(os.path.join(orphan, "data"), exist_ok=True)
+    with open(os.path.join(orphan, "data", "junk"), "w") as fh:
+        fh.write("x")
+    removed = store.reconcile()
+    assert removed == ["seg-00999"]
+    assert not os.path.exists(orphan)
+    # the live segment is untouched and the store still opens
+    assert store.open(spark).count() == 50
+    # idempotent: nothing left to sweep
+    assert store.reconcile() == []
