@@ -385,14 +385,16 @@ def dedup_clusters(
     the step that turns pair detection into an actual training-set dedup
     policy (drop all non-canonical members).
 
-    Pregel-style min-label propagation as DataFrame jobs: per iteration one
-    edges-to-labels join + a min aggregation; edges (only near-dup pairs —
-    tiny relative to the corpus) and each label frontier are checkpointed so
-    lineage stays flat. Iterations = component diameter, which for dedup
-    graphs is small (near-dup clusters are cliques-ish); the loop stops as
-    soon as a fixpoint is reached (one count per iteration). At extreme
-    scale swap the propagation for the large-star/small-star CC algorithm
-    — same join primitives, fewer rounds.
+    Pregel-style min-label propagation WITH pointer doubling: per iteration
+    (1) one edges-to-labels join + a min aggregation pushes labels one hop,
+    then (2) a label-to-label self-join follows each label to ITS label
+    (path halving) — so label distance covered doubles per round and the
+    loop converges in O(log diameter) iterations instead of O(diameter)
+    (long chain-shaped components — common in cosine graphs — would
+    otherwise pay a full Spark job per hop). Edges (only near-dup pairs —
+    tiny relative to the corpus) and each label frontier are checkpointed
+    so lineage stays flat; the loop stops at fixpoint (one count per
+    iteration, piggybacked on the frontier materialization).
 
     Non-SQL-expressible on the engine side (iterative); the DuckDB oracle
     uses a recursive CTE transitive closure instead.
@@ -415,10 +417,26 @@ def dedup_clusters(
         prop = edges.join(labels, F.col("src") == F.col("doc_id")).select(
             F.col("dst").alias("doc_id"), "cluster_id"
         )
-        new_labels = (
+        hop = (
             labels.unionByName(prop)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        # pointer doubling: cluster_id is itself a doc id, so follow it to
+        # its (possibly smaller) label — one self-join, halves path lengths
+        new_labels = (
+            hop.alias("h")
+            .join(
+                hop.select(
+                    F.col("doc_id").alias("_ld"), F.col("cluster_id").alias("_lc")
+                ),
+                F.col("h.cluster_id") == F.col("_ld"),
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce(F.col("_lc"), F.col("h.cluster_id")).alias("cluster_id"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (

@@ -66,8 +66,22 @@ def norm_expr(vec: str, dialect: str, dim: int | None = None) -> str:
     only the cross dot: cos = dot(a,b) / (a_norm * b_norm) performs the
     exact same float64 operations as cosine_expr (sqrt then multiply),
     just factored out of the O(pairs) loop — bit-identical, 3x less work
-    and 3x smaller codegen."""
-    return f"sqrt({_dot(vec, vec, dialect, dim)})"
+    and 3x smaller codegen.
+
+    With ``dim`` fixed (spark dialect) the unrolled subscript kernels would
+    silently produce NULL cosines on a ragged vector column (out-of-range
+    subscripts are NULL in Spark); since every ANN operator norms every row
+    exactly once, this is THE chokepoint — a size guard here makes ragged
+    input raise instead of corrupting scores. The guard is a size()
+    comparison per row: noise next to the dim multiplies."""
+    base = f"sqrt({_dot(vec, vec, dialect, dim)})"
+    if dim is not None and dialect == "spark":
+        return (
+            f"CASE WHEN size({vec}) = {dim} THEN {base} "
+            f"ELSE cast(raise_error('ragged embedding column: expected fixed "
+            f"dim {dim}') as double) END"
+        )
+    return base
 
 
 def _plane_component(j: int, d: str, dialect: str) -> str:
@@ -167,7 +181,24 @@ def cosine_pairs(
 
     spark = df.sparkSession
     if n_blocks is None:
-        n_blocks = max(4, min(16, spark.sparkContext.defaultParallelism))
+        # size blocks to a memory budget, not a fixed count: a cell holds
+        # ~2 blocks of quantized int64 vectors, so block_rows ~
+        # budget / (dim * 8). Small corpora collapse to a handful of cells
+        # (fewer Arrow kernel launches); at 100 TB the same rule yields
+        # thousands of independent cells, each bounded by executor memory.
+        head = df.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
+        dim = int(head[0]["_d"]) if head else 1
+        n = df.count()
+        block_budget_bytes = 64 << 20
+        block_rows = max(1, block_budget_bytes // (max(dim, 1) * 8))
+        n_blocks = max(1, min(256, -(-n // block_rows)))
+        # spread to the cluster parallelism only when the O(n^2) dot work is
+        # big enough to be worth the extra cells (upper-triangular grid of b
+        # blocks has b*(b+1)/2 cells); below that, fewer cells = fewer
+        # Arrow kernel launches wins
+        par = spark.sparkContext.defaultParallelism
+        if n * n * max(dim, 1) > 1_000_000_000 and n_blocks * (n_blocks + 1) // 2 < par:
+            n_blocks = min(256, max(n_blocks, int((2 * par) ** 0.5) + 1))
     nb = int(n_blocks)
 
     q = df.select(
