@@ -96,7 +96,7 @@ def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_index_probe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I3/P7: probe one key -> materialized row-id set (posting lists)."""
     ix, n = _lineitem_index(spark, sf_dir)
-    return idx.probe(ix, "l_returnflag", "R", n).to_rows()
+    return idx.probe(ix, "l_returnflag", "R", n, encoding_hint="auto").to_rows()
 
 
 def q_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,12 +105,13 @@ def q_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     I5 selectivity f(l_returnflag='R') — same popcount kernel the reference
     exposes as `f(idValue)` (the former separate index_f entry).
 
-    No encoding_hint: the dual-dispatch kernels derive each bucket's
-    encoding from the stored rows (a wrong hint would silently yield empty
-    results and couple query correctness to the adaptive build threshold)."""
+    encoding_hint="auto" derives each key's true stored encoding with one
+    near-point aggregation, unlocking the bare specialized kernels without
+    coupling correctness to the adaptive build threshold (a hardcoded hint
+    would; the general dual-dispatch plans cost ~4x in dead sub-plans)."""
     ix, n = _lineitem_index(spark, sf_dir)
-    a = idx.probe(ix, "l_returnflag", "R", n)
-    b = idx.probe(ix, "l_linestatus", "F", n)
+    a = idx.probe(ix, "l_returnflag", "R", n, encoding_hint="auto")
+    b = idx.probe(ix, "l_linestatus", "F", n, encoding_hint="auto")
     rows = [
         a.f_col().select(F.col("f").alias("f_a")),
         b.f_col().select(F.col("f").alias("f_b")),
@@ -130,8 +131,8 @@ def q_rowset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     view_slice): merge = concatenation of row SPACES (not logical OR);
     view = contiguous row-range slice [100, 600) re-based to 0."""
     ix, n = _lineitem_index(spark, sf_dir)
-    a = idx.probe(ix, "l_returnflag", "R", n)
-    b = idx.probe(ix, "l_linestatus", "F", n)
+    a = idx.probe(ix, "l_returnflag", "R", n, encoding_hint="auto")
+    b = idx.probe(ix, "l_linestatus", "F", n, encoding_hint="auto")
     merged = a.merge(b).to_rows().select(F.lit("merge").alias("op"), "row_id")
     viewed = a.view(100, 600).to_rows().select(F.lit("view").alias("op"), "row_id")
     return merged.unionByName(viewed)
@@ -756,7 +757,9 @@ def q_segments_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global row space (MultiBits sharding), one key probed."""
     store = _orders_store(spark, sf_dir)
     ix = store.open_index(spark)
-    return idx.probe(ix, "o_orderpriority", "1-URGENT", store.total_rows()).to_rows()
+    return idx.probe(
+        ix, "o_orderpriority", "1-URGENT", store.total_rows(), encoding_hint="auto"
+    ).to_rows()
 
 
 def q_segments_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,7 +856,7 @@ def q_index_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ix.count()
         _cache[key] = (ix, n)
     ix, n = _cache[key]  # type: ignore[assignment]
-    return idx.probe(ix, "text", "spark", n).to_rows()
+    return idx.probe(ix, "text", "spark", n, encoding_hint="auto").to_rows()
 
 
 def q_table_view(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -292,15 +292,36 @@ def probe(index_df: DataFrame, col: str, value, n: int,
     stored with (sparse row_ids or dense words); PostingSet kernels handle
     both.
 
-    ``encoding_hint`` ("sparse"|"dense") is an expert plan hint, like
-    ``broadcast()``: when the caller knows the key's density class (the
-    build rule f*256 > n is deterministic), passing it lets downstream set
-    algebra compile the bare specialized kernels instead of the general
-    dual-dispatch plan. The hint is VALIDATED at execution: a bucket row
-    stored in the other encoding raises instead of silently producing
-    empty results (the hint picks kernels, it must never pick wrongness)."""
+    ``encoding_hint``:
+
+    * ``"auto"`` — DERIVE the exact encoding set from the stored bucket
+      rows with one tiny aggregation over the pruned probe rows (a key has
+      at most n/bucket_size bucket rows; with col_name partition pruning
+      and value row-group skipping this is a near-point read). Downstream
+      set algebra then compiles the bare specialized kernels — the general
+      dual-dispatch plans carry scatter sub-plans and extra shuffles that
+      cost real time even when statically dead. Exact (reads the truth,
+      not the density heuristic), and handles multi-segment indexes where
+      the same key is dense in one segment and sparse in another.
+    * ``"sparse"``/``"dense"`` — expert plan hint, like ``broadcast()``,
+      zero extra jobs; VALIDATED at execution: a bucket row stored in the
+      other encoding raises instead of silently producing empty results
+      (the hint picks kernels, it must never pick wrongness)."""
     cols = ["bucket", "row_ids"] + (["words"] if "words" in index_df.columns else [])
     df = index_df.filter(_key_pred(col, value)).select(*cols)
+    if encoding_hint == "auto":
+        if "words" not in df.columns:
+            return PostingSet(df, n, bucket_size, {"sparse"})
+        flags = df.agg(
+            F.max(F.col("words").isNotNull()).alias("_d"),
+            F.max(F.col("row_ids").isNotNull()).alias("_s"),
+        ).collect()[0]
+        encs = set()
+        if flags["_d"]:
+            encs.add("dense")
+        if flags["_s"]:
+            encs.add("sparse")
+        return PostingSet(df, n, bucket_size, encs or {"sparse"})
     if encoding_hint is not None:
         if encoding_hint not in ("sparse", "dense"):
             raise ValueError(f"encoding_hint must be sparse|dense, got {encoding_hint!r}")
