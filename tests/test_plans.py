@@ -133,3 +133,60 @@ def test_cosine_pairs_is_distributed(spark):
     plan = plan_of(cosine_pairs(emb, "vec_id", "embedding"))
     assert "FlatMapGroupsInPandas" in plan
     assert "Scan parquet" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-bucketed tables equi-join with ZERO Exchange: the write-time
+    layout replaces the per-join shuffle of the fact side — the 100 TB
+    contract of iodf_spark.sources.bucketed."""
+    from iodf_spark.sources.bucketed import open_bucketed, write_bucketed
+
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer")
+    write_bucketed(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "t_orders_b", ["o_custkey"], 4, path=str(tmp_path / "ob"),
+    )
+    write_bucketed(
+        customer.select("c_custkey", "c_name"),
+        "t_customer_b", ["c_custkey"], 4, path=str(tmp_path / "cb"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ob = open_bucketed(spark, "t_orders_b")
+        cb = open_bucketed(spark, "t_customer_b")
+        joined = ob.join(cb, ob.o_custkey == cb.c_custkey)
+        plan = plan_of(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_salted_join_equals_plain_join_under_skew(spark):
+    """salted_join must be row-for-row equal to the plain join on skewed
+    data (one key holding half the rows), and the physical join key must
+    include the salt so hot keys spread over n_salts reducers."""
+    from iodf_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1 if i % 2 == 0 else i % 50, i) for i in range(2000)], "k long, v long"
+    )
+    right = spark.createDataFrame([(k, k * 100) for k in range(50)], "k long, w long")
+    plain = sorted(tuple(r) for r in left.join(right, ["k"]).collect())
+    salted = salted_join(left, right, ["k"], n_salts=8)
+    assert sorted(tuple(r) for r in salted.collect()) == plain
+    assert "_salt" not in salted.columns
+    plan = plan_of(salted)
+    assert "_salt" in plan  # the join really is keyed by (k, _salt)
+    # left join preserves unmatched left rows exactly once
+    lonly = left.withColumn("k", F.col("k") + 1000)
+    lj = salted_join(lonly, right, ["k"], n_salts=4, how="left")
+    assert lj.count() == 2000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(left, right, ["k"], how="full")
