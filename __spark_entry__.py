@@ -152,12 +152,17 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_costats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2/A3 both execution paths in one attested entry (former costats +
-    costats_sweep): the 'index' row computes one pair's contingency stats
-    purely from the inverted index (bucket-local intersect popcounts, no
-    data scan); the 'sweep' rows batch every (va, vb) value pair of two
-    columns into one groupBy job — the reference's 1024-probe loop as one
-    distributed job."""
+    """A2/A3, ALL THREE execution paths in one attested entry (former
+    costats + costats_sweep): the 'index' row computes one pair's
+    contingency stats purely from the inverted index (bucket-local
+    intersect popcounts, no data scan); the 'pred' row computes the same
+    pair from one data scan of conditional aggregates (the predicate path
+    — used when no index exists); the 'sweep' rows batch every (va, vb)
+    value pair of two columns into one groupBy job — the reference's
+    1024-probe loop as one distributed job. index and pred rows must agree
+    exactly (same oracle row, different physical paths)."""
+    from iodf_spark.operators.costats import costats_predicates
+
     ix, n = _lineitem_index(spark, sf_dir)
     single = costats_index(ix, ("l_returnflag", "R"), ("l_linestatus", "F"), n).select(
         F.lit("index").alias("path"),
@@ -166,10 +171,18 @@ def q_costats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
     )
     li = _lineitem(spark, sf_dir)
+    pred = costats_predicates(
+        li, F.col("l_returnflag") == "R", F.col("l_linestatus") == "F"
+    ).select(
+        F.lit("pred").alias("path"),
+        F.lit("R").alias("va"),
+        F.lit("F").alias("vb"),
+        "*",
+    )
     sweep = costats_sweep(li, "l_returnflag", "l_linestatus").select(
         F.lit("sweep").alias("path"), "*"
     )
-    return single.unionByName(sweep).orderBy("path", "va", "vb")
+    return single.unionByName(pred).unionByName(sweep).orderBy("path", "va", "vb")
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,37 +643,17 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample + gap fill (hypertable-style rollup): per-user
-    hourly grid spanning that user's activity, empty buckets filled forward
-    with the last observed hourly mean. Plan: one groupBy to the hourly
-    grain, a tiny per-user span agg, grid synthesis via sequence+explode
-    (narrow — no shuffle beyond the two aggs), left join back on
-    (user, hour) and a last(ignorenulls) carry window. At 100 TB the grid
-    is |users| x |hours| — generated, never stored — and every stage is
-    keyed by user_id, so one partitioning serves the join and the window."""
-    from pyspark.sql import Window
+    hourly grid spanning that user's activity, empty buckets filled
+    forward with the last observed hourly mean — the
+    operators.sessions.resample_ffill operator (single raw-table scan:
+    the grain aggregate is checkpointed so span and join branches share
+    it; grid rows are generated, never stored)."""
+    from iodf_spark.operators.sessions import resample_ffill
 
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.count(F.lit(1)).alias("cnt"), F.avg("value").alias("av"))
-    span = hourly.groupBy("user_id").agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1")
+    return resample_ffill(ev, "user_id", "ts", "value", "hour").orderBy(
+        "user_id", "hour_start"
     )
-    grid = span.select(
-        "user_id", F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
-    )
-    j = grid.join(hourly, ["user_id", "h"], "left")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return j.select(
-        "user_id",
-        F.col("h").cast("string").alias("hour_start"),
-        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_events"),
-        F.round(F.last("av", ignorenulls=True).over(w), 6).alias("fill_value"),
-    ).orderBy("user_id", "hour_start")
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1143,6 +1136,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "costats": f"""
             SELECT 'index' AS path, 'R' AS va, 'F' AS vb, *
+            FROM ({_costats_oracle(costats_counts)})
+            UNION ALL
+            SELECT 'pred' AS path, 'R' AS va, 'F' AS vb, *
             FROM ({_costats_oracle(costats_counts)})
             UNION ALL
             SELECT 'sweep' AS path, *

@@ -67,3 +67,46 @@ def sessionize_oracle(table: str, user_col: str = "user_id", ts_col: str = "ts",
         FROM numbered GROUP BY {user_col}, session_id
         ORDER BY {user_col}, session_id
     """
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit: str = "hour",
+) -> DataFrame:
+    """Time-series resample + gap fill (hypertable-style rollup): per-key
+    grid at `unit` grain spanning that key's activity; empty buckets carry
+    the last observed per-bucket mean forward.
+
+    Plan: ONE scan aggregates to the grain (the checkpointed intermediate
+    is only |keys| x |buckets| — without the checkpoint the span branch and
+    the join branch would each re-scan the raw table, doubling the 100 TB
+    cost); the grid is synthesized with sequence+explode (generated, never
+    stored), joined back on (key, bucket), and the forward fill is one
+    last(ignorenulls) window. The join key extends the window key, so the
+    final window reuses locality from the join's partitioning.
+
+    Output: (key, <unit>_start string, n_events, fill_value rounded 6).
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    grain = df.groupBy(F.col(key_col), bucket.alias("_h")).agg(
+        F.count(F.lit(1)).alias("_cnt"), F.avg(value_col).alias("_av")
+    ).localCheckpoint(eager=False)
+    span = grain.groupBy(key_col).agg(F.min("_h").alias("_h0"), F.max("_h").alias("_h1"))
+    grid = span.select(
+        key_col, F.explode(F.expr(f"sequence(_h0, _h1, interval 1 {unit})")).alias("_h")
+    )
+    j = grid.join(grain, [key_col, "_h"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.col(key_col),
+        F.col("_h").cast("string").alias(f"{unit}_start"),
+        F.coalesce(F.col("_cnt"), F.lit(0)).cast("long").alias("n_events"),
+        F.round(F.last("_av", ignorenulls=True).over(w), 6).alias("fill_value"),
+    )

@@ -190,3 +190,28 @@ def test_salted_join_equals_plain_join_under_skew(spark):
 
     with _pytest.raises(ValueError):
         salted_join(left, right, ["k"], how="full")
+
+
+def test_resample_scans_events_once(spark):
+    """resample_ffill's grain aggregate is checkpointed: the span branch
+    and the grid join must share ONE raw-table scan (without it the plan
+    re-scans events for each branch — doubled cost at 100 TB)."""
+    import __spark_entry__ as m
+
+    df = m.queries()["resample_ffill"](spark, SF)
+    plan = plan_of(df)
+    # the raw table lives only inside the checkpointed grain subtree
+    # (computed once); every outer branch reads the shared RDD instead of
+    # re-scanning parquet
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_pivot_is_two_phase_hash_agg(spark):
+    """pivot compiles to partial+final hash aggregation with the explicit
+    value list — no extra distinct-values job, no sort-based fallback."""
+    import __spark_entry__ as m
+
+    plan = plan_of(m.queries()["pivot"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "SortAggregate" not in plan
