@@ -386,6 +386,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_payload,
         decode_metadata,
         frame_sample,
+        resize,
     )
 
     docs = attach_payload(load_table(spark, sf_dir, "documents"), "text")
@@ -397,7 +398,12 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frame_checksum"
         ),
     )
-    return meta.join(frames, "doc_id").orderBy("doc_id")
+    resized = resize(docs, "doc_id", 32, 24).select(
+        "doc_id",
+        F.col("n_bytes_out").alias("resize_bytes"),
+        F.col("checksum").alias("resize_checksum"),
+    )
+    return meta.join(frames, "doc_id").join(resized, "doc_id").orderBy("doc_id")
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1384,7 +1390,9 @@ def oracle_sql() -> dict[str, str]:
                    (1 + s.n % 64)::INT AS width,
                    (1 + s.n % 48)::INT AS height,
                    3::INT AS channels,
-                   f.n_frames, f.frame_bytes, f.frame_checksum
+                   f.n_frames, f.frame_bytes, f.frame_checksum,
+                   (32 * 24 * 3)::BIGINT AS resize_bytes,
+                   ((s.n * 31 + 32) * 31 + 24)::BIGINT AS resize_checksum
             FROM sized s JOIN frames f USING (doc_id)
             ORDER BY s.doc_id
         """,

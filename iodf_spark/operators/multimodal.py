@@ -140,6 +140,53 @@ def frame_sample(
     return df.select(id_col, payload_col).mapInPandas(frames, out_schema)
 
 
+def resize(
+    df: DataFrame,
+    id_col: str,
+    target_w: int,
+    target_h: int,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """'Resize' media payloads to (target_w, target_h) via mapInPandas.
+
+    The codec is the same clearly-marked deterministic FAKE as the rest of
+    this module (no image libs in this container): output size is the
+    exact target_w*target_h*3 RGB byte count and the checksum is byte
+    arithmetic the oracle reproduces from input lengths. Swap the body for
+    PIL's Image.resize in production — the Arrow batch plumbing, schema
+    and partitioning are the real, tested part.
+
+    Output: (id, width, height, n_bytes_out, checksum)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_bytes_out", T.LongType()),
+            T.StructField("checksum", T.LongType()),
+        ]
+    )
+    nbytes_out = target_w * target_h * 3
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_in = [len(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "width": target_w,
+                    "height": target_h,
+                    "n_bytes_out": nbytes_out,
+                    # FAKE: checksum from the input length and target box
+                    "checksum": [
+                        (n * 31 + target_w) * 31 + target_h for n in n_in
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(do_resize, out_schema)
+
+
 def decode_real(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
     """Real-codec decode path — requires an image library.
 
