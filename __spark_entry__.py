@@ -675,20 +675,29 @@ _STREAM_COUNTER = [0]
 
 def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming: file-source stream over events,
-    event-time tumbling window + watermark, driven to completion with the
-    availableNow trigger into a memory sink. Semantically equal to the
-    batch aggregation, which is what the oracle checks."""
+    STREAM-STATIC broadcast join against the customer->nation dimension,
+    then event-time tumbling window + watermark, driven to completion with
+    the availableNow trigger into a memory sink. Semantically equal to the
+    batch join+aggregation, which is what the oracle checks."""
     from iodf_spark.streaming.ingest import (
         run_to_memory,
+        stream_enriched_counts,
         stream_events,
-        windowed_event_counts,
     )
 
     _STREAM_COUNTER[0] += 1
     name = f"stream_windowed_{_STREAM_COUNTER[0]}"
-    agg = windowed_event_counts(stream_events(spark, sf_dir))
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(load_table(spark, sf_dir, "nation")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "n_name")
+    )
+    agg = stream_enriched_counts(
+        stream_events(spark, sf_dir), dim, "user_id", "c_custkey", "n_name"
+    )
     return run_to_memory(agg, name, output_mode="complete").orderBy(
-        "hour_start", "event_type"
+        "hour_start", "n_name"
     )
 
 
@@ -1419,8 +1428,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": sessions.sessionize_oracle("events"),
         "stream_windowed": """
-            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
-                   event_type, count(*)::BIGINT AS cnt, round(avg(value), 6) AS avg_value
-            FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type
+            SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+                   n.n_name, count(*)::BIGINT AS cnt, round(avg(e.value), 6) AS avg_value
+            FROM events e
+            JOIN customer c ON e.user_id = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2 ORDER BY hour_start, n_name
         """,
     }

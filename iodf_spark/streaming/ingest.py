@@ -71,17 +71,67 @@ def windowed_event_counts(
     )
 
 
-def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
-    """Drive a streaming DataFrame to completion (availableNow) into an
-    in-memory table; returns the materialized result."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+def stream_enriched_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    on_left: str,
+    on_right: str,
+    label_col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static join + event-time window: each micro-batch is enriched
+    against the (broadcast) static dimension BEFORE the watermarked window
+    aggregation — the standard streaming star-join shape. The dim is a
+    plain batch DataFrame; Spark re-broadcasts it per micro-batch, so dim
+    updates between batches are picked up (slowly-changing-dimension
+    semantics at micro-batch grain)."""
+    enriched = events.join(
+        F.broadcast(dim), events[on_left] == dim[on_right], "inner"
     )
-    q.awaitTermination()
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col(label_col))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.col("w.start").cast("string").alias("hour_start"),
+            F.col(label_col),
+            "cnt",
+            "avg_value",
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion (availableNow) into an
+    in-memory table; returns the materialized result.
+
+    A stateful streaming query instantiates one state store PER shuffle
+    partition, fixed at query start — under a default-conf session that is
+    200 stores regardless of cluster size. Pin the partition count to the
+    actual parallelism for the query's lifetime (restored afterwards):
+    state-store count should track cores, not the SQL default."""
+    spark = df.sparkSession
+    if shuffle_partitions is None:
+        shuffle_partitions = max(spark.sparkContext.defaultParallelism, 1)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(name)
 
 
@@ -185,10 +235,19 @@ def stream_ingest_segments(
             return
         store.write_segment(batch_df, order_keys=order_keys, index_conf=index_conf)
 
-    q = (
-        events.writeStream.foreachBatch(write_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", store.path + "/_checkpoint")
-        .start()
+    spark = events.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(spark.sparkContext.defaultParallelism, 1)),
     )
-    q.awaitTermination()
+    try:
+        q = (
+            events.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", store.path + "/_checkpoint")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
