@@ -156,6 +156,63 @@ class SegmentStore:
         self._publish(entries + [entry])
         return entry
 
+    def write_segments_by(
+        self,
+        df: DataFrame,
+        split_col: str,
+        split_values: list,
+        order_keys: list[str],
+        index_conf: IndexConf | None = None,
+    ) -> list[dict]:
+        """Append one segment per ``split_values`` entry from ONE stamped
+        scan (the batch form of dynamic-partitioned ingest).
+
+        Per-segment ``write_segment`` calls each pay a range shuffle +
+        checkpoint to stamp their own row ids; here the input is stamped
+        ONCE, globally ordered by (split_col position, order_keys), and each
+        segment's local 0..n-1 ids are derived by subtracting the segment's
+        global offset — identical on-disk layout and manifest to N separate
+        writes (pure concatenation in split_values order), at one shuffle
+        and one checkpoint total. Rows whose split value is not listed are
+        ignored (same as not writing them)."""
+        rank_expr = F.when(F.col(split_col) == split_values[0], 0)
+        for i, v in enumerate(split_values[1:], start=1):
+            rank_expr = rank_expr.when(F.col(split_col) == v, i)
+        stamped, total = with_row_id(
+            df.filter(F.col(split_col).isin(split_values))
+            .withColumn("_srank", rank_expr),
+            ["_srank", *order_keys],
+            return_count=True,
+        )
+        stamped = stamped.localCheckpoint(eager=False)
+        # per-segment row counts from one tiny agg over the checkpointed plan
+        counts = {
+            r["_srank"]: r["cnt"]
+            for r in stamped.groupBy("_srank")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        entries_prev = self.manifest()
+        next_id = max((e["segment_id"] for e in entries_prev), default=-1) + 1
+        base_offset = sum(e["n_rows"] for e in entries_prev)
+        new_entries, seg_start = [], 0
+        for i, v in enumerate(split_values):
+            n_seg = int(counts.get(i, 0))
+            seg = (
+                stamped.filter(F.col("_srank") == i)
+                .withColumn("row_id", F.col("row_id") - F.lit(seg_start).cast("long"))
+                .drop("_srank")
+            )
+            entry = self._write_segment_files(
+                seg, next_id + i, index_conf, n_rows=n_seg
+            )
+            entry["row_id_offset"] = base_offset + seg_start
+            new_entries.append(entry)
+            seg_start += n_seg
+        assert seg_start == total
+        self._publish(entries_prev + new_entries)
+        return new_entries
+
     # -- read ----------------------------------------------------------------
 
     def open(

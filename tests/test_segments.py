@@ -142,3 +142,32 @@ def test_reconcile_sweeps_orphan_dirs(spark, store):
     assert store.open(spark).count() == 50
     # idempotent: nothing left to sweep
     assert store.reconcile() == []
+
+
+def test_write_segments_by_equals_sequential_writes(spark, sf_dir, store, tmp_path):
+    """One-pass partitioned ingest must produce the identical store
+    (manifest offsets, opened rows, index probes) as N sequential
+    write_segment calls — same layout at one shuffle+checkpoint total."""
+    orders = load_table(spark, sf_dir, "orders")
+    conf = idx.IndexConf(include=["o_orderpriority"])
+
+    seq = SegmentStore(str(tmp_path / "seq"), bucket_size=1024)
+    for status in ["F", "O", "P"]:
+        seq.write_segment(
+            orders.filter(F.col("o_orderstatus") == status),
+            order_keys=["o_orderkey"], index_conf=conf,
+        )
+    one = SegmentStore(str(tmp_path / "one"), bucket_size=1024)
+    entries = one.write_segments_by(
+        orders, "o_orderstatus", ["F", "O", "P"], ["o_orderkey"], index_conf=conf
+    )
+    assert [e["n_rows"] for e in entries] == [e["n_rows"] for e in seq.manifest()]
+    assert [e["row_id_offset"] for e in one.manifest()] == [
+        e["row_id_offset"] for e in seq.manifest()
+    ]
+    a = seq.open(spark).select("row_id", "o_orderkey").orderBy("row_id").collect()
+    b = one.open(spark).select("row_id", "o_orderkey").orderBy("row_id").collect()
+    assert a == b
+    pa = idx.probe(seq.open_index(spark), "o_orderpriority", "1-URGENT", seq.total_rows())
+    pb = idx.probe(one.open_index(spark), "o_orderpriority", "1-URGENT", one.total_rows())
+    assert pa.to_list() == pb.to_list()
