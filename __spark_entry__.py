@@ -630,18 +630,28 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 event-time tumbling window (batch form of the streaming agg):
-    per-hour, per-type counts and mean value."""
+    per-hour, per-type counts and mean value, plus a mean over a field
+    EXTRACTED FROM THE JSON props column (get_json_object — the
+    semi-structured access path a training pipeline needs for event
+    payloads; JVM-side JSON parsing, no UDF)."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(
             F.window("ts", "1 hour").alias("w"), "event_type"
         )
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(
+                F.avg(F.get_json_object("props", "$.k").cast("double")), 6
+            ).alias("avg_k"),
+        )
         .select(
             F.col("w.start").cast("string").alias("hour_start"),
             "event_type",
             "cnt",
             "avg_value",
+            "avg_k",
         )
         .orderBy("hour_start", "event_type")
     )
@@ -741,12 +751,15 @@ def _orders_store(spark: SparkSession, sf_dir: str, compact: bool = False):
             store.compact(spark, defaults={"flag": 0}, index_conf=conf)
         else:
             store = SegmentStore(tempfile.mkdtemp(prefix="iodf_segs_"))
-            od = load_table(spark, sf_dir, "orders")
-            for status in ["F", "O", "P"]:
-                seg = od.filter(F.col("o_orderstatus") == status)
-                if status == "O":
-                    seg = seg.withColumn("flag", F.lit(1))
-                store.write_segment(seg, order_keys=["o_orderkey"], index_conf=conf)
+            od = load_table(spark, sf_dir, "orders").withColumn("flag", F.lit(1))
+            # one-pass partitioned ingest: 3 segments from ONE stamped scan;
+            # only the 'O' segment keeps the extra column (exercises the
+            # MultiDf default-fill on open)
+            store.write_segments_by(
+                od, "o_orderstatus", ["F", "O", "P"], ["o_orderkey"],
+                index_conf=conf,
+                per_segment=lambda v, seg: seg if v == "O" else seg.drop("flag"),
+            )
         _cache[key] = store
     return _cache[key]
 
@@ -1253,7 +1266,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_windowed": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
-                   event_type, count(*)::BIGINT AS cnt, round(avg(value), 6) AS avg_value
+                   event_type, count(*)::BIGINT AS cnt, round(avg(value), 6) AS avg_value,
+                   round(avg((props ->> 'k')::DOUBLE), 6) AS avg_k
             FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type
         """,
         "knn_weights": f"""

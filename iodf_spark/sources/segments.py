@@ -163,6 +163,7 @@ class SegmentStore:
         split_values: list,
         order_keys: list[str],
         index_conf: IndexConf | None = None,
+        per_segment: "Callable[[object, DataFrame], DataFrame] | None" = None,
     ) -> list[dict]:
         """Append one segment per ``split_values`` entry from ONE stamped
         scan (the batch form of dynamic-partitioned ingest).
@@ -174,7 +175,12 @@ class SegmentStore:
         global offset — identical on-disk layout and manifest to N separate
         writes (pure concatenation in split_values order), at one shuffle
         and one checkpoint total. Rows whose split value is not listed are
-        ignored (same as not writing them)."""
+        ignored (same as not writing them).
+
+        ``per_segment(value, seg_df) -> seg_df`` optionally reshapes each
+        segment before its write (e.g. drop a column the other segments
+        don't carry) — segments NEED NOT share a schema on disk; the
+        multi-segment open outer-aligns and default-fills."""
         rank_expr = F.when(F.col(split_col) == split_values[0], 0)
         for i, v in enumerate(split_values[1:], start=1):
             rank_expr = rank_expr.when(F.col(split_col) == v, i)
@@ -203,6 +209,8 @@ class SegmentStore:
                 .withColumn("row_id", F.col("row_id") - F.lit(seg_start).cast("long"))
                 .drop("_srank")
             )
+            if per_segment is not None:
+                seg = per_segment(v, seg)
             entry = self._write_segment_files(
                 seg, next_id + i, index_conf, n_rows=n_seg
             )
