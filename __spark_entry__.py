@@ -673,11 +673,34 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom sessionization operator: gap-based per-user sessions (batch
-    form; the streaming form uses applyInPandasWithState)."""
+    """Gap-based per-user sessions, TWO implementations against one oracle:
+    'custom' = the lag + cumulative-sum operator (operators/sessions.py,
+    the portable formulation; its streaming twin uses
+    applyInPandasWithState), 'native' = Spark's built-in session_window
+    aggregation (merging-interval state, the idiomatic engine path). Both
+    must produce identical sessions."""
+    from pyspark.sql import Window
+
     from iodf_spark.operators.sessions import sessionize
 
-    return sessionize(load_table(spark, sf_dir, "events"))
+    ev = load_table(spark, sf_dir, "events")
+    custom = sessionize(ev).select(F.lit("custom").alias("impl"), "*")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    w = Window.partitionBy("user_id").orderBy(F.col("_w.start"))
+    native = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), fmt).alias("session_start"),
+            F.date_format(F.max("ts"), fmt).alias("session_end"),
+        )
+        .withColumn("session_id", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            F.lit("native").alias("impl"),
+            "user_id", "session_id", "n_events", "session_start", "session_end",
+        )
+    )
+    return custom.unionByName(native).orderBy("impl", "user_id", "session_id")
 
 
 _STREAM_COUNTER = [0]
@@ -1440,7 +1463,11 @@ def oracle_sql() -> dict[str, str]:
                    AS fill_value
             FROM j ORDER BY user_id, hour_start
         """,
-        "sessionize": sessions.sessionize_oracle("events"),
+        "sessionize": f"""
+            SELECT 'custom' AS impl, * FROM ({sessions.sessionize_oracle("events")})
+            UNION ALL
+            SELECT 'native' AS impl, * FROM ({sessions.sessionize_oracle("events")})
+        """,
         "stream_windowed": """
             SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                    n.n_name, count(*)::BIGINT AS cnt, round(avg(e.value), 6) AS avg_value

@@ -105,3 +105,21 @@ def test_empty_and_full(spark):
     assert (pa & f).to_list() == sorted(sa)
     assert (pa & e).f() == 0
     assert (pa | e).to_list() == sorted(sa)
+
+
+def test_empty_sparse_array_in_mixed_bucket_keeps_dense_words(spark):
+    """Regression (round-2 advice): externally-supplied posting rows may
+    violate the no-empty-arrays invariant; a mixed-encoding OR/ANDNOT must
+    not drop a bucket's dense words when the sparse side's array is EMPTY
+    (the scatter side produces no rows — only a left join keeps the
+    bucket)."""
+    from pyspark.sql import functions as F
+
+    dense = PostingSet.from_positions(spark, [0, 1, 40], N, BS, encoding="dense")
+    # sparse set whose bucket-0 array is EMPTY (externally constructed)
+    empty_rows = spark.createDataFrame(
+        [(0, [])], "bucket long, row_ids array<long>"
+    )
+    hollow = PostingSet(empty_rows, N, BS)  # encodings unknown -> general path
+    assert sorted((dense | hollow).to_list()) == [0, 1, 40]
+    assert sorted(dense.andnot(hollow).to_list()) == [0, 1, 40]
