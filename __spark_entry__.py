@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iodf_spark.functions.costats_math import costats_sql_exprs
-from iodf_spark.operators import dedup, sampling, sessions, similarity, textstats
+from iodf_spark.operators import dedup, sampling, search, sessions, similarity, textstats
 from iodf_spark.operators import profile as profile_mod
 from iodf_spark.operators import index as idx
 from iodf_spark.operators.costats import costats_index, costats_sweep
@@ -811,9 +811,14 @@ def q_segments_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Dfs.scala:546-554) in one attested entry (former segments_compact +
     have_segments). 'compact': compaction rewrites 3 segments as 1;
     order-preserving concat keeps every (row_id, row) binding — checked via
-    a content checksum plus the segment count. 'have': create-if-absent
-    memoization — the first call builds and writes, the second is a no-op
-    (asserted in-process); the opened store holds exactly one segment."""
+    a content checksum plus the segment count. 'snapshot': time-travel read
+    of manifest version 1 (the PRE-compact 3-segment store — segment files
+    are immutable, so the old manifest against them is the old store); its
+    checksum must equal the compact row's, which attests both snapshot
+    isolation and compaction invariance through one oracle. 'have':
+    create-if-absent memoization — the first call builds and writes, the
+    second is a no-op (asserted in-process); the opened store holds exactly
+    one segment."""
     import tempfile
 
     from iodf_spark.sources.segments import SegmentStore
@@ -841,7 +846,14 @@ def q_segments_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("row_id") * F.col("r_regionkey")).cast("long").alias("checksum"),
     )
-    return compact_row.unionByName(have_row)
+    snap_entries = store.manifest_at(1)  # the pre-compact 3-segment snapshot
+    snap_row = store.open_at(spark, 1, defaults={"flag": 0}).agg(
+        F.lit("snapshot").alias("src"),
+        F.lit(len(snap_entries)).cast("int").alias("n_segments"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
+    )
+    return compact_row.unionByName(have_row).unionByName(snap_row)
 
 
 def q_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -885,22 +897,61 @@ def q_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_index_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I2/§2.12 analyzers: a text column indexed with the whitespace
-    tokenizer (the reference's test analyzer, DfTest.scala:69-70) — one
-    value fans out to N index tokens; probe one token -> row-id set."""
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = ("documents_rid", sf_dir)
+    if key not in _cache:
+        _cache[key] = load_table(spark, sf_dir, "documents", row_id=True).cache()
+    return _cache[key]  # type: ignore[return-value]
+
+
+def _doc_text_index(spark: SparkSession, sf_dir: str):
     key = ("doc_text_index", sf_dir)
     if key not in _cache:
-        docs = load_table(spark, sf_dir, "documents", row_id=True)
+        docs = _documents(spark, sf_dir)
         n = docs.count()
         ix = idx.build_index(
             docs,
             idx.IndexConf(include=["text"], analyzers={"text": idx.text_analyzer}),
+            n_rows=n,
         ).cache()
         ix.count()
         _cache[key] = (ix, n)
-    ix, n = _cache[key]  # type: ignore[assignment]
-    return idx.probe(ix, "text", "spark", n, encoding_hint="auto").to_rows()
+    return _cache[key]
+
+
+TEXT_QUERY_TERMS = ["spark", "query", "vector"]
+
+
+def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2/§2.12 analyzers + ranked retrieval in one attested entry (former
+    index_text_tokens): the text column indexed with the whitespace
+    tokenizer (the reference's test analyzer, DfTest.scala:69-70 — one
+    value fans out to N index tokens). 'probe' rows: one token's boolean
+    posting set (IndexedDf.scala:71-85). 'bm25' rows: ranked BM25 top-15
+    over three terms, with document frequencies from the index key stats,
+    candidates from the OR of the term posting sets, tf/length as codegen
+    array expressions — the ranked-retrieval layer the reference's boolean
+    index stops short of (operators/search.py; rational-idf variant for
+    cross-engine bit determinism)."""
+    from iodf_spark.operators.search import bm25_topk
+
+    ix, n = _doc_text_index(spark, sf_dir)
+    docs = _documents(spark, sf_dir)
+    probe_rows = (
+        idx.probe(ix, "text", "spark", n, encoding_hint="auto")
+        .to_rows()
+        .select(
+            F.lit("probe").alias("variant"),
+            "row_id",
+            F.expr("cast(0 as double)").alias("score"),
+        )
+    )
+    bm = bm25_topk(docs, ix, "text", TEXT_QUERY_TERMS, n, k=15).select(
+        F.lit("bm25").alias("variant"),
+        "row_id",
+        F.round("score", 9).alias("score"),
+    )
+    return probe_rows.unionByName(bm)
 
 
 def q_table_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1069,7 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segments_index_probe": q_segments_index_probe,
         "segments_compact": q_segments_compact,
         "typed_roundtrip": q_typed_roundtrip,
-        "index_text_tokens": q_index_text_tokens,
+        "text_search": q_text_search,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "stream_windowed": q_stream_windowed,
@@ -1390,6 +1441,10 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT row_number() OVER (ORDER BY r_regionkey) - 1 AS rid,
                          r_regionkey
                   FROM region)
+            UNION ALL
+            SELECT 'snapshot' AS src, 3::INT AS n_segments, count(*)::BIGINT AS n_rows,
+                   sum(row_id * o_orderkey)::BIGINT AS checksum
+            FROM {SEG_RID}
         """,
         "typed_roundtrip": """
             SELECT row_number() OVER (ORDER BY n_nationkey) - 1 AS row_id,
@@ -1405,13 +1460,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*)::BIGINT AS n_rows, count(*)::BIGINT AS max_rid_plus1
             FROM events
         """,
-        "index_text_tokens": """
-            SELECT row_id
+        "text_search": f"""
+            SELECT 'probe' AS variant, row_id, 0e0 AS score
             FROM (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS row_id, text
                   FROM documents)
             WHERE list_contains(
                 list_filter(string_split_regex(text, '\\s+'), _t -> _t <> ''),
                 'spark')
+            UNION ALL
+            SELECT 'bm25' AS variant, row_id, round(score, 9) AS score
+            FROM ({search.bm25_topk_oracle(
+                "documents", "doc_id", "text", TEXT_QUERY_TERMS, k=15)}) b
         """,
         "text_stats": textstats.text_stats_oracle("doc_id", "text", "documents"),
         "multimodal_meta": """

@@ -19,6 +19,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
 from iodf_spark.session import get_spark  # noqa: E402
 
 
@@ -27,6 +29,13 @@ def main():
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
     spark = get_spark("iodf_spark_bench")
+
+    # Warm the JVM before timing (JIT + codegen + shuffle machinery), so the
+    # first timed query doesn't absorb ~5-10 s of one-time process startup.
+    # BASELINE.md's reference numbers are warm-mmap latencies, so warm-JVM
+    # timings are the apples-to-apples comparison; the warmup itself touches
+    # no benchmark table and is excluded from every metric.
+    spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
 
     timings: dict[str, float] = {}
 

@@ -423,7 +423,10 @@ def dedup_clusters(
             .agg(F.min("cluster_id").alias("cluster_id"))
         )
         # pointer doubling: cluster_id is itself a doc id, so follow it to
-        # its (possibly smaller) label — one self-join, halves path lengths
+        # its (possibly smaller) label — one self-join, halves path lengths.
+        # The old label is folded into the SAME materialized plan as a
+        # _changed flag, so the fixpoint check is a scan of the checkpoint
+        # (no extra join job per iteration).
         new_labels = (
             hop.alias("h")
             .join(
@@ -437,15 +440,18 @@ def dedup_clusters(
                 "doc_id",
                 F.coalesce(F.col("_lc"), F.col("h.cluster_id")).alias("cluster_id"),
             )
+            .join(
+                labels.select("doc_id", F.col("cluster_id").alias("_old")), "doc_id"
+            )
+            .select(
+                "doc_id",
+                "cluster_id",
+                (F.col("cluster_id") != F.col("_old")).alias("_changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels.withColumn("keep", F.col("doc_id") == F.col("cluster_id"))

@@ -1,0 +1,157 @@
+"""Ranked text retrieval (BM25 top-k) over the inverted text index — the
+query layer above the reference's text analyzers + index (IndexedDf.scala:
+71-85 gives boolean row sets for one token; DfTest.scala:69-70 is the
+whitespace analyzer). The reference stops at boolean probes; ranked
+retrieval is the natural engine capability on top, and a training-data
+pipeline uses it for corpus curation (query-relevant subset extraction).
+
+Spark-first plan (no Python in the hot path, no driver-side data):
+
+* **document frequency** per query term comes from the INDEX key stats
+  (sum of per-bucket ``f`` — a near-point read under col_name partition
+  pruning), folded to one broadcast row via conditional aggregation.
+* **candidates** come from the index too: the OR of the per-term posting
+  sets (PostingSet bucket-local kernels) — only docs containing at least
+  one query term are scanned, the BM25 score of every other doc is 0 by
+  construction.
+* **tf / length** are per-row array expressions over the tokenized text
+  (``size(filter(tokens, t -> t = term))``) — codegen'd, no explode, no
+  shuffle; corpus stats (N, total token count) are one tiny aggregation
+  cross-joined as a broadcast row.
+* **top-k** is ``ORDER BY score DESC, row_id LIMIT k`` =
+  TakeOrderedAndProject.
+
+Cross-engine determinism: the classic ln() idf is NOT bit-stable across
+engines (Java Math.log admits 1-ulp error vs a correctly-rounded libm), so
+scores use the *rational* idf variant ``(N - df + 0.5) / (df + 0.5)`` —
+monotone in df like the ln form, but built purely from IEEE +,-,*,/ whose
+results are fully determined, so Spark and the DuckDB oracle agree on every
+bit. All numeric literals are written in ``25e-2`` style (a bare ``0.25``
+parses as DECIMAL in both dialects) and the whole score expression is
+emitted for both dialects from one builder with one parenthesization, so
+evaluation order is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iodf_spark.functions import texthash as TH
+
+# BM25 shape parameters (k1 = 1.2, b = 0.75) as exact double literals:
+# K1P1 = k1 + 1, OMB = 1 - b
+K1 = "12e-1"
+K1P1 = "22e-1"
+B = "75e-2"
+OMB = "25e-2"
+
+
+def _tf(tok_arr: str, term: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"cast(size(filter({tok_arr}, _t -> _t = '{term}')) as double)"
+    return f"len(list_filter({tok_arr}, _t -> _t = '{term}'))::DOUBLE"
+
+
+def bm25_score_sql(tok_arr: str, terms: list[str], dialect: str) -> str:
+    """The full per-document BM25 score as one scalar SQL expression.
+
+    References columns ``_n`` (corpus doc count), ``_slen`` (corpus total
+    token count) and ``_df0.._df{k}`` (per-term document frequencies) —
+    provided by a broadcast stats row on the Spark side and CTEs on the
+    DuckDB side, so both engines compute every intermediate from the same
+    integers with the same operation order (bit-identical doubles).
+    """
+    sp = dialect == "spark"
+    dlen = (
+        f"cast(size({tok_arr}) as double)" if sp else f"len({tok_arr})::DOUBLE"
+    )
+    davg = "(cast(_slen as double) / _n)" if sp else "(_slen::DOUBLE / _n)"
+    parts = []
+    for i, term in enumerate(terms):
+        tf = _tf(tok_arr, term, dialect)
+        idf = f"(((_n - _df{i}) + 5e-1) / (_df{i} + 5e-1))"
+        denom = f"({tf} + {K1} * ({OMB} + ({B} * {dlen}) / {davg}))"
+        parts.append(f"({idf} * ({tf} * {K1P1}) / {denom})")
+    return "(" + " + ".join(parts) + ")"
+
+
+def bm25_topk(
+    docs: DataFrame,
+    index_df: DataFrame,
+    text_col: str,
+    terms: list[str],
+    n_rows: int,
+    k: int = 15,
+) -> DataFrame:
+    """Top-k documents by BM25 over ``terms``. ``docs`` must carry
+    ``row_id`` in the index's row space; ``index_df`` is the text index
+    built with the whitespace analyzer (same tokenizer as TH.tokens).
+    Returns (row_id, score) with score > 0, ordered score DESC, row_id.
+    """
+    from iodf_spark.operators.index import probe
+
+    # per-term df from the index: one near-point agg folded to a single row
+    dfs = index_df.filter(
+        (F.col("col_name") == text_col) & F.col("value_str").isin(terms)
+    ).agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("value_str") == t, F.col("f"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"_df{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    # corpus stats: N docs, total token count (one aggregation)
+    tok = TH.tokens(text_col, "spark")
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.expr(f"size({tok})")).cast("long").alias("_slen"),
+    )
+    # candidates: OR of the per-term posting sets (bucket-local kernels)
+    cand = None
+    for t in terms:
+        ps = probe(index_df, text_col, t, n_rows, encoding_hint="auto")
+        cand = ps if cand is None else (cand | ps)
+    cand_ids = cand.to_rows()
+    scored = (
+        docs.join(cand_ids, "row_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfs))
+        .withColumn("_tok", F.expr(tok))
+        .select(
+            "row_id",
+            F.expr(bm25_score_sql("_tok", terms, "spark")).alias("score"),
+        )
+    )
+    return (
+        scored.filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), "row_id")
+        .limit(k)
+    )
+
+
+def bm25_topk_oracle(
+    table: str, id_col: str, text_col: str, terms: list[str], k: int = 15
+) -> str:
+    """DuckDB rendition: same tokenizer, same stats integers, same score
+    expression text (dialect='duckdb'), same ORDER BY/LIMIT."""
+    tok = TH.tokens(text_col, "duckdb")
+    df_cols = ", ".join(
+        f"count(*) FILTER (WHERE list_contains(_tok, '{t}'))::BIGINT AS _df{i}"
+        for i, t in enumerate(terms)
+    )
+    score = bm25_score_sql("_tok", terms, "duckdb")
+    return f"""
+        WITH d AS (SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS row_id,
+                          {text_col} FROM {table}),
+        tok AS (SELECT row_id, {tok} AS _tok FROM d),
+        stats AS (SELECT count(*)::BIGINT AS _n,
+                         sum(len(_tok))::BIGINT AS _slen FROM tok),
+        dfs AS (SELECT {df_cols} FROM tok),
+        scored AS (SELECT row_id, {score} AS score FROM tok, stats, dfs)
+        SELECT row_id, score FROM scored WHERE score > 0
+        ORDER BY score DESC, row_id LIMIT {k}
+    """

@@ -65,32 +65,74 @@ class SegmentStore:
             return json.load(fh)
 
     def _publish(self, entries: list[dict]) -> None:
-        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
-        with os.fdopen(fd, "w") as fh:
-            json.dump(entries, fh, indent=1)
-        os.replace(tmp, self._manifest_path)  # atomic publish
+        """Atomically publish a new manifest AND archive it as an immutable
+        numbered version (Delta/Iceberg-style snapshot log at manifest
+        grain): every publish appends ``manifest-v<k>.json``; `open_at`
+        reads any retained version against the immutable segment files —
+        time-travel reads for free, since segments are never rewritten in
+        place. Version files are tiny driver-side metadata; `vacuum` prunes
+        old versions (and only then their unreferenced segment dirs)."""
+        v = (self.versions() or [0])[-1] + 1
+        for target in (f"manifest-v{v:06d}.json", "manifest.json"):
+            fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
+            with os.fdopen(fd, "w") as fh:
+                json.dump(entries, fh, indent=1)
+            os.replace(tmp, os.path.join(self.path, target))  # atomic
+
+    def versions(self) -> list[int]:
+        """Available snapshot versions, ascending (1-based publish order)."""
+        out = []
+        for name in os.listdir(self.path):
+            if name.startswith("manifest-v") and name.endswith(".json"):
+                out.append(int(name[len("manifest-v"):-len(".json")]))
+        return sorted(out)
+
+    def manifest_at(self, version: int) -> list[dict]:
+        p = os.path.join(self.path, f"manifest-v{version:06d}.json")
+        if not os.path.exists(p):
+            raise ValueError(
+                f"snapshot version {version} not found (have {self.versions()}"
+                " — vacuumed or never published)"
+            )
+        with open(p) as fh:
+            return json.load(fh)
 
     def total_rows(self) -> int:
         return sum(e["n_rows"] for e in self.manifest())
 
     def reconcile(self) -> list[str]:
-        """Delete seg-* dirs not referenced by the current manifest.
+        """Delete seg-* dirs referenced by NO retained manifest version.
 
-        A crash between compact's manifest publish and its cleanup loop
-        leaves superseded seg dirs on disk; nothing else ever touches them
-        (they are no longer in the manifest), so without this they leak
-        forever. The manifest-last write ordering makes the reconciliation
-        safe: any dir absent from the manifest is garbage by definition.
-        Called at the start of every compact; also safe to call on open."""
+        A crash between a publish and its cleanup loop can leave segment
+        dirs on disk that no manifest ever references; without this sweep
+        they leak forever. Dirs referenced only by OLD versions are NOT
+        garbage — they back `open_at` time travel — so liveness is the
+        union over every retained version (current manifest included);
+        `vacuum` shrinks that set by dropping old version files first.
+        The manifest-last write ordering makes the sweep safe: any dir in
+        no retained manifest is unreachable by definition."""
         import shutil
 
         live = {f"seg-{e['segment_id']:05d}" for e in self.manifest()}
+        for v in self.versions():
+            live |= {f"seg-{e['segment_id']:05d}" for e in self.manifest_at(v)}
         removed = []
         for name in os.listdir(self.path):
             if name.startswith("seg-") and name not in live:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
                 removed.append(name)
         return removed
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the last ``keep_last`` snapshot versions, then sweep
+        the segment dirs that are no longer referenced by any retained
+        version (the storage-reclaim half of time travel; `open_at` on a
+        vacuumed version raises). Returns the removed segment dirs."""
+        keep = set(self.versions()[-max(keep_last, 1):])
+        for v in self.versions():
+            if v not in keep:
+                os.remove(os.path.join(self.path, f"manifest-v{v:06d}.json"))
+        return self.reconcile()
 
     # -- write ---------------------------------------------------------------
 
@@ -230,7 +272,39 @@ class SegmentStore:
         row_id; missing columns null-filled by unionByName, then
         default-filled per `defaults` (MultiDf default columns,
         MultiDf.scala:125-142)."""
-        entries = self.manifest()
+        return self._open_entries(spark, self.manifest(), defaults)
+
+    def open_at(
+        self,
+        spark: SparkSession,
+        version: int,
+        defaults: dict[str, object] | None = None,
+    ) -> DataFrame:
+        """Time-travel open: the store exactly as of snapshot ``version``
+        (segment files are immutable, so an old manifest against them IS
+        the old store). Raises if the version — or a segment dir it needs —
+        has been vacuumed."""
+        entries = self.manifest_at(version)
+        missing = [
+            e["segment_id"]
+            for e in entries
+            if not os.path.isdir(
+                os.path.join(self.path, f"seg-{e['segment_id']:05d}")
+            )
+        ]
+        if missing:
+            raise ValueError(
+                f"snapshot version {version} is no longer readable: "
+                f"segments {missing} were vacuumed"
+            )
+        return self._open_entries(spark, entries, defaults)
+
+    def _open_entries(
+        self,
+        spark: SparkSession,
+        entries: list[dict],
+        defaults: dict[str, object] | None = None,
+    ) -> DataFrame:
         if not entries:
             return spark.createDataFrame([], "row_id long")
         parts = []

@@ -144,6 +144,37 @@ def test_reconcile_sweeps_orphan_dirs(spark, store):
     assert store.reconcile() == []
 
 
+def test_snapshot_time_travel_and_vacuum(spark, store):
+    """Every publish archives an immutable manifest version; open_at(v)
+    reads the store exactly as of v (segments are immutable, so an old
+    manifest against them IS the old store). Compaction keeps old versions
+    readable (their segment dirs stay live until vacuum); vacuum drops old
+    versions and only then sweeps their now-unreferenced segment dirs."""
+    import pytest as _pytest
+
+    df1 = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    df2 = spark.createDataFrame([(i,) for i in range(10, 30)], "k long")
+    store.write_segment(df1, order_keys=["k"])  # v1: [seg0]
+    store.write_segment(df2, order_keys=["k"])  # v2: [seg0, seg1]
+    assert store.versions() == [1, 2]
+    assert store.open_at(spark, 1).count() == 10
+    assert store.open_at(spark, 2).count() == 30
+    store.compact(spark)  # v3: [merged]; seg0/seg1 retained for v1/v2
+    assert store.versions() == [1, 2, 3]
+    assert len(store.manifest()) == 1
+    # pre-compact snapshots still read bit-identically
+    v2 = [tuple(r) for r in store.open_at(spark, 2).orderBy("row_id").collect()]
+    now = [tuple(r) for r in store.open(spark).orderBy("row_id").collect()]
+    assert v2 == now and store.open_at(spark, 1).count() == 10
+    # vacuum to the latest version: old manifests go, then their seg dirs
+    removed = store.vacuum(keep_last=1)
+    assert sorted(removed) == ["seg-00000", "seg-00001"]
+    assert store.versions() == [3]
+    assert store.open(spark).count() == 30  # current unharmed
+    with _pytest.raises(ValueError, match="not found"):
+        store.open_at(spark, 2)
+
+
 def test_write_segments_by_equals_sequential_writes(spark, sf_dir, store, tmp_path):
     """One-pass partitioned ingest must produce the identical store
     (manifest offsets, opened rows, index probes) as N sequential
