@@ -94,9 +94,37 @@ def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_index_probe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I3/P7: probe one key -> materialized row-id set (posting lists)."""
+    """I3/P7 + selectivity-driven access-path selection in one attested
+    entry. 'probe': one key -> materialized row-id set (posting lists).
+    'auto_index' / 'auto_scan': operators/access.smart_filter answers a
+    (col = value) predicate via whichever physical path the key's STORED
+    selectivity favors — the selective key (l_quantity = 1, ~2%) routes
+    through an index probe + semi join, the unselective one
+    (l_returnflag = 'R', ~33%) through a pushed-down scan filter — the
+    reference's probe-vs-scan premise as a first-class planner decision
+    (IndexedDf.scala:71-96: openIndex + f). The chosen path is asserted
+    in-process; the oracle checks both paths return exactly the
+    predicate's rows."""
+    from iodf_spark.operators.access import smart_filter
+
     ix, n = _lineitem_index(spark, sf_dir)
-    return idx.probe(ix, "l_returnflag", "R", n, encoding_hint="auto").to_rows()
+    li = _lineitem(spark, sf_dir)
+    probe_rows = (
+        idx.probe(ix, "l_returnflag", "R", n, encoding_hint="auto")
+        .to_rows()
+        .select(F.lit("probe").alias("variant"), "row_id")
+    )
+    via_index, p1 = smart_filter(li, ix, "l_quantity", 1, n)
+    via_scan, p2 = smart_filter(li, ix, "l_returnflag", "R", n)
+    if (p1, p2) != ("index", "scan"):  # the decision itself is the feature
+        raise AssertionError(f"unexpected access paths: {(p1, p2)}")
+    return (
+        probe_rows.unionByName(
+            via_index.select(F.lit("auto_index").alias("variant"), "row_id")
+        ).unionByName(
+            via_scan.select(F.lit("auto_scan").alias("variant"), "row_id")
+        )
+    )
 
 
 def q_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1210,9 +1238,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'l_linestatus' AS col_name, l_linestatus AS value FROM lineitem
             ) GROUP BY col_name, value ORDER BY col_name, value
         """,
-        "index_probe_rows": (
-            f"SELECT row_id FROM {LI_RID} WHERE l_returnflag = 'R'"
-        ),
+        "index_probe_rows": f"""
+            SELECT 'probe' AS variant, row_id FROM {LI_RID}
+            WHERE l_returnflag = 'R'
+            UNION ALL
+            SELECT 'auto_index' AS variant, row_id FROM {LI_RID}
+            WHERE l_quantity = 1
+            UNION ALL
+            SELECT 'auto_scan' AS variant, row_id FROM {LI_RID}
+            WHERE l_returnflag = 'R'
+        """,
         "bitmap_ops": """
             SELECT count(*) FILTER (l_returnflag = 'R')::BIGINT AS f_a,
                    count(*) FILTER (l_linestatus = 'F')::BIGINT AS f_b,

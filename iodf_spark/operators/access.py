@@ -1,0 +1,64 @@
+"""Selectivity-driven access-path selection — the reference's core premise
+made explicit: a (col = value) predicate should be answered by the bitmap
+index when the key is selective, and by a scan when it is not
+(IndexedDf.scala:71-96 exposes exactly this pair: `openIndex` row sets for
+point probes and `f` selectivity to decide with; SURVEY.md §2.2 P7).
+
+The decision input is the index's own statistics (`f` = key popcount — a
+near-point read under col_name partition pruning + value row-group
+skipping), so choosing a path costs one tiny aggregation, never a data
+scan. The two physical plans:
+
+* **index path** (f <= threshold * n): probe -> posting row-ids ->
+  LEFT SEMI join on row_id. On a cluster the data side is row_id-sorted
+  Parquet, so the semi join prunes row groups via min/max on row_id; the
+  posting side is tiny by construction (that is why this path was chosen).
+* **scan path** (f above threshold): plain `filter(col = value)` —
+  Catalyst pushes the predicate into the Parquet scan; at high selectivity
+  reading the column run beats materializing a huge row-id set (the same
+  break-even the reference's dense/sparse split encodes at storage level).
+
+Both paths return identical rows by construction; tests assert it and the
+driver oracle attests both against the same SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iodf_spark.operators.index import f as key_f
+from iodf_spark.operators.index import probe
+
+# default break-even: probe when the key selects <= 10% of rows. The exact
+# constant is workload-tunable; what matters is that the decision is made
+# from index statistics, not guessed per query.
+DEFAULT_THRESHOLD = 0.1
+
+
+def choose_access_path(
+    index_df: DataFrame, col: str, value, n: int,
+    threshold: float = DEFAULT_THRESHOLD,
+) -> str:
+    """'index' or 'scan' for a (col = value) predicate, decided from the
+    key's stored selectivity (one near-point agg over pruned index rows)."""
+    fv = key_f(index_df, col, value)
+    return "index" if fv <= threshold * n else "scan"
+
+
+def smart_filter(
+    data: DataFrame,
+    index_df: DataFrame,
+    col: str,
+    value,
+    n: int,
+    threshold: float = DEFAULT_THRESHOLD,
+) -> tuple[DataFrame, str]:
+    """Filter `data` (must carry row_id in the index's row space) to rows
+    where col = value, via whichever physical path the key's selectivity
+    favors. Returns (rows, chosen_path)."""
+    path = choose_access_path(index_df, col, value, n, threshold)
+    if path == "index":
+        ids = probe(index_df, col, value, n, encoding_hint="auto").to_rows()
+        return data.join(ids, "row_id", "left_semi"), path
+    return data.filter(F.col(col) == F.lit(value)), path

@@ -621,7 +621,25 @@ class PostingSet:
     def view(self, start: int, until: int) -> "PostingSet":
         """Row-range slice re-based to 0 (Df.scala:96-114, LBits view
         utils/LBits.scala:77-104): keep ids in [start, until), subtract
-        start, re-bucket."""
+        start, re-bucket.
+
+        Bucket-aligned fast path (the reference's view is O(1) lazy; this
+        is the distributed equivalent): when start is a bucket multiple and
+        until is too (or covers the tail), the slice is a pure bucket
+        filter + renumber — dense words are byte-identical, sparse ids just
+        shift, NO explode and NO shuffle. The general unaligned case falls
+        back to id-level re-bucketing (one shuffle over the slice's ids)."""
+        bs = self.bucket_size
+        if start % bs == 0 and (until % bs == 0 or until >= self.n):
+            b0, b1 = start // bs, -(-until // bs)
+            df = self.df.filter(
+                (F.col("bucket") >= b0) & (F.col("bucket") < b1)
+            ).select(
+                (F.col("bucket") - b0).alias("bucket"),
+                F.expr(f"transform(row_ids, _x -> _x - {start}L)").alias("row_ids"),
+                "words",
+            )
+            return PostingSet(df, min(until, self.n) - start, bs, self.encodings)
         ids = self.to_rows().filter(
             (F.col("row_id") >= start) & (F.col("row_id") < until)
         ).select((F.col("row_id") - start).alias("row_id"))

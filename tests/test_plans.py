@@ -215,3 +215,36 @@ def test_pivot_is_two_phase_hash_agg(spark):
     plan = plan_of(m.queries()["pivot"](spark, SF))
     assert plan.count("HashAggregate") >= 2
     assert "SortAggregate" not in plan
+
+
+def test_smart_filter_picks_path_by_selectivity(spark):
+    """Access-path selection (operators/access.py): the probe-vs-scan
+    decision comes from the index's stored selectivity, the scan path keeps
+    its Parquet pushdown, and both physical paths return identical rows."""
+    from iodf_spark.operators import index as idx
+    from iodf_spark.operators.access import smart_filter
+    from iodf_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem", row_id=True).cache()
+    n = li.count()
+    ix = idx.build_index(
+        li, idx.IndexConf(include=["l_returnflag", "l_quantity"]), n_rows=n
+    ).cache()
+    via_index, p1 = smart_filter(li, ix, "l_quantity", 1, n)
+    via_scan, p2 = smart_filter(li, ix, "l_returnflag", "R", n)
+    assert (p1, p2) == ("index", "scan")
+    # scan path: predicate pushed into the Parquet scan (or evaluated over
+    # the cached relation); index path: a semi join against posting rows
+    assert "LeftSemi" in plan_of(via_index)
+    scan_rows = {r["row_id"] for r in via_scan.select("row_id").collect()}
+    want_scan = {
+        r["row_id"]
+        for r in li.filter(F.col("l_returnflag") == "R").select("row_id").collect()
+    }
+    assert scan_rows == want_scan
+    index_rows = {r["row_id"] for r in via_index.select("row_id").collect()}
+    want_index = {
+        r["row_id"]
+        for r in li.filter(F.col("l_quantity") == 1).select("row_id").collect()
+    }
+    assert index_rows == want_index

@@ -94,6 +94,23 @@ def test_view_slices_and_rebases(spark):
     assert vv.to_list() == sorted(i - 30 for i in sa if 30 <= i < 70)
 
 
+@pytest.mark.parametrize("enc", ["sparse", "dense", "adaptive"])
+@pytest.mark.parametrize(
+    "start,until",
+    [(BS, 5 * BS), (0, 3 * BS), (2 * BS, N + 7), (BS, N)],  # aligned fast path
+)
+def test_view_bucket_aligned_fast_path(spark, enc, start, until):
+    """Aligned views are a pure bucket renumber (dense words unchanged, no
+    explode) — must agree with the ground truth for every encoding, and
+    keep the source's encodings (a dense view of a dense set stays dense)."""
+    sa, _, pa, _ = make_sets(spark, 13, 2, enc, enc)
+    v = pa.view(start, until)
+    hi = min(until, N)
+    assert v.n == hi - start
+    assert v.to_list() == sorted(i - start for i in sa if start <= i < hi)
+    assert v.encodings == pa.encodings
+
+
 def test_empty_and_full(spark):
     e = PostingSet.empty(spark, N, BS)
     f = PostingSet.full(spark, N, BS)
