@@ -137,8 +137,9 @@ def build_index(
     df: DataFrame,
     conf: IndexConf | None = None,
     bucket_size: int = DEFAULT_BUCKET_SIZE,
-    n_rows: int | None = None,
+    n_rows: "int | dict | None" = None,
     adaptive: bool = True,
+    group_keys: list[str] | None = None,
 ) -> DataFrame:
     """Build the inverted index DataFrame for `df` (must carry row_id).
 
@@ -154,19 +155,29 @@ def build_index(
     probes on them run the dense bitwise kernels. Per-key global f costs one
     window pass; the dense keys' ids take one extra bit_or shuffle at build.
     ``n_rows`` (row count of df) is counted if not supplied.
-    """
+
+    ``group_keys`` builds MANY independent indexes in one pass (e.g. one
+    per segment in a partitioned ingest — the batched alternative to N
+    sequential builds): the named columns thread through every aggregation
+    as extra keys and come back as leading output columns; row_id must be
+    group-LOCAL. With exactly one group key, ``n_rows`` may be a dict
+    (group value -> that group's row count) so the density rule stays
+    per-group."""
     conf = conf or IndexConf()
-    dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
+    gks = list(group_keys or [])
     melted = []
     for col in conf.columns(df):
+        if col in gks:
+            continue
         analyzer = conf.analyzer_for(col)
         tokens = df.select(
-            "row_id", F.explode(analyzer(F.col(col))).alias("_token")
+            *gks, "row_id", F.explode(analyzer(F.col(col))).alias("_token")
         ).filter(F.col("_token").isNotNull())
         token_type = tokens.schema["_token"].dataType
         kind, vb, vl, vd, vs = _typed_value_cols(token_type)
         melted.append(
             tokens.select(
+                *gks,
                 F.lit(col).alias("col_name"),
                 F.lit(kind).cast("tinyint").alias("value_kind"),
                 vb.alias("value_bool"),
@@ -180,11 +191,12 @@ def build_index(
     all_tokens = melted[0]
     for m in melted[1:]:
         all_tokens = all_tokens.unionByName(m)
+    out_keys = [*gks, *INDEX_KEY_COLS]
     # collect_set: a token occurring k times in one row still sets one bit
     # (the reference's posting list is a bitmap — inherently set-valued)
     if not adaptive:
         return (
-            all_tokens.groupBy(*INDEX_KEY_COLS, "bucket")
+            all_tokens.groupBy(*out_keys, "bucket")
             .agg(F.sort_array(F.collect_set("row_id")).alias("row_ids"))
             .withColumn("f", F.size("row_ids").cast("long"))
             .withColumn("words", F.lit(None).cast("array<long>"))
@@ -195,23 +207,34 @@ def build_index(
     # Route each key to its target encoding with a BROADCAST of just the
     # dense keys: by the density rule a column can have at most 256 keys
     # with f > n/256, so the broadcast side is bounded at 256 x #columns
-    # rows no matter the data size. Join key is (col_name, value_kind,
-    # value_str) — value_str is populated for every kind, so the join is a
-    # plain (null-free) broadcast equi-join; the token stream stays narrow.
-    # Occurrence count over-estimates f when a row repeats a token, which
-    # can only over-route a borderline key to dense — an encoding heuristic,
-    # never a correctness issue (words dedup via bit_or).
-    route_keys = ["col_name", "value_kind", "value_str"]
+    # (x #groups) rows no matter the data size. Join key is (col_name,
+    # value_kind, value_str) — value_str is populated for every kind, so
+    # the join is a plain (null-free) broadcast equi-join; the token stream
+    # stays narrow. Occurrence count over-estimates f when a row repeats a
+    # token, which can only over-route a borderline key to dense — an
+    # encoding heuristic, never a correctness issue (words dedup via
+    # bit_or).
+    route_keys = [*gks, "col_name", "value_kind", "value_str"]
+    occ = all_tokens.groupBy(*route_keys).agg(F.count(F.lit(1)).alias("_occ"))
+    if isinstance(n_rows, dict):
+        if len(gks) != 1:
+            raise ValueError("dict n_rows requires exactly one group key")
+        ktype = df.schema[gks[0]].dataType.simpleString()
+        n_df = df.sparkSession.createDataFrame(
+            [(k, int(v)) for k, v in n_rows.items()], f"{gks[0]} {ktype}, _n long"
+        )
+        occ = occ.join(F.broadcast(n_df), gks[0])
+        thresh = F.col("_n")
+    else:
+        thresh = F.lit(int(n_rows))
     dense_keys = (
-        all_tokens.groupBy(*route_keys)
-        .agg(F.count(F.lit(1)).alias("_occ"))
-        .filter((F.col("_occ") * (1 << DENSITY_SHIFT)) > F.lit(int(n_rows)))
+        occ.filter((F.col("_occ") * (1 << DENSITY_SHIFT)) > thresh)
         .select(*route_keys, F.lit(True).alias("_dense"))
     )
     routed = all_tokens.join(F.broadcast(dense_keys), route_keys, "left")
     sparse_part = (
         routed.filter(F.col("_dense").isNull())
-        .groupBy(*INDEX_KEY_COLS, "bucket")
+        .groupBy(*out_keys, "bucket")
         .agg(F.sort_array(F.collect_set("row_id")).alias("row_ids"))
         .withColumn("f", F.size("row_ids").cast("long"))
         .withColumn("words", F.lit(None).cast("array<long>"))
@@ -219,19 +242,19 @@ def build_index(
     dense_part = (
         routed.filter(F.col("_dense").isNotNull())
         .select(
-            *INDEX_KEY_COLS,
+            *out_keys,
             "bucket",
             F.expr(f"cast(pmod(row_id, {bs}) div {wb} as int)").alias("_w"),
             F.expr(
                 f"shiftleft(1L, cast(pmod(pmod(row_id, {bs}), {wb}) as int))"
             ).alias("_bit"),
         )
-        .groupBy(*INDEX_KEY_COLS, "bucket", "_w")
+        .groupBy(*out_keys, "bucket", "_w")
         .agg(F.expr("bit_or(_bit)").alias("_word"))
-        .groupBy(*INDEX_KEY_COLS, "bucket")
+        .groupBy(*out_keys, "bucket")
         .agg(F.sort_array(F.collect_list(F.struct("_w", "_word"))).alias("_es"))
         .select(
-            *INDEX_KEY_COLS,
+            *out_keys,
             "bucket",
             F.lit(None).cast("array<long>").alias("row_ids"),
             F.expr(_assemble_words("_es", nw)).alias("words"),

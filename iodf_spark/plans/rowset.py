@@ -97,6 +97,167 @@ def _assemble_words(es: str, nw: int) -> str:
     )
 
 
+def _expand_words_ids(words: str, bucket: str, bucket_size: int) -> str:
+    """SQL: dense words -> sorted global row-id array (per-row expression
+    form of explode_posting's dense branch; used only on rare mixed or
+    sub-word-bucket rows)."""
+    wb = WORD_BITS
+    return (
+        f"flatten(transform(sequence(0, size({words}) - 1), _w -> "
+        f"transform(filter(sequence(0, {wb - 1}), "
+        f"_b -> bit_get(element_at({words}, _w + 1), cast(_b as int)) = 1), "
+        f"_b -> {bucket} * {bucket_size}L + _w * {wb}L + _b)))"
+    )
+
+
+def _shift_word_expr(src: str, nw: int, base: str, sb: int) -> str:
+    """SQL: target word _w of a words array shifted UP by (ws words + sb
+    bits), reading source words (_w + {base}) and (_w + {base} - 1) with
+    out-of-range reads as zero. Callers inline it under transform(sequence)
+    with `base` an arithmetic expression in _w."""
+    def at(i: str) -> str:
+        return (
+            f"(CASE WHEN ({i}) >= 0 AND ({i}) < {nw} "
+            f"THEN element_at({src}, ({i}) + 1) ELSE 0L END)"
+        )
+
+    if sb == 0:
+        return at(base)
+    return (
+        f"(shiftleft({at(base)}, {sb}) | "
+        f"shiftrightunsigned({at(f'({base}) - 1')}, {WORD_BITS - sb}))"
+    )
+
+
+def shift_posting_contribs(
+    df: DataFrame, key_cols: list[str], offset: int, bucket_size: int
+) -> DataFrame:
+    """Shift posting rows by +offset BUCKET-LOCALLY — no id explosion.
+
+    Each source bucket's ids land in at most TWO target buckets, so every
+    row yields a 'low' and 'high' contribution: sparse arrays are
+    filter+transform'd in place; dense words arrays are shifted with
+    word/bit-shift expressions (8 KiB stays 8 KiB — the explode
+    alternative blows a full bucket up to bucket_size shuffle records,
+    a 64-4000x record amplification this path avoids). Output schema:
+    (*key_cols, bucket, _src, row_ids, words) where _src is the
+    contribution's first global target position — sorting a target
+    bucket's contributions by _src yields ascending id ranges, so the
+    combine (``regroup_posting_contribs``) is a concat, not a sort-merge.
+
+    Dense word-shift needs whole words (bucket_size % 64 == 0 — the
+    production geometry); sub-word test buckets expand their (tiny) dense
+    rows to ids first.
+    """
+    bs, wb = bucket_size, WORD_BITS
+    q, r = divmod(offset, bs)
+    keys = [F.col(k) for k in key_cols]
+    if r == 0:
+        return df.select(
+            *keys,
+            (F.col("bucket") + q).alias("bucket"),
+            (F.col("bucket") * bs + offset).alias("_src"),
+            F.expr(f"transform(row_ids, _x -> _x + {offset}L)").alias("row_ids"),
+            "words",
+        )
+    nw = _n_words(bs)
+    ws, sb = divmod(r, wb)
+    if bs % wb != 0:
+        # sub-word buckets (tests only): no whole-word shift exists — turn
+        # dense rows sparse, then the sparse split below covers everything
+        df = df.select(
+            *keys,
+            "bucket",
+            F.expr(
+                "CASE WHEN row_ids IS NOT NULL THEN row_ids ELSE "
+                f"{_expand_words_ids('words', 'bucket', bs)} END"
+            ).alias("row_ids"),
+            F.lit(None).cast("array<long>").alias("words"),
+        )
+    low_ids = (
+        f"transform(filter(row_ids, _x -> pmod(_x, {bs}) < {bs - r}), "
+        f"_x -> _x + {offset}L)"
+    )
+    high_ids = (
+        f"transform(filter(row_ids, _x -> pmod(_x, {bs}) >= {bs - r}), "
+        f"_x -> _x + {offset}L)"
+    )
+    low_words = (
+        f"transform(sequence(0, {nw - 1}), _w -> "
+        f"{_shift_word_expr('words', nw, f'_w - {ws}', sb)})"
+    )
+    high_words = (
+        f"transform(sequence(0, {nw - 1}), _w -> "
+        f"{_shift_word_expr('words', nw, f'_w + {nw - ws}', sb)})"
+    )
+    both = df.select(
+        *keys,
+        F.explode(
+            F.expr(
+                f"array("
+                f"named_struct("
+                f"  'bucket', bucket + {q}L,"
+                f"  '_src', bucket * {bs}L + {offset}L,"
+                f"  'row_ids', CASE WHEN row_ids IS NULL THEN NULL ELSE {low_ids} END,"
+                f"  'words', CASE WHEN words IS NULL THEN NULL ELSE {low_words} END),"
+                f"named_struct("
+                f"  'bucket', bucket + {q + 1}L,"
+                f"  '_src', (bucket + {q + 1}L) * {bs}L,"
+                f"  'row_ids', CASE WHEN row_ids IS NULL THEN NULL ELSE {high_ids} END,"
+                f"  'words', CASE WHEN words IS NULL THEN NULL ELSE {high_words} END))"
+            )
+        ).alias("_c"),
+    ).select(
+        *keys,
+        F.col("_c.bucket").alias("bucket"),
+        F.col("_c._src").alias("_src"),
+        F.col("_c.row_ids").alias("row_ids"),
+        F.col("_c.words").alias("words"),
+    )
+    return both.filter(F.expr(_NONEMPTY))
+
+
+def regroup_posting_contribs(
+    contribs: DataFrame, key_cols: list[str], bucket_size: int
+) -> DataFrame:
+    """Combine shifted contributions into one posting row per (key, bucket).
+
+    Contributions within a bucket are disjoint ascending position ranges
+    (by _src order), so: all-sparse buckets concat via flatten (already
+    sorted — no per-id sort); all-dense buckets fold with a word-OR; mixed
+    buckets (adjacent source rows of different encodings — rare) expand
+    their dense side and emit sorted sparse. One shuffle over posting ROWS.
+    """
+    nw = _n_words(bucket_size)
+    grouped = contribs.groupBy(*key_cols, "bucket").agg(
+        F.sort_array(F.collect_list(F.struct("_src", "row_ids", "words"))).alias("_cs")
+    )
+    expand = _expand_words_ids("_c.words", "bucket", bucket_size)
+    all_sparse = "forall(_cs, _c -> _c.words IS NULL)"
+    all_dense = "forall(_cs, _c -> _c.row_ids IS NULL)"
+    sparse_out = "flatten(transform(_cs, _c -> _c.row_ids))"
+    dense_out = (
+        f"aggregate(_cs, array_repeat(0L, {nw}), "
+        f"(_acc, _c) -> zip_with(_acc, _c.words, (_x, _y) -> _x | _y))"
+    )
+    mixed_out = (
+        f"sort_array(flatten(transform(_cs, "
+        f"_c -> coalesce(_c.row_ids, {expand}))))"
+    )
+    return grouped.select(
+        *key_cols,
+        "bucket",
+        F.expr(
+            f"CASE WHEN {all_dense} THEN NULL "
+            f"WHEN {all_sparse} THEN {sparse_out} "
+            f"ELSE {mixed_out} END"
+        ).alias("row_ids"),
+        F.expr(
+            f"CASE WHEN {all_dense} THEN {dense_out} ELSE NULL END"
+        ).alias("words"),
+    )
+
+
 def predicate_counts(df: DataFrame, pred_a: Column, pred_b: Column) -> DataFrame:
     """One-pass (n, fa, fb, fab) for two predicates — the predicate-path
     `f`/`fAnd` (LBits.scala:18, utils/LBits.scala:116-160) batched into a
@@ -580,9 +741,12 @@ class PostingSet:
         328-348, SURVEY.md B5): result has n = a.n + b.n, b's ids shifted by
         a.n. When a.n is bucket-aligned the shift is a pure bucket renumber
         for BOTH encodings (dense words don't change at all) and buckets are
-        disjoint — a no-shuffle union. Otherwise b is re-bucketed (one
-        shuffle over b's ids) and only the single straddling bucket is
-        coalesced."""
+        disjoint — a no-shuffle union. Otherwise b's rows shift
+        BUCKET-LOCALLY (shift_posting_contribs: sparse arrays split in
+        place, dense words word/bit-shift — never exploded to ids), the
+        single straddling a-bucket joins them as one more contribution, and
+        one posting-ROW shuffle regroups; a's other buckets pass through
+        untouched."""
         if self.bucket_size != other.bucket_size:
             raise ValueError("bucket_size mismatch")
         bs = self.bucket_size
@@ -599,24 +763,21 @@ class PostingSet:
                 bs,
                 self.encodings | other.encodings,
             )
-        shifted = (
-            explode_posting(other.df, [], bs)
-            .select((F.col("row_id") + offset).alias("row_id"))
-            .select((F.col("row_id") / bs).cast("long").alias("bucket"), "row_id")
-            .groupBy("bucket")
-            .agg(F.sort_array(F.collect_list("row_id")).alias("row_ids"))
+        sb = offset // bs  # the only a-bucket b's shifted ids can touch
+        a_clean = self.df.filter(F.col("bucket") != sb)
+        a_straddle = self.df.filter(F.col("bucket") == sb).select(
+            "bucket",
+            (F.col("bucket") * bs).alias("_src"),  # a precedes b at bucket sb
+            "row_ids",
+            "words",
         )
-        merged = self.df.unionByName(self._with_dual(shifted))
-        sb = offset // bs  # the only bucket both row spaces can touch
-        clean = merged.filter(F.col("bucket") != sb)
-        straddle = (
-            explode_posting(merged.filter(F.col("bucket") == sb), [], bs)
-            .select((F.col("row_id") / bs).cast("long").alias("bucket"), "row_id")
-            .groupBy("bucket")
-            .agg(F.sort_array(F.collect_list("row_id")).alias("row_ids"))
+        contribs = a_straddle.unionByName(
+            shift_posting_contribs(other.df, [], offset, bs)
         )
-        df = clean.unionByName(self._with_dual(straddle))
-        return PostingSet(df, self.n + other.n, bs)
+        combined = regroup_posting_contribs(contribs, [], bs)
+        return PostingSet(
+            a_clean.unionByName(combined), self.n + other.n, bs
+        )
 
     def view(self, start: int, until: int) -> "PostingSet":
         """Row-range slice re-based to 0 (Df.scala:96-114, LBits view

@@ -243,8 +243,9 @@ class SegmentStore:
         entries_prev = self.manifest()
         next_id = max((e["segment_id"] for e in entries_prev), default=-1) + 1
         base_offset = sum(e["n_rows"] for e in entries_prev)
-        new_entries, seg_start = [], 0
+        new_entries, seg_start, seg_starts = [], 0, {}
         for i, v in enumerate(split_values):
+            seg_starts[i] = seg_start
             n_seg = int(counts.get(i, 0))
             seg = (
                 stamped.filter(F.col("_srank") == i)
@@ -253,13 +254,55 @@ class SegmentStore:
             )
             if per_segment is not None:
                 seg = per_segment(v, seg)
-            entry = self._write_segment_files(
-                seg, next_id + i, index_conf, n_rows=n_seg
-            )
+            entry = self._write_segment_files(seg, next_id + i, None, n_rows=n_seg)
+            entry["indexed"] = index_conf is not None
             entry["row_id_offset"] = base_offset + seg_start
             new_entries.append(entry)
             seg_start += n_seg
         assert seg_start == total
+        if index_conf is not None:
+            # ALL segment indexes in ONE build job + ONE partitioned write
+            # (vs a per-segment build+write round each): group_keys threads
+            # _srank through the aggregations with per-segment n for the
+            # density rule; the _srank=<i> output dirs are renamed into the
+            # per-segment index layout (identical on disk to N sequential
+            # writes). Indexed columns come from the pre-reshape scan —
+            # per_segment reshaping must not drop an indexed column.
+            start_case = F.when(F.col("_srank") == 0, 0)
+            for i in range(1, len(split_values)):
+                start_case = start_case.when(F.col("_srank") == i, seg_starts[i])
+            local = stamped.withColumn(
+                "row_id", F.col("row_id") - start_case.cast("long")
+            )
+            ix = build_index(
+                local,
+                index_conf,
+                bucket_size=self.bucket_size,
+                n_rows={i: int(counts.get(i, 0)) for i in range(len(split_values))},
+                group_keys=["_srank"],
+            )
+            tmp = os.path.join(self.path, "_ix_batch.tmp")
+            (
+                ix.repartition("_srank", "col_name")
+                .sortWithinPartitions("value_kind", "value_str", "bucket")
+                .write.mode("overwrite")
+                .partitionBy("_srank", "col_name")
+                .parquet(tmp)
+            )
+            for i in range(len(split_values)):
+                dst = os.path.join(
+                    self.path, f"seg-{next_id + i:05d}", "index"
+                )
+                src = os.path.join(tmp, f"_srank={i}")
+                if os.path.isdir(src):
+                    os.replace(src, dst)
+                else:  # empty segment: write an empty (but schema'd) index
+                    ix.filter(F.lit(False)).drop("_srank").write.mode(
+                        "overwrite"
+                    ).parquet(dst)
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
         self._publish(entries_prev + new_entries)
         return new_entries
 
@@ -330,9 +373,16 @@ class SegmentStore:
         Fast path — every segment offset bucket-aligned: the shift is a
         bucket renumber (dense words unchanged, id arrays + constant), and
         segment row spaces are disjoint per bucket, so the view is a pure
-        union: NO shuffle at all. General path: all encodings explode to
-        ids (dual-aware), shift, and regroup once — sparse output."""
-        from iodf_spark.plans.rowset import explode_posting
+        union: NO shuffle at all. General path: per-segment posting rows
+        shift BUCKET-LOCALLY (rowset.shift_posting_contribs — sparse
+        arrays split in place, dense words word/bit-shift, never exploded
+        to ids) and one posting-ROW shuffle regroups the straddling
+        buckets; both encodings survive the shift."""
+        from iodf_spark.plans.rowset import (
+            _POPCOUNT,
+            regroup_posting_contribs,
+            shift_posting_contribs,
+        )
 
         entries = [e for e in self.manifest() if e.get("indexed")]
         if not entries:
@@ -362,22 +412,14 @@ class SegmentStore:
                     )
                 )
             else:
-                parts.append(
-                    explode_posting(ix, key_cols, bs).select(
-                        *key_cols, (F.col("row_id") + off).alias("row_id")
-                    )
-                )
+                parts.append(shift_posting_contribs(ix, key_cols, off, bs))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         if aligned:
             return out
-        return (
-            out.select("*", (F.col("row_id") / bs).cast("long").alias("bucket"))
-            .groupBy(*key_cols, "bucket")
-            .agg(F.sort_array(F.collect_set("row_id")).alias("row_ids"))
-            .withColumn("f", F.size("row_ids").cast("long"))
-            .withColumn("words", F.lit(None).cast("array<long>"))
+        return regroup_posting_contribs(out, key_cols, bs).withColumn(
+            "f", F.expr(_POPCOUNT)
         )
 
     def have_segments(

@@ -95,3 +95,23 @@ def test_text_analyzer_tokenizes(spark, sf_dir):
               FROM read_parquet('{sf_dir}/documents.parquet')) WHERE t <> ''"""
     ).fetchone()[0]
     assert total_tokens == expected
+
+
+def test_udtf_analyzer_equals_expression_analyzer(spark, sf_dir):
+    """§2.12 UDTF surface: the Python-UDTF tokenizer (lateral join fan-out)
+    must produce exactly the expression analyzer's (row_id, token) rows —
+    swapping a Python tokenizer in changes speed, never index semantics."""
+    from pyspark.sql import functions as F
+
+    from iodf_spark.operators.index import text_analyzer
+    from iodf_spark.operators.pyanalyzers import py_tokenize
+    from iodf_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", row_id=True).limit(50)
+    via_expr = docs.select(
+        "row_id", F.explode(text_analyzer(F.col("text"))).alias("token")
+    )
+    via_udtf = py_tokenize(docs, "row_id", "text")
+    a = sorted(map(tuple, via_expr.collect()))
+    b = sorted(map(tuple, via_udtf.collect()))
+    assert a == b and len(a) > 0

@@ -140,3 +140,34 @@ def test_empty_sparse_array_in_mixed_bucket_keeps_dense_words(spark):
     hollow = PostingSet(empty_rows, N, BS)  # encodings unknown -> general path
     assert sorted((dense | hollow).to_list()) == [0, 1, 40]
     assert sorted(dense.andnot(hollow).to_list()) == [0, 1, 40]
+
+
+@pytest.mark.parametrize("bs", [64, 128])  # whole-word buckets: ws=0 and ws>0
+@pytest.mark.parametrize(
+    "enc_a,enc_b",
+    [("sparse", "sparse"), ("dense", "dense"), ("sparse", "dense"), ("dense", "sparse")],
+)
+def test_unaligned_merge_word_shift_path(spark, bs, enc_a, enc_b):
+    """Unaligned merge at production bucket geometry (bucket_size % 64 == 0)
+    takes the bucket-local word/bit-shift path — dense words are shifted,
+    never exploded. N=200 gives offset r = 200 % bs in (0, bs) with a
+    non-zero bit shift, and bs=128 additionally crosses a word boundary
+    (ws=1). Every encoding combination must match the ground truth, and a
+    second merge on the (now mixed, differently-unaligned) result must
+    too."""
+    rng = random.Random(bs)
+    a = [i for i in range(N) if rng.random() < 0.4]
+    b = [i for i in range(N) if rng.random() < 0.4]
+    pa = PostingSet.from_positions(spark, a, N, bs, encoding=enc_a)
+    pb = PostingSet.from_positions(spark, b, N, bs, encoding=enc_b)
+    merged = pa.merge(pb)
+    assert merged.n == 2 * N
+    assert merged.to_list() == sorted(a) + [N + i for i in sorted(b)]
+    assert merged.f() == len(a) + len(b)
+    # chain: merge onto the merged result (offset 2N, differently unaligned)
+    pc_src = [i for i in range(N) if rng.random() < 0.4]
+    pc = PostingSet.from_positions(spark, pc_src, N, bs, encoding=enc_b)
+    chained = merged.merge(pc)
+    assert chained.to_list() == (
+        sorted(a) + [N + i for i in sorted(b)] + [2 * N + i for i in sorted(pc_src)]
+    )
