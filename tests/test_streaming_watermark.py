@@ -1,0 +1,94 @@
+"""Watermark / late-data semantics (SURVEY.md §2.11): append-mode windowed
+aggregation over MULTIPLE micro-batches must (a) only finalize a window
+once the watermark passes it, and (b) DROP an event that arrives after its
+window was finalized — the behavior that distinguishes a real streaming
+engine from replaying batches.
+
+The driver-facing streaming queries run availableNow over one file (single
+batch: watermark semantics never bite). Here three parquet files +
+maxFilesPerTrigger=1 force three ORDERED micro-batches inside one
+availableNow run (file source processes oldest-modtime first):
+
+* batch 0 carries the 10:00 window's events plus a 12:00 event, advancing
+  the committed watermark to 11:30;
+* batch 1 (one punctual event) runs under that watermark — the 10:00
+  window (end 11:00 <= 11:30) is evicted and EMITTED, finalized;
+* batch 2 carries an event at 10:45 — behind the watermark, its window
+  already finalized: Spark must DROP it (no second row for the window, no
+  changed aggregate), while the punctual 13:00 event in the same batch
+  lands in open state.
+
+(The one-batch-earlier variant — late row arriving in the same batch that
+evicts its window — is merged, not dropped: the late filter uses the
+previous batch's committed watermark. That is Spark's documented
+best-effort boundary, and why the test separates eviction and late
+arrival by a full batch.)
+"""
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, path, rows, mtime_bump: int):
+    before = set(os.listdir(path)) if os.path.isdir(path) else set()
+    spark.createDataFrame(
+        [(int(i), ts, float(v)) for i, (ts, v) in enumerate(rows)],
+        "event_id long, ts_s string, value double",
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "value"
+    ).coalesce(1).write.mode("append").parquet(path)
+    # file source orders micro-batches by modification time: stamp ONLY
+    # this write's files so each write forms its own, ordered batch
+    now = time.time() + mtime_bump
+    for name in set(os.listdir(path)) - before:
+        if name.endswith(".parquet"):
+            os.utime(os.path.join(path, name), (now, now))
+
+
+def test_late_event_is_dropped_after_window_finalized(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    _write_events(
+        spark,
+        src,
+        [
+            ("2024-01-01 10:00:00", 1.0),
+            ("2024-01-01 10:30:00", 2.0),
+            ("2024-01-01 12:00:00", 3.0),  # advances watermark to 11:30
+        ],
+        mtime_bump=0,
+    )
+    _write_events(spark, src, [("2024-01-01 12:30:00", 10.0)], mtime_bump=60)
+    _write_events(
+        spark,
+        src,
+        [
+            ("2024-01-01 13:00:00", 20.0),
+            ("2024-01-01 10:45:00", 100.0),  # LATE: window finalized in b1
+        ],
+        mtime_bump=120,
+    )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv"))
+        .select(F.col("w.start").cast("string").alias("h"), "cnt", "sv")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("wm_sink_test")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    )
+    q.awaitTermination()
+    with_input = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(with_input) >= 3, "file source did not split into micro-batches"
+    out = [tuple(r) for r in spark.table("wm_sink_test").collect()]
+    # exactly ONE emission: the finalized 10:00 window with ONLY punctual
+    # events — the late 10:45 row was dropped (no second row, no resum)
+    assert out == [("2024-01-01 10:00:00", 2, 3.0)], out
