@@ -482,13 +482,11 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     with_orders = customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_semi"
-    ).count()
+    ).agg(F.count(F.lit(1)).alias("with_orders"))
     without = customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
-    ).count()
-    return spark.createDataFrame(
-        [(with_orders, without)], "with_orders long, without_orders long"
-    )
+    ).agg(F.count(F.lit(1)).alias("without_orders"))
+    return with_orders.crossJoin(without)  # two 1-row aggs, one lazy plan
 
 
 def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,9 +530,13 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    both = f_cust.intersect(o_cust).count()
-    only_open = o_cust.distinct().exceptAll(f_cust.distinct()).count()
-    return spark.createDataFrame([(both, only_open)], "both long, only_open long")
+    both = f_cust.intersect(o_cust).agg(F.count(F.lit(1)).alias("both"))
+    only_open = (
+        o_cust.distinct()
+        .exceptAll(f_cust.distinct())
+        .agg(F.count(F.lit(1)).alias("only_open"))
+    )
+    return both.crossJoin(only_open)  # two 1-row aggs, one lazy plan
 
 
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:

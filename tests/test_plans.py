@@ -248,3 +248,37 @@ def test_smart_filter_picks_path_by_selectivity(spark):
         for r in li.filter(F.col("l_quantity") == 1).select("row_id").collect()
     }
     assert index_rows == want_index
+
+
+LAZY_QUERIES = [
+    # every queries() entry whose function builds a plan without driving
+    # streams or building segment stores (those are exercised elsewhere);
+    # first-touch index caches at sf0.001 are cheap
+    "index_distinct_values", "index_stats", "index_probe_rows",
+    "bitmap_ops", "rowset_ops", "point_lookup", "costats",
+    "q1_pricing_summary", "knn_weights", "knn_topk", "table_view",
+    "join_agg", "window_funcs", "topk", "grouping_sets", "pivot",
+    "approx_aggregates", "asof_join", "range_join", "events_windowed",
+    "resample_ffill", "sessionize", "dedup_exact", "dedup_jaccard",
+    "dedup_minhash", "dedup_simhash", "quality_filter", "vocab_topk",
+    "text_stats", "profile", "embedding_pairs", "ann_topk", "ann_lsh",
+    "ann_ivf", "multimodal_meta", "multimodal_features", "text_search",
+    "stratified_sample", "semi_anti_join", "set_ops",
+]
+
+
+def test_no_cartesian_product_in_any_query_plan(spark):
+    """Sweep the lazily-planned driver queries: no plan may contain a
+    CartesianProduct (an unbroadcast cross join — the classic silent
+    scale-killer). Intended tiny-side conditional joins compile to
+    BroadcastNestedLoopJoin, which is allowed; a CartesianProduct of two
+    big sides is never."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    bad = {}
+    for name in LAZY_QUERIES:
+        plan = plan_of(qs[name](spark, SF))
+        if "CartesianProduct" in plan:
+            bad[name] = True
+    assert not bad, f"cartesian products in: {sorted(bad)}"
