@@ -199,12 +199,28 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
-def stream_dedup(events: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Stateful streaming deduplication: keep the first event per key
-    (dropDuplicates on a stream holds the seen-key set in the state store —
-    the streaming twin of exact_dedup; with a watermark the state would be
-    GC'd by event time). Which physical row survives depends on arrival
-    order, so deterministic checks aggregate over the kept set."""
+def stream_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: "tuple[str, str] | None" = None,
+) -> DataFrame:
+    """Stateful streaming deduplication: keep the first event per key.
+
+    Without ``watermark``, dropDuplicates holds the seen-key set in the
+    state store FOREVER — exact global dedup, but state grows with key
+    cardinality (fine for bounded key spaces; a scale hazard on an
+    infinite stream). With ``watermark=(ts_col, delay)``, the state is
+    GC'd by event time via dropDuplicatesWithinWatermark: duplicates
+    arriving within ``delay`` of each other collapse, keys older than the
+    watermark are evicted — bounded state, the standard production trade
+    (a duplicate farther apart than the horizon is re-admitted). Which
+    physical row survives depends on arrival order, so deterministic
+    checks aggregate over the kept set."""
+    if watermark is not None:
+        ts_col, delay = watermark
+        return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+            key_cols
+        )
     return events.dropDuplicates(key_cols)
 
 

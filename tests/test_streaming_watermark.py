@@ -92,3 +92,70 @@ def test_late_event_is_dropped_after_window_finalized(spark, tmp_path):
     # exactly ONE emission: the finalized 10:00 window with ONLY punctual
     # events — the late 10:45 row was dropped (no second row, no resum)
     assert out == [("2024-01-01 10:00:00", 2, 3.0)], out
+
+
+def test_stream_dedup_watermark_bounds_state(spark, tmp_path):
+    """stream_dedup with a watermark horizon GC's seen-key state: a
+    duplicate INSIDE the horizon collapses; the same key re-appearing far
+    beyond it is re-admitted (state was evicted) — the bounded-state trade
+    an infinite stream needs. Without a watermark the key is deduped
+    globally (state never evicted)."""
+    from iodf_spark.streaming.ingest import stream_dedup
+
+    src = str(tmp_path / "dedup_src")
+    # value encodes the dedup key (see `k` below): 3.0/5.0 are a DIFFERENT
+    # key whose job is advancing the watermark between A's appearances —
+    # eviction is end-of-batch, so re-admission needs the watermark to
+    # pass the key's expiry in a batch where the key is ABSENT (exactly
+    # how other traffic drives state GC on a real stream)
+    _write_events(spark, src, [("2024-01-01 10:00:00", 1.0)], mtime_bump=0)
+    _write_events(
+        spark,
+        src,
+        [
+            ("2024-01-01 10:10:00", 2.0),   # key A again, WITHIN horizon
+            ("2024-01-01 18:00:00", 3.0),   # other key: watermark -> 17:30
+        ],
+        mtime_bump=60,
+    )
+    # A again: state still present AT arrival (evicted only at batch end)
+    _write_events(spark, src, [("2024-01-01 19:00:00", 4.0)], mtime_bump=120)
+    _write_events(spark, src, [("2024-01-01 23:00:00", 5.0)], mtime_bump=180)
+    # A after its state was evicted: re-admitted
+    _write_events(spark, src, [("2024-01-01 23:30:00", 6.0)], mtime_bump=240)
+
+    def run(with_wm: bool, name: str):
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        ).withColumn(
+            "k", F.expr("CASE WHEN value IN (3.0, 5.0) THEN 'wm' ELSE 'A' END")
+        )
+        kept = stream_dedup(
+            stream, ["k"], watermark=("ts", "30 minutes") if with_wm else None
+        )
+        q = (
+            kept.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / ("c_" + name))).start()
+        )
+        q.awaitTermination()
+        values = sorted(float(r["value"]) for r in spark.table(name).collect())
+        states = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p["stateOperators"]
+        ]
+        return values, states
+
+    # no watermark: each key survives exactly once, ever (unbounded state)
+    values, states = run(False, "dd_plain")
+    assert values == [1.0, 3.0]
+    assert min(states) >= 1  # seen-key state never shrinks
+    # watermark: A's 10:10 dup collapses; A@19:00 still dedupes (state
+    # present at arrival); once the watermark passes every expiry the
+    # state store empties (bounded state) and A@23:30 is re-admitted
+    values, states = run(True, "dd_wm")
+    assert values == [1.0, 3.0, 6.0]
+    assert 0 in states  # the state store was fully GC'd mid-stream
