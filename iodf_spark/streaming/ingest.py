@@ -135,7 +135,12 @@ def run_to_memory(
     return df.sparkSession.table(name)
 
 
-def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def stream_sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    state_timeout: bool = False,
+    watermark: str = "2 hours",
+) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     gap-based per-user sessionization. State = the open session per user,
     carried across micro-batches; each batch emits every session touched in
@@ -151,7 +156,15 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     the raw epoch value (tz-free). Because append mode re-emits the open
     session per micro-batch, callers that need exactly-one-row-per-session
     must finalize with :func:`finalize_sessions` (pure batch agg) — correct
-    under any micro-batch split of the input."""
+    under any micro-batch split of the input.
+
+    ``state_timeout=True`` bounds the state store on an infinite stream:
+    the input gets a ``watermark``, each open session arms an event-time
+    timeout at ``session_end + gap``, and once the watermark passes it the
+    state entry is dropped (the session can never be extended, and its
+    final values were already emitted — finalize_sessions still yields
+    exactly one row). Without it, one state row per ever-seen user lives
+    forever — fine for bounded key spaces, a scale hazard otherwise."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -161,6 +174,9 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
     state_schema = "session_id long, start_us long, end_us long, n long"
     gap_us = gap_minutes * 60 * 1_000_000
+    out_cols = [
+        "user_id", "session_id", "n_events", "session_start", "session_end"
+    ]
 
     def fmt(us: int) -> str:
         # epoch-µs -> naive UTC string; no session-timezone dependence
@@ -168,6 +184,11 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     def fn(key, pdfs, state):
         (user_id,) = key
+        if state_timeout and state.hasTimedOut:
+            # watermark passed session_end + gap: drop the state entry
+            state.remove()
+            yield pd.DataFrame(columns=out_cols)
+            return
         ts_us: list[int] = []
         for pdf in pdfs:
             ts_us.extend(int(v) for v in pdf["ts_us"])
@@ -187,15 +208,28 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         if s0 is not None:
             out.append((user_id, sid, n0, fmt(s0), fmt(e0)))
             state.update((sid, s0, e0, n0))
-        yield pd.DataFrame(
-            out,
-            columns=["user_id", "session_id", "n_events", "session_start", "session_end"],
-        )
+            if state_timeout:
+                # event-time timeout when the open session would close
+                # (ms epoch — the GroupState contract)
+                state.setTimeoutTimestamp((e0 + gap_us) // 1000)
+        yield pd.DataFrame(out, columns=out_cols)
 
     # tz-immune handoff: epoch µs as int64, computed JVM-side
-    keyed = events.select("user_id", F.unix_micros(F.col("ts")).alias("ts_us"))
+    if state_timeout:
+        # the watermarked COLUMN must stay in the projection — event-time
+        # timeout requires it visible to the stateful operator (the fn
+        # itself still reads only ts_us)
+        keyed = events.withWatermark("ts", watermark).select(
+            "user_id", "ts", F.unix_micros(F.col("ts")).alias("ts_us")
+        )
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+    else:
+        keyed = events.select(
+            "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+        )
+        timeout_conf = GroupStateTimeout.NoTimeout
     return keyed.groupBy("user_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fn, out_schema, state_schema, "append", timeout_conf
     )
 
 

@@ -159,3 +159,45 @@ def test_stream_dedup_watermark_bounds_state(spark, tmp_path):
     values, states = run(True, "dd_wm")
     assert values == [1.0, 3.0, 6.0]
     assert 0 in states  # the state store was fully GC'd mid-stream
+
+
+def test_stream_sessionize_event_time_timeout_gc(spark, tmp_path):
+    """stream_sessionize(state_timeout=True): an idle user's open-session
+    state is dropped once the watermark passes session_end + gap — bounded
+    state on an infinite stream — while the emitted sessions (after
+    finalize_sessions) are exactly the batch sessionizer's."""
+    from iodf_spark.streaming.ingest import finalize_sessions, stream_sessionize
+
+    src = str(tmp_path / "sess_src")
+    # user 1 goes idle after batch 0; user 2's later events advance the
+    # watermark past user 1's timeout, GC'ing user 1's state entry
+    _write_events(spark, src, [("2024-01-01 10:00:00", 1.0)], mtime_bump=0)
+    _write_events(spark, src, [("2024-01-01 18:00:00", 2.0)], mtime_bump=60)
+    _write_events(spark, src, [("2024-01-01 23:00:00", 2.0)], mtime_bump=120)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    ).withColumn("user_id", F.col("value").cast("long"))
+    out = stream_sessionize(stream, gap_minutes=30, state_timeout=True,
+                            watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("sess_gc")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    )
+    q.awaitTermination()
+    states = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    ]
+    # user 1's entry was evicted while user 2's stayed: state shrank
+    assert max(states) >= 2 and states[-1] < max(states), states
+    final = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["session_start"])
+        for r in finalize_sessions(spark.table("sess_gc")).collect()
+    }
+    assert final[(1, 0)] == (1, "2024-01-01 10:00:00.000000")
+    assert final[(2, 0)][0] == 1 and final[(2, 1)][0] == 1  # gap split user 2
