@@ -38,33 +38,44 @@ def main():
     spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
+    # Per-query isolation: one failing query must not zero out the whole
+    # round's bench evidence (round 3 shipped rc=1/no-data because a single
+    # AnalysisException aborted the sweep). Failures are recorded per query
+    # and the JSON line is ALWAYS emitted.
 
     # ingest + index build (BASELINE.md 'indexed ingest'): load lineitem,
     # assign row ids, build + materialize the inverted index
+    n = None
     t0 = time.perf_counter()
-    ix, n = entrymod._lineitem_index(spark, sf_dir)
-    timings["index_build"] = time.perf_counter() - t0
+    try:
+        ix, n = entrymod._lineitem_index(spark, sf_dir)
+        timings["index_build"] = time.perf_counter() - t0
+    except Exception as e:  # noqa: BLE001
+        errors["index_build"] = f"{type(e).__name__}: {e}"[:500]
 
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        rows = df.count()
-        timings[name] = time.perf_counter() - t0
-        _ = rows
+        try:
+            df = fn(spark, sf_dir)
+            df.count()
+            timings[name] = time.perf_counter() - t0
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
 
     total = sum(timings.values())
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": {k: round(v, 3) for k, v in timings.items()},
-                "sf": sf,
-                "rows_lineitem": n,
-            }
-        )
-    )
+    out = {
+        "metric": "bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "rows_lineitem": n,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

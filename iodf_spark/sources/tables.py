@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = [
     "region",
@@ -62,13 +63,42 @@ def ensure_session_confs(spark: SparkSession) -> None:
     """Make any SparkSession able to read the testdata, regardless of how it
     was built. Both confs are runtime-settable SQL confs:
 
-    * ``nanosAsLong`` — events.parquet stores TIMESTAMP(NANOS); without this
-      a vanilla session raises PARQUET_TYPE_ILLEGAL.
+    * ``nanosAsLong`` — a TIMESTAMP(NANOS) events.parquet (one of the
+      encodings the testdata has shipped with) would raise
+      PARQUET_TYPE_ILLEGAL on a vanilla session without it; harmless for
+      µs-typed files.
     * session timezone pinned to UTC — timestamp-formatting queries must not
       depend on the host JVM default timezone.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Type-adaptive event-time normalization: branch on the dtype ACTUALLY
+    stored, never on an assumed physical encoding. The testdata's events.ts
+    has drifted across generations (TIMESTAMP(NANOS)-read-as-long in earlier
+    drops, timestamp[us] now), and the reference never freezes an encoding at
+    the read boundary either — it tags and dispatches per stored type
+    (io/IoBits.scala:135-149, writer side 151-159). Single shared helper so
+    the batch loader and the streaming source can never diverge.
+
+    * LongType — ns-as-long (via the nanosAsLong conf): integer-truncate to
+      µs (DuckDB's native resolution; ns epochs ~1.7e18 overflow double, so
+      div not /).
+    * TimestampNTZType — naive µs wall times: reinterpret as UTC instants
+      (session tz is pinned UTC, so wall-clock values are unchanged) to keep
+      one downstream type.
+    * TimestampType — already instants: pass through.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if isinstance(dt, T.TimestampType):
+        return df
+    raise TypeError(f"events.ts has unsupported stored type: {dt}")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str, row_id: bool = False) -> DataFrame:
@@ -79,10 +109,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, row_id: bool = False
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # TIMESTAMP(NANOS) read as long ns (see session.py); truncate to µs —
-        # the same truncation DuckDB applies (its timestamps are µs)
-        # integer division — ns epochs (~1.7e18) overflow double precision
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(df)
     if row_id:
         df = with_row_id(df, NATURAL_KEYS[name])
     return df

@@ -3,8 +3,8 @@ whose 'incremental' story is LSM segment accumulation; Structured Streaming
 with availableNow + foreachBatch writing per-batch segments reproduces that
 exactly, and event-time windows/watermarks extend it).
 
-* stream_events: file-source stream over the events parquet (ns timestamps
-  converted like the batch path).
+* stream_events: file-source stream over the events parquet (schema from the
+  parquet footer; event-time normalization shared with the batch path).
 * stream_ingest_segments: micro-batch ingest — every batch becomes one
   immutable segment in a SegmentStore (foreachBatch; the reference's
   append-a-segment-per-write, Dfs.scala:181-220, driven by a stream).
@@ -20,38 +20,34 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from iodf_spark.sources.segments import SegmentStore
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet. The stream schema is
+    derived from the parquet footer via a one-off batch probe (readStream
+    requires an explicit schema; a hardcoded one silently coerces when the
+    stored encoding drifts — round 3's 1000×-compressed timestamps), and the
+    event-time column goes through the SAME normalize_event_ts as the batch
+    loader, so the two paths cannot diverge."""
     # the file stream source needs a directory; expose the single parquet
     # file through a per-sf temp dir of symlinks (testdata is read-only)
     import hashlib
     import os
 
-    from iodf_spark.sources.tables import ensure_session_confs
+    from iodf_spark.sources.tables import ensure_session_confs, normalize_event_ts
 
     ensure_session_confs(spark)
+    src = f"{sf_dir}/events.parquet"
     link_dir = f"/tmp/iodf_stream_src_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     os.makedirs(link_dir, exist_ok=True)
     link = os.path.join(link_dir, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(link_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        os.symlink(src, link)
+    stored_schema = spark.read.parquet(src).schema  # footer-only, no scan
+    raw = spark.readStream.schema(stored_schema).parquet(link_dir)
+    return normalize_event_ts(raw)
 
 
 def windowed_event_counts(
