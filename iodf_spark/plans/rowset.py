@@ -832,6 +832,32 @@ class PostingSet:
             return self.df.select(F.explode("row_ids").alias("row_id"))
         return explode_posting(self.df, [], self.bucket_size)
 
+    def trues_after(self, t: int, limit: int) -> DataFrame:
+        """Seekable-cursor parity (B6): the first ``limit`` set ids >= ``t``,
+        ascending — Scanner.seek semantics (utils/MergeSortIterator.scala:
+        34-58; dense impl DenseIoBits.scala:254-307). The reference
+        positions a cursor inside an mmap; the distributed rendition of
+        "seek" is PRUNING plus top-k: only buckets >= t/bucket_size are
+        decoded at all (the posting store is bucket-keyed, so the filter
+        prunes before any explode), and sort+limit compiles to
+        TakeOrderedAndProject — per-partition top-k, then a ``limit``-row
+        driver merge; no global sort at any scale. Repeated calls with
+        t = last_returned_id + 1 paginate the set exactly like the
+        reference's cursor loop."""
+        b0 = t // self.bucket_size
+        pruned = PostingSet(
+            self.df.filter(F.col("bucket") >= b0),
+            self.n,
+            self.bucket_size,
+            self.encodings,
+        )
+        return (
+            pruned.to_rows()
+            .filter(F.col("row_id") >= t)
+            .orderBy("row_id")
+            .limit(limit)
+        )
+
     def to_list(self) -> list[int]:
         """Driver-side sorted positions — TEST/debug only, never in the
         100 TB path."""

@@ -314,7 +314,16 @@ class SegmentStore:
         """Logical concatenation of all segments with globally-offset
         row_id; missing columns null-filled by unionByName, then
         default-filled per `defaults` (MultiDf default columns,
-        MultiDf.scala:125-142)."""
+        MultiDf.scala:125-142).
+
+        Also sweeps crash orphans (reconcile): a store that died between a
+        segment write and its manifest publish, and is only ever READ from
+        then on, would otherwise keep the orphan dirs forever — compact-time
+        sweeping alone never reaches it. Safe under the store's single-writer
+        contract (the same assumption compact's sweep already makes):
+        reconcile only removes dirs referenced by NO retained manifest
+        version, which are unreachable by every read path including open_at."""
+        self.reconcile()
         return self._open_entries(spark, self.manifest(), defaults)
 
     def open_at(

@@ -171,3 +171,19 @@ def test_unaligned_merge_word_shift_path(spark, bs, enc_a, enc_b):
     assert chained.to_list() == (
         sorted(a) + [N + i for i in sorted(b)] + [2 * N + i for i in sorted(pc_src)]
     )
+
+
+@pytest.mark.parametrize("enc", ["sparse", "dense", "adaptive"])
+def test_trues_after_seek_semantics(spark, enc):
+    """B6 cursor parity: trues_after(t, k) == the first k set ids >= t from
+    the Python ground truth, for every encoding, including seeks landing
+    mid-bucket, on a set id, past the last id, and at 0 (Scanner.seek,
+    utils/MergeSortIterator.scala:34-58)."""
+    rng = random.Random(7)
+    ids = sorted({rng.randrange(N) for _ in range(60)})
+    ps = PostingSet.from_positions(spark, ids, N, BS, encoding=enc)
+    for t in [0, 1, ids[3], ids[3] + 1, BS, BS * 3 - 1, N - 1, N + 5]:
+        for k in [1, 5, 1000]:
+            expect = [i for i in ids if i >= t][:k]
+            got = [r["row_id"] for r in ps.trues_after(t, k).collect()]
+            assert got == expect, (enc, t, k)

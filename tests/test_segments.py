@@ -202,3 +202,22 @@ def test_write_segments_by_equals_sequential_writes(spark, sf_dir, store, tmp_pa
     pa = idx.probe(seq.open_index(spark), "o_orderpriority", "1-URGENT", seq.total_rows())
     pb = idx.probe(one.open_index(spark), "o_orderpriority", "1-URGENT", one.total_rows())
     assert pa.to_list() == pb.to_list()
+
+
+def test_open_sweeps_crash_orphans(spark, store):
+    """A store that crashed mid-write (segment dir on disk, never published
+    to any manifest) and is only ever READ afterwards must still come back
+    clean: open() runs the reconcile sweep, so the orphan cannot live
+    forever on a read-only workload (compact-time sweeping never reaches
+    it)."""
+    import os
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(50)], "k long, v long")
+    store.write_segment(df, order_keys=["k"])
+    orphan = os.path.join(store.path, "seg-00777")
+    os.makedirs(os.path.join(orphan, "data"), exist_ok=True)
+    with open(os.path.join(orphan, "data", "junk"), "w") as fh:
+        fh.write("x")
+    opened = store.open(spark)
+    assert not os.path.exists(orphan)
+    assert opened.count() == 50
