@@ -127,6 +127,28 @@ def q_index_probe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_index_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 seekable-cursor parity, attested: PostingSet.trues_after(t, k) =
+    the first k set ids >= t of the l_returnflag='R' posting set (Scanner.
+    seek, utils/MergeSortIterator.scala:34-58). Variants cover seek-to-0,
+    a mid-bucket seek, and a near-tail seek whose page runs past the end —
+    the distributed 'cursor' is bucket pruning + TakeOrdered, and repeated
+    calls with t = last + 1 paginate exactly like the reference's loop."""
+    ix, n = _lineitem_index(spark, sf_dir)
+    ps = idx.probe(ix, "l_returnflag", "R", n, encoding_hint="auto")
+    out = None
+    for tag, t, k in [
+        ("seek0", 0, 20),
+        ("mid", 1234, 50),
+        ("tail", max(n - 500, 0), 1000),
+    ]:
+        page = ps.trues_after(t, k).select(
+            F.lit(tag).alias("variant"), "row_id"
+        )
+        out = page if out is None else out.unionByName(page)
+    return out
+
+
 def q_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1-B4 + B8 and I5/A1: f, fAnd, OR, ANDNOT, NOT over two index
     bitmaps, all via the bucket-local posting-list kernels. ``f_a`` IS the
@@ -397,6 +419,22 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = cosine_pairs(emb, "vec_id", "embedding").select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return dedup_clusters(emb, "vec_id", "embedding", pairs=pairs).orderBy("doc_id")
+
+
+def q_embedding_clusters_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB clustering story: dedup_clusters fed by LSH-bucketed
+    candidate pairs instead of the exact block-grid — NO O(N^2) stage in
+    the whole plan (bucket equi-join candidates, exact cosine verify,
+    min-label components). Recall < 1 vs q_embedding_clusters by design;
+    buckets are deterministic, so the oracle misses the same pairs."""
+    from iodf_spark.operators.dedup import dedup_clusters
+    from iodf_spark.operators.similarity import lsh_candidate_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_candidate_pairs(emb, "vec_id", "embedding", dim=EMB_DIM).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     return dedup_clusters(emb, "vec_id", "embedding", pairs=pairs).orderBy("doc_id")
@@ -1110,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_distinct_values": q_index_distinct_values,
         "index_stats": q_index_stats,
         "index_probe_rows": q_index_probe_rows,
+        "index_seek": q_index_seek,
         "bitmap_ops": q_bitmap_ops,
         "rowset_ops": q_rowset_ops,
         "point_lookup": q_point_lookup,
@@ -1137,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "embedding_clusters": q_embedding_clusters,
+        "embedding_clusters_ann": q_embedding_clusters_ann,
         "quality_filter": q_quality_filter,
         "stratified_sample": q_stratified_sample,
         "vocab_topk": q_vocab_topk,
@@ -1249,6 +1289,20 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'auto_scan' AS variant, row_id FROM {LI_RID}
             WHERE l_returnflag = 'R'
+        """,
+        "index_seek": f"""
+            SELECT 'seek0' AS variant, row_id FROM (
+              SELECT row_id FROM {LI_RID} WHERE l_returnflag = 'R'
+              AND row_id >= 0 ORDER BY row_id LIMIT 20)
+            UNION ALL
+            SELECT 'mid' AS variant, row_id FROM (
+              SELECT row_id FROM {LI_RID} WHERE l_returnflag = 'R'
+              AND row_id >= 1234 ORDER BY row_id LIMIT 50)
+            UNION ALL
+            SELECT 'tail' AS variant, row_id FROM (
+              SELECT row_id FROM {LI_RID} WHERE l_returnflag = 'R'
+              AND row_id >= greatest((SELECT count(*) FROM lineitem) - 500, 0)
+              ORDER BY row_id LIMIT 1000)
         """,
         "bitmap_ops": """
             SELECT count(*) FILTER (l_returnflag = 'R')::BIGINT AS f_a,
@@ -1415,6 +1469,20 @@ def oracle_sql() -> dict[str, str]:
               {similarity.cosine_pairs_oracle("vec_id", "embedding", "embeddings")}),
             edges AS (SELECT id_a AS src, id_b AS dst FROM cp
                       UNION SELECT id_b, id_a FROM cp),
+            reach(id, r) AS (
+              SELECT vec_id::BIGINT, vec_id::BIGINT FROM embeddings
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            )
+            SELECT id AS doc_id, min(r)::BIGINT AS cluster_id, (id = min(r)) AS keep
+            FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "embedding_clusters_ann": f"""
+            WITH RECURSIVE lp AS (
+              {similarity.lsh_candidate_pairs_oracle(
+                  "vec_id", "embedding", "embeddings", dim=EMB_DIM)}),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM lp
+                      UNION SELECT id_b, id_a FROM lp),
             reach(id, r) AS (
               SELECT vec_id::BIGINT, vec_id::BIGINT FROM embeddings
               UNION

