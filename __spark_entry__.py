@@ -355,6 +355,30 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition gate: top-token share + duplicate/top
+    bigram fractions with a keep verdict — pure per-row codegen (array
+    lambdas over token/bigram hashes), no explode, no shuffle."""
+    from iodf_spark.operators.textstats import text_repetition
+
+    return text_repetition(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: n-gram containment of every corpus doc
+    against a held-out 'benchmark' split (doc_id % 20 == 0 here), benchmark
+    shingles broadcast — the corpus never shuffles against the benchmark."""
+    from iodf_spark.operators.dedup import contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        "doc_id",
+        "text",
+        docs.filter(F.col("doc_id") % 20 == 0),
+    )
+
+
 ORDERS_PROFILE_COLS = [
     "o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority",
@@ -1182,6 +1206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "profile": q_profile,
         "text_stats": q_text_stats,
+        "text_repetition": q_text_repetition,
+        "contamination": q_contamination,
         "embedding_pairs": q_embedding_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -1578,6 +1604,12 @@ def oracle_sql() -> dict[str, str]:
                 "documents", "doc_id", "text", TEXT_QUERY_TERMS, k=15)}) b
         """,
         "text_stats": textstats.text_stats_oracle("doc_id", "text", "documents"),
+        "text_repetition": textstats.text_repetition_oracle(
+            "doc_id", "text", "documents"
+        ),
+        "contamination": dedup.contamination_oracle(
+            "doc_id", "text", "documents", "_id % 20 = 0", "_id % 20 <> 0"
+        ),
         "multimodal_meta": """
             WITH sized AS (
               SELECT doc_id, octet_length(encode(text))::BIGINT AS n

@@ -71,26 +71,30 @@ def token_hashes(e: str, dialect: str) -> str:
     return f"list_transform({t}, _tok -> {inner})"
 
 
-def shingle_hashes(th: str, dialect: str, n: int = 3) -> str:
-    """Distinct hashes of word n-grams, folded from a PRE-COMPUTED token-hash
+def shingle_hashes(th: str, dialect: str, n: int = 3, distinct: bool = True) -> str:
+    """Hashes of word n-grams, folded from a PRE-COMPUTED token-hash
     array expression `th` (pass a column name — the expression is repeated,
-    so keep it cheap). Documents shorter than n tokens yield an empty array."""
+    so keep it cheap). Documents shorter than n tokens yield an empty array.
+    ``distinct=False`` keeps one hash per occurrence (in order) — needed by
+    multiplicity-sensitive consumers like repetition scoring."""
     if _d(dialect):
         # unrolled fold (same integers as fold_hash over the slice): direct
         # element_at chain, ~10x faster than per-shingle slice + aggregate
         acc = f"cast({SEED} as bigint)"
         for j in range(1, n + 1):
             acc = f"((({acc}) * {MULT} + element_at({th}, _i + {j})) % {MOD})"
-        return (
-            f"array_distinct(case when size({th}) >= {n} "
+        grams = (
+            f"case when size({th}) >= {n} "
             f"then transform(sequence(0, size({th}) - {n}), _i -> {acc}) "
-            f"else cast(array() as array<bigint>) end)"
+            f"else cast(array() as array<bigint>) end"
         )
+        return f"array_distinct({grams})" if distinct else f"({grams})"
     gram_hash = fold_hash(f"list_slice({th}, _i + 1, _i + {n})", dialect)
-    return (
-        f"list_distinct(list_transform(range(greatest(len({th}) - {n - 1}, 0)), "
-        f"_i -> {gram_hash}))"
+    grams = (
+        f"list_transform(range(greatest(len({th}) - {n - 1}, 0)), "
+        f"_i -> {gram_hash})"
     )
+    return f"list_distinct({grams})" if distinct else f"({grams})"
 
 
 def minhash_sig(arr: str, dialect: str, i: int) -> str:

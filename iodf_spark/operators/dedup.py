@@ -367,6 +367,81 @@ def simhash_pairs_oracle(
 
 
 # --------------------------------------------------------------------------
+# Benchmark contamination: n-gram containment against a held-out set
+
+
+def contamination(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination check: for every corpus document, the
+    fraction of its distinct word n-grams that also occur anywhere in the
+    ``benchmark`` set (eval suites, test splits), flagging docs at or above
+    ``threshold`` — the standard decontamination pass before training.
+
+    Scale shape: the benchmark side is tiny relative to the corpus (eval
+    suites are MBs), so its distinct shingle hashes BROADCAST — the corpus
+    is touched in one narrow pass (shingle + broadcast-hash-lookup + one
+    groupBy on doc id); no corpus-sized shuffle against the benchmark.
+    Documents shorter than n tokens have no n-grams and are excluded
+    (mirrored in the oracle)."""
+    doc_sh = _with_shingles(df, id_col, text_col, n)
+    bench_sh = (
+        _with_shingles(benchmark, id_col, text_col, n)
+        .select(F.explode("_sh").alias("_s"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    exploded = doc_sh.select("_id", "_sz", F.explode("_sh").alias("_s"))
+    frac = "(count(_hit) * 1e0 / count(1))"
+    return (
+        exploded.join(F.broadcast(bench_sh), "_s", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.expr(f"round({frac}, 6)").alias("overlap_frac"),
+            F.expr(f"{frac} >= {threshold}").alias("contaminated"),
+        )
+        .select(F.col("_id").alias(id_col), "n_shingles", "overlap_frac", "contaminated")
+        .orderBy(id_col)
+    )
+
+
+def contamination_oracle(
+    id_col: str,
+    text_col: str,
+    table: str,
+    bench_pred: str,
+    doc_pred: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`contamination` where benchmark membership is a
+    predicate over the same table (``bench_pred`` / ``doc_pred`` partition
+    it, e.g. ``{id} % 20 = 0`` vs ``<> 0``)."""
+    return f"""
+        WITH th AS (SELECT {id_col} AS _id,
+                           {TH.token_hashes(text_col, 'duckdb')} AS _th
+                    FROM {table}),
+        sh AS (SELECT _id, {TH.shingle_hashes('_th', 'duckdb', n=n)} AS _sh
+               FROM th),
+        nz AS (SELECT _id, _sh FROM sh WHERE len(_sh) > 0),
+        bench AS (SELECT DISTINCT unnest(_sh) AS _s FROM nz
+                  WHERE {bench_pred}),
+        docs AS (SELECT _id, unnest(_sh) AS _s FROM nz WHERE {doc_pred})
+        SELECT d._id AS {id_col}, count(*)::BIGINT AS n_shingles,
+               round(count(b._s) * 1e0 / count(*), 6) AS overlap_frac,
+               (count(b._s) * 1e0 / count(*)) >= {threshold} AS contaminated
+        FROM docs d LEFT JOIN bench b ON d._s = b._s
+        GROUP BY d._id ORDER BY {id_col}
+    """
+
+
+# --------------------------------------------------------------------------
 # Dedup clusters: connected components over near-duplicate pairs
 
 

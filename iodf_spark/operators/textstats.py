@@ -157,6 +157,95 @@ def quality_filter_oracle(id_col: str, text_col: str, table: str) -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# Repetition signals (Gopher/C4-style): repeated content is the strongest
+# single indicator of low-quality training text
+
+
+REP_MAX_TOP_TOKEN = "2e-1"   # most frequent token may cover <= 20% of tokens
+REP_MAX_DUP_BIGRAM = "6e-1"  # <= 60% of bigram occurrences may be repeats
+
+
+def _rep_exprs(dialect: str) -> dict[str, str]:
+    """Repetition metrics over a token array ``_tok`` and a NON-distinct
+    bigram-hash array ``_bg`` (order-preserving, one entry per occurrence).
+    Counting runs inside array lambdas — O(tokens * distinct) per document,
+    all codegen, no explode and no shuffle: at 100 TB this is a pure narrow
+    map over the corpus."""
+    sp = dialect == "spark"
+    nt = "size(_tok)" if sp else "len(_tok)"
+    nb = "size(_bg)" if sp else "len(_bg)"
+    if sp:
+        top_tok = (
+            "array_max(transform(array_distinct(_tok), "
+            "_d -> size(filter(_tok, _x -> _x = _d))))"
+        )
+        top_bg = (
+            "array_max(transform(array_distinct(_bg), "
+            "_d -> size(filter(_bg, _x -> _x = _d))))"
+        )
+        nb_distinct = "size(array_distinct(_bg))"
+    else:
+        top_tok = (
+            "list_max(list_transform(list_distinct(_tok), "
+            "_d -> len(list_filter(_tok, _x -> _x = _d))))"
+        )
+        top_bg = (
+            "list_max(list_transform(list_distinct(_bg), "
+            "_d -> len(list_filter(_bg, _x -> _x = _d))))"
+        )
+        nb_distinct = "len(list_distinct(_bg))"
+    top_token_frac = f"(coalesce({top_tok}, 0) * 1e0 / greatest({nt}, 1))"
+    top_bigram_frac = f"(coalesce({top_bg}, 0) * 1e0 / greatest({nb}, 1))"
+    dup_bigram_frac = f"((({nb}) - {nb_distinct}) * 1e0 / greatest({nb}, 1))"
+    verdict = (
+        f"({top_token_frac} <= {REP_MAX_TOP_TOKEN} "
+        f"AND {dup_bigram_frac} <= {REP_MAX_DUP_BIGRAM})"
+    )
+    return {
+        "n_tokens": f"cast({nt} as bigint)",
+        "n_bigrams": f"cast({nb} as bigint)",
+        "top_token_frac": f"round({top_token_frac}, 6)",
+        "dup_bigram_frac": f"round({dup_bigram_frac}, 6)",
+        "top_bigram_frac": f"round({top_bigram_frac}, 6)",
+        "keep": verdict,
+    }
+
+
+def text_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document repetition gate: top-token fraction (Gopher's
+    most-common-word share) and duplicate/top bigram fractions (Gopher's
+    duplicate-n-gram family), with a keep verdict at the module thresholds.
+    Bigrams are hashes of adjacent token pairs — multiplicity preserved —
+    via the shared texthash formulas, so the oracle is exact."""
+    exprs = _rep_exprs("spark")
+    prepped = df.withColumn(
+        "_tok", F.expr(TH.tokens(text_col, "spark"))
+    ).withColumn(
+        "_th", F.expr(TH.token_hashes(text_col, "spark"))
+    ).withColumn(
+        "_bg", F.expr(TH.shingle_hashes("_th", "spark", n=2, distinct=False))
+    )
+    return prepped.select(
+        F.col(id_col), *[F.expr(v).alias(k) for k, v in exprs.items()]
+    ).orderBy(id_col)
+
+
+def text_repetition_oracle(id_col: str, text_col: str, table: str) -> str:
+    exprs = _rep_exprs("duckdb")
+    cols = ", ".join(f"{v} AS {k}" for k, v in exprs.items())
+    return f"""
+        SELECT {id_col}, {cols}
+        FROM (SELECT {id_col}, _tok,
+                     {TH.shingle_hashes('_th', 'duckdb', n=2, distinct=False)} AS _bg
+              FROM (SELECT {id_col},
+                           {TH.tokens(text_col, 'duckdb')} AS _tok,
+                           {TH.token_hashes(text_col, 'duckdb')} AS _th
+                    FROM {table}))
+        ORDER BY {id_col}
+    """
+
+
 def vocab_topk(df: DataFrame, id_col: str, text_col: str, k: int = 50) -> DataFrame:
     """Corpus vocabulary head: top-k tokens by term frequency, with
     document frequency — explode + ONE groupBy (map-side partial combine,
