@@ -14,7 +14,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iodf_spark.functions.costats_math import costats_sql_exprs
-from iodf_spark.operators import dedup, sampling, search, sessions, similarity, textstats
+from iodf_spark.operators import (
+    dedup,
+    packing,
+    sampling,
+    search,
+    sessions,
+    similarity,
+    textstats,
+)
 from iodf_spark.operators import profile as profile_mod
 from iodf_spark.operators import index as idx
 from iodf_spark.operators.costats import costats_index, costats_sweep
@@ -362,6 +370,19 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iodf_spark.operators.textstats import text_repetition
 
     return text_repetition(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop training-sequence packing within hash shards: per-doc
+    (shard, start_seq, start_off, end_seq) placement from one shuffle of
+    token COUNTS (one long per doc) + a per-shard window running sum —
+    parallel at any corpus size; sequence straddling shows as
+    end_seq > start_seq."""
+    from iodf_spark.operators.packing import sequence_pack
+
+    return sequence_pack(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1208,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_repetition": q_text_repetition,
         "contamination": q_contamination,
+        "sequence_pack": q_sequence_pack,
         "embedding_pairs": q_embedding_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -1610,6 +1632,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": dedup.contamination_oracle(
             "doc_id", "text", "documents", "_id % 20 = 0", "_id % 20 <> 0"
         ),
+        "sequence_pack": packing.sequence_pack_oracle("doc_id", "text", "documents"),
         "multimodal_meta": """
             WITH sized AS (
               SELECT doc_id, octet_length(encode(text))::BIGINT AS n

@@ -153,3 +153,25 @@ def test_dedup_clusters_transitive_chain(spark):
         1: (1, True), 2: (1, False), 3: (1, False),
         4: (4, True), 5: (5, True), 6: (5, False),
     }
+
+
+def test_sequence_pack_contiguity(spark, sf_dir):
+    """Packing invariants per shard: the first doc starts at (0, 0), every
+    doc begins exactly where the previous one ended (the packed token
+    stream has no gaps and no overlaps), and end_seq is consistent with
+    start + n_tokens."""
+    from iodf_spark.operators.packing import sequence_pack
+    from iodf_spark.sources.tables import load_table
+
+    L = 512
+    rows = sequence_pack(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", seq_len=L
+    ).collect()
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        start = r["start_seq"] * L + r["start_off"]
+        expect = by_shard.get(r["shard"], 0)
+        assert start == expect, (r["doc_id"], start, expect)
+        assert r["end_seq"] == (start + max(r["n_tokens"], 1) - 1) // L
+        by_shard[r["shard"]] = start + r["n_tokens"]
+    assert len(by_shard) == 8
