@@ -282,3 +282,68 @@ def test_no_cartesian_product_in_any_query_plan(spark):
         if "CartesianProduct" in plan:
             bad[name] = True
     assert not bad, f"cartesian products in: {sorted(bad)}"
+
+
+def test_lsh_candidate_pairs_is_grid_not_join(spark):
+    """The LSH scale path must contain NO join operator at all: candidates
+    are generated and scored inside per-(bucket, cell) pandas kernels — a
+    bucket equi-join would cap parallelism at #buckets and re-evaluate
+    interpreted array exprs per pair (the measured 37 s draft)."""
+    from iodf_spark.operators.similarity import lsh_candidate_pairs
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = plan_of(lsh_candidate_pairs(emb, "vec_id", "embedding", dim=64))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_trues_after_is_take_ordered(spark):
+    """The seek cursor must compile to TakeOrderedAndProject (per-partition
+    top-k + k-row driver merge), never a global Sort."""
+    from iodf_spark.plans.rowset import PostingSet
+
+    ps = PostingSet.from_positions(spark, [3, 40, 77, 150], 200, 32)
+    plan = plan_of(ps.trues_after(41, 2))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The corpus side must never shuffle against the benchmark: the
+    shingle-membership join is a BroadcastHashJoin with the benchmark's
+    distinct hashes on the build side."""
+    from iodf_spark.operators.dedup import contamination
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(
+        contamination(
+            docs.filter(F.col("doc_id") % 20 != 0),
+            "doc_id",
+            "text",
+            docs.filter(F.col("doc_id") % 20 == 0),
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sequence_pack_shuffles_counts_not_text(spark):
+    """Packing's shuffle must carry token counts, never document text: no
+    Exchange node's output may include the text column (it is pruned at
+    the scan projection)."""
+    import re
+
+    from iodf_spark.operators.packing import sequence_pack
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(sequence_pack(docs, "doc_id", "text"))
+    assert "Window" in plan
+    exchanges = [
+        s
+        for s in re.split(r"\n(?=\(\d+\) )", plan)
+        if s.startswith("(") and "Exchange" in s.split("\n")[0]
+    ]
+    assert exchanges, "expected at least one Exchange in the packing plan"
+    for s in exchanges:
+        inp = next(line for line in s.split("\n") if line.startswith("Input"))
+        assert "text" not in inp, f"shuffle carries document text: {inp}"
