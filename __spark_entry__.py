@@ -518,9 +518,12 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-payload feature extraction (array<float> via mapInPandas) — the
-    codec byte loop is not SQL-expressible, so this is a rows-only check:
-    output the vector width and a rounded checksum per doc (deterministic)."""
+    """Per-payload feature extraction (array<float> via mapInPandas), made
+    ORACLE-CHECKABLE: the stub codec's byte recurrence is deterministic, so
+    the oracle replays it in SQL over the same bytes. The checksum recovers
+    the exact per-dim integers (each feature is k/1000; round(f*1000) undoes
+    the float32 quantization losslessly since the error is << 0.5/1000), so
+    the comparison is integer-exact — no float summation drift."""
     from iodf_spark.operators.multimodal import attach_payload, extract_features
 
     docs = attach_payload(load_table(spark, sf_dir, "documents"), "text")
@@ -528,10 +531,31 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id",
         F.size("features").alias("dim"),
-        F.round(
-            F.expr("aggregate(features, cast(0 as double), (a, x) -> a + x)"), 6
-        ).alias("feat_sum"),
+        F.expr(
+            "aggregate(features, 0L, (a, x) -> a + cast(round(x * 1000) as bigint))"
+        ).alias("feat_checksum"),
     ).orderBy("doc_id")
+
+
+def _fake_features_oracle_sql(id_col: str, text_col: str, table: str, dim: int = 8) -> str:
+    """DuckDB replay of multimodal._fake_features over attach_payload's
+    UTF-8 bytes (testdata text is ASCII, so ascii(substr) IS the byte; the
+    index wraps modulo the text length exactly like the codec's
+    payload[d % len])."""
+    acc = "7::BIGINT"
+    dims = []
+    for d in range(dim):
+        byte = (
+            f"(case when length({text_col}) = 0 then 0 else "
+            f"ascii(substr({text_col}, ({d} % length({text_col})) + 1, 1)) end)"
+        )
+        acc = f"(({acc}) * 31 + {byte} + {d}) % 1000000007"
+        dims.append(f"(({acc}) % 1000)")
+    checksum = " + ".join(dims)
+    return f"""
+        SELECT {id_col}, {dim} AS dim, ({checksum})::BIGINT AS feat_checksum
+        FROM {table} ORDER BY {id_col}
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -684,14 +708,41 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 approximate aggregates (absent in the reference): HLL distinct
-    count + quantile sketch over lineitem. No oracle entry on purpose —
-    sketch results are engine-specific (the driver records the weaker
-    rows-only check); the exact counterparts are covered by other queries."""
+    count + quantile sketch over lineitem, made ORACLE-CHECKABLE by
+    self-validation: the sketches' raw outputs are engine-specific, so the
+    query emits the EXACT aggregates plus booleans asserting each sketch
+    landed within its guarantee (HLL default rsd 5% -> 15% is a ~3-sigma
+    bound; percentile_approx default accuracy bounds rank error at n/10000
+    -> 2% rank window). The oracle emits the exact values and TRUE/TRUE:
+    a sketch drifting out of tolerance hash-mismatches the round."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey").alias("_apx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("_apx_med"),
         F.count(F.lit(1)).alias("n"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    return (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(agg))
+        .groupBy("n", "exact_parts", "_apx_parts", "_apx_med")
+        .agg(
+            F.sum((F.col("l_extendedprice") <= F.col("_apx_med")).cast("long")).alias(
+                "_rank"
+            )
+        )
+        .select(
+            "n",
+            "exact_parts",
+            (
+                F.abs(F.col("_apx_parts") - F.col("exact_parts"))
+                <= 0.15 * F.col("exact_parts")
+            ).alias("hll_ok"),
+            (
+                (F.col("_rank") >= 0.48 * F.col("n"))
+                & (F.col("_rank") <= 0.52 * F.col("n"))
+            ).alias("median_rank_ok"),
+        )
     )
 
 
@@ -1633,6 +1684,13 @@ def oracle_sql() -> dict[str, str]:
             "doc_id", "text", "documents", "_id % 20 = 0", "_id % 20 <> 0"
         ),
         "sequence_pack": packing.sequence_pack_oracle("doc_id", "text", "documents"),
+        "approx_aggregates": """
+            SELECT count(*)::BIGINT AS n,
+                   count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+                   TRUE AS hll_ok, TRUE AS median_rank_ok
+            FROM lineitem
+        """,
+        "multimodal_features": _fake_features_oracle_sql("doc_id", "text", "documents"),
         "multimodal_meta": """
             WITH sized AS (
               SELECT doc_id, octet_length(encode(text))::BIGINT AS n
