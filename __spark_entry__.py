@@ -870,6 +870,25 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_COUNTER = [0]
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 stream-STREAM interval join (two watermarked sides, event-time
+    bounded state): purchases attributed to the same user's clicks in the
+    preceding 30 minutes, drained with availableNow. Equal to the batch
+    interval join, which is what the oracle checks."""
+    from iodf_spark.streaming.ingest import (
+        run_to_memory,
+        stream_events,
+        stream_stream_join,
+    )
+
+    _STREAM_COUNTER[0] += 1
+    name = f"stream_stream_join_{_STREAM_COUNTER[0]}"
+    joined = stream_stream_join(
+        stream_events(spark, sf_dir), "purchase", "click"
+    )
+    return run_to_memory(joined, name).orderBy("left_id", "right_id")
+
+
 def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming: file-source stream over events,
     STREAM-STATIC broadcast join against the customer->nation dimension,
@@ -1292,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search": q_text_search,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
+        "stream_stream_join": q_stream_stream_join,
         "stream_windowed": q_stream_windowed,
         "stream_dedup": q_stream_dedup,
         "stream_sessionize": q_stream_sessionize,
@@ -1744,6 +1764,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'custom' AS impl, * FROM ({sessions.sessionize_oracle("events")})
             UNION ALL
             SELECT 'native' AS impl, * FROM ({sessions.sessionize_oracle("events")})
+        """,
+        "stream_stream_join": """
+            SELECT l.user_id, l.event_id AS left_id, r.event_id AS right_id,
+                   epoch_us(l.ts)::BIGINT AS l_ts_us,
+                   epoch_us(r.ts)::BIGINT AS r_ts_us
+            FROM events l JOIN events r
+              ON l.user_id = r.user_id
+             AND r.ts >= l.ts - INTERVAL 30 MINUTE AND r.ts <= l.ts
+            WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+            ORDER BY left_id, right_id
         """,
         "stream_windowed": """
             SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

@@ -98,6 +98,58 @@ def stream_enriched_counts(
     )
 
 
+def stream_stream_join(
+    events: DataFrame,
+    left_type: str,
+    right_type: str,
+    window_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval self-join: every ``left_type`` event paired
+    with the same user's ``right_type`` events in the preceding
+    ``window_minutes`` (attribution-style: purchase <- clicks before it).
+
+    The canonical Structured Streaming two-stream join: BOTH sides carry a
+    watermark and the join condition bounds event time on both sides, so
+    each side's buffered state is GC'd once the watermark passes the
+    interval — bounded state on infinite streams, the same contract as the
+    stateful operators. Inner-join matches emit as soon as both rows have
+    arrived (the watermark only gates state eviction, not output), so an
+    availableNow drain produces the complete batch-equivalent result."""
+    lhs = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    rhs = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    cond = (
+        (lhs["user_id"] == rhs["r_user"])
+        & (rhs["r_ts"] >= lhs["l_ts"] - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+        & (rhs["r_ts"] <= lhs["l_ts"])
+    )
+    # epoch-µs output (not formatted strings): tz/format-proof across
+    # engines, same convention as the sessionize operator's Arrow handoff
+    return lhs.join(rhs, cond, "inner").select(
+        "user_id",
+        "left_id",
+        "right_id",
+        F.unix_micros(F.col("l_ts")).alias("l_ts_us"),
+        F.unix_micros(F.col("r_ts")).alias("r_ts_us"),
+    )
+
+
 def run_to_memory(
     df: DataFrame,
     name: str,
