@@ -129,17 +129,21 @@ def q_index_probe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         probe_rows.unionByName(
             via_index.select(F.lit("auto_index").alias("variant"), "row_id")
-        ).unionByName(
+        )
+        .unionByName(
             via_scan.select(F.lit("auto_scan").alias("variant"), "row_id")
         )
+        .unionByName(q_index_seek(spark, sf_dir))
     )
 
 
 def q_index_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B6 seekable-cursor parity, attested: PostingSet.trues_after(t, k) =
-    the first k set ids >= t of the l_returnflag='R' posting set (Scanner.
-    seek, utils/MergeSortIterator.scala:34-58). Variants cover seek-to-0,
-    a mid-bucket seek, and a near-tail seek whose page runs past the end —
+    """B6 seekable-cursor parity (attested as the 'seek*' rows of
+    index_probe_rows — the 50-entry attestation cap makes it a tagged
+    union): PostingSet.trues_after(t, k) = the first k set ids >= t of the
+    l_returnflag='R' posting set (Scanner.seek,
+    utils/MergeSortIterator.scala:34-58). Variants cover seek-to-0, a
+    mid-bucket seek, and a near-tail seek whose page runs past the end —
     the distributed 'cursor' is bucket pruning + TakeOrdered, and repeated
     calls with t = last + 1 paginate exactly like the reference's loop."""
     ix, n = _lineitem_index(spark, sf_dir)
@@ -316,60 +320,59 @@ def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from iodf_spark.operators.similarity import ann_brute_force
-
-    return ann_brute_force(
-        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", ANN_QUERY_IDS
-    )
-
-
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN, single-probe AND multi-probe in one attested entry
-    (former ann_lsh + ann_lsh_mp). Multi-probe additionally scans the
-    n_planes Hamming-1 buckets per query — higher recall at query-side
-    fan-out cost only (the corpus is hashed once)."""
-    from iodf_spark.operators.similarity import ann_lsh
+    """The whole ANN family in one attested entry (former ann_topk +
+    ann_lsh/_mp + ann_ivf/_64 — the 50-entry attestation cap): exact brute
+    force as the recall baseline, LSH single- and Hamming-1 multi-probe
+    (corpus hashed once, query-side fan-out only), and IVF at 4-centroid/
+    2-probe and 64-centroid/8-probe geometries (max_by cell assignment —
+    a narrow agg where a row_number window would sort a 64x expansion)."""
+    from iodf_spark.operators.similarity import ann_brute_force, ann_ivf, ann_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
-    single = ann_lsh(emb, "vec_id", "embedding", ANN_QUERY_IDS).select(
-        F.lit("single").alias("probe"), "*"
-    )
-    multi = ann_lsh(
-        emb, "vec_id", "embedding", ANN_QUERY_IDS, multi_probe=True
-    ).select(F.lit("multi").alias("probe"), "*")
-    return single.unionByName(multi).orderBy("probe", "query_id", "rank")
-
-
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN at two index geometries in one attested entry (former
-    ann_ivf + ann_ivf64): 4 centroids / 2 probes, and 64 centroids / 8
-    probes — the latter exercises the max_by cell-assignment aggregation at
-    a centroid count where a row_number window would sort a 64x expansion."""
-    from iodf_spark.operators.similarity import ann_ivf
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    small = ann_ivf(emb, "vec_id", "embedding", ANN_QUERY_IDS).select(
-        F.lit("ivf4").alias("geometry"), "*"
-    )
-    big = ann_ivf(
-        emb, "vec_id", "embedding", ANN_QUERY_IDS, n_centroids=64, n_probe=8
-    ).select(F.lit("ivf64").alias("geometry"), "*")
-    return small.unionByName(big).orderBy("geometry", "query_id", "rank")
+    arms = [
+        (
+            "brute",
+            ann_brute_force(emb, "vec_id", "embedding", ANN_QUERY_IDS),
+        ),
+        ("lsh_single", ann_lsh(emb, "vec_id", "embedding", ANN_QUERY_IDS)),
+        (
+            "lsh_multi",
+            ann_lsh(emb, "vec_id", "embedding", ANN_QUERY_IDS, multi_probe=True),
+        ),
+        ("ivf4", ann_ivf(emb, "vec_id", "embedding", ANN_QUERY_IDS)),
+        (
+            "ivf64",
+            ann_ivf(
+                emb, "vec_id", "embedding", ANN_QUERY_IDS, n_centroids=64, n_probe=8
+            ),
+        ),
+    ]
+    out = None
+    for tag, df in arms:
+        tagged = df.select(F.lit(tag).alias("method"), "*")
+        out = tagged if out is None else out.unionByName(tagged)
+    return out.orderBy("method", "query_id", "rank")
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from iodf_spark.operators.textstats import text_stats
+    """Per-doc text metrics PLUS the Gopher/C4 repetition gate in one
+    attested entry (50-entry attestation cap): counts/ratios/lang/
+    fingerprint from text_stats, joined with top-token share and
+    duplicate/top bigram fractions + rep_keep verdict from
+    text_repetition — both pure per-row codegen, no explode, no shuffle."""
+    from iodf_spark.operators.textstats import text_repetition, text_stats
 
-    return text_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/C4-style repetition gate: top-token share + duplicate/top
-    bigram fractions with a keep verdict — pure per-row codegen (array
-    lambdas over token/bigram hashes), no explode, no shuffle."""
-    from iodf_spark.operators.textstats import text_repetition
-
-    return text_repetition(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text_stats(docs, "doc_id", "text")
+    rep = text_repetition(docs, "doc_id", "text").select(
+        "doc_id",
+        "n_bigrams",
+        "top_token_frac",
+        "dup_bigram_frac",
+        "top_bigram_frac",
+        F.col("keep").alias("rep_keep"),
+    )
+    return stats.join(rep, "doc_id").orderBy("doc_id")
 
 
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,34 +458,30 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space near-dup CLUSTERS: cosine pair graph (block-grid
-    exact pairs) closed into connected components with a canonical pick —
-    the same policy layer as dedup_clusters, composed over a different
-    similarity signal."""
+    """Embedding-space near-dup CLUSTERS, both pair sources in one attested
+    entry (50-entry attestation cap): 'exact' closes the block-grid cosine
+    pair graph; 'ann' is the 100 TB story — dedup_clusters fed by
+    LSH-bucketed candidate pairs, NO O(N^2) stage anywhere in its plan
+    (grid-cell candidates within buckets, exact cosine verify, min-label
+    components). ANN recall < 1 vs exact by design; buckets are
+    deterministic, so the oracle misses the same pairs."""
     from iodf_spark.operators.dedup import dedup_clusters
-    from iodf_spark.operators.similarity import cosine_pairs
+    from iodf_spark.operators.similarity import cosine_pairs, lsh_candidate_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs(emb, "vec_id", "embedding").select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-    )
-    return dedup_clusters(emb, "vec_id", "embedding", pairs=pairs).orderBy("doc_id")
-
-
-def q_embedding_clusters_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB clustering story: dedup_clusters fed by LSH-bucketed
-    candidate pairs instead of the exact block-grid — NO O(N^2) stage in
-    the whole plan (bucket equi-join candidates, exact cosine verify,
-    min-label components). Recall < 1 vs q_embedding_clusters by design;
-    buckets are deterministic, so the oracle misses the same pairs."""
-    from iodf_spark.operators.dedup import dedup_clusters
-    from iodf_spark.operators.similarity import lsh_candidate_pairs
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    pairs = lsh_candidate_pairs(emb, "vec_id", "embedding", dim=EMB_DIM).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-    )
-    return dedup_clusters(emb, "vec_id", "embedding", pairs=pairs).orderBy("doc_id")
+    out = None
+    for tag, pair_fn in [
+        ("ann", lambda: lsh_candidate_pairs(emb, "vec_id", "embedding", dim=EMB_DIM)),
+        ("exact", lambda: cosine_pairs(emb, "vec_id", "embedding")),
+    ]:
+        pairs = pair_fn().select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        )
+        labeled = dedup_clusters(emb, "vec_id", "embedding", pairs=pairs).select(
+            F.lit(tag).alias("method"), "*"
+        )
+        out = labeled if out is None else out.unionByName(labeled)
+    return out.orderBy("method", "doc_id")
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,7 +513,15 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes_out").alias("resize_bytes"),
         F.col("checksum").alias("resize_checksum"),
     )
-    return meta.join(frames, "doc_id").join(resized, "doc_id").orderBy("doc_id")
+    feats = q_multimodal_features(spark, sf_dir).select(
+        "doc_id", F.col("dim").alias("feat_dim"), "feat_checksum"
+    )
+    return (
+        meta.join(frames, "doc_id")
+        .join(resized, "doc_id")
+        .join(feats, "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1263,7 +1270,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_distinct_values": q_index_distinct_values,
         "index_stats": q_index_stats,
         "index_probe_rows": q_index_probe_rows,
-        "index_seek": q_index_seek,
         "bitmap_ops": q_bitmap_ops,
         "rowset_ops": q_rowset_ops,
         "point_lookup": q_point_lookup,
@@ -1291,26 +1297,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "embedding_clusters": q_embedding_clusters,
-        "embedding_clusters_ann": q_embedding_clusters_ann,
         "quality_filter": q_quality_filter,
         "stratified_sample": q_stratified_sample,
         "vocab_topk": q_vocab_topk,
         "profile": q_profile,
         "text_stats": q_text_stats,
-        "text_repetition": q_text_repetition,
         "contamination": q_contamination,
         "sequence_pack": q_sequence_pack,
         "embedding_pairs": q_embedding_pairs,
         "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
         "segments_union": q_segments_union,
         "segments_index_probe": q_segments_index_probe,
         "segments_compact": q_segments_compact,
         "typed_roundtrip": q_typed_roundtrip,
         "text_search": q_text_search,
         "multimodal_meta": q_multimodal_meta,
-        "multimodal_features": q_multimodal_features,
         "stream_stream_join": q_stream_stream_join,
         "stream_windowed": q_stream_windowed,
         "stream_dedup": q_stream_dedup,
@@ -1408,8 +1409,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'auto_scan' AS variant, row_id FROM {LI_RID}
             WHERE l_returnflag = 'R'
-        """,
-        "index_seek": f"""
+            UNION ALL
             SELECT 'seek0' AS variant, row_id FROM (
               SELECT row_id FROM {LI_RID} WHERE l_returnflag = 'R'
               AND row_id >= 0 ORDER BY row_id LIMIT 20)
@@ -1592,23 +1592,25 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id::BIGINT, vec_id::BIGINT FROM embeddings
               UNION
               SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
-            )
-            SELECT id AS doc_id, min(r)::BIGINT AS cluster_id, (id = min(r)) AS keep
-            FROM reach GROUP BY id ORDER BY doc_id
-        """,
-        "embedding_clusters_ann": f"""
-            WITH RECURSIVE lp AS (
+            ),
+            lp AS (
               {similarity.lsh_candidate_pairs_oracle(
                   "vec_id", "embedding", "embeddings", dim=EMB_DIM)}),
-            edges AS (SELECT id_a AS src, id_b AS dst FROM lp
-                      UNION SELECT id_b, id_a FROM lp),
-            reach(id, r) AS (
+            edges2 AS (SELECT id_a AS src, id_b AS dst FROM lp
+                       UNION SELECT id_b, id_a FROM lp),
+            reach2(id, r) AS (
               SELECT vec_id::BIGINT, vec_id::BIGINT FROM embeddings
               UNION
-              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+              SELECT e.dst, reach2.r FROM reach2 JOIN edges2 e ON e.src = reach2.id
             )
-            SELECT id AS doc_id, min(r)::BIGINT AS cluster_id, (id = min(r)) AS keep
-            FROM reach GROUP BY id ORDER BY doc_id
+            SELECT 'ann' AS method, id AS doc_id, min(r)::BIGINT AS cluster_id,
+                   (id = min(r)) AS keep
+            FROM reach2 GROUP BY id
+            UNION ALL
+            SELECT 'exact' AS method, id AS doc_id, min(r)::BIGINT AS cluster_id,
+                   (id = min(r)) AS keep
+            FROM reach GROUP BY id
+            ORDER BY method, doc_id
         """,
         "quality_filter": textstats.quality_filter_oracle("doc_id", "text", "documents"),
         "stratified_sample": f"""
@@ -1624,25 +1626,25 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": textstats.vocab_topk_oracle("doc_id", "text", "documents"),
         "profile": profile_mod.profile_oracle("orders", ORDERS_PROFILE_COLS),
         "embedding_pairs": similarity.cosine_pairs_oracle("vec_id", "embedding", "embeddings"),
-        "ann_topk": similarity.ann_brute_force_oracle(
-            "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM
-        ),
-        "ann_lsh": f"""
-            SELECT 'single' AS probe, * FROM ({similarity.ann_lsh_oracle(
+        "ann_topk": f"""
+            SELECT 'brute' AS method, * FROM ({similarity.ann_brute_force_oracle(
                 "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM
             )})
             UNION ALL
-            SELECT 'multi' AS probe, * FROM ({similarity.ann_lsh_oracle(
+            SELECT 'lsh_single' AS method, * FROM ({similarity.ann_lsh_oracle(
+                "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM
+            )})
+            UNION ALL
+            SELECT 'lsh_multi' AS method, * FROM ({similarity.ann_lsh_oracle(
                 "vec_id", "embedding", "embeddings", ANN_QUERY_IDS,
                 multi_probe=True, dim=EMB_DIM,
             )})
-        """,
-        "ann_ivf": f"""
-            SELECT 'ivf4' AS geometry, * FROM ({similarity.ann_ivf_oracle(
+            UNION ALL
+            SELECT 'ivf4' AS method, * FROM ({similarity.ann_ivf_oracle(
                 "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM
             )})
             UNION ALL
-            SELECT 'ivf64' AS geometry, * FROM ({similarity.ann_ivf_oracle(
+            SELECT 'ivf64' AS method, * FROM ({similarity.ann_ivf_oracle(
                 "vec_id", "embedding", "embeddings", ANN_QUERY_IDS,
                 n_centroids=64, n_probe=8, dim=EMB_DIM,
             )})
@@ -1696,10 +1698,14 @@ def oracle_sql() -> dict[str, str]:
             FROM ({search.bm25_topk_oracle(
                 "documents", "doc_id", "text", TEXT_QUERY_TERMS, k=15)}) b
         """,
-        "text_stats": textstats.text_stats_oracle("doc_id", "text", "documents"),
-        "text_repetition": textstats.text_repetition_oracle(
-            "doc_id", "text", "documents"
-        ),
+        "text_stats": f"""
+            SELECT s.*, r.n_bigrams, r.top_token_frac, r.dup_bigram_frac,
+                   r.top_bigram_frac, r.keep AS rep_keep
+            FROM ({textstats.text_stats_oracle("doc_id", "text", "documents")}) s
+            JOIN ({textstats.text_repetition_oracle("doc_id", "text", "documents")}) r
+            USING (doc_id)
+            ORDER BY doc_id
+        """,
         "contamination": dedup.contamination_oracle(
             "doc_id", "text", "documents", "_id % 20 = 0", "_id % 20 <> 0"
         ),
@@ -1710,7 +1716,6 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS hll_ok, TRUE AS median_rank_ok
             FROM lineitem
         """,
-        "multimodal_features": _fake_features_oracle_sql("doc_id", "text", "documents"),
         "multimodal_meta": """
             WITH sized AS (
               SELECT doc_id, octet_length(encode(text))::BIGINT AS n
@@ -1735,10 +1740,15 @@ def oracle_sql() -> dict[str, str]:
                    3::INT AS channels,
                    f.n_frames, f.frame_bytes, f.frame_checksum,
                    (32 * 24 * 3)::BIGINT AS resize_bytes,
-                   ((s.n * 31 + 32) * 31 + 24)::BIGINT AS resize_checksum
+                   ((s.n * 31 + 32) * 31 + 24)::BIGINT AS resize_checksum,
+                   ft.dim AS feat_dim, ft.feat_checksum
             FROM sized s JOIN frames f USING (doc_id)
+            JOIN ({FEATURES_ORACLE}) ft USING (doc_id)
             ORDER BY s.doc_id
-        """,
+        """.replace(
+            "{FEATURES_ORACLE}",
+            _fake_features_oracle_sql("doc_id", "text", "documents"),
+        ),
         "resample_ffill": """
             WITH hourly AS (
               SELECT user_id, date_trunc('hour', ts)::TIMESTAMP AS h,

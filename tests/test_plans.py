@@ -261,8 +261,8 @@ LAZY_QUERIES = [
     "approx_aggregates", "asof_join", "range_join", "events_windowed",
     "resample_ffill", "sessionize", "dedup_exact", "dedup_jaccard",
     "dedup_minhash", "dedup_simhash", "quality_filter", "vocab_topk",
-    "text_stats", "profile", "embedding_pairs", "ann_topk", "ann_lsh",
-    "ann_ivf", "multimodal_meta", "multimodal_features", "text_search",
+    "text_stats", "profile", "embedding_pairs", "ann_topk",
+    "multimodal_meta", "text_search", "contamination", "sequence_pack",
     "stratified_sample", "semi_anti_join", "set_ops",
 ]
 
