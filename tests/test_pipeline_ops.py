@@ -175,3 +175,37 @@ def test_sequence_pack_contiguity(spark, sf_dir):
         assert r["end_seq"] == (start + max(r["n_tokens"], 1) - 1) // L
         by_shard[r["shard"]] = start + r["n_tokens"]
     assert len(by_shard) == 8
+
+
+def test_sequence_pack_edge_shapes(spark):
+    """Constructed edges the testdata can't produce: empty text (0 tokens
+    occupies zero width but still gets a well-defined placement), a
+    single-token doc, and a doc long enough to straddle a chop boundary
+    — validated against a pure-Python packer."""
+    from iodf_spark.operators.packing import sequence_pack
+
+    L, S = 8, 2
+    rows = [
+        (0, ""),                          # 0 tokens
+        (2, "a"),                         # 1 token
+        (4, " ".join(["w"] * 11)),        # 11 tokens: straddles at L=8
+        (6, " ".join(["x"] * 8)),         # exactly L tokens
+        (1, "b c"),
+        (3, " ".join(["y"] * 20)),        # multi-boundary straddle
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in sequence_pack(df, "doc_id", "text", seq_len=L, n_shards=S).collect()
+    }
+    # python reference: per shard (id % S), docs in id order, running start
+    cursor = {}
+    for doc_id, text in sorted(rows):
+        n = len(text.split())
+        shard = doc_id % S
+        start = cursor.get(shard, 0)
+        r = got[doc_id]
+        assert (r["shard"], r["n_tokens"]) == (shard, n), doc_id
+        assert (r["start_seq"], r["start_off"]) == (start // L, start % L), doc_id
+        assert r["end_seq"] == (start + max(n, 1) - 1) // L, doc_id
+        cursor[shard] = start + n
