@@ -1,0 +1,39 @@
+"""Driver-contract pins: the shape rules of __spark_entry__ that past
+rounds broke silently.
+
+* The correctness gate attests only the FIRST 50 queries() entries —
+  round 2 shipped 60 and the tail was dropped without any error. The cap
+  test turns the next accidental overflow into a red test instead.
+* Every query must have an oracle (the round-4 state: zero rows-only
+  checks); an orphan oracle means a renamed query lost its attestation.
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+
+ATTESTATION_CAP = 50
+
+
+def test_queries_within_attestation_cap():
+    q = entrymod.queries()
+    assert len(q) <= ATTESTATION_CAP, (
+        f"{len(q)} queries() entries — the driver attests only the first "
+        f"{ATTESTATION_CAP}; consolidate into tagged unions (see round-2/4 "
+        "history) instead of exceeding the cap"
+    )
+
+
+def test_every_query_has_an_oracle_and_vice_versa():
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert set(q) == set(o), (
+        f"missing oracles: {sorted(set(q) - set(o))}; "
+        f"orphan oracles: {sorted(set(o) - set(q))}"
+    )
+
+
+def test_all_queries_are_callables():
+    for name, fn in entrymod.queries().items():
+        assert callable(fn), name
