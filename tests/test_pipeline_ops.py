@@ -209,3 +209,50 @@ def test_sequence_pack_edge_shapes(spark):
         assert (r["start_seq"], r["start_off"]) == (start // L, start % L), doc_id
         assert r["end_seq"] == (start + max(n, 1) - 1) // L, doc_id
         cursor[shard] = start + n
+
+
+@pytest.mark.parametrize("n_planes,threshold", [(2, 0.3), (4, 0.45), (6, 0.6)])
+def test_lsh_candidate_pairs_vs_oracle_params(spark, sf_dir, con, n_planes, threshold):
+    """Differential check at NON-default parameters — catches threshold
+    boundary (>= vs >) and plane-count formula drift the fixed-parameter
+    driver gate can't see."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _match(
+        S.lsh_candidate_pairs(
+            emb, "vec_id", "embedding", threshold=threshold, n_planes=n_planes
+        ),
+        con,
+        S.lsh_candidate_pairs_oracle(
+            "vec_id", "embedding", "embeddings",
+            threshold=threshold, n_planes=n_planes,
+        ),
+    )
+
+
+@pytest.mark.parametrize("seq_len,n_shards", [(16, 1), (64, 4), (512, 8)])
+def test_sequence_pack_vs_oracle_params(spark, sf_dir, con, seq_len, n_shards):
+    from iodf_spark.operators import packing as P
+
+    docs = load_table(spark, sf_dir, "documents")
+    _match(
+        P.sequence_pack(docs, "doc_id", "text", seq_len=seq_len, n_shards=n_shards),
+        con,
+        P.sequence_pack_oracle(
+            "doc_id", "text", "documents", seq_len=seq_len, n_shards=n_shards
+        ),
+    )
+
+
+@pytest.mark.parametrize("n,threshold", [(2, 0.3), (3, 0.5), (4, 0.8)])
+def test_contamination_vs_oracle_params(spark, sf_dir, con, n, threshold):
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(docs.doc_id % 20 == 0)
+    corpus = docs.filter(docs.doc_id % 20 != 0)
+    _match(
+        D.contamination(corpus, "doc_id", "text", bench, n=n, threshold=threshold),
+        con,
+        D.contamination_oracle(
+            "doc_id", "text", "documents",
+            "_id % 20 = 0", "_id % 20 <> 0", n=n, threshold=threshold,
+        ),
+    )
