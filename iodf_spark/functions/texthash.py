@@ -30,10 +30,15 @@ def chars(e: str, dialect: str) -> str:
 
 
 def codepoints(e: str, dialect: str) -> str:
+    """Unicode code points of a string expression. Empty elements from the
+    char split are dropped BEFORE mapping: an empty string splits to ['']
+    in both engines, but Spark's ascii('') is 0 while DuckDB's unicode('')
+    is -1 — without the filter the two dialects hash '' differently
+    (found by tests/test_texthash_dialects.py fuzz)."""
     c = chars(e, dialect)
     if _d(dialect):
-        return f"transform({c}, _ch -> ascii(_ch))"
-    return f"list_transform({c}, _ch -> unicode(_ch))"
+        return f"transform(filter({c}, _ch -> _ch <> ''), _ch -> ascii(_ch))"
+    return f"list_transform(list_filter({c}, _ch -> _ch <> ''), _ch -> unicode(_ch))"
 
 
 def fold_hash(arr: str, dialect: str, seed: int = SEED) -> str:
@@ -76,7 +81,11 @@ def shingle_hashes(th: str, dialect: str, n: int = 3, distinct: bool = True) -> 
     array expression `th` (pass a column name — the expression is repeated,
     so keep it cheap). Documents shorter than n tokens yield an empty array.
     ``distinct=False`` keeps one hash per occurrence (in order) — needed by
-    multiplicity-sensitive consumers like repetition scoring."""
+    multiplicity-sensitive consumers like repetition scoring. The distinct
+    variant is SORTED: array_distinct keeps first-occurrence order while
+    DuckDB's list_distinct does not, so without a canonical order the two
+    dialects return permutations of each other (fuzz-caught); every current
+    consumer is set-valued, and sorted is the engine's posting convention."""
     if _d(dialect):
         # unrolled fold (same integers as fold_hash over the slice): direct
         # element_at chain, ~10x faster than per-shingle slice + aggregate
@@ -88,13 +97,13 @@ def shingle_hashes(th: str, dialect: str, n: int = 3, distinct: bool = True) -> 
             f"then transform(sequence(0, size({th}) - {n}), _i -> {acc}) "
             f"else cast(array() as array<bigint>) end"
         )
-        return f"array_distinct({grams})" if distinct else f"({grams})"
+        return f"array_sort(array_distinct({grams}))" if distinct else f"({grams})"
     gram_hash = fold_hash(f"list_slice({th}, _i + 1, _i + {n})", dialect)
     grams = (
         f"list_transform(range(greatest(len({th}) - {n - 1}, 0)), "
         f"_i -> {gram_hash})"
     )
-    return f"list_distinct({grams})" if distinct else f"({grams})"
+    return f"list_sort(list_distinct({grams}))" if distinct else f"({grams})"
 
 
 def minhash_sig(arr: str, dialect: str, i: int) -> str:

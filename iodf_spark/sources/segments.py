@@ -32,6 +32,7 @@ Utils.scala:91-99 atomicWrite).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import tempfile
@@ -120,6 +121,13 @@ class SegmentStore:
         for name in os.listdir(self.path):
             if name.startswith("seg-") and name not in live:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+                removed.append(name)
+            elif name.endswith(".manifest.tmp"):
+                # a crash between mkstemp and the atomic os.replace in
+                # _publish leaves the temp file forever; it is never
+                # referenced by anything (replace is the only consumer)
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(self.path, name))
                 removed.append(name)
         return removed
 

@@ -221,3 +221,19 @@ def test_open_sweeps_crash_orphans(spark, store):
     opened = store.open(spark)
     assert not os.path.exists(orphan)
     assert opened.count() == 50
+
+
+def test_reconcile_sweeps_stale_manifest_tmp(spark, store):
+    """A crash between mkstemp and the atomic replace in _publish leaves a
+    .manifest.tmp no code path ever reads; reconcile must remove it."""
+    import os
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    store.write_segment(df, order_keys=["k"])
+    stale = os.path.join(store.path, "xyz123.manifest.tmp")
+    with open(stale, "w") as fh:
+        fh.write("{}")
+    removed = store.reconcile()
+    assert "xyz123.manifest.tmp" in removed
+    assert not os.path.exists(stale)
+    assert store.open(spark).count() == 1

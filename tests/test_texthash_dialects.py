@@ -1,0 +1,112 @@
+"""Differential fuzz of the texthash dialect twins over adversarial
+unicode. The driver corpus is ASCII [a-z ] only, so dialect divergence on
+real-world text (CJK, astral emoji, regex metacharacters, quotes and
+backslashes, exotic whitespace) would never show in the oracle gate —
+this suite feeds both engines identical random strings through a COLUMN
+(no SQL literals, so any divergence is in the formulas themselves, which
+is exactly the engine's cross-dialect exactness claim).
+"""
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from iodf_spark.functions import texthash as TH
+
+ALPHABETS = [
+    "abcdefghij ",                 # plain ASCII
+    "äöüßéèñçøå ",                 # latin-1 accents
+    "你好世界漢字 ",  # CJK
+    "Абвгд ",        # cyrillic
+    "'\"\\.*+?()[]{}|^$ ",        # quotes + regex metacharacters
+    "a\tb\nc\rd  e ",             # exotic whitespace runs
+    "\U0001f600\U0001f680\U0001f9e0 a ",       # astral emoji
+]
+
+
+def _random_texts(n: int = 120) -> list[str]:
+    rng = random.Random(42)
+    out = ["", " ", "   ", "a", "\t\n"]
+    while len(out) < n:
+        alpha = rng.choice(ALPHABETS)
+        out.append("".join(rng.choice(alpha) for _ in range(rng.randrange(0, 40))))
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    texts = _random_texts()
+    pdf = pd.DataFrame({"tid": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("fuzz", pdf)
+    return sdf, con
+
+
+def _compare(sdf, con, spark_expr: str, duck_expr: str, label: str):
+    s = {
+        r["tid"]: r["v"]
+        for r in sdf.selectExpr("tid", f"{spark_expr} as v").collect()
+    }
+    d = dict(con.execute(f"SELECT tid, {duck_expr} FROM fuzz").fetchall())
+    assert set(s) == set(d)
+    for tid in s:
+        sv, dv = s[tid], d[tid]
+        if isinstance(sv, list):
+            sv = list(sv)
+            dv = list(dv) if dv is not None else dv
+        assert sv == dv, f"{label} diverges at tid={tid}: spark={sv!r} duckdb={dv!r}"
+
+
+def test_text_hash_dialects(corpora):
+    sdf, con = corpora
+    _compare(
+        sdf, con,
+        TH.text_hash("text", "spark"), TH.text_hash("text", "duckdb"),
+        "text_hash",
+    )
+
+
+def test_tokens_dialects(corpora):
+    sdf, con = corpora
+    _compare(
+        sdf, con, TH.tokens("text", "spark"), TH.tokens("text", "duckdb"), "tokens"
+    )
+
+
+def test_token_hashes_dialects(corpora):
+    sdf, con = corpora
+    _compare(
+        sdf, con,
+        TH.token_hashes("text", "spark"), TH.token_hashes("text", "duckdb"),
+        "token_hashes",
+    )
+
+
+@pytest.mark.parametrize("n,distinct", [(2, True), (3, True), (2, False)])
+def test_shingle_hashes_dialects(corpora, n, distinct):
+    sdf, con = corpora
+    sp = (
+        f"(select {TH.shingle_hashes('_th', 'spark', n=n, distinct=distinct)} "
+        f"from (select {TH.token_hashes('text', 'spark')} as _th))"
+    )
+    # spark lacks scalar subqueries over struct-less FROM-less selects in
+    # selectExpr; inline via a lateral-style nested expression instead
+    spark_expr = TH.shingle_hashes(
+        f"({TH.token_hashes('text', 'spark')})", "spark", n=n, distinct=distinct
+    )
+    duck_expr = TH.shingle_hashes(
+        f"({TH.token_hashes('text', 'duckdb')})", "duckdb", n=n, distinct=distinct
+    )
+    _compare(corpora[0], con, spark_expr, duck_expr, f"shingles(n={n},d={distinct})")
+
+
+def test_simhash_dialects(corpora):
+    sdf, con = corpora
+    _compare(
+        sdf, con,
+        TH.simhash32("text", "spark"), TH.simhash32("text", "duckdb"),
+        "simhash32",
+    )
