@@ -1,0 +1,99 @@
+"""Differential fuzz of the similarity formula twins (quantization, norm,
+LSH bucket) over adversarial vectors — negatives, zeros, subnormals,
+near-quantization-boundary values, mixed magnitudes. The driver embeddings
+are well-conditioned unit-ish vectors, so boundary behavior (floor vs round
+at .5, sign of -0.0, bucket sign at exact 0 projection) never gets
+exercised by the oracle gate."""
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from iodf_spark.operators import similarity as S
+
+DIM = 4
+
+
+def _random_vecs(n: int = 100) -> list[list[float]]:
+    rng = random.Random(99)
+    out = [
+        [0.0] * DIM,                            # zero vector
+        [-0.0] * DIM,                           # negative zero
+        [1e-12] * DIM,                          # subnormal-ish
+        [1.0, -1.0, 1.0, -1.0],
+        [0.5 / (1 << 20) * 3] * DIM,            # near the quantization grid
+    ]
+    while len(out) < n:
+        scale = rng.choice([1e-6, 0.1, 1.0, 10.0])
+        out.append([rng.uniform(-1, 1) * scale for _ in range(DIM)])
+    return out
+
+
+@pytest.fixture(scope="module")
+def vec_corpora(spark):
+    vecs = _random_vecs()
+    pdf = pd.DataFrame({"vid": range(len(vecs)), "vec": vecs})
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("vfuzz", pdf)
+    return sdf, con
+
+
+def _compare(sdf, con, spark_expr: str, duck_expr: str, label: str):
+    s = {
+        r["vid"]: r["v"]
+        for r in sdf.selectExpr("vid", f"{spark_expr} as v").collect()
+    }
+    d = dict(con.execute(f"SELECT vid, {duck_expr} FROM vfuzz").fetchall())
+    assert set(s) == set(d)
+    for vid in s:
+        sv, dv = s[vid], d[vid]
+        if isinstance(sv, list):
+            sv, dv = list(sv), (list(dv) if dv is not None else dv)
+        if sv != dv and not (sv != sv and dv != dv):  # NaN == NaN for our purposes
+            raise AssertionError(
+                f"{label} diverges at vid={vid}: spark={sv!r} duckdb={dv!r}"
+            )
+
+
+def test_quantization_dialects(vec_corpora):
+    sdf, con = vec_corpora
+    _compare(
+        sdf, con,
+        S.quant_expr("vec", "spark"), S.quant_expr("vec", "duckdb"),
+        "quant",
+    )
+
+
+@pytest.mark.parametrize("dim", [None, DIM])
+def test_norm_dialects(vec_corpora, dim):
+    sdf, con = vec_corpora
+    _compare(
+        sdf, con,
+        S.norm_expr("vec", "spark", dim), S.norm_expr("vec", "duckdb", dim),
+        f"norm(dim={dim})",
+    )
+
+
+@pytest.mark.parametrize("dim", [None, DIM])
+@pytest.mark.parametrize("n_planes", [2, 4])
+def test_lsh_bucket_dialects(vec_corpora, n_planes, dim):
+    sdf, con = vec_corpora
+    _compare(
+        sdf, con,
+        S.lsh_bucket_expr("vec", n_planes, "spark", dim),
+        S.lsh_bucket_expr("vec", n_planes, "duckdb", dim),
+        f"bucket(p={n_planes},dim={dim})",
+    )
+
+
+def test_dot_dialects(vec_corpora):
+    sdf, con = vec_corpora
+    for dim in (None, DIM):
+        _compare(
+            sdf, con,
+            S._dot("vec", "vec", "spark", dim), S._dot("vec", "vec", "duckdb", dim),
+            f"dot(dim={dim})",
+        )
