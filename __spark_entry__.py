@@ -278,10 +278,79 @@ ANN_QUERY_IDS = [0, 1, 2]
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "unknown": 1.0}
 
 
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from iodf_spark.operators.dedup import exact_dedup
+# line_dedup fixture: the synthetic corpus has no newlines, so line-level
+# boilerplate removal is exercised on composed multi-line "pages" — regular
+# docs land on one page each (doc_id % LINE_PAGES); every LINE_BP_MOD-th doc
+# is replicated onto ALL pages as synthetic boilerplate (the site-template /
+# cookie-banner scenario line dedup exists for).
+LINE_PAGES = 40
+LINE_BP_MOD = 25
 
-    return exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+def _boilerplate_pages(docs: DataFrame) -> DataFrame:
+    regular = docs.filter(F.col("doc_id") % LINE_BP_MOD != 0).select(
+        (F.col("doc_id") % LINE_PAGES).alias("page_id"), "doc_id", "text"
+    )
+    bp = docs.filter(F.col("doc_id") % LINE_BP_MOD == 0).select(
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(LINE_PAGES - 1).cast("bigint"))
+        ).alias("page_id"),
+        "doc_id",
+        "text",
+    )
+    return (
+        regular.unionByName(bp)
+        .groupBy("page_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+
+
+def _boilerplate_pages_sql() -> str:
+    """DuckDB mirror of _boilerplate_pages as a derived-table subquery."""
+    return f"""
+        (SELECT page_id, string_agg(text, chr(10) ORDER BY doc_id) AS text
+         FROM (SELECT doc_id % {LINE_PAGES} AS page_id, doc_id, text
+               FROM documents WHERE doc_id % {LINE_BP_MOD} <> 0
+               UNION ALL
+               SELECT _pg AS page_id, doc_id, text
+               FROM (SELECT unnest(range({LINE_PAGES})) AS _pg),
+                    (SELECT doc_id, text FROM documents
+                     WHERE doc_id % {LINE_BP_MOD} = 0))
+         GROUP BY page_id)
+    """
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union: 'doc' rows = exact content-hash dedup groups; 'line'
+    rows = per-page line-level boilerplate-removal verdicts over the derived
+    pages fixture (id=page_id, n=lines kept, m=lines dropped, fp=ordered
+    fingerprint of the cleaned page)."""
+    from iodf_spark.operators.dedup import exact_dedup, line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc = exact_dedup(docs, "doc_id", "text").select(
+        F.lit("doc").alias("variant"),
+        F.col("keeper_id").alias("id"),
+        F.col("dup_count").alias("n"),
+        F.lit(0).cast("bigint").alias("m"),
+        F.lit(0).cast("bigint").alias("fp"),
+    )
+    line = line_dedup(_boilerplate_pages(docs), "page_id", "text").select(
+        F.lit("line").alias("variant"),
+        F.col("doc_id").alias("id"),
+        F.col("n_kept").alias("n"),
+        F.col("n_dropped").alias("m"),
+        F.col("cleaned_fp").alias("fp"),
+    )
+    return doc.unionByName(line)
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1578,7 +1647,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_id - 150 AS row_id, o_orderkey, o_totalprice
             FROM rid WHERE row_id >= 150 AND row_id < 500 ORDER BY row_id
         """,
-        "dedup_exact": dedup.exact_dedup_oracle("doc_id", "text", "documents"),
+        "dedup_exact": f"""
+            SELECT 'doc' AS variant, keeper_id AS id, dup_count AS n,
+                   0::BIGINT AS m, 0::BIGINT AS fp
+            FROM ({dedup.exact_dedup_oracle("doc_id", "text", "documents")})
+            UNION ALL
+            SELECT 'line' AS variant, doc_id AS id, n_kept AS n,
+                   n_dropped AS m, cleaned_fp AS fp
+            FROM ({dedup.line_dedup_oracle("page_id", "text", _boilerplate_pages_sql())})
+        """,
         "dedup_jaccard": dedup.jaccard_pairs_oracle("doc_id", "text", "documents"),
         "dedup_minhash": dedup.minhash_lsh_pairs_oracle("doc_id", "text", "documents"),
         "dedup_simhash": dedup.simhash_pairs_oracle("doc_id", "text", "documents"),

@@ -548,3 +548,111 @@ def dedup_clusters_oracle(
         SELECT id AS doc_id, min(r)::BIGINT AS cluster_id, (id = min(r)) AS keep
         FROM reach GROUP BY id ORDER BY doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# Line-level dedup (boilerplate removal)
+#
+# The RefinedWeb/CCNet preprocessing step the document-level family cannot
+# express: navigation bars, cookie banners and license footers repeat
+# VERBATIM as individual lines across thousands of pages while the pages
+# themselves are unique. Reference seed: the per-(col,value) posting model
+# (Dfs.scala:338-395) — a line is a "value" whose posting frequency across
+# documents decides its fate.
+
+LINE_MAX_DF = 3  # a line seen in more than this many distinct docs is boilerplate
+_POS_ENC = 2_147_483_648  # 2^31 > texthash.MOD: (pos, line_hash) packs into one int64
+
+
+def _line_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, _pos, _lh) for every NON-EMPTY (after trim) line of every doc.
+    One narrow pass: split + posexplode + polynomial hash, all codegen."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+        )
+        # regex trim, not trim(): trim strips only 0x20 in both engines, but
+        # boilerplate matching must be whitespace-run-insensitive at the ends
+        .withColumn("_lt", F.regexp_replace("_line", "^\\s+|\\s+$", ""))
+        .filter(F.col("_lt") != "")
+        .withColumn("_lh", F.expr(TH.text_hash("_lt", "spark")))
+        .drop("_line", "_lt")
+    )
+
+
+def line_dedup(
+    df: DataFrame, id_col: str, text_col: str, max_df: int = LINE_MAX_DF
+) -> DataFrame:
+    """Per-document line-level dedup verdict: (doc_id, n_lines, n_kept,
+    n_dropped, cleaned_fp) where cleaned_fp is the polynomial fold of the
+    surviving lines' hashes in original order — the fingerprint of the
+    boilerplate-stripped document, so downstream exact dedup can run on
+    cleaned content without materializing it.
+
+    Scale: the shuffle carries (line_hash, doc_id) pairs — 16 bytes/line,
+    never line text. Line frequency is a map-side-combined groupBy on an
+    8-byte hash; the verdict join is hash-keyed. Hot boilerplate lines
+    (every page's footer) are bounded by doc count, not corpus size, and
+    AQE skew handling splits any straggler buckets.
+    """
+    lines = _line_rows(df, id_col, text_col)
+    freq = lines.groupBy("_lh").agg(F.count_distinct("_id").alias("_ldf"))
+    keep = F.col("_ldf") <= F.lit(max_df)
+    enc = F.col("_pos") * F.lit(_POS_ENC) + F.col("_lh")
+    per_doc = (
+        lines.join(freq, "_lh")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.sort_array(F.collect_list(F.when(keep, enc))).alias("_kept"),
+        )
+    )
+    fp = TH.fold_hash(f"transform(_kept, _e -> _e % {_POS_ENC})", "spark")
+    return per_doc.select(
+        F.col("_id").alias("doc_id"),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        (F.col("n_lines") - F.col("n_kept")).cast("bigint").alias("n_dropped"),
+        F.expr(fp).alias("cleaned_fp"),
+    )
+
+
+def line_dedup_oracle(
+    id_col: str, text_col: str, table: str, max_df: int = LINE_MAX_DF
+) -> str:
+    """DuckDB mirror: parallel unnest(range(len(l)))/unnest(l) zips position
+    with line (same 0-based order as posexplode); identical hash/threshold
+    formulas; empty kept-lists coalesced to [] so the fold matches Spark's
+    seed-only aggregate."""
+    lh = TH.text_hash(r"regexp_replace(_line, '^\s+|\s+$', '', 'g')", "duckdb")
+    fold = TH.fold_hash(
+        f"list_transform(coalesce(_kept, []::BIGINT[]), _e -> _e % {_POS_ENC})",
+        "duckdb",
+    )
+    return f"""
+        WITH _lines AS (
+          SELECT _id, _pos, {lh} AS _lh
+          FROM (SELECT {id_col} AS _id,
+                       unnest(range(len(_l))) AS _pos,
+                       unnest(_l) AS _line
+                FROM (SELECT {id_col}, string_split({text_col}, chr(10)) AS _l
+                      FROM {table}))
+          WHERE regexp_replace(_line, '^\s+|\s+$', '', 'g') <> ''
+        ),
+        _freq AS (SELECT _lh, count(DISTINCT _id) AS _ldf FROM _lines GROUP BY _lh),
+        _doc AS (
+          SELECT _id,
+                 count(*)::BIGINT AS n_lines,
+                 count(*) FILTER (_ldf <= {max_df})::BIGINT AS n_kept,
+                 list_sort(list(_pos * {_POS_ENC} + _lh)
+                           FILTER (_ldf <= {max_df})) AS _kept
+          FROM _lines JOIN _freq USING (_lh)
+          GROUP BY _id
+        )
+        SELECT _id AS doc_id, n_lines, n_kept,
+               (n_lines - n_kept)::BIGINT AS n_dropped,
+               {fold} AS cleaned_fp
+        FROM _doc
+    """

@@ -256,3 +256,47 @@ def test_contamination_vs_oracle_params(spark, sf_dir, con, n, threshold):
             "_id % 20 = 0", "_id % 20 <> 0", n=n, threshold=threshold,
         ),
     )
+
+
+def test_line_dedup_ground_truth(spark):
+    # hand-built corpus: 'FOOTER' appears in 4 docs (> max_df=3) -> dropped
+    # everywhere; '  spaced  ' trims to the same line as 'spaced'; blank and
+    # whitespace-only lines never count
+    rows = [
+        (1, "alpha\nFOOTER\nbeta"),
+        (2, "gamma\nFOOTER"),
+        (3, "FOOTER\n\n   \ndelta"),
+        (4, "FOOTER"),
+        (5, "epsilon\nzeta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in D.line_dedup(df, "doc_id", "text", max_df=3).collect()}
+    assert {k: (v["n_lines"], v["n_kept"], v["n_dropped"]) for k, v in out.items()} == {
+        1: (3, 2, 1), 2: (2, 1, 1), 3: (2, 1, 1), 4: (1, 0, 1), 5: (2, 2, 0),
+    }
+    # doc 4 loses every line: fingerprint folds the empty array = seed
+    from iodf_spark.functions.texthash import SEED
+    assert out[4]["cleaned_fp"] == SEED
+    # trim-equivalence: identical post-trim lines share one frequency bucket
+    df2 = spark.createDataFrame(
+        [(1, "  spaced  "), (2, "spaced"), (3, "spaced\t"), (4, "spaced"), (5, "other")],
+        ["doc_id", "text"],
+    )
+    out2 = {r["doc_id"]: r["n_dropped"] for r in D.line_dedup(df2, "doc_id", "text", max_df=3).collect()}
+    assert out2 == {1: 1, 2: 1, 3: 1, 4: 1, 5: 0}
+
+
+@pytest.mark.parametrize("max_df", [0, 1, 3])
+def test_line_dedup_vs_oracle_params(spark, sf_dir, con, max_df):
+    # corpus docs are single-line; each page fixture line appears on one page
+    # (df=1) except replicated boilerplate (df=LINE_PAGES) -> thresholds 0/1/3
+    # cover drop-everything, keep-unique, and keep-under-cap regimes
+    import __spark_entry__ as E
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = E._boilerplate_pages(docs)
+    _match(
+        D.line_dedup(pages, "page_id", "text", max_df=max_df),
+        con,
+        D.line_dedup_oracle("page_id", "text", E._boilerplate_pages_sql(), max_df=max_df),
+    )
