@@ -518,12 +518,39 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_fixture_expr(dialect: str) -> str:
+    """Deterministic PII injection for the pii_scan attestation: the corpus
+    text is digit-free word soup, so every 5th/7th/11th doc gets an email /
+    phone / IPv4 span appended — same formula text in both dialects."""
+    sp = dialect == "spark"
+
+    def s(e: str) -> str:
+        return f"cast({e} as string)" if sp else f"({e})::VARCHAR"
+
+    return (
+        "concat(text,"
+        f" case when doc_id % 5 = 0 then concat(' contact user', {s('doc_id')},"
+        " '@example.com now') else '' end,"
+        f" case when doc_id % 7 = 0 then concat(' call +1 (555) 010-',"
+        f" lpad({s('doc_id % 10000')}, 4, '0')) else '' end,"
+        f" case when doc_id % 11 = 0 then concat(' from 192.168.',"
+        f" {s('doc_id % 256')}, '.', {s('(doc_id * 3) % 256')}) else '' end)"
+    )
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-training quality gate: per-doc metrics + keep verdict (composite
-    score, token floor, punctuation ceiling) — one narrow pass."""
-    from iodf_spark.operators.textstats import quality_filter
+    score, token floor, punctuation ceiling) — one narrow pass — plus the
+    PII scrub-scan columns (email/phone/IPv4 hit counts over the
+    deterministic injection fixture, since the raw corpus is PII-free)."""
+    from iodf_spark.operators.textstats import pii_scan, quality_filter
 
-    return quality_filter(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_pii_text", F.expr(_pii_fixture_expr("spark"))
+    )
+    return quality_filter(docs, "doc_id", "text").join(
+        pii_scan(docs, "doc_id", "_pii_text"), "doc_id"
+    )
 
 
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1689,7 +1716,14 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY id
             ORDER BY method, doc_id
         """,
-        "quality_filter": textstats.quality_filter_oracle("doc_id", "text", "documents"),
+        "quality_filter": f"""
+            SELECT q.*, p.n_emails, p.n_phones, p.n_ipv4, p.pii_clean
+            FROM ({textstats.quality_filter_oracle("doc_id", "text", "documents")}) q
+            JOIN ({textstats.pii_scan_oracle(
+                "doc_id", "_pii_text",
+                f"(SELECT doc_id, {_pii_fixture_expr('duckdb')} AS _pii_text FROM documents)",
+            )}) p USING (doc_id)
+        """,
         "stratified_sample": f"""
             SELECT lang_pred, count(*)::BIGINT AS n_kept,
                    sum(doc_id)::BIGINT AS id_checksum

@@ -274,3 +274,51 @@ def vocab_topk_oracle(id_col: str, text_col: str, table: str, k: int = 50) -> st
               FROM {table})
         GROUP BY token ORDER BY tf DESC, token LIMIT {k}
     """
+
+
+# --------------------------------------------------------------------------
+# PII detection: the scrubbing pre-pass every training pipeline runs before
+# text ships. Counts only (redaction = regexp_replace with the same
+# patterns); patterns are chosen to behave identically under Java's
+# backtracking engine (Spark) and RE2 (DuckDB): no alternations with
+# ambiguous match extents, no lookaround, greedy quantifiers whose longest
+# feasible match is unique.
+
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+PII_IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PII_PHONE_RE = "\\+[0-9][0-9 ()\\-]{5,13}[0-9]"
+
+
+def _pii_count(text: str, pat: str, dialect: str) -> str:
+    # Spark SQL string literals process backslash escapes; DuckDB's don't
+    if dialect == "spark":
+        return f"size(regexp_extract_all({text}, '{pat.replace(chr(92), chr(92) * 2)}', 0))"
+    return f"len(regexp_extract_all({text}, '{pat}'))"
+
+
+def _pii_exprs(text: str, dialect: str) -> dict[str, str]:
+    n_email = _pii_count(text, PII_EMAIL_RE, dialect)
+    n_ipv4 = _pii_count(text, PII_IPV4_RE, dialect)
+    n_phone = _pii_count(text, PII_PHONE_RE, dialect)
+    return {
+        "n_emails": f"cast({n_email} as bigint)",
+        "n_phones": f"cast({n_phone} as bigint)",
+        "n_ipv4": f"cast({n_ipv4} as bigint)",
+        "pii_clean": f"({n_email} = 0 AND {n_phone} = 0 AND {n_ipv4} = 0)",
+    }
+
+
+def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII hit counts (emails / phone numbers / IPv4
+    addresses) and a clean verdict — a pure narrow regex map, pushdown- and
+    codegen-friendly, no shuffle at any scale."""
+    exprs = _pii_exprs(text_col, "spark")
+    return df.select(
+        F.col(id_col), *[F.expr(v).alias(k) for k, v in exprs.items()]
+    )
+
+
+def pii_scan_oracle(id_col: str, text_col: str, table: str) -> str:
+    exprs = _pii_exprs(text_col, "duckdb")
+    cols = ", ".join(f"{v} AS {k}" for k, v in exprs.items())
+    return f"SELECT {id_col}, {cols} FROM {table}"

@@ -300,3 +300,30 @@ def test_line_dedup_vs_oracle_params(spark, sf_dir, con, max_df):
         con,
         D.line_dedup_oracle("page_id", "text", E._boilerplate_pages_sql(), max_df=max_df),
     )
+
+
+def test_pii_scan_ground_truth_and_dialects(spark, con):
+    rows = [
+        (1, "mail a.b+c_d%e@sub.domain.org and x@y.io twice"),
+        (2, "server at 10.0.0.1 and 255.255.255.255, not 1.2.3.4.5 exactly"),
+        (3, "call +1 (555) 010-1234 or +442071234567 now"),
+        (4, "no pii here, just words and 42"),
+        (5, "edge: @nouser.com 999.999.999.999 +12 34"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in TS.pii_scan(df, "doc_id", "text").collect()}
+    assert (out[1]["n_emails"], out[1]["pii_clean"]) == (2, False)
+    # 1.2.3.4.5: the regex takes the leftmost 4 octets; \b rejects a
+    # 5th-octet tail only when digits follow — the '.5' tail still leaves
+    # '1.2.3.4' matching, so 3 hits on doc 2 (no range validation by design)
+    assert (out[2]["n_ipv4"], out[2]["n_emails"]) == (3, 0)
+    assert out[3]["n_phones"] == 2
+    assert (out[4]["n_emails"], out[4]["n_phones"], out[4]["n_ipv4"], out[4]["pii_clean"]) == (0, 0, 0, True)
+    # 999.* still counts (pattern is shape-only); '+12 34' is too short
+    assert (out[5]["n_ipv4"], out[5]["n_phones"], out[5]["n_emails"]) == (1, 0, 0)
+    # dialect agreement on the same rows (Java regex vs RE2)
+    con.execute("CREATE OR REPLACE TABLE _pii_probe AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{t}')" for i, t in rows)
+                + ") t(doc_id, text)")
+    _match(TS.pii_scan(df, "doc_id", "text"), con,
+           TS.pii_scan_oracle("doc_id", "text", "_pii_probe"))
