@@ -276,6 +276,9 @@ EMB_DIM = 64  # fixed embedding width of the testdata corpus
 ANN_QUERY_IDS = [0, 1, 2]
 # deterministic per-language downsampling policy for q_stratified_sample
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "unknown": 1.0}
+# target keep fraction for the temperature-rebalanced variant (SQL literal
+# text so both dialects parse the identical double)
+TEMP_TARGET_FRAC = "4e-1"
 
 
 # line_dedup fixture: the synthetic corpus has no newlines, so line-level
@@ -504,18 +507,43 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iodf_spark.operators.sampling import stratified_sample
     from iodf_spark.operators.textstats import text_stats
 
-    stats = text_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    from iodf_spark.operators.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text_stats(docs, "doc_id", "text")
     kept = stratified_sample(
         stats, "doc_id", "lang_pred", SAMPLE_RATES, default_rate=0.1
     )
-    return (
+    fixed = (
         kept.groupBy("lang_pred")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             F.sum("doc_id").cast("long").alias("id_checksum"),
         )
-        .orderBy("lang_pred")
+        .select(
+            F.lit("fixed").alias("variant"),
+            F.col("lang_pred").alias("cls"),
+            "n_kept",
+            "id_checksum",
+        )
     )
+    # sqrt-temperature mixture rebalancing over the corpus `source` column:
+    # rates derive from the observed class counts, not a fixed policy
+    temp = (
+        temperature_sample(docs, "doc_id", "source", TEMP_TARGET_FRAC)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .select(
+            F.lit("temp").alias("variant"),
+            F.col("source").alias("cls"),
+            "n_kept",
+            "id_checksum",
+        )
+    )
+    return fixed.unionByName(temp).orderBy("variant", "cls")
 
 
 def _pii_fixture_expr(dialect: str) -> str:
@@ -1725,14 +1753,23 @@ def oracle_sql() -> dict[str, str]:
             )}) p USING (doc_id)
         """,
         "stratified_sample": f"""
-            SELECT lang_pred, count(*)::BIGINT AS n_kept,
-                   sum(doc_id)::BIGINT AS id_checksum
+            SELECT 'fixed' AS variant, lang_pred AS cls,
+                   count(*)::BIGINT AS n_kept, sum(doc_id)::BIGINT AS id_checksum
             FROM ({sampling.stratified_sample_oracle(
                 f"({textstats.text_stats_oracle('doc_id', 'text', 'documents')})",
                 "doc_id", "lang_pred", SAMPLE_RATES, default_rate=0.1,
                 select="doc_id, lang_pred",
             )})
-            GROUP BY lang_pred ORDER BY lang_pred
+            GROUP BY lang_pred
+            UNION ALL
+            SELECT 'temp' AS variant, source AS cls,
+                   count(*)::BIGINT AS n_kept, sum(doc_id)::BIGINT AS id_checksum
+            FROM ({sampling.temperature_sample_oracle(
+                "documents", "doc_id", "source", TEMP_TARGET_FRAC,
+                select="doc_id, _d.source",
+            )})
+            GROUP BY source
+            ORDER BY variant, cls
         """,
         "vocab_topk": textstats.vocab_topk_oracle("doc_id", "text", "documents"),
         "profile": profile_mod.profile_oracle("orders", ORDERS_PROFILE_COLS),

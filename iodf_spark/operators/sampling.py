@@ -29,9 +29,14 @@ BUCKETS = 10_000  # rate resolution: 0.01%
 def _bucket_expr(key: str) -> str:
     """Hash bucket in [0, BUCKETS) — identical text in both dialects (pure
     integer arithmetic on non-negative integral keys, so plain % works the
-    same everywhere; 31x + 7 then a large-prime mod decorrelates the bucket
-    from the raw id sequence)."""
-    return f"((({key} * {MULT} + {SEED}) % {MOD}) % {BUCKETS})"
+    same everywhere). The affine step (31x + 7 mod p) alone is a LATTICE in
+    x: a contiguous id block maps to a contiguous bucket window, so a
+    threshold keeps 0% or 100% of consecutive ids instead of ~rate
+    (caught by the skewed-class rebalancing test). The quadratic mixing
+    step (h² + h mod p) breaks the lattice; h < p ≈ 1e9 keeps h² + h well
+    inside int64 in every engine."""
+    affine = f"(({key} * {MULT} + {SEED}) % {MOD})"
+    return f"(((({affine} * {affine}) + {affine}) % {MOD}) % {BUCKETS})"
 
 
 def deterministic_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
@@ -66,4 +71,82 @@ def stratified_sample_oracle(
     return f"""
         SELECT {select} FROM {table}
         WHERE {_bucket_expr(key_col)} < {thr}
+    """
+
+
+# --------------------------------------------------------------------------
+# Temperature-based mixture rebalancing (tau = 0.5)
+#
+# Training-data curation rarely wants fixed per-class rates: the standard
+# move (multilingual/multi-source mixing) is temperature reweighting —
+# target share of class i proportional to n_i^tau, tau < 1 flattening the
+# mixture toward rare classes. tau is FIXED at 0.5 because sqrt is
+# IEEE-754 correctly rounded in every engine (pow is not), which keeps the
+# per-class keep-rate thresholds bit-identical between Spark and the
+# DuckDB oracle. The only float reduction (sum of sqrt(n) over classes)
+# folds over a SORTED class array in both dialects — float addition is
+# order-dependent, so a fixed fold order is what makes the normalizer
+# engine-exact.
+
+TEMP_THR_FMT = (
+    "floor({buckets} * least(1e0, {frac} * _total / (_s * sqrt(_n))))"
+)
+
+
+def temperature_sample(
+    df: DataFrame, key_col: str, class_col: str, target_frac: str
+) -> DataFrame:
+    """Keep ~target_frac of all rows, redistributed across classes with
+    sqrt-temperature: per-class rate = min(1, N_target / (S * sqrt(n_cls)))
+    where S = sum over classes of sqrt(n) — rare classes keep (up to) all
+    rows, dominant classes are squeezed. Decisions are the same per-row
+    hash as the fixed-rate samplers, so the selection is reproducible by
+    any engine. ``target_frac`` is a SQL literal string (e.g. '5e-1') so
+    both dialects parse the identical number.
+
+    Scale: one tiny class-count aggregate (map-side combined), one
+    broadcast join of |classes| thresholds, then a narrow filter — no
+    full-data shuffle at any corpus size.
+    """
+    cls = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("_n"))
+    folded = cls.agg(
+        F.sum("_n").alias("_total"),
+        F.expr(
+            f"aggregate(transform(array_sort(collect_list(struct({class_col}, _n))), "
+            "_x -> sqrt(_x._n)), cast(0 as double), (_a, _v) -> _a + _v)"
+        ).alias("_s"),
+    )
+    thr = (
+        cls.crossJoin(F.broadcast(folded))
+        .select(
+            F.col(class_col),
+            F.expr(TEMP_THR_FMT.format(buckets=BUCKETS, frac=target_frac)).alias("_thr"),
+        )
+    )
+    return (
+        df.join(F.broadcast(thr), class_col)
+        .filter(F.expr(_bucket_expr(key_col)) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def temperature_sample_oracle(
+    table: str, key_col: str, class_col: str, target_frac: str, select: str = "*"
+) -> str:
+    thr = TEMP_THR_FMT.format(buckets=BUCKETS, frac=target_frac)
+    return f"""
+        WITH _c AS (SELECT {class_col} AS _cls, count(*)::BIGINT AS _n
+                    FROM {table} GROUP BY 1),
+        _t AS (SELECT sum(_n)::BIGINT AS _total,
+                      list_reduce(
+                        list_prepend(0e0,
+                          list_transform(
+                            list_sort(list(struct_pack(c := _cls, n := _n))),
+                            _x -> sqrt(_x.n))),
+                        (_a, _v) -> _a + _v) AS _s
+               FROM _c),
+        _thr AS (SELECT _cls, {thr} AS _thr FROM _c, _t)
+        SELECT {select} FROM {table} _d
+        JOIN _thr ON _d.{class_col} = _thr._cls
+        WHERE {_bucket_expr(key_col)} < _thr
     """

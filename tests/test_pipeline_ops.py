@@ -327,3 +327,53 @@ def test_pii_scan_ground_truth_and_dialects(spark, con):
                 + ") t(doc_id, text)")
     _match(TS.pii_scan(df, "doc_id", "text"), con,
            TS.pii_scan_oracle("doc_id", "text", "_pii_probe"))
+
+
+def test_temperature_sample_rebalances(spark, sf_dir):
+    from iodf_spark.operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    before = {r["source"]: r["cnt"] for r in docs.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("cnt")).collect()}
+    kept = SA.temperature_sample(docs, "doc_id", "source", "4e-1")
+    after = {r["source"]: r["cnt"] for r in kept.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("cnt")).collect()}
+    # sqrt-temperature on a SKEWED synthetic corpus: rarer class => strictly
+    # higher keep rate, rarest class under the cap keeps everything
+    # (the real corpus is perfectly balanced, so skew needs a fixture)
+    skew = spark.createDataFrame(
+        [(i, "a") for i in range(1000)]
+        + [(1000 + i, "b") for i in range(100)]
+        + [(1100 + i, "c") for i in range(10)],
+        ["doc_id", "cls"],
+    )
+    skept = SA.temperature_sample(skew, "doc_id", "cls", "3e-1")
+    scnt = {r["cls"]: r["cnt"] for r in skept.groupBy("cls").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("cnt")).collect()}
+    # expected rates ~ a:0.235  b:0.74  c:capped at 1.0
+    assert scnt["c"] == 10, scnt  # under the cap: rare class fully kept
+    assert 0.55 <= scnt["b"] / 100 <= 0.95, scnt
+    assert 0.1 <= scnt["a"] / 1000 <= 0.4, scnt
+    assert scnt["c"] / 10 > scnt["b"] / 100 > scnt["a"] / 1000
+    # overall budget on the real corpus is roughly honored (hash slack)
+    frac = sum(after.values()) / sum(before.values())
+    assert 0.2 <= frac <= 0.6, frac
+    # re-run selects the exact same rows (pure row-hash decision)
+    ids1 = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in SA.temperature_sample(
+        docs, "doc_id", "source", "4e-1").select("doc_id").collect())
+    assert ids1 == ids2
+
+
+@pytest.mark.parametrize("frac", ["1e-1", "4e-1", "9e-1"])
+def test_temperature_sample_vs_oracle_params(spark, sf_dir, con, frac):
+    from iodf_spark.operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    _match(
+        SA.temperature_sample(docs, "doc_id", "source", frac).select("doc_id", "source"),
+        con,
+        SA.temperature_sample_oracle(
+            "documents", "doc_id", "source", frac, select="doc_id, _d.source"
+        ),
+    )
