@@ -597,11 +597,23 @@ def line_dedup(
     AQE skew handling splits any straggler buckets.
     """
     lines = _line_rows(df, id_col, text_col)
-    freq = lines.groupBy("_lh").agg(F.count_distinct("_id").alias("_ldf"))
-    keep = F.col("_ldf") <= F.lit(max_df)
+    # only lines OVER the threshold matter for the verdict, and that
+    # boilerplate set is small by construction (each member repeats across
+    # > max_df docs), so the verdict join is a left join against the
+    # filtered aggregate — AQE broadcasts it and the full line set never
+    # shuffles on _lh; the big side's only wide op is the per-doc
+    # reassembly groupBy. (A plain inner join on the unfiltered frequency
+    # table would shuffle every line twice.)
+    boiler = (
+        lines.groupBy("_lh")
+        .agg(F.count_distinct("_id").alias("_ldf"))
+        .filter(F.col("_ldf") > F.lit(max_df))
+        .select("_lh", F.lit(True).alias("_bp"))
+    )
+    keep = F.col("_bp").isNull()
     enc = F.col("_pos") * F.lit(_POS_ENC) + F.col("_lh")
     per_doc = (
-        lines.join(freq, "_lh")
+        lines.join(boiler, "_lh", "left")
         .groupBy("_id")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -641,14 +653,15 @@ def line_dedup_oracle(
                       FROM {table}))
           WHERE regexp_replace(_line, '^\s+|\s+$', '', 'g') <> ''
         ),
-        _freq AS (SELECT _lh, count(DISTINCT _id) AS _ldf FROM _lines GROUP BY _lh),
+        _boiler AS (SELECT _lh, true AS _bp FROM _lines
+                    GROUP BY _lh HAVING count(DISTINCT _id) > {max_df}),
         _doc AS (
           SELECT _id,
                  count(*)::BIGINT AS n_lines,
-                 count(*) FILTER (_ldf <= {max_df})::BIGINT AS n_kept,
+                 count(*) FILTER (_bp IS NULL)::BIGINT AS n_kept,
                  list_sort(list(_pos * {_POS_ENC} + _lh)
-                           FILTER (_ldf <= {max_df})) AS _kept
-          FROM _lines JOIN _freq USING (_lh)
+                           FILTER (_bp IS NULL)) AS _kept
+          FROM _lines LEFT JOIN _boiler USING (_lh)
           GROUP BY _id
         )
         SELECT _id AS doc_id, n_lines, n_kept,

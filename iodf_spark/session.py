@@ -32,6 +32,12 @@ def get_spark(app_name: str = "iodf_spark", shuffle_partitions: int | None = Non
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the unrolled 64-term vector kernels (operators/similarity.py)
+        # compile to large codegen classes; the default 100-entry generated-
+        # class cache thrashes when a full 50-query workload runs twice
+        # (measured: the ANN family pays its full ~10 s janino compile on
+        # EVERY repeat). Static conf: takes effect at session creation.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no ns
         # type — read as long, converted to µs timestamps in load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
