@@ -363,9 +363,37 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from iodf_spark.operators.dedup import minhash_lsh_pairs
+    """Tagged union proving the incremental path: 'batch' rows = one-shot
+    MinHash-LSH pairs over the whole corpus; 'stream' rows = the SAME pairs
+    discovered incrementally by micro-batch (each delivery banded + verified
+    against the accumulated signature store only — no corpus re-scan). The
+    two variants must be identical pair-for-pair; both check against one
+    oracle SQL."""
+    import tempfile
 
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    from iodf_spark.operators.dedup import minhash_lsh_pairs
+    from iodf_spark.streaming.ingest import read_neardup_pairs, stream_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = minhash_lsh_pairs(docs, "doc_id", "text").select(
+        F.lit("batch").alias("variant"), "*"
+    )
+    src = tempfile.mkdtemp(prefix="iodf_nd_src_")
+    state = tempfile.mkdtemp(prefix="iodf_nd_state_")
+    # 4-file source + maxFilesPerTrigger=1 -> 4 micro-batches in arbitrary
+    # hash order: exercises the order-independence of exactly-once pair
+    # discovery
+    docs.select("doc_id", "text").repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_neardup_pairs(stream, "doc_id", "text", state)
+    spairs = read_neardup_pairs(spark, state).select(
+        F.lit("stream").alias("variant"), "*"
+    )
+    return batch.unionByName(spairs)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1712,7 +1740,13 @@ def oracle_sql() -> dict[str, str]:
             FROM ({dedup.line_dedup_oracle("page_id", "text", _boilerplate_pages_sql())})
         """,
         "dedup_jaccard": dedup.jaccard_pairs_oracle("doc_id", "text", "documents"),
-        "dedup_minhash": dedup.minhash_lsh_pairs_oracle("doc_id", "text", "documents"),
+        "dedup_minhash": f"""
+            SELECT 'batch' AS variant, * FROM
+              ({dedup.minhash_lsh_pairs_oracle("doc_id", "text", "documents")})
+            UNION ALL
+            SELECT 'stream' AS variant, * FROM
+              ({dedup.minhash_lsh_pairs_oracle("doc_id", "text", "documents")})
+        """,
         "dedup_simhash": dedup.simhash_pairs_oracle("doc_id", "text", "documents"),
         "dedup_clusters": dedup.dedup_clusters_oracle("doc_id", "text", "documents"),
         "embedding_clusters": f"""

@@ -186,6 +186,31 @@ def minhash_lsh_pairs(
     band self-join carries only ids, with shingle arrays re-joined by id
     for verification (small shuffles, no array payloads through the join)."""
     sized = _with_shingles(df, id_col, text_col, n).select("_id", "_sh").cache()
+    banded = band_signatures(sized, num_hashes, band_rows)
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return verify_jaccard(cands, sized, threshold)
+
+
+def band_signatures(
+    sized: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_rows: int = DEFAULT_BAND_ROWS,
+) -> DataFrame:
+    """LSH band keys (_id, band, key) from shingle sets (_id, _sh).
+    MinHash via explode + groupBy-min (order-independent, codegen'd);
+    shared by the batch pair generator and the incremental streaming
+    near-dup (streaming/ingest.py), so both paths band identically by
+    construction."""
     ex = sized.select("_id", F.explode("_sh").alias("_x"))
     sig_aggs = [
         F.min((F.col("_x") * (2 * i + 3) + (5 * i + 7)) % TH.MOD).alias(f"_sig{i}")
@@ -202,20 +227,17 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
-    banded = sigs.select("_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+    return sigs.select("_id", F.explode(F.array(*band_structs)).alias("bk")).select(
         "_id", "bk.band", "bk.key"
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+
+
+def verify_jaccard(
+    cands: DataFrame, sized: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    shingle sets (_id, _sh): integer set intersection, no approximation —
+    LSH banding bounds recall only, never precision."""
     verified = (
         cands.join(sized.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sha")), "doc_a")
         .join(sized.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_shb")), "doc_b")

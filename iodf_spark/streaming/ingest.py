@@ -349,3 +349,128 @@ def stream_ingest_segments(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# --------------------------------------------------------------------------
+# Incremental corpus-wide near-duplicate discovery
+
+
+def stream_neardup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    state_dir: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    band_rows: int = 4,
+    threshold: float = 0.8,
+) -> None:
+    """Incremental MinHash-LSH near-dup pair discovery over a document
+    stream — the 100 TB curation pattern where a corpus grows continuously
+    and each delivery must be dedup'd against EVERYTHING ingested so far
+    without re-scanning it.
+
+    Per micro-batch (foreachBatch):
+      1. shingle + band-sign the new docs (same formulas as the batch
+         operator — operators/dedup.py band_signatures);
+      2. candidate pairs = new bands joined against the accumulated band
+         store PLUS the batch itself, normalized to (min_id, max_id);
+      3. exact-Jaccard verify against the accumulated shingle store and
+         append surviving pairs to the result store;
+      4. append the new bands + shingles to the state stores.
+
+    A pair is discovered exactly once — in the batch where its LATER
+    member arrives — so the union of all batch outputs equals the one-shot
+    batch LSH over the full corpus, independent of micro-batch boundaries
+    and arrival order. State grows linearly in corpus size (8-byte band
+    keys + shingle arrays), is partitioned parquet (bucketable by band
+    key at scale), and is never collected or broadcast as a whole: every
+    per-batch join is new-side × store with the small NEW side driving.
+    """
+    import os
+
+    from iodf_spark.operators.dedup import (
+        _with_shingles,
+        band_signatures,
+        verify_jaccard,
+    )
+
+    bands_dir = os.path.join(state_dir, "bands")
+    sh_dir = os.path.join(state_dir, "shingles")
+    pairs_dir = os.path.join(state_dir, "pairs")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # the micro-batch session clone inherits the caller's conf — under a
+        # default-conf (driver/vanilla) session that is 200 shuffle
+        # partitions per tiny batch; pin to actual parallelism (same policy
+        # as run_to_memory's state-store pinning)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(spark.sparkContext.defaultParallelism, 1)),
+        )
+        sized = _with_shingles(batch_df, id_col, text_col, n).select("_id", "_sh")
+        sized.persist()
+        new_bands = band_signatures(sized, num_hashes, band_rows)
+        new_bands.persist()
+        have_store = os.path.isdir(bands_dir)
+        all_bands = (
+            new_bands.unionByName(spark.read.parquet(bands_dir))
+            if have_store
+            else new_bands
+        )
+        all_sized = (
+            sized.unionByName(spark.read.parquet(sh_dir)) if have_store else sized
+        )
+        a, b = new_bands.alias("a"), all_bands.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a._id") != F.col("b._id")),
+            )
+            .select(
+                F.least(F.col("a._id"), F.col("b._id")).alias("doc_a"),
+                F.greatest(F.col("a._id"), F.col("b._id")).alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        verify_jaccard(cands, all_sized, threshold).write.mode("append").parquet(
+            pairs_dir
+        )
+        new_bands.write.mode("append").parquet(bands_dir)
+        sized.write.mode("append").parquet(sh_dir)
+        sized.unpersist()
+        new_bands.unpersist()
+
+    q = (
+        docs.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_neardup_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Accumulated (doc_a, doc_b, jaccard) result of stream_neardup_pairs;
+    empty-but-typed when no pair ever cleared the threshold."""
+    import os
+
+    from pyspark.sql import types as T
+
+    pairs_dir = os.path.join(state_dir, "pairs")
+    schema = T.StructType(
+        [
+            T.StructField("doc_a", T.LongType()),
+            T.StructField("doc_b", T.LongType()),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+    try:
+        return spark.read.schema(schema).parquet(pairs_dir)
+    except Exception:  # noqa: BLE001 — no batch produced any pair file
+        return spark.createDataFrame([], schema)

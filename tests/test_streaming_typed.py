@@ -121,3 +121,38 @@ def test_typed_roundtrip(spark):
     assert typed_row(df, ExampleItem, 123) == items[123]
     with pytest.raises(IndexError):
         typed_row(df, ExampleItem, 10_000)
+
+
+def test_stream_neardup_equals_batch(spark, sf_dir, tmp_path):
+    """Incremental LSH pair discovery must equal one-shot batch LSH exactly,
+    regardless of micro-batch boundaries — including a crafted corpus with
+    near-dup pairs SPLIT across batches and arriving out of id order."""
+    from iodf_spark.operators.dedup import minhash_lsh_pairs
+    from iodf_spark.streaming.ingest import read_neardup_pairs, stream_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = []
+    for i in range(30):
+        rows.append((i, f"{base} variant {i} " + " ".join(f"w{i}x{j}" for j in range(6))))
+    # exact-ish pairs across what will land in different files: 100..104
+    # duplicate 0..4's text with one token changed
+    for i in range(5):
+        rows.append((100 + i, f"{base} variant {i} " + " ".join(f"w{i}x{j}" for j in range(5)) + " tail"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    batch_pairs = sorted(
+        tuple(r) for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    )
+    assert len(batch_pairs) >= 5  # the fixture really produces near-dups
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    # descending-id file order: later ids arrive FIRST
+    docs.withColumn("_f", (F.col("doc_id") % 3)).repartition(3, "_f").drop("_f") \
+        .write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_neardup_pairs(stream, "doc_id", "text", state, threshold=0.5)
+    stream_pairs = sorted(tuple(r) for r in read_neardup_pairs(spark, state).collect())
+    assert stream_pairs == batch_pairs
