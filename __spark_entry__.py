@@ -419,6 +419,23 @@ def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
 
 
+def _ivf_store_arm(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+    """'ivf4_store' rows: the same IVF geometry served from a
+    cell-PARTITIONED parquet store — probes carry a static cid filter so
+    partition pruning skips the non-probed inverted lists at the file
+    level (the 100 TB serving layout; build cost is included in the
+    timing). Results are bit-identical to the in-flight 'ivf4' arm."""
+    import tempfile
+
+    from iodf_spark.operators.similarity import ann_ivf_store, ivf_build_store
+
+    path = tempfile.mkdtemp(prefix="iodf_ivf_store_")
+    ivf_build_store(emb, "vec_id", "embedding", path, n_centroids=4)
+    return ann_ivf_store(
+        emb, "vec_id", "embedding", path, ANN_QUERY_IDS, n_centroids=4, n_probe=2
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole ANN family in one attested entry (former ann_topk +
     ann_lsh/_mp + ann_ivf/_64 — the 50-entry attestation cap): exact brute
@@ -446,6 +463,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 emb, "vec_id", "embedding", ANN_QUERY_IDS, n_centroids=64, n_probe=8
             ),
         ),
+        ("ivf4_store", _ivf_store_arm(spark, sf_dir, emb)),
     ]
     out = None
     for tag, df in arms:
@@ -1829,6 +1847,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ivf64' AS method, * FROM ({similarity.ann_ivf_oracle(
                 "vec_id", "embedding", "embeddings", ANN_QUERY_IDS,
                 n_centroids=64, n_probe=8, dim=EMB_DIM,
+            )})
+            UNION ALL
+            SELECT 'ivf4_store' AS method, * FROM ({similarity.ann_ivf_oracle(
+                "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM
             )})
         """,
         "segments_union": f"""

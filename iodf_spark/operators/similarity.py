@@ -451,22 +451,36 @@ def ann_ivf(
     at 100 TB the assigned corpus is written partitioned by cell so probes
     prune to n_probe/n_centroids of the data."""
     dim = dim or _infer_dim(df, vec_col)
-    cent = df.filter(F.col(id_col) < n_centroids).select(
+    assigned = _ivf_assign(df, id_col, vec_col, n_centroids, dim)
+    qcells = _ivf_query_cells(df, id_col, vec_col, query_ids, n_centroids, n_probe, dim)
+    return _ivf_score(qcells, assigned, k, dim)
+
+
+def _ivf_centroids(df: DataFrame, id_col: str, vec_col: str, n_centroids: int, dim: int):
+    return df.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("_ce"),
         F.expr(norm_expr(vec_col, "spark", dim)).alias("_cen"),
     )
+
+
+def _ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, n_centroids: int, dim: int
+) -> DataFrame:
+    """(cid, neighbor_id, _cv, _cvn): each corpus row assigned to its
+    nearest centroid's inverted list. Cell assignment is an argmax
+    AGGREGATION (max_by over (ccos, -cid) = best cosine, lowest cid on
+    ties), not a row_number window: partial aggregation combines map-side,
+    so the n_centroids-fold expansion collapses per partition before the
+    shuffle — one narrow agg at any centroid count, vs the window's full
+    sort-shuffle of the expansion."""
+    cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim)
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         F.expr(norm_expr(vec_col, "spark", dim)).alias("_cvn"),
     )
-    # cell assignment as an argmax AGGREGATION (max_by over (ccos, -cid) =
-    # best cosine, lowest cid on ties), not a row_number window: partial
-    # aggregation combines map-side, so the n_centroids-fold expansion
-    # collapses per partition before the shuffle — one narrow agg at any
-    # centroid count, vs the window's full sort-shuffle of the expansion
-    assigned = (
+    return (
         corpus.crossJoin(F.broadcast(cent))
         .withColumn("ccos", F.expr(f"({_dot('_cv', '_ce', 'spark', dim)}) / (_cvn * _cen)"))
         .groupBy("neighbor_id")
@@ -478,19 +492,35 @@ def ann_ivf(
             F.col("_a._cvn").alias("_cvn"),
         )
     )
+
+
+def _ivf_query_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    n_centroids: int,
+    n_probe: int,
+    dim: int,
+) -> DataFrame:
+    """(cid, query_id, _qv, _qn): the n_probe nearest cells per query."""
+    cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim)
     q = df.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         F.expr(norm_expr(vec_col, "spark", dim)).alias("_qn"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cid"))
-    qcells = (
+    return (
         q.crossJoin(F.broadcast(cent))
         .withColumn("ccos", F.expr(f"({_dot('_qv', '_ce', 'spark', dim)}) / (_qn * _cen)"))
         .withColumn("_r", F.row_number().over(wq))
         .filter(F.col("_r") <= n_probe)
         .select("cid", "query_id", "_qv", "_qn")
     )
+
+
+def _ivf_score(qcells: DataFrame, assigned: DataFrame, k: int, dim: int) -> DataFrame:
     scored = (
         F.broadcast(qcells)
         .join(assigned, "cid")
@@ -504,6 +534,53 @@ def ann_ivf(
         .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
         .orderBy("query_id", "rank")
     )
+
+
+def ivf_build_store(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_centroids: int = 4,
+    dim: int | None = None,
+) -> None:
+    """Materialize the IVF index as a cell-PARTITIONED parquet store — the
+    100 TB layout: each inverted list is its own partition directory, so a
+    probe reads n_probe/n_centroids of the data at the FILE level
+    (PartitionFilters prune before any IO; asserted by plan test)."""
+    dim = dim or _infer_dim(df, vec_col)
+    _ivf_assign(df, id_col, vec_col, n_centroids, dim).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(path)
+
+
+def ann_ivf_store(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    store_path: str,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 4,
+    n_probe: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """ANN over a materialized IVF store: query cells are resolved first
+    (tiny: n_queries x n_probe cell ids, collected driver-side), then the
+    store scan carries a STATIC cid IN (...) predicate — Spark prunes the
+    non-probed cell partitions before reading a byte. Results are
+    bit-identical to ann_ivf on the same corpus/params (same float ops on
+    the same values; parquet round-trips doubles exactly)."""
+    spark = df.sparkSession
+    dim = dim or _infer_dim(df, vec_col)
+    qcells = _ivf_query_cells(
+        df, id_col, vec_col, query_ids, n_centroids, n_probe, dim
+    )
+    probe_cells = sorted({r["cid"] for r in qcells.select("cid").collect()})
+    assigned = spark.read.parquet(store_path).filter(
+        F.col("cid").isin([int(c) for c in probe_cells])
+    )
+    return _ivf_score(qcells, assigned, k, dim)
 
 
 def ann_ivf_oracle(

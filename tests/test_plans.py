@@ -347,3 +347,25 @@ def test_sequence_pack_shuffles_counts_not_text(spark):
     for s in exchanges:
         inp = next(line for line in s.split("\n") if line.startswith("Input"))
         assert "text" not in inp, f"shuffle carries document text: {inp}"
+
+
+def test_ivf_store_prunes_cell_partitions_and_matches_inflight(spark, tmp_path):
+    """The materialized IVF store is partitioned by cell; a probe's scan
+    must carry the static cid filter as PartitionFilters (file-level
+    pruning — the 100 TB serving layout) and return bit-identical rows to
+    the in-flight ann_ivf on the same corpus/params."""
+    from iodf_spark.operators.similarity import ann_ivf, ann_ivf_store, ivf_build_store
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf_store")
+    ivf_build_store(emb, "vec_id", "embedding", path, n_centroids=4)
+    store_res = ann_ivf_store(
+        emb, "vec_id", "embedding", path, [0, 1, 2], n_centroids=4, n_probe=2
+    )
+    plan = plan_of(store_res)
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters", 1)[1][:400]
+    inflight = ann_ivf(emb, "vec_id", "embedding", [0, 1, 2])
+    assert sorted(map(tuple, store_res.collect())) == sorted(
+        map(tuple, inflight.collect())
+    )
