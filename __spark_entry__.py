@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iodf_spark.functions import texthash
 from iodf_spark.functions.costats_math import costats_sql_exprs
 from iodf_spark.operators import (
     dedup,
@@ -353,7 +354,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dropped").alias("m"),
         F.col("cleaned_fp").alias("fp"),
     )
-    return doc.unionByName(line)
+    # 'clean' rows attest the MATERIALIZED boilerplate-stripped text (the
+    # artifact a pipeline ships), via its length + content hash
+    from iodf_spark.functions import texthash as TH
+    from iodf_spark.operators.dedup import line_dedup_clean
+
+    clean = line_dedup_clean(_boilerplate_pages(docs), "page_id", "text").select(
+        F.lit("clean").alias("variant"),
+        F.col("doc_id").alias("id"),
+        F.length("clean_text").cast("bigint").alias("n"),
+        F.lit(0).cast("bigint").alias("m"),
+        F.expr(TH.text_hash("clean_text", "spark")).alias("fp"),
+    )
+    return doc.unionByName(line).unionByName(clean)
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1756,6 +1769,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'line' AS variant, doc_id AS id, n_kept AS n,
                    n_dropped AS m, cleaned_fp AS fp
             FROM ({dedup.line_dedup_oracle("page_id", "text", _boilerplate_pages_sql())})
+            UNION ALL
+            SELECT 'clean' AS variant, doc_id AS id,
+                   length(clean_text)::BIGINT AS n, 0::BIGINT AS m,
+                   {texthash.text_hash("clean_text", "duckdb")} AS fp
+            FROM ({dedup.line_dedup_clean_oracle("page_id", "text", _boilerplate_pages_sql())})
         """,
         "dedup_jaccard": dedup.jaccard_pairs_oracle("doc_id", "text", "documents"),
         "dedup_minhash": f"""

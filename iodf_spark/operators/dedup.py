@@ -691,3 +691,82 @@ def line_dedup_oracle(
                {fold} AS cleaned_fp
         FROM _doc
     """
+
+
+def line_dedup_clean(
+    df: DataFrame, id_col: str, text_col: str, max_df: int = LINE_MAX_DF
+) -> DataFrame:
+    """Materialize the boilerplate-stripped corpus: (doc_id, clean_text)
+    with the surviving lines re-joined by '\\n' in original order — the
+    artifact a curation pipeline actually ships (line_dedup emits only the
+    verdict + fingerprint).
+
+    Scale note vs line_dedup: line TEXT must travel to the reassembly
+    groupBy here (unavoidable: the output contains it), so the wide shuffle
+    carries the kept portion of the corpus exactly once; the boilerplate
+    verdict side is the same broadcastable filtered aggregate. Dropped-only
+    docs come back with clean_text = '' (present, not silently vanished)."""
+    lines = _line_rows_text(df, id_col, text_col)
+    boiler = (
+        lines.groupBy("_lh")
+        .agg(F.count_distinct("_id").alias("_ldf"))
+        .filter(F.col("_ldf") > F.lit(max_df))
+        .select("_lh", F.lit(True).alias("_bp"))
+    )
+    kept = (
+        lines.join(boiler, "_lh", "left")
+        .groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_bp").isNull(), F.struct("_pos", "_lt"))
+                        )
+                    ),
+                    lambda s: s["_lt"],
+                ),
+                "\n",
+            ).alias("clean_text")
+        )
+    )
+    return kept.select(F.col("_id").alias("doc_id"), "clean_text")
+
+
+def _line_rows_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Like _line_rows but keeps the trimmed line text (for clean-corpus
+    materialization)."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+        )
+        .withColumn("_lt", F.regexp_replace("_line", "^\\s+|\\s+$", ""))
+        .filter(F.col("_lt") != "")
+        .withColumn("_lh", F.expr(TH.text_hash("_lt", "spark")))
+        .drop("_line")
+    )
+
+
+def line_dedup_clean_oracle(
+    id_col: str, text_col: str, table: str, max_df: int = LINE_MAX_DF
+) -> str:
+    lh = TH.text_hash("_lt", "duckdb")
+    return f"""
+        WITH _lines AS (
+          SELECT _id, _pos, _lt, {lh} AS _lh
+          FROM (SELECT {id_col} AS _id,
+                       unnest(range(len(_l))) AS _pos,
+                       regexp_replace(unnest(_l), '^\\s+|\\s+$', '', 'g') AS _lt
+                FROM (SELECT {id_col}, string_split({text_col}, chr(10)) AS _l
+                      FROM {table}))
+          WHERE _lt <> ''
+        ),
+        _boiler AS (SELECT _lh, true AS _bp FROM _lines
+                    GROUP BY _lh HAVING count(DISTINCT _id) > {max_df})
+        SELECT _id AS doc_id,
+               coalesce(string_agg(_lt, chr(10) ORDER BY _pos)
+                        FILTER (_bp IS NULL), '') AS clean_text
+        FROM _lines LEFT JOIN _boiler USING (_lh)
+        GROUP BY _id
+    """

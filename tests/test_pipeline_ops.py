@@ -377,3 +377,23 @@ def test_temperature_sample_vs_oracle_params(spark, sf_dir, con, frac):
             "documents", "doc_id", "source", frac, select="doc_id, _d.source"
         ),
     )
+
+
+def test_line_dedup_clean_materializes_stripped_text(spark):
+    rows = [
+        (1, "alpha\nFOOTER\nbeta"),
+        (2, "gamma\n  FOOTER  "),
+        (3, "FOOTER\n\n   \ndelta"),
+        (4, "FOOTER"),
+        (5, "epsilon\nzeta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["clean_text"]
+           for r in D.line_dedup_clean(df, "doc_id", "text", max_df=3).collect()}
+    assert out == {
+        1: "alpha\nbeta",   # FOOTER stripped, order kept
+        2: "gamma",          # trim-equivalent '  FOOTER  ' stripped too
+        3: "delta",          # blank/whitespace lines dropped
+        4: "",               # fully-boilerplate doc present with empty text
+        5: "epsilon\nzeta",  # untouched
+    }
