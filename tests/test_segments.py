@@ -237,3 +237,54 @@ def test_reconcile_sweeps_stale_manifest_tmp(spark, store):
     assert "xyz123.manifest.tmp" in removed
     assert not os.path.exists(stale)
     assert store.open(spark).count() == 1
+
+
+def test_format_connectors_land_identical_segments(spark, sf_dir, tmp_path):
+    """CSV and JSON-lines drops of the same rows must land as segments
+    identical to the parquet-sourced one: same row ids, same index
+    probe results — the wire format must not leak into engine semantics."""
+    from pyspark.sql import types as T
+
+    from iodf_spark.operators.index import IndexConf, probe
+    from iodf_spark.sources.formats import ingest_to_store, read_table
+    from iodf_spark.sources.segments import SegmentStore
+    from iodf_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    ).limit(200)
+    pq, csv, js = (str(tmp_path / d) for d in ("pq", "csv", "js"))
+    orders.write.parquet(pq)
+    orders.write.option("header", "true").csv(csv)
+    orders.write.json(js)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    results = {}
+    conf = IndexConf(include=["o_orderpriority"])
+    for fmt, src in (("parquet", pq), ("csv", csv), ("json", js)):
+        store = SegmentStore(str(tmp_path / f"store_{fmt}"))
+        ingest_to_store(
+            spark, src, store, fmt,
+            schema=None if fmt == "parquet" else schema,
+            order_keys=["o_orderkey"], index_conf=conf,
+        )
+        ix = store.open_index(spark)
+        rows = probe(ix, "o_orderpriority", "1-URGENT", store.total_rows()).to_list()
+        data = sorted(
+            tuple(r) for r in store.open(spark).select(
+                "row_id", "o_orderkey", "o_orderstatus"
+            ).collect()
+        )
+        results[fmt] = (rows, data)
+    assert results["csv"] == results["parquet"]
+    assert results["json"] == results["parquet"]
+    # explicit-schema guard: schemaless CSV without opt-in must refuse
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="explicit schema"):
+        read_table(spark, csv, "csv")
