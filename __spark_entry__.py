@@ -280,6 +280,7 @@ SAMPLE_RATES = {"en": 0.5, "de": 0.25, "unknown": 1.0}
 # target keep fraction for the temperature-rebalanced variant (SQL literal
 # text so both dialects parse the identical double)
 TEMP_TARGET_FRAC = "4e-1"
+CAP_K = 40  # per-source quota for the 'cap' sampling variant
 
 
 # line_dedup fixture: the synthetic corpus has no newlines, so line-level
@@ -416,13 +417,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters: connected components over the jaccard pair graph;
-    one canonical survivor per cluster (iterative min-label propagation —
-    the oracle mirrors it with a recursive-CTE transitive closure)."""
-    from iodf_spark.operators.dedup import dedup_clusters
+    """Near-dup clusters + canonical selection in one attested entry:
+    connected components over the jaccard pair graph (iterative min-label
+    propagation; oracle = recursive-CTE transitive closure) with BOTH
+    survivor policies — min-id (`keep`) and quality-argmax (`best_id`/
+    `keep_best`, longest member wins, ties -> smallest id; one struct-max
+    groupBy, no window sort, no text on the wire)."""
+    from iodf_spark.operators.dedup import dedup_clusters, keep_best
 
-    return dedup_clusters(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = dedup_clusters(docs, "doc_id", "text")
+    scores = docs.select("doc_id", F.col("n_chars").cast("long").alias("score"))
+    return keep_best(labeled, scores).select(
+        "doc_id", "cluster_id", "keep", "best_id", "keep_best"
     ).orderBy("doc_id")
 
 
@@ -602,7 +609,26 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_checksum",
         )
     )
-    return fixed.unionByName(temp).orderBy("variant", "cls")
+    # hard per-source quota: at most CAP_K docs per source, picked by the
+    # same row-hash order (exact distributed top-k: salted local ranks then
+    # a tiny global rank — no full per-class sort, no text on the wire)
+    from iodf_spark.operators.sampling import source_cap
+
+    capped = (
+        source_cap(docs, "doc_id", "source", CAP_K)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .select(
+            F.lit("cap").alias("variant"),
+            F.col("source").alias("cls"),
+            "n_kept",
+            "id_checksum",
+        )
+    )
+    return fixed.unionByName(temp).unionByName(capped).orderBy("variant", "cls")
 
 
 def _pii_fixture_expr(dialect: str) -> str:
@@ -1784,7 +1810,9 @@ def oracle_sql() -> dict[str, str]:
               ({dedup.minhash_lsh_pairs_oracle("doc_id", "text", "documents")})
         """,
         "dedup_simhash": dedup.simhash_pairs_oracle("doc_id", "text", "documents"),
-        "dedup_clusters": dedup.dedup_clusters_oracle("doc_id", "text", "documents"),
+        "dedup_clusters": dedup.dedup_clusters_best_oracle(
+            "doc_id", "text", "documents", "n_chars"
+        ),
         "embedding_clusters": f"""
             WITH RECURSIVE cp AS (
               {similarity.cosine_pairs_oracle("vec_id", "embedding", "embeddings")}),
@@ -1837,6 +1865,13 @@ def oracle_sql() -> dict[str, str]:
             FROM ({sampling.temperature_sample_oracle(
                 "documents", "doc_id", "source", TEMP_TARGET_FRAC,
                 select="doc_id, _d.source",
+            )})
+            GROUP BY source
+            UNION ALL
+            SELECT 'cap' AS variant, source AS cls,
+                   count(*)::BIGINT AS n_kept, sum(doc_id)::BIGINT AS id_checksum
+            FROM ({sampling.source_cap_oracle(
+                "documents", "doc_id", "source", CAP_K, select="doc_id, source",
             )})
             GROUP BY source
             ORDER BY variant, cls

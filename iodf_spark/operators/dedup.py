@@ -554,21 +554,102 @@ def dedup_clusters(
     return labels.withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
 
 
-def dedup_clusters_oracle(
-    id_col: str, text_col: str, table: str, n: int = 3, threshold: float = 0.8
+def keep_best(
+    labeled: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical selection: for every cluster pick the member
+    with the HIGHEST quality score (ties -> smallest id) as the survivor —
+    the policy real curation pipelines use instead of min-id (the longest /
+    highest-quality page wins, not whichever crawled first).
+
+    One co-keyed join (labels x scores on the doc id) and ONE groupBy
+    shuffle carrying only (cluster_id, score, -id) triples — the argmax is
+    a lexicographic struct max, so there is no per-cluster window sort and
+    never any document text on the wire. Output = labeled plus ``best_id``
+    (the cluster's survivor) and ``keep_best`` (this doc is it).
+    """
+    j = labeled.join(scores.select(id_col, score_col), id_col)
+    best = (
+        j.groupBy(cluster_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(score_col).alias("_s"),
+                    (-F.col(id_col)).cast("long").alias("_nid"),
+                )
+            ).alias("_m")
+        )
+        .select(cluster_col, (-F.col("_m._nid")).cast("long").alias("best_id"))
+    )
+    return labeled.join(best, cluster_col).withColumn(
+        "keep_best", F.col(id_col) == F.col("best_id")
+    )
+
+
+def _cluster_labels_ctes(
+    id_col: str, text_col: str, table: str, n: int, threshold: float
 ) -> str:
+    """Shared WITH-body: recursive-CTE transitive closure producing
+    ``labels(doc_id, cluster_id)`` — the oracle twin of the engine's
+    iterative min-label propagation."""
     jp = jaccard_pairs_oracle(id_col, text_col, table, n, threshold)
-    return f"""
-        WITH RECURSIVE jp AS ({jp}),
+    return f"""jp AS ({jp}),
         edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
                   UNION SELECT doc_b, doc_a FROM jp),
         reach(id, r) AS (
           SELECT {id_col}::BIGINT, {id_col}::BIGINT FROM {table}
           UNION
           SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+        ),
+        labels AS (
+          SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY id
+        )"""
+
+
+def dedup_clusters_oracle(
+    id_col: str, text_col: str, table: str, n: int = 3, threshold: float = 0.8
+) -> str:
+    ctes = _cluster_labels_ctes(id_col, text_col, table, n, threshold)
+    return f"""
+        WITH RECURSIVE {ctes}
+        SELECT doc_id, cluster_id, (doc_id = cluster_id) AS keep
+        FROM labels ORDER BY doc_id
+    """
+
+
+def dedup_clusters_best_oracle(
+    id_col: str,
+    text_col: str,
+    table: str,
+    score_expr: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    """dedup_clusters + keep_best in one statement: ``score_expr`` is a SQL
+    expression over ``{table}`` rows (e.g. ``n_chars``). Max-score-then-
+    min-id selection is spelled as two aggs + an equi-join — integer scores,
+    so the score-equality join is exact in both engines."""
+    ctes = _cluster_labels_ctes(id_col, text_col, table, n, threshold)
+    return f"""
+        WITH RECURSIVE {ctes},
+        j AS (
+          SELECT l.doc_id, l.cluster_id, ({score_expr})::BIGINT AS _score
+          FROM labels l JOIN {table} t ON t.{id_col} = l.doc_id
+        ),
+        m AS (SELECT cluster_id, max(_score) AS _ms FROM j GROUP BY cluster_id),
+        b AS (
+          SELECT j.cluster_id, min(j.doc_id) AS best_id
+          FROM j JOIN m ON j.cluster_id = m.cluster_id AND j._score = m._ms
+          GROUP BY j.cluster_id
         )
-        SELECT id AS doc_id, min(r)::BIGINT AS cluster_id, (id = min(r)) AS keep
-        FROM reach GROUP BY id ORDER BY doc_id
+        SELECT l.doc_id, l.cluster_id, (l.doc_id = l.cluster_id) AS keep,
+               b.best_id, (l.doc_id = b.best_id) AS keep_best
+        FROM labels l JOIN b ON b.cluster_id = l.cluster_id
+        ORDER BY doc_id
     """
 
 
@@ -673,7 +754,7 @@ def line_dedup_oracle(
                        unnest(_l) AS _line
                 FROM (SELECT {id_col}, string_split({text_col}, chr(10)) AS _l
                       FROM {table}))
-          WHERE regexp_replace(_line, '^\s+|\s+$', '', 'g') <> ''
+          WHERE regexp_replace(_line, '^\\s+|\\s+$', '', 'g') <> ''
         ),
         _boiler AS (SELECT _lh, true AS _bp FROM _lines
                     GROUP BY _lh HAVING count(DISTINCT _id) > {max_df}),

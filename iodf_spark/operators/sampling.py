@@ -74,6 +74,55 @@ def stratified_sample_oracle(
     """
 
 
+def source_cap(
+    df: DataFrame, key_col: str, class_col: str, k: int, salts: int = 16
+) -> DataFrame:
+    """Hard per-class quota: keep AT MOST ``k`` rows per ``class_col`` value
+    (cap every domain/source at K documents — the curation counterpart of
+    rate-based sampling when a single crawl source must not dominate).
+    Selection is deterministic: the k rows with the smallest (hash bucket,
+    key) per class — re-runnable, engine-independent, same contract as the
+    samplers.
+
+    Exact distributed top-k per key WITHOUT a full per-class sort: pass 1
+    ranks within (class, salt) shards — a hot class is split across
+    ``salts`` bounded sorts — and keeps each shard's local top-k; pass 2
+    ranks the ≤ salts*k survivors per class (tiny). The union of per-salt
+    top-k provably contains the global top-k, so the result is identical
+    to one global window. Both passes carry only (key, class, bucket)
+    triples — document text never shuffles; the kept key set (≤ k*|classes|
+    rows) broadcast-semi-joins back onto the data."""
+    from pyspark.sql import Window
+
+    keyed = df.select(key_col, class_col).withColumn(
+        "_b", F.expr(_bucket_expr(key_col))
+    )
+    w1 = Window.partitionBy(class_col, F.pmod(F.col("_b"), F.lit(salts))).orderBy(
+        "_b", key_col
+    )
+    w2 = Window.partitionBy(class_col).orderBy("_b", key_col)
+    kept_keys = (
+        keyed.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= k)
+        .select(key_col)
+    )
+    return df.join(F.broadcast(kept_keys), key_col, "left_semi")
+
+
+def source_cap_oracle(
+    table: str, key_col: str, class_col: str, k: int, select: str = "*"
+) -> str:
+    return f"""
+        SELECT {select} FROM {table}
+        QUALIFY row_number() OVER (
+          PARTITION BY {class_col}
+          ORDER BY {_bucket_expr(key_col)}, {key_col}
+        ) <= {k}
+    """
+
+
 # --------------------------------------------------------------------------
 # Temperature-based mixture rebalancing (tau = 0.5)
 #

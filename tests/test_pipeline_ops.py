@@ -5,6 +5,7 @@ Python ground truth."""
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from iodf_spark.operators import dedup as D
 from iodf_spark.operators import multimodal as MM
@@ -152,6 +153,68 @@ def test_dedup_clusters_transitive_chain(spark):
     assert out == {
         1: (1, True), 2: (1, False), 3: (1, False),
         4: (4, True), 5: (5, True), 6: (5, False),
+    }
+
+
+def test_source_cap_exact_vs_global_window(spark, sf_dir):
+    """The salted two-phase top-k must equal one global per-class window
+    exactly (the per-salt union provably contains the global top-k), and
+    the cap must bind: min(k, class size) rows per class survive."""
+    from pyspark.sql import Window
+
+    from iodf_spark.operators.sampling import _bucket_expr, source_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = 7
+    got = sorted(
+        r["doc_id"] for r in source_cap(docs, "doc_id", "source", k, salts=4).collect()
+    )
+    w = Window.partitionBy("source").orderBy("_b", "doc_id")
+    want = sorted(
+        r["doc_id"]
+        for r in docs.withColumn("_b", F.expr(_bucket_expr("doc_id")))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .collect()
+    )
+    assert got == want
+    sizes = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    kept = {
+        r["source"]: r["n"]
+        for r in source_cap(docs, "doc_id", "source", k, salts=4)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert kept == {s: min(k, n) for s, n in sizes.items()}
+
+
+def test_keep_best_argmax_and_ties(spark):
+    """Quality-argmax canonical selection: highest score wins the cluster;
+    a score tie falls to the smallest doc id; singletons pick themselves."""
+    import pandas as pd
+
+    from iodf_spark.operators.dedup import keep_best
+
+    labeled = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4, 5, 6], "cluster_id": [1, 1, 1, 4, 5, 5]}
+        )
+    )
+    scores = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 5, 6], "score": [10, 30, 30, 7, 2, 2]})
+    )
+    out = {
+        r["doc_id"]: (r["best_id"], r["keep_best"])
+        for r in keep_best(labeled, scores).collect()
+    }
+    assert out == {
+        1: (2, False), 2: (2, True), 3: (2, False),  # 30 ties -> min id 2
+        4: (4, True),
+        5: (5, True), 6: (5, False),  # 2 ties -> min id 5
     }
 
 
