@@ -1583,6 +1583,8 @@ def _knn_ctes() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from iodf_spark.functions import texthash as TH
+
     costats_counts = """
         SELECT count(*)::BIGINT AS n,
                count(*) FILTER (l_returnflag = 'R')::BIGINT AS fa,
@@ -1948,7 +1950,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS row_id, text
                   FROM documents)
             WHERE list_contains(
-                list_filter(string_split_regex(text, '\\s+'), _t -> _t <> ''),
+                list_filter(string_split_regex(text, '{TH.WS_CLASS}+'), _t -> _t <> ''),
                 'spark')
             UNION ALL
             SELECT 'bm25' AS variant, row_id, round(score, 9) AS score

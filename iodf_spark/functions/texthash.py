@@ -18,6 +18,14 @@ MOD = 1_000_000_007
 MULT = 31
 SEED = 7
 
+# Tokenization whitespace. Java's \s is [ \t\n\x0B\f\r] but RE2's (DuckDB)
+# lacks \x0B — a vertical tab in a document silently tokenizes differently
+# between the engine and the oracle (hypothesis-caught divergence). One
+# explicit class with LITERAL control characters: no backslashes, so
+# Spark's escape-processing SQL literals and DuckDB's raw literals receive
+# the identical pattern, pinned to the Java set.
+WS_CLASS = "[ \t\n\x0b\f\r]"
+
 
 def _d(dialect: str) -> bool:
     if dialect not in ("spark", "duckdb"):
@@ -62,8 +70,8 @@ def text_hash(e: str, dialect: str) -> str:
 def tokens(e: str, dialect: str) -> str:
     """Whitespace tokens, empties dropped."""
     if _d(dialect):
-        return f"filter(split({e}, '\\\\s+'), _t -> _t <> '')"
-    return f"list_filter(string_split_regex({e}, '\\s+'), _t -> _t <> '')"
+        return f"filter(split({e}, '{WS_CLASS}+'), _t -> _t <> '')"
+    return f"list_filter(string_split_regex({e}, '{WS_CLASS}+'), _t -> _t <> '')"
 
 
 def token_hashes(e: str, dialect: str) -> str:

@@ -677,7 +677,7 @@ def _line_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         # regex trim, not trim(): trim strips only 0x20 in both engines, but
         # boilerplate matching must be whitespace-run-insensitive at the ends
-        .withColumn("_lt", F.regexp_replace("_line", "^\\s+|\\s+$", ""))
+        .withColumn("_lt", F.regexp_replace("_line", f"^{TH.WS_CLASS}+|{TH.WS_CLASS}+$", ""))
         .filter(F.col("_lt") != "")
         .withColumn("_lh", F.expr(TH.text_hash("_lt", "spark")))
         .drop("_line", "_lt")
@@ -741,7 +741,7 @@ def line_dedup_oracle(
     with line (same 0-based order as posexplode); identical hash/threshold
     formulas; empty kept-lists coalesced to [] so the fold matches Spark's
     seed-only aggregate."""
-    lh = TH.text_hash(r"regexp_replace(_line, '^\s+|\s+$', '', 'g')", "duckdb")
+    lh = TH.text_hash(f"regexp_replace(_line, '^{TH.WS_CLASS}+|{TH.WS_CLASS}+$', '', 'g')", "duckdb")
     fold = TH.fold_hash(
         f"list_transform(coalesce(_kept, []::BIGINT[]), _e -> _e % {_POS_ENC})",
         "duckdb",
@@ -754,7 +754,7 @@ def line_dedup_oracle(
                        unnest(_l) AS _line
                 FROM (SELECT {id_col}, string_split({text_col}, chr(10)) AS _l
                       FROM {table}))
-          WHERE regexp_replace(_line, '^\\s+|\\s+$', '', 'g') <> ''
+          WHERE regexp_replace(_line, '^{TH.WS_CLASS}+|{TH.WS_CLASS}+$', '', 'g') <> ''
         ),
         _boiler AS (SELECT _lh, true AS _bp FROM _lines
                     GROUP BY _lh HAVING count(DISTINCT _id) > {max_df}),
@@ -822,7 +822,7 @@ def _line_rows_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.col(id_col).alias("_id"),
             F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
         )
-        .withColumn("_lt", F.regexp_replace("_line", "^\\s+|\\s+$", ""))
+        .withColumn("_lt", F.regexp_replace("_line", f"^{TH.WS_CLASS}+|{TH.WS_CLASS}+$", ""))
         .filter(F.col("_lt") != "")
         .withColumn("_lh", F.expr(TH.text_hash("_lt", "spark")))
         .drop("_line")
@@ -838,7 +838,7 @@ def line_dedup_clean_oracle(
           SELECT _id, _pos, _lt, {lh} AS _lh
           FROM (SELECT {id_col} AS _id,
                        unnest(range(len(_l))) AS _pos,
-                       regexp_replace(unnest(_l), '^\\s+|\\s+$', '', 'g') AS _lt
+                       regexp_replace(unnest(_l), '^{TH.WS_CLASS}+|{TH.WS_CLASS}+$', '', 'g') AS _lt
                 FROM (SELECT {id_col}, string_split({text_col}, chr(10)) AS _l
                       FROM {table}))
           WHERE _lt <> ''

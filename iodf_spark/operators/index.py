@@ -65,8 +65,12 @@ def identity_analyzer(c: Column) -> Column:
 
 def text_analyzer(c: Column) -> Column:
     """Whitespace tokenizer, the reference's test analyzer
-    (DfTest.scala:69-70: v.split(" "))."""
-    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    (DfTest.scala:69-70: v.split(" ")). Splits on the shared explicit
+    whitespace class (texthash.WS_CLASS) so the index tokenization and the
+    DuckDB oracle's cannot diverge on RE2-vs-Java \\s edge characters."""
+    from iodf_spark.functions.texthash import WS_CLASS
+
+    return F.filter(F.split(c, WS_CLASS + "+"), lambda t: t != "")
 
 
 class IndexConf:

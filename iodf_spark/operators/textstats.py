@@ -83,8 +83,8 @@ def _exprs(text: str, dialect: str) -> dict[str, str]:
         "quality_score": f"round({quality}, 6)",
         "lang_pred": case,
         "fingerprint": TH.fold_hash(
-            TH.codepoints(f"trim(regexp_replace(lower({text}), '\\\\s+', ' '))"
-                          if sp else f"trim(regexp_replace(lower({text}), '\\s+', ' ', 'g'))",
+            TH.codepoints(f"trim(regexp_replace(lower({text}), '{TH.WS_CLASS}+', ' '))"
+                          if sp else f"trim(regexp_replace(lower({text}), '{TH.WS_CLASS}+', ' ', 'g'))",
                           dialect),
             dialect,
         ),

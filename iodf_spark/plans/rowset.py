@@ -804,7 +804,13 @@ class PostingSet:
         ids = self.to_rows().filter(
             (F.col("row_id") >= start) & (F.col("row_id") < until)
         ).select((F.col("row_id") - start).alias("row_id"))
-        return PostingSet.from_row_ids(ids, until - start, self.bucket_size)
+        # clamp like the aligned path: a view cannot extend past the row
+        # space (Df.scala:104-107 composes views with min(a+d, b)) —
+        # hypothesis-caught divergence: the unaligned path used to size the
+        # result until-start, so view(1, n+1) grew n by 1
+        return PostingSet.from_row_ids(
+            ids, min(until, self.n) - start, self.bucket_size
+        )
 
     # -- observations -------------------------------------------------------
 
