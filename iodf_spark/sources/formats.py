@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-_FORMATS = ("parquet", "csv", "json")
+_FORMATS = ("parquet", "csv", "json", "orc")
 
 
 def read_table(
@@ -40,7 +40,7 @@ def read_table(
     single-task read and is deliberately NOT defaulted)."""
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
-    if fmt != "parquet" and schema is None and not infer:
+    if fmt not in ("parquet", "orc") and schema is None and not infer:
         raise ValueError(
             f"{fmt} needs an explicit schema (or infer=True: a full/sampled "
             "extra pass over the data — fine locally, costly at scale)"
@@ -55,6 +55,10 @@ def read_table(
         return reader.options(**opts).csv(path)
     if fmt == "json":
         return reader.options(**options).json(path)
+    if fmt == "orc":
+        # self-describing columnar like parquet: footer schema, predicate
+        # pushdown and column pruning apply — no schema requirement
+        return reader.options(**options).orc(path)
     return reader.options(**options).parquet(path)
 
 

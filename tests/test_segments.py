@@ -254,9 +254,11 @@ def test_format_connectors_land_identical_segments(spark, sf_dir, tmp_path):
         "o_orderkey", "o_orderstatus", "o_orderpriority"
     ).limit(200)
     pq, csv, js = (str(tmp_path / d) for d in ("pq", "csv", "js"))
+    orc = str(tmp_path / "orc")
     orders.write.parquet(pq)
     orders.write.option("header", "true").csv(csv)
     orders.write.json(js)
+    orders.write.orc(orc)
     schema = T.StructType(
         [
             T.StructField("o_orderkey", T.LongType()),
@@ -266,11 +268,11 @@ def test_format_connectors_land_identical_segments(spark, sf_dir, tmp_path):
     )
     results = {}
     conf = IndexConf(include=["o_orderpriority"])
-    for fmt, src in (("parquet", pq), ("csv", csv), ("json", js)):
+    for fmt, src in (("parquet", pq), ("csv", csv), ("json", js), ("orc", orc)):
         store = SegmentStore(str(tmp_path / f"store_{fmt}"))
         ingest_to_store(
             spark, src, store, fmt,
-            schema=None if fmt == "parquet" else schema,
+            schema=None if fmt in ("parquet", "orc") else schema,
             order_keys=["o_orderkey"], index_conf=conf,
         )
         ix = store.open_index(spark)
@@ -283,6 +285,7 @@ def test_format_connectors_land_identical_segments(spark, sf_dir, tmp_path):
         results[fmt] = (rows, data)
     assert results["csv"] == results["parquet"]
     assert results["json"] == results["parquet"]
+    assert results["orc"] == results["parquet"]
     # explicit-schema guard: schemaless CSV without opt-in must refuse
     import pytest as _pt
 
