@@ -25,16 +25,29 @@ import sys
 def load(path: str) -> dict:
     with open(path) as fh:
         text = fh.read().strip()
-    # tolerate a log-polluted file: the bench line is the LAST json object
-    for line in reversed(text.splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            obj = json.loads(line)
-            # tolerate the driver's BENCH_r{N}.json wrapper {..., parsed: {...}}
-            if "queries" not in obj and isinstance(obj.get("parsed"), dict):
-                obj = obj["parsed"]
-            return obj
-    raise SystemExit(f"{path}: no JSON line found")
+    # whole-file JSON first (the driver's BENCH_r{N}.json wrapper is
+    # PRETTY-PRINTED, so a line scan would stop on a nested '{' fragment)
+    try:
+        obj = json.loads(text)
+    except json.JSONDecodeError:
+        obj = None
+        # log-polluted file: the bench line is the LAST json object
+        for line in reversed(text.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    obj = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                break
+        if obj is None:
+            raise SystemExit(f"{path}: no JSON line found")
+    # unwrap the driver wrapper {..., parsed: {...}}
+    if "queries" not in obj and isinstance(obj.get("parsed"), dict):
+        obj = obj["parsed"]
+    if "queries" not in obj:
+        raise SystemExit(f"{path}: no bench metrics found (parsed=null?)")
+    return obj
 
 
 def main() -> int:
