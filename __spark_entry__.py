@@ -281,6 +281,7 @@ SAMPLE_RATES = {"en": 0.5, "de": 0.25, "unknown": 1.0}
 # text so both dialects parse the identical double)
 TEMP_TARGET_FRAC = "4e-1"
 CAP_K = 40  # per-source quota for the 'cap' sampling variant
+TOKEN_BUDGET = 16_000  # token budget for quality_filter's cum_tokens/in_budget
 
 
 # line_dedup fixture: the synthetic corpus has no newlines, so line-level
@@ -655,15 +656,21 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-training quality gate: per-doc metrics + keep verdict (composite
     score, token floor, punctuation ceiling) — one narrow pass — plus the
     PII scrub-scan columns (email/phone/IPv4 hit counts over the
-    deterministic injection fixture, since the raw corpus is PII-free)."""
+    deterministic injection fixture, since the raw corpus is PII-free),
+    plus token-budget assembly (cum_tokens/in_budget: the best docs by
+    quality until TOKEN_BUDGET is full — a distributed range-partitioned
+    prefix sum, not a single-task global window)."""
+    from iodf_spark.operators.sampling import token_budget_select
     from iodf_spark.operators.textstats import pii_scan, quality_filter
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "_pii_text", F.expr(_pii_fixture_expr("spark"))
     )
-    return quality_filter(docs, "doc_id", "text").join(
-        pii_scan(docs, "doc_id", "_pii_text"), "doc_id"
+    qf = token_budget_select(
+        quality_filter(docs, "doc_id", "text"),
+        "doc_id", "quality_score", "n_tokens", TOKEN_BUDGET,
     )
+    return qf.join(pii_scan(docs, "doc_id", "_pii_text"), "doc_id")
 
 
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1846,7 +1853,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_filter": f"""
             SELECT q.*, p.n_emails, p.n_phones, p.n_ipv4, p.pii_clean
-            FROM ({textstats.quality_filter_oracle("doc_id", "text", "documents")}) q
+            FROM ({sampling.token_budget_oracle(
+                textstats.quality_filter_oracle("doc_id", "text", "documents"),
+                "doc_id", "quality_score", "n_tokens", TOKEN_BUDGET,
+            )}) q
             JOIN ({textstats.pii_scan_oracle(
                 "doc_id", "_pii_text",
                 f"(SELECT doc_id, {_pii_fixture_expr('duckdb')} AS _pii_text FROM documents)",

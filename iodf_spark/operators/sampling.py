@@ -123,6 +123,79 @@ def source_cap_oracle(
     """
 
 
+def token_budget_select(
+    df: DataFrame, id_col: str, score_col: str, tokens_col: str, budget: int
+) -> DataFrame:
+    """Fill a token budget with the best documents: rank by (score DESC,
+    id ASC) and keep rows while the inclusive running token total fits —
+    the final assembly step of a training corpus ("top up to 1T tokens by
+    quality"). Output = input + ``cum_tokens`` (inclusive prefix sum in
+    quality order) + ``in_budget``.
+
+    The prefix sum is distributed, NOT a single-task global window:
+    range-partition on the sort key, sum tokens per partition (one tiny
+    agg: #partitions rows), compute exclusive offsets on the driver,
+    broadcast them back and window only WITHIN partitions — the same shape
+    as sources/tables.with_row_id, valid at any partition count. The
+    stamped partition id is pinned with localCheckpoint so the offset job
+    and the output see the identical assignment."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    stamped = (
+        df.repartitionByRange(n_parts, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    sums = stamped.groupBy("_pid").agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("_s")
+    ).collect()
+    offsets, acc = {}, 0
+    for row in sorted(sums, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += int(row["_s"])
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        stamped.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "cum_tokens",
+            (F.sum(F.col(tokens_col).cast("long")).over(w) + F.col("_off")).cast(
+                "long"
+            ),
+        )
+        .withColumn("in_budget", F.col("cum_tokens") <= budget)
+        .drop("_pid", "_off")
+    )
+
+
+def token_budget_oracle(
+    inner: str, id_col: str, score_col: str, tokens_col: str, budget: int
+) -> str:
+    """Oracle twin over an inner SELECT: one global window (fine at oracle
+    scale; ROWS frame spelled explicitly so tie handling cannot differ)."""
+    return f"""
+        SELECT *,
+               sum({tokens_col}::BIGINT) OVER (
+                 ORDER BY {score_col} DESC, {id_col} ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS cum_tokens,
+               (sum({tokens_col}::BIGINT) OVER (
+                 ORDER BY {score_col} DESC, {id_col} ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) <= {budget}) AS in_budget
+        FROM ({inner})
+    """
+
+
 # --------------------------------------------------------------------------
 # Temperature-based mixture rebalancing (tau = 0.5)
 #

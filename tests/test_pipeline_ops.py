@@ -192,6 +192,45 @@ def test_source_cap_exact_vs_global_window(spark, sf_dir):
     assert kept == {s: min(k, n) for s, n in sizes.items()}
 
 
+def test_token_budget_select_vs_global_window(spark, sf_dir):
+    """The range-partitioned two-pass prefix sum must equal one global
+    window exactly, and the kept set must be the maximal quality-ordered
+    prefix that fits the budget."""
+    from pyspark.sql import Window
+
+    from iodf_spark.operators.sampling import token_budget_select
+    from iodf_spark.operators.textstats import quality_filter
+
+    qf = quality_filter(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    budget = 3000
+    got = {
+        r["doc_id"]: (r["cum_tokens"], r["in_budget"])
+        for r in token_budget_select(
+            qf, "doc_id", "quality_score", "n_tokens", budget
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["doc_id"]: (r["c"], r["c"] <= budget)
+        for r in qf.withColumn(
+            "c", F.sum(F.col("n_tokens").cast("long")).over(w)
+        ).collect()
+    }
+    assert got == want
+    kept = [d for d, (_, in_b) in got.items() if in_b]
+    assert kept, "budget keeps at least the best doc"
+    # frontier: total of kept fits, kept + next-best doc would not
+    ordered = sorted(got.items(), key=lambda kv: kv[1][0])
+    total_kept = max(c for d, (c, in_b) in got.items() if in_b)
+    assert total_kept <= budget
+    first_out = next(((d, c) for d, (c, in_b) in ordered if not in_b), None)
+    if first_out is not None:
+        assert first_out[1] > budget
+
+
 def test_keep_best_argmax_and_ties(spark):
     """Quality-argmax canonical selection: highest score wins the cluster;
     a score tie falls to the smallest doc id; singletons pick themselves."""
