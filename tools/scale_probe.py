@@ -1,0 +1,153 @@
+"""Empirical scaling probe: how do the engine's headline operators scale
+with input size on fixed hardware?
+
+Methodology (the first draft of this probe produced garbage and each fix
+is load-bearing):
+
+* replicas are built and written to parquet UNTIMED, before any probe —
+  otherwise replica construction dominates the measurement;
+* each op runs once untimed at k=1 first — janino codegen + JIT for the
+  expression-heavy kernels costs seconds and lands entirely on the first
+  run, which is exactly the k=1 cell;
+* timings are min-of-2 (the bench.py noise policy);
+* replicated document text gets ~40 unique salt tokens per copy, pushing
+  copy-vs-copy Jaccard to ~0.4 — far below the 0.8 near-dup threshold.
+  A weak salt leaves the k copies of each doc near-dups of each other, so
+  the pair OUTPUT (and thus the probe time) grows quadratically in k by
+  construction, which measures the fixture, not the operator.
+
+A plan whose time grows ~linearly in K on fixed cores is shuffle- and
+partition-healthy: work units scale with rows, not rows². Results are
+recorded in SCALE.md ("Measured scaling").
+
+Usage:  python tools/scale_probe.py [max_k]   # solo, like bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from iodf_spark.session import get_spark  # noqa: E402
+from iodf_spark.sources.tables import load_table  # noqa: E402
+
+WORK = "/tmp/iodf_scale_probe"
+SALT_TOKENS = 40
+
+
+def build_replica(spark, sf_dir: str, table: str, id_col: str, k: int, salt_text: bool):
+    path = f"{WORK}/{table}_x{k}"
+    if os.path.isdir(path):
+        return
+    base = load_table(spark, sf_dir, table)
+    span = base.agg(F.max(id_col)).collect()[0][0] + 1
+    parts = []
+    for j in range(k):
+        c = base.withColumn(id_col, F.col(id_col) + F.lit(j * span))
+        if salt_text and j > 0:
+            # ~SALT_TOKENS unique tokens per copy: Jaccard(copy_i, copy_j)
+            # ≈ |orig| / (|orig| + 2*SALT) « threshold
+            c = c.withColumn(
+                "text",
+                F.concat(
+                    F.col("text"),
+                    F.expr(
+                        f"concat_ws(' ', transform(sequence(1, {SALT_TOKENS}), "
+                        f"_i -> concat('salt{j}x', {id_col}, 'n', _i)))"
+                    ),
+                ),
+            )
+        parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(path)
+
+
+def main():
+    max_k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("iodf_scale_probe")
+    spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
+    ks = [k for k in (1, 2, 4, 8) if k <= max_k]
+
+    for k in ks:
+        build_replica(spark, sf_dir, "documents", "doc_id", k, True)
+        build_replica(spark, sf_dir, "embeddings", "vec_id", k, False)
+        build_replica(spark, sf_dir, "events", "event_id", k, False)
+
+    def rd(table, k):
+        return spark.read.parquet(f"{WORK}/{table}_x{k}")
+
+    def probe_index_build(k):
+        from iodf_spark.operators.index import IndexConf, build_index, write_index
+        from iodf_spark.sources.tables import with_row_id_scalable
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey", "l_returnflag", "l_linestatus", "l_shipdate"
+        )
+        reps = li
+        for _ in range(k - 1):
+            reps = reps.unionByName(li)
+        df, n = with_row_id_scalable(reps, return_count=True)
+        ix = build_index(df, IndexConf(), n_rows=n)
+        write_index(ix, f"{WORK}/ix_out")
+        return n
+
+    def probe_minhash(k):
+        from iodf_spark.operators.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(rd("documents", k), "doc_id", "text").count()
+
+    def probe_exact_dedup(k):
+        from iodf_spark.operators.dedup import exact_dedup
+
+        return exact_dedup(rd("documents", k), "doc_id", "text").count()
+
+    def probe_ann_lsh(k):
+        from iodf_spark.operators.similarity import ann_lsh
+
+        return ann_lsh(
+            rd("embeddings", k), "vec_id", "embedding", [3, 7, 11], multi_probe=True
+        ).count()
+
+    def probe_window_agg(k):
+        return (
+            rd("events", k)
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)), F.avg("value"))
+            .count()
+        )
+
+    probes = {
+        "index_build": probe_index_build,
+        "minhash_pairs": probe_minhash,
+        "exact_dedup": probe_exact_dedup,
+        "ann_lsh_multiprobe": probe_ann_lsh,
+        "event_window_agg": probe_window_agg,
+    }
+    for name, fn in probes.items():
+        fn(1)  # codegen/JIT warmup, untimed
+        for k in ks:
+            best, res = None, None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                res = fn(k)
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            print(
+                json.dumps({"op": name, "k": k, "result": int(res), "sec": round(best, 2)}),
+                flush=True,
+            )
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
