@@ -47,6 +47,11 @@ from iodf_spark.plans.rowset import DEFAULT_BUCKET_SIZE
 from iodf_spark.sources.tables import with_row_id, with_row_id_scalable
 
 
+class ManifestConflictError(RuntimeError):
+    """Two writers raced to publish the same manifest version — the loser
+    gets this instead of silently clobbering the winner's commit."""
+
+
 class SegmentStore:
     def __init__(self, path: str, bucket_size: int = DEFAULT_BUCKET_SIZE):
         self.path = path
@@ -72,13 +77,31 @@ class SegmentStore:
         reads any retained version against the immutable segment files —
         time-travel reads for free, since segments are never rewritten in
         place. Version files are tiny driver-side metadata; `vacuum` prunes
-        old versions (and only then their unreferenced segment dirs)."""
+        old versions (and only then their unreferenced segment dirs).
+
+        Optimistic concurrency: the version file is claimed with an ATOMIC
+        exclusive link — if another writer already published this version
+        number, the publish raises ManifestConflictError instead of
+        silently clobbering its manifest (losing that writer's segments
+        from the log while their dirs survive as orphans). The store's
+        contract stays single-writer; the check turns a violated contract
+        into a loud error. On an object store, the link becomes a
+        conditional put (if-none-match) — same protocol Delta/Iceberg use
+        for their commit files."""
         v = (self.versions() or [0])[-1] + 1
-        for target in (f"manifest-v{v:06d}.json", "manifest.json"):
-            fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
-            with os.fdopen(fd, "w") as fh:
-                json.dump(entries, fh, indent=1)
-            os.replace(tmp, os.path.join(self.path, target))  # atomic
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(entries, fh, indent=1)
+        vpath = os.path.join(self.path, f"manifest-v{v:06d}.json")
+        try:
+            os.link(tmp, vpath)  # atomic claim: fails iff the version exists
+        except FileExistsError:
+            os.remove(tmp)
+            raise ManifestConflictError(
+                f"manifest version {v} was published concurrently by another "
+                f"writer ({vpath} exists); re-read the store and retry"
+            ) from None
+        os.replace(tmp, self._manifest_path)  # current pointer, atomic
 
     def versions(self) -> list[int]:
         """Available snapshot versions, ascending (1-based publish order)."""

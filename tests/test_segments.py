@@ -239,6 +239,36 @@ def test_reconcile_sweeps_stale_manifest_tmp(spark, store):
     assert store.open(spark).count() == 1
 
 
+def test_manifest_publish_conflict_detected(spark, store):
+    """Optimistic concurrency: if another writer already claimed the next
+    manifest version, a publish must raise ManifestConflictError instead of
+    clobbering that commit — and the store must still read consistently at
+    the winner's version."""
+    import os
+
+    import pytest as _pt
+
+    from iodf_spark.sources.segments import ManifestConflictError
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(20)], "k long, v long")
+    store.write_segment(df, order_keys=["k"])
+    before = store.manifest()
+    # the race window is between the version-list read and the link claim:
+    # freeze this writer's view of versions(), then let the competitor win
+    stale = store.versions()
+    store.versions = lambda: stale
+    next_v = os.path.join(store.path, f"manifest-v{stale[-1] + 1:06d}.json")
+    with open(next_v, "w") as fh:
+        fh.write("[]")
+    with _pt.raises(ManifestConflictError, match=f"version {stale[-1] + 1}"):
+        store._publish(before)
+    # the loser's publish touched neither the claimed version nor the pointer
+    assert open(next_v).read() == "[]"
+    assert store.manifest() == before
+    # no stale tmp files left behind by the failed publish
+    assert not [n for n in os.listdir(store.path) if n.endswith(".manifest.tmp")]
+
+
 def test_format_connectors_land_identical_segments(spark, sf_dir, tmp_path):
     """CSV and JSON-lines drops of the same rows must land as segments
     identical to the parquet-sourced one: same row ids, same index
