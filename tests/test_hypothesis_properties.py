@@ -103,6 +103,77 @@ def test_rowset_algebra_model_based(spark, seq):
     assert ps.to_list() == sorted(model)
 
 
+STORE_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("write"), st.integers(1, 40)),
+        st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("vacuum"), st.just(0)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=STORE_OPS)
+def test_segment_store_lifecycle_model_based(spark, ops, tmp_path_factory):
+    """Generative LSM lifecycle: any interleaving of write_segment /
+    compact / vacuum must preserve (1) the concatenated-row model with
+    contiguous global row_ids, (2) time travel — every RETAINED snapshot
+    version re-reads exactly the rows it was published with, and (3)
+    vacuumed versions raise rather than resurrect."""
+    import shutil
+
+    from iodf_spark.sources.segments import SegmentStore
+
+    path = str(tmp_path_factory.mktemp("hyp_store") / "store")
+    store = SegmentStore(path, bucket_size=64)
+    model = []  # concatenated (k, v) rows in ingest order
+    snapshots = {}  # version -> model copy at publish
+    next_k = 0
+    try:
+        for kind, arg in ops:
+            if kind == "write":
+                rows = [(next_k + i, (next_k + i) * 3) for i in range(arg)]
+                next_k += arg
+                store.write_segment(
+                    spark.createDataFrame(rows, "k long, v long"), order_keys=["k"]
+                )
+                model.extend(rows)
+            elif kind == "compact" and model:
+                store.compact(spark)
+            elif kind == "vacuum":
+                store.vacuum(keep_last=1)
+            if store.versions():
+                snapshots[store.versions()[-1]] = list(model)
+        if model:
+            got = [
+                (r["k"], r["v"], r["row_id"])
+                for r in store.open(spark).orderBy("row_id").collect()
+            ]
+            assert [(k, v) for k, v, _ in got] == model
+            assert [rid for _, _, rid in got] == list(range(len(model)))
+        live = set(store.versions())
+        for v, snap in snapshots.items():
+            if v in live:
+                got_v = [
+                    (r["k"], r["v"])
+                    for r in store.open_at(spark, v).orderBy("row_id").collect()
+                ]
+                assert got_v == snap, f"snapshot v{v} drifted"
+            else:
+                try:
+                    store.manifest_at(v)
+                except ValueError:
+                    pass  # vacuumed: must raise, not resurrect
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 # NUL is excluded: pandas->duckdb VARCHAR transfer truncates at NUL while
 # Spark keeps it — a transport artifact, not a formula divergence.
 TEXTS = st.lists(
