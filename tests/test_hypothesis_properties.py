@@ -174,6 +174,50 @@ def test_segment_store_lifecycle_model_based(spark, ops, tmp_path_factory):
         shutil.rmtree(path, ignore_errors=True)
 
 
+@st.composite
+def contingency_counts(draw):
+    """Valid 2x2 contingency tuples: 0 <= fa,fb <= n, Frechet bounds on
+    fab — includes the degenerate corners (fa=0, fa=n, fab pinned)."""
+    n = draw(st.integers(1, 10_000))
+    fa = draw(st.integers(0, n))
+    fb = draw(st.integers(0, n))
+    fab = draw(st.integers(max(0, fa + fb - n), min(fa, fb)))
+    return (n, fa, fb, fab)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cases=st.lists(contingency_counts(), min_size=1, max_size=25))
+def test_costats_formula_triplet_agrees(spark, cases):
+    """The three renditions of the CoStats closed forms — Python ground
+    truth, Spark SQL text, DuckDB on the same text — must agree to the
+    attested 9-digit rounding on arbitrary valid contingency counts
+    (JVM and libc log() may differ in the last ulp; the 9-digit round is
+    the engine's published comparison grain)."""
+    from iodf_spark.functions.costats_math import costats_py, costats_sql_exprs
+
+    pdf = pd.DataFrame(cases, columns=["n", "fa", "fb", "fab"])
+    sdf = spark.createDataFrame(pdf)
+    exprs = costats_sql_exprs("n", "fa", "fb", "fab", round_to=None)
+    sel = [f"round({e}, 9) as {k}" for k, e in exprs.items()]
+    s_rows = sdf.selectExpr("n", "fa", "fb", "fab", *sel).collect()
+    con = duckdb.connect()
+    con.register("cc", pdf)
+    d_rows = con.execute(
+        "SELECT " + ", ".join(f"round({e}, 9) AS {k}" for k, e in exprs.items())
+        + " FROM cc"
+    ).fetchall()
+    for i, (case, sr, dr) in enumerate(zip(cases, s_rows, d_rows)):
+        truth = costats_py(*case)
+        for j, k in enumerate(exprs):
+            want = round(truth[k], 9)
+            assert abs(sr[k] - want) <= 2e-9, f"spark {k} on {case}: {sr[k]} vs {want}"
+            assert abs(dr[j] - want) <= 2e-9, f"duckdb {k} on {case}: {dr[j]} vs {want}"
+
+
 # NUL is excluded: pandas->duckdb VARCHAR transfer truncates at NUL while
 # Spark keeps it — a transport artifact, not a formula divergence.
 TEXTS = st.lists(
