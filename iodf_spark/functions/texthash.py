@@ -21,10 +21,12 @@ SEED = 7
 # Tokenization whitespace. Java's \s is [ \t\n\x0B\f\r] but RE2's (DuckDB)
 # lacks \x0B — a vertical tab in a document silently tokenizes differently
 # between the engine and the oracle (hypothesis-caught divergence). One
-# explicit class with LITERAL control characters: no backslashes, so
-# Spark's escape-processing SQL literals and DuckDB's raw literals receive
-# the identical pattern, pinned to the Java set.
-WS_CLASS = "[ \t\n\x0b\f\r]"
+# explicit set with LITERAL control characters: no backslashes, so Spark's
+# escape-processing SQL literals and DuckDB's raw literals receive the
+# identical pattern, pinned to the Java set. WS_CHARS is the bare char set
+# for embedding inside larger character classes (punctuation/BPE regexes).
+WS_CHARS = " \t\n\x0b\f\r"
+WS_CLASS = f"[{WS_CHARS}]"
 
 
 def _d(dialect: str) -> bool:

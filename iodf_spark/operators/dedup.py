@@ -571,14 +571,22 @@ def keep_best(
     a lexicographic struct max, so there is no per-cluster window sort and
     never any document text on the wire. Output = labeled plus ``best_id``
     (the cluster's survivor) and ``keep_best`` (this doc is it).
+
+    Docs missing from ``scores`` are NOT dropped (left join): they rank at
+    -infinity, so they never win over a scored member, and a fully
+    unscored cluster falls back to its min id — every labeled doc appears
+    in the output exactly once regardless of score coverage.
     """
-    j = labeled.join(scores.select(id_col, score_col), id_col)
+    j = labeled.join(scores.select(id_col, score_col), id_col, "left")
     best = (
         j.groupBy(cluster_col)
         .agg(
             F.max(
                 F.struct(
-                    F.col(score_col).alias("_s"),
+                    F.coalesce(
+                        F.col(score_col).cast("double"),
+                        F.lit(float("-inf")),
+                    ).alias("_s"),
                     (-F.col(id_col)).cast("long").alias("_nid"),
                 )
             ).alias("_m")

@@ -141,39 +141,31 @@ def token_budget_select(
     and the output see the identical assignment."""
     from pyspark.sql import Window
 
-    spark = df.sparkSession
-    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    from iodf_spark.sources.tables import broadcast_offsets
+
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     order = [F.col(score_col).desc(), F.col(id_col).asc()]
     stamped = (
         df.repartitionByRange(n_parts, *order)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
-    sums = stamped.groupBy("_pid").agg(
-        F.sum(F.col(tokens_col).cast("long")).alias("_s")
-    ).collect()
-    offsets, acc = {}, 0
-    for row in sorted(sums, key=lambda r: r["_pid"]):
-        offsets[row["_pid"]] = acc
-        acc += int(row["_s"])
-    off_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
-    )
+    off_df, _total = broadcast_offsets(stamped, F.col(tokens_col).cast("long"))
     w = (
         Window.partitionBy("_pid")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        stamped.join(F.broadcast(off_df), "_pid")
+        stamped.join(off_df, "_pid")
         .withColumn(
             "cum_tokens",
-            (F.sum(F.col(tokens_col).cast("long")).over(w) + F.col("_off")).cast(
+            (F.sum(F.col(tokens_col).cast("long")).over(w) + F.col("_offset")).cast(
                 "long"
             ),
         )
         .withColumn("in_budget", F.col("cum_tokens") <= budget)
-        .drop("_pid", "_off")
+        .drop("_pid", "_offset")
     )
 
 

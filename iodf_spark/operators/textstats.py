@@ -12,8 +12,11 @@ from pyspark.sql import functions as F
 
 from iodf_spark.functions import texthash as TH
 
-BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-PUNCT_RE = "[^A-Za-z0-9\\s]"
+# whitespace is excluded via the shared LITERAL char set (texthash.WS_CHARS)
+# — a bare \s here would make \x0B count as punctuation in DuckDB (RE2)
+# but not in Spark (Java), shifting punct_ratio/quality_score per dialect
+BPE_RE = f"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{TH.WS_CHARS}]"
+PUNCT_RE = f"[^A-Za-z0-9{TH.WS_CHARS}]"
 
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
@@ -22,7 +25,6 @@ STOPWORDS = {
     "es": ["el", "los", "las", "y", "es", "un", "una", "para", "en", "que"],
 }
 LANGS = ["de", "en", "es", "fr"]  # deterministic priority order for argmax ties
-CJK_RE = "[\\u4e00-\\u9fff]"
 
 
 def _arr_lit(words: list[str], dialect: str) -> str:

@@ -65,6 +65,18 @@ class SegmentStore:
         return os.path.join(self.path, "manifest.json")
 
     def manifest(self) -> list[dict]:
+        """Current manifest = the HIGHEST archived version, not the
+        manifest.json pointer. The version files are the source of truth:
+        each is claimed with an atomic exclusive link (see _publish), so
+        the maximum version is always the latest committed state, while
+        the pointer write is a separate non-transactional step — two
+        stalled writers could interleave pointer replaces so it regresses
+        to an older manifest (review-caught). Reading max(version) makes a
+        regressed pointer harmless; the pointer stays as a human-readable
+        convenience and legacy fallback for pre-versioning stores."""
+        vs = self.versions()
+        if vs:
+            return self.manifest_at(vs[-1])
         if not os.path.exists(self._manifest_path):
             return []
         with open(self._manifest_path) as fh:

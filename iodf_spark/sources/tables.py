@@ -140,6 +140,25 @@ def open_seq(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def broadcast_offsets(stamped: DataFrame, value: "F.Column"):
+    """Exclusive per-partition prefix offsets for a ``_pid``-stamped frame —
+    the shared core of the distributed prefix-sum pattern (row numbering,
+    token-budget cumsums): aggregate ``value`` per partition (ONE tiny job,
+    #partitions result rows), cumsum on the driver, hand back a
+    broadcastable ``(_pid, _offset)`` frame plus the grand total. A
+    partition whose values are all NULL contributes 0. The caller must have
+    pinned the stamping (localCheckpoint) — spark_partition_id is
+    nondeterministic across recomputes."""
+    spark = stamped.sparkSession
+    parts = stamped.groupBy("_pid").agg(F.sum(value).alias("_v")).collect()
+    offsets, acc = [], 0
+    for row in sorted(parts, key=lambda r: r["_pid"]):
+        offsets.append((int(row["_pid"]), acc))
+        acc += int(row["_v"] or 0)
+    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    return F.broadcast(off_df), acc
+
+
 def with_row_id(df: DataFrame, order_keys: list[str], return_count: bool = False):
     """Deterministic row_id = rank in natural-key order, 0-based —
     WITHOUT a single-task global window.
@@ -154,17 +173,10 @@ def with_row_id(df: DataFrame, order_keys: list[str], return_count: bool = False
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     part = df.repartitionByRange(n_parts, *[F.col(k) for k in order_keys])
     stamped = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=False)
-    counts = stamped.groupBy("_pid").count().collect()
-    offsets, acc = {}, 0
-    for row in sorted(counts, key=lambda r: r["_pid"]):
-        offsets[row["_pid"]] = acc
-        acc += row["count"]
-    offset_df = df.sparkSession.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
-    )
+    offset_df, acc = broadcast_offsets(stamped, F.lit(1))
     w = Window.partitionBy("_pid").orderBy(*[F.col(k) for k in order_keys])
     out = (
-        stamped.join(F.broadcast(offset_df), "_pid")
+        stamped.join(offset_df, "_pid")
         .withColumn(
             "row_id", F.row_number().over(w).cast("long") - 1 + F.col("_offset")
         )
@@ -185,7 +197,6 @@ def with_row_id_scalable(df: DataFrame, return_count: bool = False):
     to any partition count; the only driver-side state is one long per
     partition.
     """
-    spark = df.sparkSession
     # localCheckpoint pins the stamping: spark_partition_id /
     # monotonically_increasing_id are nondeterministic across recomputes
     # (task retry, scan-split changes, nondeterministic upstream), so
@@ -196,18 +207,10 @@ def with_row_id_scalable(df: DataFrame, return_count: bool = False):
         .withColumn("_mid", F.monotonically_increasing_id())
         .localCheckpoint(eager=False)
     )
-    counts = stamped.groupBy("_pid").count().collect()
-    offsets = {}
-    acc = 0
-    for row in sorted(counts, key=lambda r: r["_pid"]):
-        offsets[row["_pid"]] = acc
-        acc += row["count"]
-    offset_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
-    )
+    offset_df, acc = broadcast_offsets(stamped, F.lit(1))
     w = Window.partitionBy("_pid").orderBy("_mid")
     out = (
-        stamped.join(F.broadcast(offset_df), "_pid")
+        stamped.join(offset_df, "_pid")
         .withColumn("row_id", F.row_number().over(w).cast("long") - 1 + F.col("_offset"))
         .drop("_pid", "_mid", "_offset")
     )

@@ -255,6 +255,20 @@ def test_keep_best_argmax_and_ties(spark):
         4: (4, True),
         5: (5, True), 6: (5, False),  # 2 ties -> min id 5
     }
+    # score-coverage holes must not drop docs: unscored members rank at
+    # -inf; a fully unscored cluster falls back to min id
+    partial = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [3, 6], "score": [1, 1]})
+    )
+    out2 = {
+        r["doc_id"]: (r["best_id"], r["keep_best"])
+        for r in keep_best(labeled, partial).collect()
+    }
+    assert out2 == {
+        1: (3, False), 2: (3, False), 3: (3, True),  # only scored member wins
+        4: (4, True),                                # fully unscored: min id
+        5: (6, False), 6: (6, True),
+    }
 
 
 def test_sequence_pack_contiguity(spark, sf_dir):

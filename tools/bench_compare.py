@@ -42,10 +42,12 @@ def load(path: str) -> dict:
                 break
         if obj is None:
             raise SystemExit(f"{path}: no JSON line found")
+    if not isinstance(obj, dict):
+        raise SystemExit(f"{path}: top-level JSON is not an object")
     # unwrap the driver wrapper {..., parsed: {...}}
     if "queries" not in obj and isinstance(obj.get("parsed"), dict):
         obj = obj["parsed"]
-    if "queries" not in obj:
+    if not isinstance(obj, dict) or "queries" not in obj:
         raise SystemExit(f"{path}: no bench metrics found (parsed=null?)")
     return obj
 
