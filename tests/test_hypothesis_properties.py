@@ -175,6 +175,69 @@ def test_segment_store_lifecycle_model_based(spark, ops, tmp_path_factory):
 
 
 @st.composite
+def asof_cases(draw):
+    """Small as-of join instances over a tiny key/time domain so ties,
+    exact-boundary matches, keys with no right rows, and empty sides all
+    occur routinely."""
+    keys = st.integers(0, 2)
+    times = st.integers(0, 12)
+    left = draw(st.lists(st.tuples(keys, times), max_size=12))
+    right = draw(
+        st.lists(st.tuples(keys, times), unique=True, max_size=12)
+    )  # unique (key, time): the operator's right-side contract
+    direction = draw(st.sampled_from(["backward", "forward"]))
+    tolerance = draw(st.one_of(st.none(), st.integers(0, 4)))
+    return left, right, direction, tolerance
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=asof_cases())
+def test_join_asof_model_based(spark, case):
+    """join_asof vs a per-row Python model: latest right at-or-before (or
+    earliest at-or-after) per key, tolerance-filtered — including equal-time
+    matches, unmatched keys, and empty inputs."""
+    from pyspark.sql import functions as F
+
+    from iodf_spark.operators.asof import join_asof
+
+    left, right, direction, tol = case
+    l_rows = [(k, t, i) for i, (k, t) in enumerate(left)]
+    r_rows = [(k, t, 100 * k + t) for (k, t) in right]
+    ldf = spark.createDataFrame(
+        l_rows or [(None, None, None)], "k int, lt int, lid int"
+    ).filter(F.col("lid").isNotNull())
+    rdf = spark.createDataFrame(
+        r_rows or [(None, None, None)], "k int, rt int, val int"
+    ).filter(F.col("val").isNotNull())
+    got = {
+        r["lid"]: r["val"]
+        for r in join_asof(
+            ldf, rdf, "k", "lt", "rt", ["val"],
+            tolerance=None if tol is None else F.lit(tol),
+            direction=direction,
+        ).collect()
+    }
+    want = {}
+    for k, t, lid in l_rows:
+        if direction == "backward":
+            cands = [(rt, v) for (rk, rt, v) in r_rows if rk == k and rt <= t]
+            pick = max(cands) if cands else None
+            if pick is not None and tol is not None and pick[0] < t - tol:
+                pick = None
+        else:
+            cands = [(rt, v) for (rk, rt, v) in r_rows if rk == k and rt >= t]
+            pick = min(cands) if cands else None
+            if pick is not None and tol is not None and pick[0] > t + tol:
+                pick = None
+        want[lid] = pick[1] if pick is not None else None
+    assert got == want, (direction, tol, l_rows, r_rows)
+
+
+@st.composite
 def contingency_counts(draw):
     """Valid 2x2 contingency tuples: 0 <= fa,fb <= n, Frechet bounds on
     fab — includes the degenerate corners (fa=0, fa=n, fab pinned)."""
@@ -251,6 +314,14 @@ def test_texthash_dialects_hypothesis(spark, texts):
         "sh": (
             TH.shingle_hashes(TH.token_hashes("text", "spark"), "spark", n=2),
             TH.shingle_hashes(TH.token_hashes("text", "duckdb"), "duckdb", n=2),
+        ),
+        "mh": (
+            TH.minhash_sig(TH.token_hashes("text", "spark"), "spark", 3),
+            TH.minhash_sig(TH.token_hashes("text", "duckdb"), "duckdb", 3),
+        ),
+        "sim": (
+            TH.simhash32("text", "spark"),
+            TH.simhash32("text", "duckdb"),
         ),
     }
     sel_spark = [f"{e} as {k}" for k, (e, _) in checks.items()]
