@@ -19,7 +19,7 @@ per-bucket Parquet sort order so scans prune.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -465,7 +465,8 @@ def _ivf_centroids(df: DataFrame, id_col: str, vec_col: str, n_centroids: int, d
 
 
 def _ivf_assign(
-    df: DataFrame, id_col: str, vec_col: str, n_centroids: int, dim: int
+    df: DataFrame, id_col: str, vec_col: str, n_centroids: int, dim: int,
+    cent: DataFrame | None = None,
 ) -> DataFrame:
     """(cid, neighbor_id, _cv, _cvn): each corpus row assigned to its
     nearest centroid's inverted list. Cell assignment is an argmax
@@ -473,8 +474,10 @@ def _ivf_assign(
     ties), not a row_number window: partial aggregation combines map-side,
     so the n_centroids-fold expansion collapses per partition before the
     shuffle — one narrow agg at any centroid count, vs the window's full
-    sort-shuffle of the expansion."""
-    cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim)
+    sort-shuffle of the expansion. ``cent`` overrides the centroid frame
+    (ivf_append assigns against a store's FROZEN centroids)."""
+    if cent is None:
+        cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim)
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -552,6 +555,36 @@ def ivf_build_store(
     _ivf_assign(df, id_col, vec_col, n_centroids, dim).write.mode(
         "overwrite"
     ).partitionBy("cid").parquet(path)
+
+
+def ivf_append(
+    spark: SparkSession,
+    store_path: str,
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 4,
+    dim: int | None = None,
+) -> None:
+    """Incremental IVF maintenance — the growing-corpus path: assign ONLY
+    the new vectors against the store's FROZEN centroids and append them to
+    their cell partition directories. No rebuild, no touch of existing
+    inverted lists; the delivery's cost is one broadcast-assign over the
+    new rows plus an append write. Result is row-identical to a one-shot
+    build over the union (same centroids -> same cells; probes prune the
+    same partitions). Centroids are recovered from the store itself: the
+    centroid vectors are corpus members with id < n_centroids, each stored
+    in its own cell at build time."""
+    store = spark.read.parquet(store_path)
+    cent = store.filter(F.col("neighbor_id") < n_centroids).select(
+        F.col("neighbor_id").cast("int").alias("cid"),
+        F.col("_cv").alias("_ce"),
+        F.col("_cvn").alias("_cen"),
+    )
+    dim = dim or _infer_dim(new_df, vec_col)
+    _ivf_assign(new_df, id_col, vec_col, n_centroids, dim, cent=cent).write.mode(
+        "append"
+    ).partitionBy("cid").parquet(store_path)
 
 
 def ann_ivf_store(

@@ -369,3 +369,36 @@ def test_ivf_store_prunes_cell_partitions_and_matches_inflight(spark, tmp_path):
     assert sorted(map(tuple, store_res.collect())) == sorted(
         map(tuple, inflight.collect())
     )
+
+
+def test_ivf_append_equals_one_shot_build(spark, tmp_path):
+    """Incremental IVF maintenance: build the store from the first half of
+    the corpus, ivf_append the second half — cell assignments and probe
+    results must be identical to a one-shot build over the full corpus
+    (frozen centroids => identical cells), with no rewrite of existing
+    rows (append-only delivery)."""
+    from pyspark.sql import functions as F
+
+    from iodf_spark.operators.similarity import (
+        ann_ivf_store,
+        ivf_append,
+        ivf_build_store,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).collect()[0][0]
+    first, rest = emb.filter(F.col("vec_id") <= mid), emb.filter(F.col("vec_id") > mid)
+    inc_path, full_path = str(tmp_path / "ivf_inc"), str(tmp_path / "ivf_full")
+    ivf_build_store(first, "vec_id", "embedding", inc_path, n_centroids=4)
+    ivf_append(spark, inc_path, rest, "vec_id", "embedding", n_centroids=4)
+    ivf_build_store(emb, "vec_id", "embedding", full_path, n_centroids=4)
+    inc = sorted(map(tuple, spark.read.parquet(inc_path).collect()))
+    full = sorted(map(tuple, spark.read.parquet(full_path).collect()))
+    assert inc == full
+    q_inc = ann_ivf_store(
+        emb, "vec_id", "embedding", inc_path, [0, 1, 2], n_centroids=4, n_probe=2
+    )
+    q_full = ann_ivf_store(
+        emb, "vec_id", "embedding", full_path, [0, 1, 2], n_centroids=4, n_probe=2
+    )
+    assert sorted(map(tuple, q_inc.collect())) == sorted(map(tuple, q_full.collect()))
