@@ -598,6 +598,29 @@ def keep_best(
     )
 
 
+def dedup_materialize(
+    docs: DataFrame,
+    labeled: DataFrame,
+    id_col: str = "doc_id",
+    policy: str = "best",
+) -> DataFrame:
+    """The final dedup step: the cleaned corpus itself. Keeps exactly one
+    survivor per cluster — ``policy="best"`` uses keep_best's quality
+    argmax (labeled must carry ``keep_best``), ``policy="min_id"`` the
+    min-id flag (``keep``) — plus every unlabeled doc (docs absent from
+    ``labeled`` were never in any near-dup cluster... callers that label
+    the full corpus, like dedup_clusters, pass labels for everyone, and
+    then this is a pure semi-join). Survivor ids are usually a large
+    fraction of the corpus, so this is a key-only shuffle join, NOT a
+    broadcast."""
+    flag = {"best": "keep_best", "min_id": "keep"}.get(policy)
+    if flag is None:
+        raise ValueError(f"policy must be best|min_id, got {policy!r}")
+    keep_ids = labeled.filter(F.col(flag)).select(id_col)
+    unlabeled = docs.join(labeled.select(id_col), id_col, "left_anti")
+    return docs.join(keep_ids, id_col, "left_semi").unionByName(unlabeled)
+
+
 def _cluster_labels_ctes(
     id_col: str, text_col: str, table: str, n: int, threshold: float
 ) -> str:

@@ -156,6 +156,26 @@ def test_dedup_clusters_transitive_chain(spark):
     }
 
 
+def test_dedup_materialize_one_survivor_per_cluster(spark, sf_dir):
+    """End-to-end clean-corpus materialization: cluster -> keep_best ->
+    materialize. Output = exactly one doc per cluster (the quality argmax),
+    all non-clustered docs intact, no duplicates."""
+    from iodf_spark.operators.dedup import dedup_clusters, dedup_materialize, keep_best
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = keep_best(
+        dedup_clusters(docs, "doc_id", "text"),
+        docs.select("doc_id", F.col("n_chars").alias("score")),
+    )
+    clean = dedup_materialize(docs, labeled, policy="best")
+    ids = [r["doc_id"] for r in clean.select("doc_id").collect()]
+    assert len(ids) == len(set(ids))
+    n_clusters = labeled.select("cluster_id").distinct().count()
+    assert len(ids) == n_clusters  # full-corpus labels: one doc per cluster
+    best = {r["doc_id"] for r in labeled.filter(F.col("keep_best")).collect()}
+    assert set(ids) == best
+
+
 def test_source_cap_exact_vs_global_window(spark, sf_dir):
     """The salted two-phase top-k must equal one global per-class window
     exactly (the per-salt union provably contains the global top-k), and
