@@ -498,8 +498,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     attested entry (50-entry attestation cap): counts/ratios/lang/
     fingerprint from text_stats, joined with top-token share and
     duplicate/top bigram fractions + rep_keep verdict from
-    text_repetition — both pure per-row codegen, no explode, no shuffle."""
-    from iodf_spark.operators.textstats import text_repetition, text_stats
+    text_repetition — both pure per-row codegen, no explode, no shuffle —
+    plus the unigram-LM surprisal column (corpus-vocab broadcast join, the
+    one cross-doc signal in this entry)."""
+    from iodf_spark.operators.textstats import (
+        text_repetition,
+        text_stats,
+        token_surprisal,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     stats = text_stats(docs, "doc_id", "text")
@@ -511,7 +517,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_bigram_frac",
         F.col("keep").alias("rep_keep"),
     )
-    return stats.join(rep, "doc_id").orderBy("doc_id")
+    surp = token_surprisal(docs, "doc_id", "text")
+    return stats.join(rep, "doc_id").join(surp, "doc_id").orderBy("doc_id")
 
 
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1481,7 +1488,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window_rank + window_running_sum -> window_funcs; rollup + cube ->
     grouping_sets; asof_join(+forward); ann_lsh(+mp); ann_ivf(+64);
     write_open_seq -> typed_roundtrip; have_segments -> segments_compact;
-    multimodal_frames -> multimodal_meta."""
+    multimodal_frames -> multimodal_meta. Round-4 extensions fold in the
+    same way: quality-argmax canonical selection -> dedup_clusters
+    (best_id/keep_best cols); per-source quota -> stratified_sample ('cap'
+    rows); token-budget assembly -> quality_filter (cum_tokens/in_budget
+    cols)."""
     return {
         "index_distinct_values": q_index_distinct_values,
         "index_stats": q_index_stats,
@@ -1969,9 +1980,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats": f"""
             SELECT s.*, r.n_bigrams, r.top_token_frac, r.dup_bigram_frac,
-                   r.top_bigram_frac, r.keep AS rep_keep
+                   r.top_bigram_frac, r.keep AS rep_keep, u.surprisal
             FROM ({textstats.text_stats_oracle("doc_id", "text", "documents")}) s
             JOIN ({textstats.text_repetition_oracle("doc_id", "text", "documents")}) r
+            USING (doc_id)
+            JOIN ({textstats.token_surprisal_oracle("doc_id", "text", "documents")}) u
             USING (doc_id)
             ORDER BY doc_id
         """,

@@ -76,6 +76,27 @@ def _exprs(text: str, dialect: str) -> dict[str, str]:
         ]
         case += f"when {' and '.join(conds)} then '{lang}' "
     case += "else 'unknown' end"
+    # Shannon entropy over codepoints (gibberish/low-diversity detector):
+    # fold over the SORTED distinct codepoints so the float accumulation
+    # order is identical in both engines (list_distinct order is arbitrary
+    # in DuckDB); O(distinct x len) per row, all codegen.
+    if sp:
+        ent = (
+            f"case when size({cps}) = 0 then cast(0 as double) else "
+            f"aggregate(transform(array_sort(array_distinct({cps})), "
+            f"_c -> size(filter({cps}, _x -> _x = _c))), cast(0 as double), "
+            f"(_a, _k) -> _a - (_k / cast(size({cps}) as double)) "
+            f"* log2(_k / cast(size({cps}) as double))) end"
+        )
+    else:
+        ent = (
+            f"case when len({cps}) = 0 then 0e0 else "
+            f"list_reduce(list_prepend(0e0, list_transform("
+            f"list_sort(list_distinct({cps})), "
+            f"_c -> len(list_filter({cps}, _x -> _x = _c)))), "
+            f"(_a, _k) -> _a - (_k / len({cps})::DOUBLE) "
+            f"* log2(_k / len({cps})::DOUBLE)) end"
+        )
     return {
         "n_tokens": f"{n_tokens}",
         "n_bpe_pieces": f"{n_bpe}",
@@ -83,6 +104,7 @@ def _exprs(text: str, dialect: str) -> dict[str, str]:
         "punct_ratio": f"round({punct_ratio}, 6)",
         "stopword_ratio": f"round({stop_ratio}, 6)",
         "quality_score": f"round({quality}, 6)",
+        "char_entropy": f"round({ent}, 6)",
         "lang_pred": case,
         "fingerprint": TH.fold_hash(
             TH.codepoints(f"trim(regexp_replace(lower({text}), '{TH.WS_CLASS}+', ' '))"
@@ -156,6 +178,69 @@ def quality_filter_oracle(id_col: str, text_col: str, table: str) -> str:
                {_keep_expr()} AS keep
         FROM ({text_stats_oracle(id_col, text_col, table)})
         ORDER BY {id_col}
+    """
+
+
+def token_surprisal(
+    df: DataFrame, id_col: str, text_col: str, vocab_size: int = 1000
+) -> DataFrame:
+    """Unigram-LM surprisal per document: mean -log2 p(token) under the
+    corpus's OWN top-V unigram distribution, add-1 smoothed, OOV tokens at
+    the unseen-mass floor — the cheap stand-in for LM-perplexity quality
+    filtering (CCNet-style: fluent text scores low, gibberish and
+    boilerplate-of-rare-symbols score high). Deterministic vocabulary:
+    top-V tokens by (count DESC, token ASC).
+
+    Scale: vocab = one map-side-combined token groupBy + an ordered LIMIT
+    (TakeOrdered — V rows to the driver, never the full vocab); scoring =
+    explode + BROADCAST vocab join + per-doc avg. p = (c+1)/(T+V+1) with T
+    = total corpus tokens, so probabilities are exact rationals and the
+    only float steps are log2 + the mean (rounded to 6, the engine's
+    float-agg comparison grain). Docs with no tokens get NULL."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.expr(TH.tokens(text_col, "spark"))).alias("_t"),
+    )
+    total = tok.count()
+    vocab = (
+        tok.groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("_t").asc())
+        .limit(vocab_size)
+    )
+    denom = float(total + vocab_size + 1)
+    scored = tok.join(F.broadcast(vocab), "_t", "left").withColumn(
+        "_sp", -F.log2((F.coalesce(F.col("_c"), F.lit(0)) + 1) / F.lit(denom))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.round(F.avg("_sp"), 6).alias("surprisal")
+    )
+    return df.select(id_col).join(per_doc, id_col, "left")
+
+
+def token_surprisal_oracle(
+    id_col: str, text_col: str, table: str, vocab_size: int = 1000
+) -> str:
+    t = TH.tokens(text_col, "duckdb")
+    return f"""
+        WITH _tok AS (
+          SELECT {id_col} AS _id, unnest({t}) AS _t FROM {table}
+        ),
+        _tot AS (SELECT count(*)::BIGINT AS _T FROM _tok),
+        _voc AS (
+          SELECT _t, count(*)::BIGINT AS _c FROM _tok
+          GROUP BY _t ORDER BY count(*) DESC, _t ASC LIMIT {vocab_size}
+        ),
+        _sc AS (
+          SELECT k._id,
+                 -log2((coalesce(v._c, 0) + 1)
+                       / (_tot._T + {vocab_size} + 1)::DOUBLE) AS _sp
+          FROM _tok k LEFT JOIN _voc v USING (_t), _tot
+        )
+        SELECT d.{id_col}, s.surprisal
+        FROM {table} d
+        LEFT JOIN (SELECT _id, round(avg(_sp), 6) AS surprisal
+                   FROM _sc GROUP BY _id) s ON s._id = d.{id_col}
     """
 
 

@@ -156,6 +156,48 @@ def test_dedup_clusters_transitive_chain(spark):
     }
 
 
+def test_char_entropy_and_surprisal_semantics(spark):
+    """Ground-truth spot checks: entropy('aaaa')=0, entropy('abcd')=2,
+    empty text -> 0; surprisal ranks all-common-token docs below
+    all-rare/OOV docs, no-token docs get NULL."""
+    import math
+
+    import pandas as pd
+
+    from iodf_spark.operators.textstats import text_stats, token_surprisal
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["aaaa", "abcd", "", "aabb"],
+            }
+        )
+    )
+    ent = {r["doc_id"]: r["char_entropy"] for r in text_stats(docs, "doc_id", "text").collect()}
+    assert ent[1] == 0.0
+    assert ent[2] == 2.0
+    assert ent[3] == 0.0
+    assert abs(ent[4] - 1.0) < 1e-9
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["the the the the", "zqxj", "   "],
+            }
+        )
+    )
+    surp = {
+        r["doc_id"]: r["surprisal"]
+        for r in token_surprisal(corpus, "doc_id", "text", vocab_size=1).collect()
+    }
+    # T=5, V=1, denom=7; 'the' in vocab (c=4) -> p=5/7; 'zqxj' OOV -> p=1/7
+    assert abs(surp[1] - round(-math.log2(5 / 7), 6)) < 1e-6
+    assert abs(surp[2] - round(-math.log2(1 / 7), 6)) < 1e-6
+    assert surp[1] < surp[2]
+    assert surp[3] is None
+
+
 def test_dedup_materialize_one_survivor_per_cluster(spark, sf_dir):
     """End-to-end clean-corpus materialization: cluster -> keep_best ->
     materialize. Output = exactly one doc per cluster (the quality argmax),
