@@ -237,6 +237,63 @@ def test_join_asof_model_based(spark, case):
     assert got == want, (direction, tol, l_rows, r_rows)
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 7200)),  # (user, epoch s)
+        min_size=1,
+        max_size=30,
+    ),
+    gap_minutes=st.integers(1, 30),
+)
+def test_sessionize_model_based(spark, events, gap_minutes):
+    """Batch sessionize vs a sort-and-split Python model: session counts,
+    sizes and boundaries must match for arbitrary event layouts — including
+    duplicate timestamps and gaps exactly AT the threshold (> gap splits,
+    == gap does not)."""
+    from pyspark.sql import functions as F
+
+    from iodf_spark.operators.sessions import sessionize
+
+    df = spark.createDataFrame(events, "user_id int, es int").withColumn(
+        "ts", F.timestamp_seconds(F.col("es"))
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"],
+            r["session_start"],
+            r["session_end"],
+        )
+        for r in sessionize(df, "user_id", "ts", gap_minutes).collect()
+    }
+    gap = gap_minutes * 60
+    want = {}
+    by_user = {}
+    for u, t in events:
+        by_user.setdefault(u, []).append(t)
+
+    def fmt(s):
+        import pandas as pd
+
+        return pd.Timestamp(s, unit="s").strftime("%Y-%m-%d %H:%M:%S.%f")
+
+    for u, ts in by_user.items():
+        ts.sort()
+        sid, start, prev, n = 0, ts[0], ts[0], 0
+        for t in ts:
+            if t - prev > gap:
+                want[(u, sid)] = (n, fmt(start), fmt(prev))
+                sid, start, n = sid + 1, t, 0
+            n += 1
+            prev = t
+        want[(u, sid)] = (n, fmt(start), fmt(prev))
+    assert got == want
+
+
 @st.composite
 def contingency_counts(draw):
     """Valid 2x2 contingency tuples: 0 <= fa,fb <= n, Frechet bounds on
