@@ -109,7 +109,67 @@ def join_range(
     hi: str,
 ) -> DataFrame:
     """Join left rows to the (small) ranges table where lo <= value < hi.
-    The ranges side is broadcast — no shuffle of the big side."""
+    The ranges side is broadcast — no shuffle of the big side. For a
+    ranges table too large to broadcast, use :func:`join_range_binned`."""
     return left.join(
         F.broadcast(ranges), (value >= F.col(lo)) & (value < F.col(hi)), "left_outer"
     )
+
+
+def join_range_binned(
+    left: DataFrame,
+    ranges: DataFrame,
+    value: Column,
+    lo: str,
+    hi: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join for a LARGE ranges table: grid-bin both sides and
+    equi-join on the bin — the shuffle-based scale path when the ranges
+    side cannot broadcast (Catalyst would otherwise emit a cartesian
+    BroadcastNestedLoopJoin or worse).
+
+    Each range [lo, hi) explodes into the bins it overlaps (sequence of
+    floor(lo/w)..floor((hi-eps)/w)); each left row carries exactly ONE bin
+    (floor(value/w)), so every qualifying (row, range) pair meets in
+    exactly one bin — no post-join dedup — and the residual lo<=v<hi
+    predicate restores exactness. Per-task pair space is bounded by bin
+    occupancy: pick ``bin_width`` near the typical range length so a range
+    explodes into O(1) bins. ``how``: "inner" or "left_outer" (unmatched
+    left rows padded with null range columns, matching join_range)."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner|left_outer, got {how!r}")
+    w = float(bin_width)
+    # the left-row identity for the outer-join recovery: stamped then
+    # lineage-pinned (monotonically_increasing_id is nondeterministic
+    # across recomputes — matched and misses must see the same ids)
+    stamped = left.withColumn("_lrid", F.monotonically_increasing_id())
+    if how == "left_outer":
+        stamped = stamped.localCheckpoint(eager=False)
+    binned_l = stamped.withColumn("_lbin", F.floor(value / F.lit(w)))
+    exploded_r = ranges.withColumn(
+        "_rbin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / F.lit(w)),
+                # hi is exclusive: a range ending exactly on a bin edge does
+                # not reach into the next bin
+                F.floor((F.col(hi) - F.lit(1e-9 * w)) / F.lit(w)),
+            )
+        ),
+    )
+    matched = binned_l.join(
+        exploded_r,
+        (F.col("_lbin") == F.col("_rbin"))
+        & (value >= F.col(lo))
+        & (value < F.col(hi)),
+    ).drop("_lbin", "_rbin")
+    if how == "inner":
+        return matched.drop("_lrid")
+    misses = stamped.join(
+        matched.select("_lrid").dropDuplicates(["_lrid"]), "_lrid", "left_anti"
+    )
+    for c in ranges.columns:
+        misses = misses.withColumn(c, F.lit(None).cast(ranges.schema[c].dataType))
+    return matched.unionByName(misses).drop("_lrid")

@@ -156,6 +156,41 @@ def test_dedup_clusters_transitive_chain(spark):
     }
 
 
+@pytest.mark.parametrize("bin_width", [0.5, 2.0, 10.0])
+@pytest.mark.parametrize("how", ["inner", "left_outer"])
+def test_join_range_binned_equals_broadcast(spark, sf_dir, bin_width, how):
+    """The shuffle-based grid range join must equal the broadcast range
+    join exactly — every bin width (ranges spanning one bin, many bins,
+    sub-bin), both join modes, with edges landing exactly on bin
+    boundaries and overlapping ranges producing multiple matches."""
+    import pandas as pd
+
+    from iodf_spark.operators.asof import join_range, join_range_binned
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value").limit(500)
+    ranges = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "rname": ["a", "b", "c", "d", "e"],
+                "rlo": [0.0, 2.0, 2.5, 10.0, 500.0],  # b/c overlap; e matches none
+                "rhi": [2.0, 4.0, 3.0, 50.0, 600.0],  # a ends ON a bin edge at w=2
+            }
+        )
+    )
+    from pyspark.sql import functions as F2
+
+    broad = join_range(ev, ranges, F2.col("value"), "rlo", "rhi")
+    if how == "inner":
+        broad = broad.filter(F2.col("rname").isNotNull())
+    binned = join_range_binned(
+        ev, ranges, F2.col("value"), "rlo", "rhi", bin_width, how=how
+    )
+    key = lambda df: sorted(
+        (r["event_id"], r["rname"]) for r in df.select("event_id", "rname").collect()
+    )
+    assert key(binned) == key(broad)
+
+
 def test_char_entropy_and_surprisal_semantics(spark):
     """Ground-truth spot checks: entropy('aaaa')=0, entropy('abcd')=2,
     empty text -> 0; surprisal ranks all-common-token docs below
