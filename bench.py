@@ -88,7 +88,48 @@ def main():
     }
     if errors:
         out["errors"] = errors
+    gate = regression_gate(timings, errors, sf)
+    if gate is not None:
+        out["baseline_snapshot"], out["regressions"] = gate
     print(json.dumps(out))
+
+
+def regression_gate(
+    timings: dict, errors: dict, sf: float, factor: float = 2.0, min_sec: float = 1.0
+):
+    """Self-reporting perf-regression gate (the reference fails its perf
+    suite when an op exceeds 2x its recorded prior time,
+    perf/BitsPerf.scala:44-49,177-196): compare this run against the newest
+    committed snapshot in tools/bench_snapshots at the SAME sf and embed the
+    verdict in the bench line itself, so a regressed round is self-evident
+    from BENCH_r{N}.json alone. Sub-min_sec old timings are skipped (fixed
+    per-job overhead dominates them; jitter is not signal). Never raises —
+    the gate must not become a new way to lose the round's bench evidence."""
+    snap_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "bench_snapshots")
+    try:
+        candidates = []
+        for fname in sorted(os.listdir(snap_dir), reverse=True):
+            with open(os.path.join(snap_dir, fname)) as fh:
+                snap = json.load(fh)
+            if snap.get("sf") == sf and snap.get("queries"):
+                candidates.append((fname, snap))
+                break
+        if not candidates:
+            return None
+        fname, snap = candidates[0]
+        regressions = [
+            f"{name}: {t_old:.2f}s -> {timings[name]:.2f}s ({timings[name] / t_old:.1f}x)"
+            for name, t_old in snap["queries"].items()
+            if name in timings and t_old >= min_sec and timings[name] > t_old * factor
+        ]
+        regressions += [
+            f"{name}: errored (prior {t_old:.2f}s)"
+            for name, t_old in snap["queries"].items()
+            if name in errors
+        ]
+        return fname, regressions
+    except Exception:  # noqa: BLE001 — gate is advisory, never fatal
+        return None
 
 
 if __name__ == "__main__":

@@ -59,15 +59,18 @@ def exact_dedup_oracle(id_col: str, text_col: str, table: str) -> str:
 # n-gram Jaccard (exact)
 
 
-def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(_id, _sh: sorted distinct shingle hashes, _sz) per document.
+def _gram_stream(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Positioned word-n-gram hash stream (_id, _pos, _s): one row per gram,
+    _pos = index of the gram's first token, _s = its rolling hash.
 
-    Shingle hashes are built on the exploded token stream with window
-    lead() — scalar whole-stage-codegen arithmetic — rather than array
-    higher-order functions: Catalyst's CollapseProject inlines a
-    token-hash-array expression into every lambda reference, silently
-    recomputing the whole array per element access (measured 3-10x blowup).
-    One shuffle on _id; values identical to the per-array fold."""
+    Gram hashes are built on the exploded token stream with window lead() —
+    scalar whole-stage-codegen arithmetic — rather than array higher-order
+    functions: Catalyst's CollapseProject inlines a token-hash-array
+    expression into every lambda reference, silently recomputing the whole
+    array per element access (measured 3-10x blowup). One shuffle on _id;
+    values identical to the per-array fold. Shared by the shingle-set
+    builders (Jaccard/MinHash) and the winnowing fingerprinter, so every
+    gram-based operator hashes identically by construction."""
     from pyspark.sql.window import Window
 
     tok = df.select(
@@ -80,14 +83,22 @@ def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
         acc = f"((({acc}) * {TH.MULT} + _h{j}) % {TH.MOD})"
     with_leads = tok.select(
         "_id",
+        "_pos",
         F.col("_h").alias("_h0"),
         *[F.lead("_h", j).over(w).alias(f"_h{j}") for j in range(1, n)],
     )
-    shingled = with_leads.filter(F.col(f"_h{n - 1}").isNotNull()).withColumn(
-        "_s", F.expr(acc)
-    )
     return (
-        shingled.groupBy("_id")
+        with_leads.filter(F.col(f"_h{n - 1}").isNotNull())
+        .withColumn("_s", F.expr(acc))
+        .select("_id", "_pos", "_s")
+    )
+
+
+def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(_id, _sh: sorted distinct shingle hashes, _sz) per document."""
+    return (
+        _gram_stream(df, id_col, text_col, n)
+        .groupBy("_id")
         .agg(F.sort_array(F.collect_set("_s")).alias("_sh"))
         .withColumn("_sz", F.size("_sh"))
         .filter(F.col("_sz") > 0)
@@ -160,6 +171,133 @@ def jaccard_pairs_oracle(
         SELECT doc_a, doc_b,
                round(_common * 1e0 / (_sza + _szb - _common), 6) AS jaccard
         FROM pairs WHERE _common * 1e0 / (_sza + _szb - _common) >= {threshold}
+    """
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 4, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS algorithm): per document, the set of per-window minima over
+    the rolling k-gram hash stream, window width w. Guarantee: any shared
+    token run of length >= k + w - 1 contributes at least one SHARED
+    fingerprint, while the stored set is ~2/(w+1) the size of the full
+    shingle set — the density/guarantee trade the paper proves optimal.
+
+    Returns (_id, _fp sorted distinct fingerprint hashes, _nfp). Documents
+    with fewer than k + w - 1 tokens (< w grams, no full window) yield no
+    row — the document is shorter than the guarantee length.
+
+    Scale shape: the gram stream is the same explode + window-lead pipeline
+    as the shingle builders (one shuffle on _id, all codegen'd scalar
+    arithmetic); the sliding minimum is a frame-bounded window min over the
+    already-partitioned stream — no second shuffle."""
+    from pyspark.sql.window import Window
+
+    g = _gram_stream(df, id_col, text_col, k)
+    wspec = (
+        Window.partitionBy("_id").orderBy("_pos").rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = g.select(
+        "_id",
+        F.min("_s").over(wspec).alias("_m"),
+        F.count("_s").over(wspec).alias("_c"),
+    ).filter(F.col("_c") == w)
+    return (
+        sel.groupBy("_id")
+        .agg(F.sort_array(F.collect_set("_m")).alias("_fp"))
+        .withColumn("_nfp", F.size("_fp"))
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by winnowing-fingerprint Jaccard >= threshold: docs
+    meet only through a shared fingerprint (inverted join — no all-pairs),
+    then exact set overlap on the ~2/(w+1)-compressed fingerprint sets.
+    Complements the exact shingle-Jaccard operator: same join topology over
+    a winnowed sketch whose sharing GUARANTEES a k+w-1-token common run, so
+    it surfaces contained copies (plagiarism-style overlap) that whole-set
+    Jaccard scores low.
+
+    ``max_df`` drops fingerprints appearing in more than max_df documents
+    before the join — the boilerplate/stop-gram skew guard at 100 TB (a
+    fingerprint shared by millions of docs would otherwise build a hot-key
+    near-cartesian); precision is unaffected (verification is exact on the
+    kept sets), recall loses only matches attested SOLELY by dropped
+    ubiquitous grams."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w).cache()
+    ex = fps.select("_id", F.explode("_fp").alias("_f"))
+    if max_df is not None:
+        keep = ex.groupBy("_f").agg(F.count(F.lit(1)).alias("_df")).filter(
+            F.col("_df") <= max_df
+        )
+        ex = ex.join(keep.select("_f"), "_f")
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a._f") == F.col("b._f")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    da = fps.select(F.col("_id").alias("doc_a"), F.col("_nfp").alias("_na"))
+    db = fps.select(F.col("_id").alias("doc_b"), F.col("_nfp").alias("_nb"))
+    return (
+        common.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn(
+            "jaccard", F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _winnow_fp_list(text_col: str, k: int, w: int) -> str:
+    """DuckDB expression: sorted distinct winnowing fingerprints of a text
+    column (list-typed); [] for docs with fewer than w grams."""
+    th = TH.token_hashes(text_col, "duckdb")
+    grams = TH.shingle_hashes("_th", "duckdb", k, distinct=False)
+    mins = (
+        f"list_transform(range(greatest(len(_g) - {w - 1}, 0)), "
+        f"_j -> list_min(list_slice(_g, _j + 1, _j + {w})))"
+    )
+    return th, grams, f"list_sort(list_distinct({mins}))"
+
+
+def winnow_pairs_oracle(
+    id_col: str,
+    text_col: str,
+    table: str,
+    k: int = 4,
+    w: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    th, grams, fp = _winnow_fp_list(text_col, k, w)
+    return f"""
+        WITH th AS (SELECT {id_col} AS _id, {th} AS _th FROM {table}),
+        gr AS (SELECT _id, {grams} AS _g FROM th),
+        fp AS (SELECT _id, {fp} AS _fp FROM gr),
+        sized AS (SELECT _id, _fp, len(_fp) AS _n FROM fp WHERE len(_fp) > 0),
+        ex AS (SELECT _id, _n, unnest(_fp) AS _f FROM sized),
+        pairs AS (
+          SELECT a._id AS doc_a, b._id AS doc_b, count(*) AS _common,
+                 any_value(a._n) AS _na, any_value(b._n) AS _nb
+          FROM ex a JOIN ex b ON a._f = b._f AND a._id < b._id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(_common * 1e0 / (_na + _nb - _common), 6) AS jaccard
+        FROM pairs WHERE _common * 1e0 / (_na + _nb - _common) >= {threshold}
     """
 
 
