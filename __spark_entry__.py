@@ -372,9 +372,21 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from iodf_spark.operators.dedup import jaccard_pairs
+    """Tagged union of the two exact-verified gram-overlap detectors:
+    'shingle' = whole-set n-gram Jaccard (prefix-filtered AllPairs join);
+    'winnow' = winnowing-fingerprint Jaccard (SIGMOD'03 rolling-hash
+    fingerprints — the brief's document-fingerprinting operator), whose
+    ~2/(w+1)-compressed sketch keys the same inverted join topology."""
+    from iodf_spark.operators.dedup import jaccard_pairs, winnow_pairs
 
-    return jaccard_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents")
+    sh = jaccard_pairs(docs, "doc_id", "text").select(
+        F.lit("shingle").alias("variant"), "*"
+    )
+    wn = winnow_pairs(docs, "doc_id", "text").select(
+        F.lit("winnow").alias("variant"), "*"
+    )
+    return sh.unionByName(wn)
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1821,7 +1833,13 @@ def oracle_sql() -> dict[str, str]:
                    {texthash.text_hash("clean_text", "duckdb")} AS fp
             FROM ({dedup.line_dedup_clean_oracle("page_id", "text", _boilerplate_pages_sql())})
         """,
-        "dedup_jaccard": dedup.jaccard_pairs_oracle("doc_id", "text", "documents"),
+        "dedup_jaccard": f"""
+            SELECT 'shingle' AS variant, * FROM
+              ({dedup.jaccard_pairs_oracle("doc_id", "text", "documents")})
+            UNION ALL
+            SELECT 'winnow' AS variant, * FROM
+              ({dedup.winnow_pairs_oracle("doc_id", "text", "documents")})
+        """,
         "dedup_minhash": f"""
             SELECT 'batch' AS variant, * FROM
               ({dedup.minhash_lsh_pairs_oracle("doc_id", "text", "documents")})
