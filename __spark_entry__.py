@@ -449,7 +449,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iodf_spark.operators.similarity import cosine_pairs
 
-    return cosine_pairs(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    return cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=EMB_DIM
+    )
 
 
 def _ivf_store_arm(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
@@ -463,9 +465,10 @@ def _ivf_store_arm(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFram
     from iodf_spark.operators.similarity import ann_ivf_store, ivf_build_store
 
     path = tempfile.mkdtemp(prefix="iodf_ivf_store_")
-    ivf_build_store(emb, "vec_id", "embedding", path, n_centroids=4)
+    ivf_build_store(emb, "vec_id", "embedding", path, n_centroids=4, dim=EMB_DIM)
     return ann_ivf_store(
-        emb, "vec_id", "embedding", path, ANN_QUERY_IDS, n_centroids=4, n_probe=2
+        emb, "vec_id", "embedding", path, ANN_QUERY_IDS,
+        n_centroids=4, n_probe=2, dim=EMB_DIM,
     )
 
 
@@ -479,21 +482,28 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iodf_spark.operators.similarity import ann_brute_force, ann_ivf, ann_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # dim passed explicitly everywhere: each omission costs a full-scan
+    # _infer_dim probe job per arm (the 100 TB rule — the caller knows the
+    # corpus width; six probe scans of the corpus bought nothing)
     arms = [
         (
             "brute",
-            ann_brute_force(emb, "vec_id", "embedding", ANN_QUERY_IDS),
+            ann_brute_force(emb, "vec_id", "embedding", ANN_QUERY_IDS, dim=EMB_DIM),
         ),
-        ("lsh_single", ann_lsh(emb, "vec_id", "embedding", ANN_QUERY_IDS)),
+        ("lsh_single", ann_lsh(emb, "vec_id", "embedding", ANN_QUERY_IDS, dim=EMB_DIM)),
         (
             "lsh_multi",
-            ann_lsh(emb, "vec_id", "embedding", ANN_QUERY_IDS, multi_probe=True),
+            ann_lsh(
+                emb, "vec_id", "embedding", ANN_QUERY_IDS,
+                multi_probe=True, dim=EMB_DIM,
+            ),
         ),
-        ("ivf4", ann_ivf(emb, "vec_id", "embedding", ANN_QUERY_IDS)),
+        ("ivf4", ann_ivf(emb, "vec_id", "embedding", ANN_QUERY_IDS, dim=EMB_DIM)),
         (
             "ivf64",
             ann_ivf(
-                emb, "vec_id", "embedding", ANN_QUERY_IDS, n_centroids=64, n_probe=8
+                emb, "vec_id", "embedding", ANN_QUERY_IDS,
+                n_centroids=64, n_probe=8, dim=EMB_DIM,
             ),
         ),
         ("ivf4_store", _ivf_store_arm(spark, sf_dir, emb)),
@@ -707,7 +717,7 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for tag, pair_fn in [
         ("ann", lambda: lsh_candidate_pairs(emb, "vec_id", "embedding", dim=EMB_DIM)),
-        ("exact", lambda: cosine_pairs(emb, "vec_id", "embedding")),
+        ("exact", lambda: cosine_pairs(emb, "vec_id", "embedding", dim=EMB_DIM)),
     ]:
         pairs = pair_fn().select(
             F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")

@@ -171,7 +171,7 @@ def quant_expr(vec: str, dialect: str) -> str:
 
 def cosine_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.45,
-    n_blocks: int | None = None,
+    n_blocks: int | None = None, dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: all pairs with quantized cosine >=
     threshold, as a fully distributed block-grid self-join — nothing is ever
@@ -190,7 +190,7 @@ def cosine_pairs(
     pre-filter when recall < 1 is acceptable. Scores stay oracle-exact: dots
     are int64 (any summation order), normalization float64 as in the oracle.
     """
-    nb = int(n_blocks) if n_blocks is not None else _auto_blocks(df, vec_col)
+    nb = int(n_blocks) if n_blocks is not None else _auto_blocks(df, vec_col, dim)
     q = df.select(
         F.col(id_col).alias("id"),
         F.expr(quant_expr(vec_col, "spark")).alias("qv"),
@@ -199,14 +199,15 @@ def cosine_pairs(
     return _blocked_pair_scores(q, nb, threshold)
 
 
-def _auto_blocks(df: DataFrame, vec_col: str) -> int:
+def _auto_blocks(df: DataFrame, vec_col: str, dim: int | None = None) -> int:
     """Size grid blocks to a memory budget, not a fixed count: a cell holds
     ~2 blocks of quantized int64 vectors, so block_rows ~ budget / (dim * 8).
     Small corpora collapse to a handful of cells (fewer Arrow kernel
     launches); at 100 TB the same rule yields thousands of independent
     cells, each bounded by executor memory."""
-    head = df.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
-    dim = int(head[0]["_d"]) if head else 1
+    if dim is None:
+        head = df.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
+        dim = int(head[0]["_d"]) if head else 1
     n = df.count()
     block_budget_bytes = 64 << 20
     block_rows = max(1, block_budget_bytes // (max(dim, 1) * 8))
@@ -345,7 +346,7 @@ def lsh_candidate_pairs(
         F.expr(quant_expr(vec_col, "spark")).alias("qv"),
         F.expr(lsh_bucket_expr(vec_col, n_planes, "spark", dim)).alias("_bkt"),
     )
-    return _blocked_pair_scores(q, _auto_blocks(df, vec_col), threshold)
+    return _blocked_pair_scores(q, _auto_blocks(df, vec_col, dim), threshold)
 
 
 def lsh_candidate_pairs_oracle(
