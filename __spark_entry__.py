@@ -1288,7 +1288,32 @@ def q_segments_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
     )
-    return compact_row.unionByName(have_row).unionByName(snap_row)
+    # 'pruned': zone-map segment pruning over the same 3-segment snapshot —
+    # footer min/max stats prove only the 'P' segment can hold
+    # o_orderstatus='P', so the read plans 1 of 3 segments (asserted
+    # in-process; the oracle attests the surviving rows + global row_ids)
+    prune_pred = [("o_orderstatus", "P", "P")]
+    kept = store.pruned_entries(prune_pred, at_version=1)
+    if len(kept) != 1:
+        raise AssertionError(
+            f"zone maps failed to prune: {len(kept)} of {len(snap_entries)} "
+            "segments survived an o_orderstatus='P' range"
+        )
+    pruned_row = (
+        store.open_pruned(spark, prune_pred, defaults={"flag": 0}, at_version=1)
+        .filter(F.col("o_orderstatus") == "P")
+        .agg(
+            F.lit("pruned").alias("src"),
+            F.lit(len(kept)).cast("int").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
+        )
+    )
+    return (
+        compact_row.unionByName(have_row)
+        .unionByName(snap_row)
+        .unionByName(pruned_row)
+    )
 
 
 def q_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1979,6 +2004,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'snapshot' AS src, 3::INT AS n_segments, count(*)::BIGINT AS n_rows,
                    sum(row_id * o_orderkey)::BIGINT AS checksum
             FROM {SEG_RID}
+            UNION ALL
+            SELECT 'pruned' AS src, 1::INT AS n_segments, count(*)::BIGINT AS n_rows,
+                   sum(row_id * o_orderkey)::BIGINT AS checksum
+            FROM {SEG_RID} WHERE o_orderstatus = 'P'
         """,
         "typed_roundtrip": """
             SELECT row_number() OVER (ORDER BY n_nationkey) - 1 AS row_id,

@@ -52,6 +52,95 @@ class ManifestConflictError(RuntimeError):
     gets this instead of silently clobbering the winner's commit."""
 
 
+def _footer_stats(data_dir: str) -> dict:
+    """Segment zone map: per-column [min, max] harvested from the Parquet
+    FOOTERS of the files just written — driver-side metadata reads, zero
+    extra Spark jobs (the same footers the write already produced).
+
+    A column appears only if EVERY row group has usable min/max statistics
+    (a single gap makes the bound a lie); values are kept JSON-safe
+    (bool/int/float, utf-8 strings) and anything else — nested types,
+    timestamps, undecodable binary — is dropped, which degrades to "never
+    pruned on this column", always correct. NaN-polluted float stats are
+    dropped the same way (Parquet min/max ordering with NaN is undefined)."""
+    import pyarrow.parquet as pq
+
+    per_col: dict[str, list] = {}
+    dead: set[str] = set()
+
+    def _val(v):
+        if isinstance(v, bool) or v is None:
+            return v if v is None else bool(v)
+        if isinstance(v, int):
+            return int(v)
+        if isinstance(v, float):
+            return None if v != v else float(v)
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, str):
+            return v
+        return None
+
+    try:
+        for name in sorted(os.listdir(data_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(data_dir, name)).metadata
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                if row_group.num_rows == 0:
+                    continue
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    cname = col.path_in_schema
+                    if "." in cname or cname in dead:
+                        continue  # nested leaf — not a top-level column
+                    st = col.statistics
+                    lo = _val(st.min) if st is not None and st.has_min_max else None
+                    hi = _val(st.max) if st is not None and st.has_min_max else None
+                    if lo is None or hi is None:
+                        dead.add(cname)
+                        per_col.pop(cname, None)
+                        continue
+                    cur = per_col.get(cname)
+                    if cur is None:
+                        per_col[cname] = [lo, hi]
+                    else:
+                        cur[0] = min(cur[0], lo)
+                        cur[1] = max(cur[1], hi)
+    except Exception:  # noqa: BLE001 — stats are advisory; never fail a write
+        return {}
+    return per_col
+
+
+def _entry_overlaps(entry: dict, predicates: list[tuple]) -> bool:
+    """Conjunctive zone-map test: False only when the entry's stats PROVE
+    some (col, lo, hi) interval cannot match — missing stats keep the
+    segment (pruning must never drop rows). lo/hi of None = unbounded."""
+    stats = entry.get("stats") or {}
+    for col, lo, hi in predicates:
+        if col not in stats:
+            continue
+        s_lo, s_hi = stats[col]
+        if (hi is not None and _cmp_lt(hi, s_lo)) or (
+            lo is not None and _cmp_lt(s_hi, lo)
+        ):
+            return False
+    return True
+
+
+def _cmp_lt(a, b) -> bool:
+    """a < b when comparable; incomparable (mixed-type drift) -> False, which
+    keeps the segment — the always-correct degradation."""
+    try:
+        return a < b
+    except TypeError:
+        return False
+
+
 class SegmentStore:
     def __init__(self, path: str, bucket_size: int = DEFAULT_BUCKET_SIZE):
         self.path = path
@@ -202,6 +291,7 @@ class SegmentStore:
             )
         seg_path = os.path.join(self.path, f"seg-{seg_id:05d}")
         df.write.mode("overwrite").parquet(os.path.join(seg_path, "data"))
+        stats = _footer_stats(os.path.join(seg_path, "data"))
         if n_rows is None:
             # caller supplied a pre-stamped df with unknown count: Parquet
             # metadata-only count on the files just written (no data scan)
@@ -219,6 +309,7 @@ class SegmentStore:
             "segment_id": seg_id,
             "n_rows": int(n_rows),
             "indexed": index_conf is not None,
+            "stats": stats,
         }
 
     def write_segment(
@@ -227,17 +318,33 @@ class SegmentStore:
         order_keys: list[str] | None = None,
         index_conf: IndexConf | None = None,
         n_rows: int | None = None,
+        batch_key: str | None = None,
     ) -> dict:
         """Append one immutable segment (S1/S3/S5). Local row ids are
         0..n-1 within the segment; the global offset comes from the
         manifest. With index_conf, the segment's inverted index is built
-        and stored alongside (writeIndexedDf, Dfs.scala:489-510)."""
+        and stored alongside (writeIndexedDf, Dfs.scala:489-510).
+
+        ``batch_key`` makes the append IDEMPOTENT: if an entry with the
+        same key is already committed, the write is a no-op returning that
+        entry. This is the exactly-once contract for retried producers —
+        a streaming foreachBatch that crashed AFTER publishing but BEFORE
+        checkpoint advance re-runs the same micro-batch on restart and
+        would otherwise append the segment twice. (A crash between the
+        data write and the publish leaves an orphan dir that reconcile()
+        sweeps — every interleaving lands on exactly one committed copy.)"""
         entries = self.manifest()
+        if batch_key is not None:
+            for e in entries:
+                if e.get("batch_key") == batch_key:
+                    return e
         seg_id = max((e["segment_id"] for e in entries), default=-1) + 1
         entry = self._write_segment_files(
             df, seg_id, index_conf, order_keys=order_keys, n_rows=n_rows
         )
         entry["row_id_offset"] = sum(e["n_rows"] for e in entries)
+        if batch_key is not None:
+            entry["batch_key"] = batch_key
         self._publish(entries + [entry])
         return entry
 
@@ -368,6 +475,41 @@ class SegmentStore:
         version, which are unreachable by every read path including open_at."""
         self.reconcile()
         return self._open_entries(spark, self.manifest(), defaults)
+
+    def pruned_entries(
+        self, predicates: list[tuple], at_version: int | None = None
+    ) -> list[dict]:
+        """Manifest entries surviving zone-map pruning for conjunctive
+        range ``predicates`` = [(col, lo, hi), ...] (None = unbounded).
+        Driver-side metadata only — no Spark job. ``at_version`` prunes a
+        time-travel snapshot's manifest instead of the current one."""
+        entries = (
+            self.manifest() if at_version is None else self.manifest_at(at_version)
+        )
+        return [e for e in entries if _entry_overlaps(e, predicates)]
+
+    def open_pruned(
+        self,
+        spark: SparkSession,
+        predicates: list[tuple],
+        defaults: dict[str, object] | None = None,
+        at_version: int | None = None,
+    ) -> DataFrame:
+        """Zone-map-pruned open: segments whose footer min/max stats prove
+        they cannot satisfy the conjunctive range ``predicates`` are skipped
+        BEFORE the scan — at 100 TB a time- or key-ordered ingest means a
+        range query touches a handful of segments instead of every file
+        (the manifest is the zone map; Parquet row-group stats then prune
+        WITHIN the surviving segments for free). Global row_ids are
+        unchanged — each entry keeps its manifest offset, so the result is
+        exactly ``open()`` minus provably-empty segments. The caller still
+        applies the actual row filter; pruning is a superset guarantee,
+        identical to the reference's segment-skipping reads
+        (MultiDf.scala:33-184 reads only the segments a view touches)."""
+        self.reconcile()
+        return self._open_entries(
+            spark, self.pruned_entries(predicates, at_version), defaults
+        )
 
     def open_at(
         self,

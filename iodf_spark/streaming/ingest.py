@@ -331,7 +331,16 @@ def stream_ingest_segments(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        store.write_segment(batch_df, order_keys=order_keys, index_conf=index_conf)
+        # batch_key = the engine's micro-batch id: a foreachBatch re-run
+        # after a crash-before-checkpoint replays the same id, and the
+        # store's idempotent append turns the replay into a no-op —
+        # exactly-once segments without a transactional sink
+        store.write_segment(
+            batch_df,
+            order_keys=order_keys,
+            index_conf=index_conf,
+            batch_key=f"stream-batch-{batch_id}",
+        )
 
     spark = events.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
