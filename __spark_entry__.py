@@ -1309,10 +1309,29 @@ def q_segments_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
         )
     )
+    # 'tiered': size-tiered compaction (the LSM policy) — 4 same-tier
+    # region segments merge into ONE in a single adjacent-run rewrite;
+    # content + global row_ids must survive (oracle re-derives the
+    # checksum over 4 concatenated copies)
+    tstore = SegmentStore(tempfile.mkdtemp(prefix="iodf_tiered_"))
+    for _ in range(4):
+        tstore.write_segment(
+            load_table(spark, sf_dir, "region"), order_keys=["r_regionkey"]
+        )
+    tstore.compact_tiered(spark, fanout=2)
+    if len(tstore.manifest()) != 1:
+        raise AssertionError("tiered compaction left more than one segment")
+    tiered_row = tstore.open(spark).agg(
+        F.lit("tiered").alias("src"),
+        F.lit(len(tstore.manifest())).cast("int").alias("n_segments"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("row_id") * F.col("r_regionkey")).cast("long").alias("checksum"),
+    )
     return (
         compact_row.unionByName(have_row)
         .unionByName(snap_row)
         .unionByName(pruned_row)
+        .unionByName(tiered_row)
     )
 
 
@@ -2008,6 +2027,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'pruned' AS src, 1::INT AS n_segments, count(*)::BIGINT AS n_rows,
                    sum(row_id * o_orderkey)::BIGINT AS checksum
             FROM {SEG_RID} WHERE o_orderstatus = 'P'
+            UNION ALL
+            SELECT 'tiered' AS src, 1::INT AS n_segments, count(*)::BIGINT AS n_rows,
+                   sum((c.c * (SELECT count(*) FROM region) + r.rid)
+                       * r.r_regionkey)::BIGINT AS checksum
+            FROM (SELECT row_number() OVER (ORDER BY r_regionkey) - 1 AS rid,
+                         r_regionkey
+                  FROM region) r
+            CROSS JOIN (SELECT unnest(range(4)) AS c) c
         """,
         "typed_roundtrip": """
             SELECT row_number() OVER (ORDER BY n_nationkey) - 1 AS row_id,

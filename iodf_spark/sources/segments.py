@@ -664,3 +664,81 @@ class SegmentStore:
         # here is repaired by the NEXT compact (or an explicit reconcile)
         self.reconcile()
         return self
+
+    def compact_run(
+        self,
+        spark: SparkSession,
+        start: int,
+        end: int,
+        defaults: dict[str, object] | None = None,
+        index_conf: IndexConf | None = None,
+    ) -> dict:
+        """Merge the ADJACENT manifest run [start, end) into ONE segment,
+        leaving every other segment untouched — the partial-merge primitive
+        tiered compaction is built from. Adjacency is required because the
+        store is an ordered concatenation: merging non-neighbors would
+        reorder rows. Global row_ids are invariant — the merged segment's
+        local ids are the run's global ids rebased to its first offset, and
+        all other entries keep their offsets. Crash-safe like compact():
+        data first, manifest last, orphan sweep after."""
+        self.reconcile()
+        entries = self.manifest()
+        if not (0 <= start < end <= len(entries)):
+            raise ValueError(f"run [{start}, {end}) out of range 0..{len(entries)}")
+        if end - start == 1:
+            return entries[start]
+        run = entries[start:end]
+        base = run[0]["row_id_offset"]
+        rebased = [dict(e, row_id_offset=e["row_id_offset"] - base) for e in run]
+        merged = self._open_entries(spark, rebased, defaults)
+        new_id = max(e["segment_id"] for e in entries) + 1
+        entry = self._write_segment_files(
+            merged, new_id, index_conf, n_rows=sum(e["n_rows"] for e in run)
+        )
+        entry["row_id_offset"] = base
+        self._publish(entries[:start] + [entry] + entries[end:])
+        self.reconcile()
+        return entry
+
+    def compact_tiered(
+        self,
+        spark: SparkSession,
+        fanout: int = 4,
+        defaults: dict[str, object] | None = None,
+        index_conf: IndexConf | None = None,
+    ) -> "SegmentStore":
+        """Size-tiered compaction (the LSM policy the full-merge compact()
+        lacks): repeatedly merge any run of >= fanout ADJACENT segments in
+        the same size tier (tier = floor(log_fanout(n_rows))) until no such
+        run exists. A merged run lands one tier up and may cascade into the
+        next merge — steady-state segment count is O(fanout * log_fanout N)
+        and each row is rewritten O(log_fanout N) times over its lifetime,
+        vs compact()'s O(appends) full rewrites: at 100 TB, compacting the
+        whole store per maintenance cycle is the write-amplification
+        scale-killer this policy exists to avoid. Each merge is one write
+        job over the RUN's rows only; reads stay correct throughout (every
+        publish is a complete consistent manifest)."""
+        def tier(e: dict) -> int:
+            # integer log_fanout — float log has precision cliffs at exact
+            # powers (log(64, 4) -> 2.999...), which would split a tier
+            t, n = 0, e["n_rows"]
+            while n >= fanout:
+                n //= fanout
+                t += 1
+            return t
+
+        while True:
+            entries = self.manifest()
+            run = None
+            i = 0
+            while i < len(entries):
+                j = i + 1
+                while j < len(entries) and tier(entries[j]) == tier(entries[i]):
+                    j += 1
+                if j - i >= fanout:
+                    run = (i, j)
+                    break
+                i = j
+            if run is None:
+                return self
+            self.compact_run(spark, run[0], run[1], defaults, index_conf)

@@ -1,0 +1,103 @@
+"""Size-tiered compaction: partial adjacent-run merges must preserve the
+store's logical content (rows, global row_ids, columns) exactly, bound the
+segment count, and leave off-tier segments untouched."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from iodf_spark.operators import index as idx
+from iodf_spark.sources.segments import SegmentStore
+
+
+@pytest.fixture()
+def store(tmp_path):
+    s = SegmentStore(str(tmp_path / "store"), bucket_size=256)
+    yield s
+    shutil.rmtree(s.path, ignore_errors=True)
+
+
+def _append(spark, store, lo, n, **kw):
+    df = spark.range(lo, lo + n).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("string").alias("tag")
+    )
+    store.write_segment(df, order_keys=["k"], **kw)
+
+
+def _snapshot(spark, store):
+    return [
+        tuple(r)
+        for r in store.open(spark).select("row_id", "k", "tag").orderBy("row_id").collect()
+    ]
+
+
+def test_compact_run_merges_middle_only(spark, store):
+    for lo in (0, 100, 200, 300):
+        _append(spark, store, lo, 50)
+    before = _snapshot(spark, store)
+    ids_before = [e["segment_id"] for e in store.manifest()]
+    store.compact_run(spark, 1, 3)
+    entries = store.manifest()
+    assert len(entries) == 3
+    # outer segments untouched (same ids), middle pair replaced by a new id
+    assert entries[0]["segment_id"] == ids_before[0]
+    assert entries[2]["segment_id"] == ids_before[3]
+    assert entries[1]["segment_id"] not in ids_before
+    assert [e["row_id_offset"] for e in entries] == [0, 50, 150]
+    assert entries[1]["n_rows"] == 100
+    assert _snapshot(spark, store) == before
+    # zone maps recomputed for the merged segment
+    assert entries[1]["stats"]["k"] == [100, 249]
+
+
+def test_compact_run_rejects_bad_range(spark, store):
+    _append(spark, store, 0, 10)
+    with pytest.raises(ValueError):
+        store.compact_run(spark, 0, 2)
+
+
+def test_tiered_merges_same_tier_runs_and_cascades(spark, store):
+    # 4 tiny segments (tier 0 at fanout 4: n=3 < 4) cascade into one
+    for lo in (0, 3, 6, 9):
+        _append(spark, store, lo, 3)
+    before = _snapshot(spark, store)
+    store.compact_tiered(spark, fanout=4)
+    assert len(store.manifest()) == 1
+    assert _snapshot(spark, store) == before
+
+
+def test_tiered_leaves_off_tier_segments_alone(spark, store):
+    # big head segment (tier 2 at fanout 4: 100 -> 25 -> 6 -> wait)
+    _append(spark, store, 0, 1000)  # tier: 1000/4=250/4=62/4=15/4=3 -> 4
+    for lo in (1000, 1005, 1010, 1015):
+        _append(spark, store, lo, 5)  # tier 1 (5 >= 4 once)
+    before = _snapshot(spark, store)
+    big_id = store.manifest()[0]["segment_id"]
+    store.compact_tiered(spark, fanout=4)
+    entries = store.manifest()
+    # the 4 small ones merged (20 rows, still far below the big tier);
+    # the big head was never rewritten
+    assert entries[0]["segment_id"] == big_id
+    assert len(entries) == 2
+    assert entries[1]["n_rows"] == 20
+    assert _snapshot(spark, store) == before
+
+
+def test_tiered_with_index_keeps_probes_correct(spark, store):
+    conf = idx.IndexConf(include=["tag"])
+    for lo in (0, 40, 80, 120):
+        df = spark.range(lo, lo + 40).select(
+            F.col("id").alias("k"), (F.col("id") % 7).cast("string").alias("tag")
+        )
+        store.write_segment(df, order_keys=["k"], index_conf=conf)
+    expect = sorted(
+        r["row_id"]
+        for r in store.open(spark).filter(F.col("tag") == "3").collect()
+    )
+    store.compact_tiered(spark, fanout=2, index_conf=conf)
+    assert len(store.manifest()) == 1
+    ix = store.open_index(spark)
+    ps = idx.probe(ix, "tag", "3", store.total_rows(), bucket_size=256)
+    got = sorted(r["row_id"] for r in ps.to_rows().collect())
+    assert got == expect
