@@ -51,7 +51,10 @@ def main():
     # the standard noise-robust estimator. The entry-module memo cache is
     # cleared between sweeps so every sweep does identical work (segment
     # stores / indexes are rebuilt, not reopened).
-    sweeps = int(os.environ.get("SPARK_GRAFT_BENCH_SWEEPS", "2"))
+    # 3 sweeps: the host oscillates between ~1x and ~2x regimes (measured
+    # 76 s..134 s for identical code); one extra pass materially tightens
+    # the per-query minimum when a sweep lands in the slow regime
+    sweeps = int(os.environ.get("SPARK_GRAFT_BENCH_SWEEPS", "3"))
     n = None
     for _sweep in range(sweeps):
         entrymod._cache.clear()
