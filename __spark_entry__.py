@@ -815,22 +815,88 @@ def _fake_features_oracle_sql(id_col: str, text_col: str, table: str, dim: int =
 # 2.8, 2.10) that a complete engine must provide; all Catalyst built-ins.
 
 
+JOIN_CUT = "1997-06-01"  # Q3-shape date cut (orders before, shipments after)
+JOIN_Q5_LO, JOIN_Q5_HI = "1996-01-01", "1999-01-01"
+
+
 def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.6 joins: fact-to-dim star join with broadcast dims (customer and
-    nation are small: broadcast hash join, no shuffle of orders)."""
+    """§2.6 joins, three classic OLAP shapes in one attested entry
+    (unified schema variant/k/n/measure):
+
+    * 'star' — fact-to-dim star join with broadcast dims (customer and
+      nation are small: broadcast hash join, no shuffle of orders).
+    * 'q3' — TPC-H Q3 shape: 3-way join with per-side filters pushed to
+      the scans, grouped revenue, deterministic top-10 (rank ties broken
+      by key). Only orders/lineitem shuffle; customer broadcasts.
+    * 'q5' — TPC-H Q5 shape: 6-table join incl. the c_nationkey =
+      s_nationkey locality condition; region/nation/supplier/customer all
+      broadcast, the lineitem-orders backbone is the only shuffle join.
+    """
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    return (
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    region = load_table(spark, sf_dir, "region")
+
+    star = (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("measure"),
         )
-        .orderBy("n_name")
+        .select(F.lit("star").alias("variant"), F.col("n_name").alias("k"), "n", "measure")
     )
+
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    q3 = (
+        lineitem.filter(F.col("l_shipdate") > F.lit(JOIN_CUT).cast("timestamp"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit(JOIN_CUT).cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(rev), 4).alias("measure"))
+        .orderBy(F.col("measure").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            F.lit("q3").alias("variant"),
+            F.col("o_orderkey").cast("string").alias("k"),
+            "n",
+            "measure",
+        )
+    )
+
+    q5 = (
+        lineitem.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(JOIN_Q5_LO).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(JOIN_Q5_HI).cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(customer),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(rev), 4).alias("measure"))
+        .select(F.lit("q5").alias("variant"), F.col("n_name").alias("k"), "n", "measure")
+    )
+    return star.unionByName(q3).unionByName(q5)
 
 
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1762,13 +1828,39 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
-        "join_agg": """
-            SELECT n_name, count(*)::BIGINT AS n_orders,
-                   round(sum(o_totalprice), 4) AS revenue
+        "join_agg": f"""
+            SELECT 'star' AS variant, n_name AS k, count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 4) AS measure
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
-            GROUP BY n_name ORDER BY n_name
+            GROUP BY n_name
+            UNION ALL
+            SELECT 'q3' AS variant, k, n, measure FROM (
+              SELECT o_orderkey::VARCHAR AS k, count(*)::BIGINT AS n,
+                     round(sum(l_extendedprice * (1e0 - l_discount)), 4) AS measure,
+                     o_orderkey AS _ok
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '{JOIN_CUT}'
+                AND l_shipdate > TIMESTAMP '{JOIN_CUT}'
+              GROUP BY o_orderkey
+              ORDER BY measure DESC, _ok LIMIT 10)
+            UNION ALL
+            SELECT 'q5' AS variant, n_name AS k, count(*)::BIGINT AS n,
+                   round(sum(l_extendedprice * (1e0 - l_discount)), 4) AS measure
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '{JOIN_Q5_LO}'
+              AND o_orderdate < TIMESTAMP '{JOIN_Q5_HI}'
+            GROUP BY n_name
         """,
         "semi_anti_join": """
             SELECT (SELECT count(*) FROM customer WHERE c_custkey IN
