@@ -850,6 +850,33 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("star").alias("variant"), F.col("n_name").alias("k"), "n", "measure")
     )
 
+    # 'salted': the SAME star aggregation through the J5 skew-salted join —
+    # orders' hot customer keys spread over 8 deterministic salts, customer
+    # (with its nation label) replicated once per salt. Row-for-row equal
+    # to 'star' by construction; attested by the same oracle rows, so the
+    # skew path is value-checked, not just plan-shape-checked.
+    from iodf_spark.operators.skew import salted_join
+
+    dim = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select(F.col("c_custkey").alias("ck"), "n_name")
+    salted = (
+        salted_join(
+            orders.select(F.col("o_custkey").alias("ck"), "o_totalprice"),
+            dim,
+            on=["ck"],
+            n_salts=8,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("measure"),
+        )
+        .select(
+            F.lit("salted").alias("variant"), F.col("n_name").alias("k"), "n", "measure"
+        )
+    )
+
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     q3 = (
         lineitem.filter(F.col("l_shipdate") > F.lit(JOIN_CUT).cast("timestamp"))
@@ -896,7 +923,7 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(rev), 4).alias("measure"))
         .select(F.lit("q5").alias("variant"), F.col("n_name").alias("k"), "n", "measure")
     )
-    return star.unionByName(q3).unionByName(q5)
+    return star.unionByName(salted).unionByName(q3).unionByName(q5)
 
 
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1830,6 +1857,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "join_agg": f"""
             SELECT 'star' AS variant, n_name AS k, count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 4) AS measure
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            UNION ALL
+            SELECT 'salted' AS variant, n_name AS k, count(*)::BIGINT AS n,
                    round(sum(o_totalprice), 4) AS measure
             FROM orders
             JOIN customer ON o_custkey = c_custkey
