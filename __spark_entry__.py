@@ -1061,12 +1061,19 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> 2% rank window). The oracle emits the exact values and TRUE/TRUE:
     a sketch drifting out of tolerance hash-mismatches the round."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.agg(
+    # the sketches and the exact distinct are SEPARATE jobs on purpose: a
+    # DISTINCT aggregate mixed into the same Aggregate as a
+    # TypedImperativeAggregate (percentile_approx) plans as Expand +
+    # sort-aggregate fallback — measured 8.2 s for the combined pass vs
+    # 0.4-0.6 s per aggregate alone at sf0.1. Two hash aggregates + a
+    # 1-row broadcast cross join is the cheap plan.
+    sketch = li.agg(
         F.approx_count_distinct("l_partkey").alias("_apx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("_apx_med"),
         F.count(F.lit(1)).alias("n"),
-        F.count_distinct("l_partkey").alias("exact_parts"),
     )
+    exact = li.agg(F.count_distinct("l_partkey").alias("exact_parts"))
+    agg = sketch.crossJoin(F.broadcast(exact))
     return (
         li.select("l_extendedprice")
         .crossJoin(F.broadcast(agg))
