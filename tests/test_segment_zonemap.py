@@ -102,6 +102,23 @@ def test_array_and_null_columns_never_emit_stats(spark, store):
     assert not any(c.startswith("arr") for c in stats)
 
 
+def test_long_text_columns_get_no_stats_and_are_never_pruned(spark, store):
+    """parquet-mr OMITS min/max for oversized binary values (>~4 KB), so a
+    document-text column must land in the no-stats bucket — pruned never,
+    wrong never. (Verified behavior: has_min_max=False at 10-20 KB values;
+    if a future writer truncated instead, naive prefix-max comparisons
+    could wrongly prune — this pin turns that drift into a red test.)"""
+    df = spark.createDataFrame(
+        [(1, "a" * 10_000), (2, "z" * 20_000)], "k long, text string"
+    )
+    store.write_segment(df, order_keys=["k"])
+    stats = store.manifest()[0]["stats"]
+    assert "text" not in stats
+    assert "k" in stats
+    # a text-range predicate cannot prune the segment
+    assert len(store.pruned_entries([("text", "zzz", "zzzz")])) == 1
+
+
 def test_batch_key_append_is_idempotent(spark, store):
     df = spark.range(10).select(F.col("id").alias("k"))
     e1 = store.write_segment(df, order_keys=["k"], batch_key="stream-batch-7")
