@@ -116,6 +116,50 @@ def _footer_stats(data_dir: str) -> dict:
     return per_col
 
 
+_NUM_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4, "float": 5, "double": 6}
+
+
+def _widen_types(parts: list[DataFrame]) -> list[DataFrame]:
+    """Numeric type-widening across segment schemas before the union —
+    schema DRIFT is certain over years of ingest at 100 TB (a counter
+    column grows int -> long, a score float -> double), and a raw
+    unionByName fails or silently coerces on the conflict. Rule: all
+    integer types widen to the widest integer; any fractional type in the
+    mix widens the column to double (float+long -> double is the SQL
+    coercion; exact for |v| < 2^53, the standard trade). Non-numeric
+    conflicts raise with the column name — a string-vs-int drift is
+    corruption, not evolution, and must be loud."""
+    by_col: dict[str, set[str]] = {}
+    for p in parts:
+        for f in p.schema.fields:
+            by_col.setdefault(f.name, set()).add(f.dataType.typeName())
+    target: dict[str, str] = {}
+    for col, kinds in by_col.items():
+        if len(kinds) == 1:
+            continue
+        if not kinds <= set(_NUM_RANK):
+            raise TypeError(
+                f"segment schema conflict on column {col!r}: stored types "
+                f"{sorted(kinds)} are not numeric-widenable"
+            )
+        if kinds <= {"byte", "short", "integer", "long"}:
+            target[col] = max(kinds, key=_NUM_RANK.__getitem__)
+        else:
+            target[col] = "double"
+    if not target:
+        return parts
+    out = []
+    for p in parts:
+        casts = [
+            F.col(f.name).cast(target[f.name]).alias(f.name)
+            if f.name in target and f.dataType.typeName() != target[f.name]
+            else F.col(f.name)
+            for f in p.schema.fields
+        ]
+        out.append(p.select(*casts))
+    return out
+
+
 def _entry_overlaps(entry: dict, predicates: list[tuple]) -> bool:
     """Conjunctive zone-map test: False only when the entry's stats PROVE
     some (col, lo, hi) interval cannot match — missing stats keep the
@@ -550,8 +594,9 @@ class SegmentStore:
             parts.append(
                 seg.withColumn("row_id", F.col("row_id") + F.lit(e["row_id_offset"]))
             )
-        out = parts[0]
-        for p in parts[1:]:
+        widened = _widen_types(parts)
+        out = widened[0]
+        for p in widened[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
         if defaults:
             for col, dv in defaults.items():
