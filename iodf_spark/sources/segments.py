@@ -59,30 +59,19 @@ def _footer_stats(data_dir: str) -> dict:
 
     A column appears only if EVERY row group has usable min/max statistics
     (a single gap makes the bound a lie); values are kept JSON-safe
-    (bool/int/float, utf-8 strings) and anything else — nested types,
-    timestamps, undecodable binary — is dropped, which degrades to "never
-    pruned on this column", always correct. NaN-polluted float stats are
-    dropped the same way (Parquet min/max ordering with NaN is undefined)."""
+    (bool/int/float, utf-8 strings, timestamps as epoch µs ints — the
+    predicate side converts datetime bounds through the SAME mapping, see
+    :func:`_stat_key`) and anything else — nested types, undecodable
+    binary — is dropped, which degrades to "never pruned on this column",
+    always correct. NaN-polluted float stats are dropped the same way
+    (Parquet min/max ordering with NaN is undefined). Oversized values
+    (document text) have their stats OMITTED by the writer, landing in the
+    same never-pruned bucket (pinned by test)."""
     import pyarrow.parquet as pq
 
     per_col: dict[str, list] = {}
     dead: set[str] = set()
-
-    def _val(v):
-        if isinstance(v, bool) or v is None:
-            return v if v is None else bool(v)
-        if isinstance(v, int):
-            return int(v)
-        if isinstance(v, float):
-            return None if v != v else float(v)
-        if isinstance(v, bytes):
-            try:
-                return v.decode("utf-8")
-            except UnicodeDecodeError:
-                return None
-        if isinstance(v, str):
-            return v
-        return None
+    _val = _stat_key
 
     try:
         for name in sorted(os.listdir(data_dir)):
@@ -114,6 +103,41 @@ def _footer_stats(data_dir: str) -> dict:
     except Exception:  # noqa: BLE001 — stats are advisory; never fail a write
         return {}
     return per_col
+
+
+def _stat_key(v):
+    """Canonical JSON-safe ordering key for zone-map values, applied to
+    BOTH the harvested footer stats and the caller's predicate bounds (the
+    symmetry is what makes timestamp pruning correct): bool/int/float/str
+    pass through (NaN -> unusable), bytes decode as utf-8, datetimes map
+    to epoch MICROSECONDS (naive values treated as UTC — the engine pins
+    the session to UTC, so stored naive wall times ARE instants); anything
+    else is unusable (None)."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or v is None:
+        return v if v is None else bool(v)
+    if isinstance(v, int):
+        return int(v)
+    if isinstance(v, float):
+        return None if v != v else float(v)
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, str):
+        return v
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return int(
+            _dt.datetime(v.year, v.month, v.day, tzinfo=_dt.timezone.utc).timestamp()
+            * 1_000_000
+        )
+    return None
 
 
 _NUM_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4, "float": 5, "double": 6}
@@ -169,6 +193,9 @@ def _entry_overlaps(entry: dict, predicates: list[tuple]) -> bool:
         if col not in stats:
             continue
         s_lo, s_hi = stats[col]
+        # bounds go through the same canonicalization as the stored stats
+        # (datetime -> epoch µs), so timestamp predicates prune correctly
+        lo, hi = _stat_key(lo), _stat_key(hi)
         if (hi is not None and _cmp_lt(hi, s_lo)) or (
             lo is not None and _cmp_lt(s_hi, lo)
         ):
@@ -334,7 +361,19 @@ class SegmentStore:
                 else with_row_id_scalable(df, return_count=True)
             )
         seg_path = os.path.join(self.path, f"seg-{seg_id:05d}")
-        df.write.mode("overwrite").parquet(os.path.join(seg_path, "data"))
+        # pin timestamps to TIMESTAMP_MICROS for the data write: Spark's
+        # legacy INT96 default carries NO parquet min/max statistics, which
+        # would silently disable time-range zone maps — the single most
+        # valuable pruning column of an event store (µs is also the
+        # Iceberg/Delta interchange encoding). Set-and-restore so the
+        # store behaves identically under any caller session.
+        spark = df.sparkSession
+        prev_tst = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        try:
+            df.write.mode("overwrite").parquet(os.path.join(seg_path, "data"))
+        finally:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev_tst)
         stats = _footer_stats(os.path.join(seg_path, "data"))
         if n_rows is None:
             # caller supplied a pre-stamped df with unknown count: Parquet

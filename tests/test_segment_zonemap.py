@@ -102,6 +102,44 @@ def test_array_and_null_columns_never_emit_stats(spark, store):
     assert not any(c.startswith("arr") for c in stats)
 
 
+def test_timestamp_zone_maps_prune_time_ranges(spark, store):
+    """The 100 TB event-store read path: segments ingested in time order,
+    a time-range read plans only the overlapping segments. Timestamp stats
+    are stored as epoch µs and the predicate bounds (datetimes) go through
+    the same canonicalization — symmetric, so pruning is exact."""
+    import datetime as dt
+
+    for day in (1, 2, 3):
+        df = spark.range(100).select(
+            F.col("id").alias("k"),
+            (
+                F.lit(f"2026-02-0{day} 00:00:00").cast("timestamp")
+                + F.make_interval(mins=F.col("id").cast("int"))
+            ).alias("ts"),
+        )
+        store.write_segment(df, order_keys=["k"])
+    stats = [e["stats"] for e in store.manifest()]
+    assert all("ts" in s for s in stats), "timestamp stats missing"
+    assert stats[0]["ts"][0] == 1769904000000000  # 2026-02-01T00:00:00Z in µs
+    lo = dt.datetime(2026, 2, 2, 0, 30)
+    hi = dt.datetime(2026, 2, 2, 1, 10)
+    kept = store.pruned_entries([("ts", lo, hi)])
+    assert [e["segment_id"] for e in kept] == [1]
+    got = (
+        store.open_pruned(spark, [("ts", lo, hi)])
+        .filter((F.col("ts") >= lo) & (F.col("ts") <= hi))
+        .count()
+    )
+    full = (
+        store.open(spark).filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count()
+    )
+    assert got == full == 41
+    # epoch-µs int bounds prune identically (callers may pass either)
+    lo_us = int(lo.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    hi_us = int(hi.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert [e["segment_id"] for e in store.pruned_entries([("ts", lo_us, hi_us)])] == [1]
+
+
 def test_long_text_columns_get_no_stats_and_are_never_pruned(spark, store):
     """parquet-mr OMITS min/max for oversized binary values (>~4 KB), so a
     document-text column must land in the no-stats bucket — pruned never,
