@@ -172,9 +172,14 @@ def q_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-point aggregation, unlocking the bare specialized kernels without
     coupling correctness to the adaptive build threshold (a hardcoded hint
     would; the general dual-dispatch plans cost ~4x in dead sub-plans)."""
+    from iodf_spark.plans.rowset import intersect_all, union_all
+
     ix, n = _lineitem_index(spark, sf_dir)
     a = idx.probe(ix, "l_returnflag", "R", n, encoding_hint="auto")
     b = idx.probe(ix, "l_linestatus", "F", n, encoding_hint="auto")
+    # third operand for the n-ary combinators: one-stage k-way AND/OR
+    # (intersect_all/union_all) vs the binary chain's k-1 join stages
+    c = idx.probe(ix, "l_quantity", 25.0, n, encoding_hint="auto")
     rows = [
         a.f_col().select(F.col("f").alias("f_a")),
         b.f_col().select(F.col("f").alias("f_b")),
@@ -182,6 +187,8 @@ def q_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (a | b).f_col().select(F.col("f").alias("f_or")),
         a.andnot(b).f_col().select(F.col("f").alias("f_andnot")),
         (~a).f_col().select(F.col("f").alias("f_not_a")),
+        intersect_all([a, b, c]).f_col().select(F.col("f").alias("f_and3")),
+        union_all([a, b, c]).f_col().select(F.col("f").alias("f_or3")),
     ]
     out = rows[0]
     for r in rows[1:]:
@@ -1824,7 +1831,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (l_returnflag = 'R' AND l_linestatus = 'F')::BIGINT AS f_and,
                    count(*) FILTER (l_returnflag = 'R' OR l_linestatus = 'F')::BIGINT AS f_or,
                    count(*) FILTER (l_returnflag = 'R' AND l_linestatus <> 'F')::BIGINT AS f_andnot,
-                   count(*) FILTER (l_returnflag <> 'R')::BIGINT AS f_not_a
+                   count(*) FILTER (l_returnflag <> 'R')::BIGINT AS f_not_a,
+                   count(*) FILTER (l_returnflag = 'R' AND l_linestatus = 'F'
+                                    AND l_quantity = 25e0)::BIGINT AS f_and3,
+                   count(*) FILTER (l_returnflag = 'R' OR l_linestatus = 'F'
+                                    OR l_quantity = 25e0)::BIGINT AS f_or3
             FROM lineitem
         """,
         "rowset_ops": f"""

@@ -868,3 +868,124 @@ class PostingSet:
         """Driver-side sorted positions — TEST/debug only, never in the
         100 TB path."""
         return sorted(r["row_id"] for r in self.to_rows().collect())
+
+
+# ---------------------------------------------------------------------------
+# n-ary combinators: ONE shuffle regardless of arity
+
+
+def _combine_and(bs: int) -> str:
+    """SQL lambda body combining two posting duals under AND (same kernels
+    as PostingSet.__and__, as a fold step). AND of any sparse side stays
+    sparse; dense&dense stays dense."""
+    null_arr = "CAST(NULL AS ARRAY<BIGINT>)"
+    return (
+        "CASE "
+        "WHEN _acc.ids IS NOT NULL AND _it.ids IS NOT NULL THEN "
+        f"named_struct('ids', array_intersect(_acc.ids, _it.ids), 'w', {null_arr}) "
+        "WHEN _acc.ids IS NOT NULL THEN "
+        f"named_struct('ids', filter(_acc.ids, _x -> {_member('_x', '_it.w', bs)}), 'w', {null_arr}) "
+        "WHEN _it.ids IS NOT NULL THEN "
+        f"named_struct('ids', filter(_it.ids, _x -> {_member('_x', '_acc.w', bs)}), 'w', {null_arr}) "
+        f"ELSE named_struct('ids', {null_arr}, "
+        "'w', zip_with(_acc.w, _it.w, (_p, _q) -> _p & _q)) END"
+    )
+
+
+def _scatter_or(ids: str, words: str, bs: int) -> str:
+    """SQL: OR the (small, same-bucket) sparse `ids` into dense `words` —
+    per-word pass over the id array, O(nw * |ids|) scalar bit ops, no
+    explode and no extra job (the in-fold rendition of the binary OR's
+    grouped scatter)."""
+    wb = WORD_BITS
+    return (
+        f"transform({words}, (_wv, _wi) -> _wv | "
+        f"aggregate({ids}, 0L, (_m, _x) -> IF("
+        f"cast(pmod(_x, {bs}) div {wb} as int) = _wi, "
+        f"_m | shiftleft(1L, cast(pmod(pmod(_x, {bs}), {wb}) as int)), _m)))"
+    )
+
+
+def _combine_or(bs: int) -> str:
+    null_arr = "CAST(NULL AS ARRAY<BIGINT>)"
+    return (
+        "CASE "
+        "WHEN _acc.ids IS NOT NULL AND _it.ids IS NOT NULL THEN "
+        f"named_struct('ids', sort_array(array_union(_acc.ids, _it.ids)), 'w', {null_arr}) "
+        "WHEN _acc.ids IS NOT NULL THEN "
+        f"named_struct('ids', {null_arr}, 'w', {_scatter_or('_acc.ids', '_it.w', bs)}) "
+        "WHEN _it.ids IS NOT NULL THEN "
+        f"named_struct('ids', {null_arr}, 'w', {_scatter_or('_it.ids', '_acc.w', bs)}) "
+        f"ELSE named_struct('ids', {null_arr}, "
+        "'w', zip_with(_acc.w, _it.w, (_p, _q) -> _p | _q)) END"
+    )
+
+
+def _nary(sets: list["PostingSet"], combine: str, require_all: bool) -> "PostingSet":
+    """Shared n-ary engine: tag-union all operands, ONE groupBy(bucket)
+    shuffle, then fold the collected duals with the combine kernel. A
+    k-long chain of binary ops plans k-1 SEQUENTIAL join stages (each a
+    scheduling barrier; every operand still shuffles once); this is one
+    wide aggregation stage at any arity — same shuffled volume, no
+    serialized barrier chain, and no k-1 intermediate materializations.
+    The shape the reference's fAnd chains (the coStats hot loop) want at
+    100 TB.
+
+    Fold-order independence: AND/OR are commutative+associative and both
+    kernels preserve the sorted-ids invariant (array_intersect/filter keep
+    the first argument's order; array_union is re-sorted), so the
+    collect_list arrival order cannot change the result."""
+    first = sets[0]
+    for s in sets[1:]:
+        first._check(s)
+    if len(sets) == 1:
+        return first
+    k, bs = len(sets), first.bucket_size
+    tagged = sets[0].df
+    for s in sets[1:]:
+        tagged = tagged.unionByName(s.df)
+    grouped = tagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.collect_list(
+            F.struct(F.col("row_ids").alias("ids"), F.col("words").alias("w"))
+        ).alias("_items"),
+    )
+    if require_all:
+        grouped = grouped.filter(F.col("_k") == k)
+    # NB: element_at/slice are 1-based while bare `arr[i]` subscripts are
+    # 0-based in Spark SQL — mixing them here silently drops an operand
+    folded = grouped.withColumn(
+        "_r",
+        F.expr(
+            f"aggregate(slice(_items, 2, {k - 1}), element_at(_items, 1), "
+            f"(_acc, _it) -> {combine})"
+        ),
+    )
+    out = folded.select(
+        "bucket",
+        F.col("_r.ids").alias("row_ids"),
+        F.col("_r.w").alias("words"),
+    ).filter(F.expr(_NONEMPTY))
+    encs = None
+    if all(s._pure("dense") for s in sets):
+        encs = {"dense"}
+    elif require_all and any(s._pure("sparse") for s in sets):
+        encs = {"sparse"}
+    return PostingSet(out, first.n, bs, encs)
+
+
+def intersect_all(sets: list["PostingSet"]) -> "PostingSet":
+    """k-way AND in one stage (vs a k-1-deep binary join chain). Buckets absent from any operand are dropped by the _k == k gate before
+    any kernel runs — the short-circuit the reference's fAnd loop gets from
+    its sorted-bucket merge (ioseq/IoBits.scala:187-233)."""
+    if not sets:
+        raise ValueError("intersect_all: empty operand list")
+    return _nary(sets, _combine_and(sets[0].bucket_size), require_all=True)
+
+
+def union_all(sets: list["PostingSet"]) -> "PostingSet":
+    """k-way OR in one stage. Mixed sparse/dense buckets scatter the
+    sparse ids into words inside the fold (no explode, no extra job)."""
+    if not sets:
+        raise ValueError("union_all: empty operand list")
+    return _nary(sets, _combine_or(sets[0].bucket_size), require_all=False)
