@@ -665,12 +665,29 @@ class SegmentStore:
         entries = [e for e in self.manifest() if e.get("indexed")]
         if not entries:
             raise ValueError("no indexed segments")
+        return self._merged_index_frame(spark, entries, base=0)
+
+    def _merged_index_frame(
+        self, spark: SparkSession, entries: list[dict], base: int
+    ) -> DataFrame:
+        """Union of the given segments' stored indexes with every posting
+        row shifted to (row_id_offset - base) — base=0 yields the global
+        multi-segment view (open_index); base=run-start yields the
+        run-local merged index compaction persists (writeMergedIndexedDf,
+        Dfs.scala:476-487, merges stored posting lists instead of
+        re-deriving the index from data)."""
+        from iodf_spark.plans.rowset import (
+            _POPCOUNT,
+            regroup_posting_contribs,
+            shift_posting_contribs,
+        )
+
         bs = self.bucket_size
         key_cols = [
             "col_name", "value_kind", "value_bool", "value_long",
             "value_double", "value_str",
         ]
-        aligned = all(e["row_id_offset"] % bs == 0 for e in entries)
+        aligned = all((e["row_id_offset"] - base) % bs == 0 for e in entries)
         parts = []
         for e in entries:
             ix = spark.read.parquet(
@@ -678,8 +695,10 @@ class SegmentStore:
             )
             if "words" not in ix.columns:
                 ix = ix.withColumn("words", F.lit(None).cast("array<long>"))
-            off = e["row_id_offset"]
-            if aligned:
+            off = e["row_id_offset"] - base
+            if aligned and off == 0:
+                parts.append(ix.select(*key_cols, "bucket", "row_ids", "words", "f"))
+            elif aligned:
                 parts.append(
                     ix.select(
                         *key_cols,
@@ -779,6 +798,24 @@ class SegmentStore:
         entry = self._write_segment_files(
             merged, new_id, index_conf, n_rows=sum(e["n_rows"] for e in run)
         )
+        if index_conf is None and all(e.get("indexed") for e in run):
+            # MERGE the run's stored indexes instead of dropping (or
+            # re-deriving) them — the reference's writeMergedIndexedDf
+            # semantics (Dfs.scala:476-487): posting lists shift to the
+            # run-local row space (bucket-renumber when offsets are
+            # bucket-aligned; bucket-local word/bit shifts otherwise) and
+            # no document is re-tokenized, which at 100 TB is the
+            # difference between metadata-sized and corpus-sized compaction
+            # index cost.
+            ixm = self._merged_index_frame(spark, run, base=base)
+            (
+                ixm.repartition("col_name")
+                .sortWithinPartitions("value_kind", "value_str", "bucket")
+                .write.mode("overwrite")
+                .partitionBy("col_name")
+                .parquet(os.path.join(self.path, f"seg-{new_id:05d}", "index"))
+            )
+            entry["indexed"] = True
         entry["row_id_offset"] = base
         self._publish(entries[:start] + [entry] + entries[end:])
         self.reconcile()

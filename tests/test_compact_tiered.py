@@ -84,6 +84,66 @@ def test_tiered_leaves_off_tier_segments_alone(spark, store):
     assert _snapshot(spark, store) == before
 
 
+def test_compact_run_merges_indexes_without_retokenizing(spark, store):
+    """writeMergedIndexedDf semantics: compacting indexed segments with NO
+    index_conf must MERGE the stored posting lists (shifted to the new
+    local row space) — not drop them. Offsets 0/40/80/120 on bucket_size
+    256 exercise the non-aligned bucket-local shift path. Probe results,
+    key stats (f), and distinct values must equal the pre-compact index."""
+    conf = idx.IndexConf(include=["tag"])
+    for lo in (0, 40, 80, 120):
+        df = spark.range(lo, lo + 40).select(
+            F.col("id").alias("k"), (F.col("id") % 7).cast("string").alias("tag")
+        )
+        store.write_segment(df, order_keys=["k"], index_conf=conf)
+    n = store.total_rows()
+    before = {
+        t: sorted(
+            r["row_id"]
+            for r in idx.probe(
+                store.open_index(spark), "tag", t, n, bucket_size=256
+            ).to_rows().collect()
+        )
+        for t in ("0", "3", "6")
+    }
+    store.compact_run(spark, 0, 4)  # no index_conf -> merge path
+    entries = store.manifest()
+    assert len(entries) == 1 and entries[0]["indexed"]
+    ix = store.open_index(spark)
+    for t, want in before.items():
+        got = sorted(
+            r["row_id"]
+            for r in idx.probe(ix, "tag", t, n, bucket_size=256).to_rows().collect()
+        )
+        assert got == want, t
+    # f stats survive the shift (popcount recomputed on regroup)
+    f3 = idx.f(ix, "tag", "3")
+    assert f3 == len(before["3"])
+
+
+def test_tiered_without_conf_keeps_stores_indexed(spark, store):
+    conf = idx.IndexConf(include=["tag"])
+    for lo in (0, 30, 60, 90):
+        df = spark.range(lo, lo + 30).select(
+            F.col("id").alias("k"), (F.col("id") % 5).cast("string").alias("tag")
+        )
+        store.write_segment(df, order_keys=["k"], index_conf=conf)
+    store.compact_tiered(spark, fanout=2)
+    assert len(store.manifest()) == 1
+    assert store.manifest()[0]["indexed"]
+    got = sorted(
+        r["row_id"]
+        for r in idx.probe(
+            store.open_index(spark), "tag", "2", store.total_rows(), bucket_size=256
+        ).to_rows().collect()
+    )
+    want = sorted(
+        r["row_id"]
+        for r in store.open(spark).filter(F.col("tag") == "2").collect()
+    )
+    assert got == want
+
+
 def test_tiered_with_index_keeps_probes_correct(spark, store):
     conf = idx.IndexConf(include=["tag"])
     for lo in (0, 40, 80, 120):
