@@ -1313,7 +1313,10 @@ def _orders_store(spark: SparkSession, sf_dir: str, compact: bool = False):
             shutil.rmtree(path)
             shutil.copytree(base.path, path)
             store = SegmentStore(path)
-            store.compact(spark, defaults={"flag": 0}, index_conf=conf)
+            # no index_conf: compaction MERGES the per-segment posting
+            # lists into the new row space (no re-tokenization) and the
+            # result stays indexed — the writeMergedIndexedDf path
+            store.compact(spark, defaults={"flag": 0})
         else:
             store = SegmentStore(tempfile.mkdtemp(prefix="iodf_segs_"))
             od = load_table(spark, sf_dir, "orders").withColumn("flag", F.lit(1))

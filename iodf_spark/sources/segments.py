@@ -749,23 +749,17 @@ class SegmentStore:
         place, the manifest is atomically republished to point at it, and
         only THEN are the old segment dirs removed — a crash at any point
         leaves a manifest whose segments all exist (old or new), and
-        cleanup of orphaned dirs is idempotent."""
-        self.reconcile()  # sweep dirs orphaned by an earlier crashed compact
+        cleanup of orphaned dirs is idempotent.
+
+        Delegates to :meth:`compact_run` over the whole manifest — so with
+        ``index_conf=None`` and all-indexed inputs the stored indexes are
+        MERGED (posting-list shift), not dropped; an explicit index_conf
+        forces a rebuild. A single-segment (or empty) store is already
+        compact: no-op."""
         entries = self.manifest()
         if not entries:
             return self
-        merged = self.open(spark, defaults)
-        new_id = max(e["segment_id"] for e in entries) + 1
-        # row count is already known from the manifest — no count job at all
-        entry = self._write_segment_files(
-            merged, new_id, index_conf, n_rows=self.total_rows()
-        )
-        entry["row_id_offset"] = 0
-        self._publish([entry])
-        # deferred, idempotent cleanup of the superseded segments — the
-        # same manifest-driven sweep that start-of-compact runs, so a crash
-        # here is repaired by the NEXT compact (or an explicit reconcile)
-        self.reconcile()
+        self.compact_run(spark, 0, len(entries), defaults, index_conf)
         return self
 
     def compact_run(
