@@ -108,9 +108,12 @@ STORE_OPS = st.lists(
         st.tuples(st.just("write"), st.integers(1, 40)),
         st.tuples(st.just("compact"), st.just(0)),
         st.tuples(st.just("vacuum"), st.just(0)),
+        st.tuples(st.just("tiered"), st.just(0)),
+        st.tuples(st.just("run"), st.integers(0, 97)),
+        st.tuples(st.just("replay"), st.integers(1, 20)),
     ),
     min_size=1,
-    max_size=5,
+    max_size=6,
 )
 
 
@@ -122,10 +125,12 @@ STORE_OPS = st.lists(
 @given(ops=STORE_OPS)
 def test_segment_store_lifecycle_model_based(spark, ops, tmp_path_factory):
     """Generative LSM lifecycle: any interleaving of write_segment /
-    compact / vacuum must preserve (1) the concatenated-row model with
-    contiguous global row_ids, (2) time travel — every RETAINED snapshot
-    version re-reads exactly the rows it was published with, and (3)
-    vacuumed versions raise rather than resurrect."""
+    compact / compact_tiered / compact_run / idempotent-replay / vacuum
+    must preserve (1) the concatenated-row model with contiguous global
+    row_ids, (2) time travel — every RETAINED snapshot version re-reads
+    exactly the rows it was published with, (3) vacuumed versions raise
+    rather than resurrect, and (4) zone-map-pruned range reads equal the
+    filtered full read."""
     import shutil
 
     from iodf_spark.sources.segments import SegmentStore
@@ -146,6 +151,23 @@ def test_segment_store_lifecycle_model_based(spark, ops, tmp_path_factory):
                 model.extend(rows)
             elif kind == "compact" and model:
                 store.compact(spark)
+            elif kind == "tiered" and model:
+                store.compact_tiered(spark, fanout=2)
+            elif kind == "run" and len(store.manifest()) >= 2:
+                n_seg = len(store.manifest())
+                start = arg % (n_seg - 1)
+                store.compact_run(spark, start, start + 2)
+            elif kind == "replay":
+                rows = [(next_k + i, (next_k + i) * 3) for i in range(arg)]
+                next_k += arg
+                bkey = f"replay-{next_k}"
+                for _ in range(2):  # duplicate delivery: second must no-op
+                    store.write_segment(
+                        spark.createDataFrame(rows, "k long, v long"),
+                        order_keys=["k"],
+                        batch_key=bkey,
+                    )
+                model.extend(rows)
             elif kind == "vacuum":
                 store.vacuum(keep_last=1)
             if store.versions():
@@ -157,6 +179,16 @@ def test_segment_store_lifecycle_model_based(spark, ops, tmp_path_factory):
             ]
             assert [(k, v) for k, v, _ in got] == model
             assert [rid for _, _, rid in got] == list(range(len(model)))
+            lo, hi = model[len(model) // 3][0], model[(2 * len(model)) // 3][0]
+            want = sorted((k, v) for k, v in model if lo <= k <= hi)
+            pruned = store.open_pruned(spark, [("k", lo, hi)])
+            got_p = sorted(
+                (r["k"], r["v"])
+                for r in pruned.filter(
+                    (pruned["k"] >= lo) & (pruned["k"] <= hi)
+                ).collect()
+            )
+            assert got_p == want, "zone-map pruned read drifted"
         live = set(store.versions())
         for v, snap in snapshots.items():
             if v in live:
