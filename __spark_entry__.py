@@ -114,7 +114,7 @@ def q_index_probe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (IndexedDf.scala:71-96: openIndex + f). The chosen path is asserted
     in-process; the oracle checks both paths return exactly the
     predicate's rows."""
-    from iodf_spark.operators.access import smart_filter
+    from iodf_spark.operators.access import smart_filter, smart_filter_all
 
     ix, n = _lineitem_index(spark, sf_dir)
     li = _lineitem(spark, sf_dir)
@@ -127,12 +127,30 @@ def q_index_probe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     via_scan, p2 = smart_filter(li, ix, "l_returnflag", "R", n)
     if (p1, p2) != ("index", "scan"):  # the decision itself is the feature
         raise AssertionError(f"unexpected access paths: {(p1, p2)}")
+    # 'auto_multi': CONJUNCTIVE planning — the two selective keys route to
+    # index probes combined by the one-stage n-ary intersect + ONE semi
+    # join, the unselective key stays a pushed-down scan filter
+    via_multi, routed = smart_filter_all(
+        li,
+        ix,
+        [("l_quantity", 1.0), ("l_returnflag", "R"), ("l_linestatus", "F")],
+        n,
+        threshold=0.4,  # l_quantity ~2% and l_returnflag ~33% route to the
+        # index (combined by intersect_all); l_linestatus ~50% stays a scan
+    )
+    if [c for c, _ in routed["index"]] != ["l_quantity", "l_returnflag"] or [
+        c for c, _ in routed["scan"]
+    ] != ["l_linestatus"]:
+        raise AssertionError(f"unexpected multi-key routing: {routed}")
     return (
         probe_rows.unionByName(
             via_index.select(F.lit("auto_index").alias("variant"), "row_id")
         )
         .unionByName(
             via_scan.select(F.lit("auto_scan").alias("variant"), "row_id")
+        )
+        .unionByName(
+            via_multi.select(F.lit("auto_multi").alias("variant"), "row_id")
         )
         .unionByName(q_index_seek(spark, sf_dir))
     )
@@ -1814,6 +1832,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'auto_scan' AS variant, row_id FROM {LI_RID}
             WHERE l_returnflag = 'R'
+            UNION ALL
+            SELECT 'auto_multi' AS variant, row_id FROM {LI_RID}
+            WHERE l_quantity = 1 AND l_returnflag = 'R' AND l_linestatus = 'F'
             UNION ALL
             SELECT 'seek0' AS variant, row_id FROM (
               SELECT row_id FROM {LI_RID} WHERE l_returnflag = 'R'

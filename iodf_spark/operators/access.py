@@ -62,3 +62,39 @@ def smart_filter(
         ids = probe(index_df, col, value, n, encoding_hint="auto").to_rows()
         return data.join(ids, "row_id", "left_semi"), path
     return data.filter(F.col(col) == F.lit(value)), path
+
+
+def smart_filter_all(
+    data: DataFrame,
+    index_df: DataFrame,
+    preds: list[tuple],
+    n: int,
+    threshold: float = DEFAULT_THRESHOLD,
+) -> tuple[DataFrame, dict]:
+    """Conjunctive predicate planning over [(col, value), ...]: each key's
+    STORED selectivity routes it to the index or the scan; all indexed
+    keys combine via the one-stage n-ary intersect (plans/rowset.
+    intersect_all) into a single row-id semi join, residual keys stay
+    Catalyst filters pushed into the scan. This is the multi-key form of
+    the reference's probe-vs-scan premise (IndexedDf.scala:71-96): at
+    100 TB a 3-key conjunction answered by three selective probes touches
+    posting lists + one semi join, never the fact columns.
+
+    Returns (rows, {"index": [...], "scan": [...]}). Decision cost is one
+    near-point f aggregation per key — statistics, not data."""
+    from iodf_spark.plans.rowset import intersect_all
+
+    routed = {"index": [], "scan": []}
+    for col, value in preds:
+        path = choose_access_path(index_df, col, value, n, threshold)
+        routed[path].append((col, value))
+    out = data
+    if routed["index"]:
+        sets = [
+            probe(index_df, col, value, n, encoding_hint="auto")
+            for col, value in routed["index"]
+        ]
+        out = out.join(intersect_all(sets).to_rows(), "row_id", "left_semi")
+    for col, value in routed["scan"]:
+        out = out.filter(F.col(col) == F.lit(value))
+    return out, routed
