@@ -142,6 +142,15 @@ def q_index_probe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         c for c, _ in routed["scan"]
     ] != ["l_linestatus"]:
         raise AssertionError(f"unexpected multi-key routing: {routed}")
+    # 'auto_any': DISJUNCTIVE planning — two selective keys, union bound
+    # ~4% of rows, so the plan is union_all of the probes + ONE semi join
+    from iodf_spark.operators.access import smart_filter_any
+
+    via_any, p_any = smart_filter_any(
+        li, ix, [("l_quantity", 1.0), ("l_quantity", 2.0)], n
+    )
+    if p_any != "index":
+        raise AssertionError(f"unexpected disjunctive path: {p_any}")
     return (
         probe_rows.unionByName(
             via_index.select(F.lit("auto_index").alias("variant"), "row_id")
@@ -151,6 +160,9 @@ def q_index_probe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             via_multi.select(F.lit("auto_multi").alias("variant"), "row_id")
+        )
+        .unionByName(
+            via_any.select(F.lit("auto_any").alias("variant"), "row_id")
         )
         .unionByName(q_index_seek(spark, sf_dir))
     )
@@ -1835,6 +1847,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'auto_multi' AS variant, row_id FROM {LI_RID}
             WHERE l_quantity = 1 AND l_returnflag = 'R' AND l_linestatus = 'F'
+            UNION ALL
+            SELECT 'auto_any' AS variant, row_id FROM {LI_RID}
+            WHERE l_quantity = 1 OR l_quantity = 2
             UNION ALL
             SELECT 'seek0' AS variant, row_id FROM (
               SELECT row_id FROM {LI_RID} WHERE l_returnflag = 'R'

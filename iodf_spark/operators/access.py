@@ -98,3 +98,34 @@ def smart_filter_all(
     for col, value in routed["scan"]:
         out = out.filter(F.col(col) == F.lit(value))
     return out, routed
+
+
+def smart_filter_any(
+    data: DataFrame,
+    index_df: DataFrame,
+    preds: list[tuple],
+    n: int,
+    threshold: float = DEFAULT_THRESHOLD,
+) -> tuple[DataFrame, str]:
+    """Disjunctive twin of :func:`smart_filter_all`: rows matching ANY
+    (col, value). The index path is only right when the UNION of posting
+    sets is still small — decided from the stored f stats (sum of key
+    selectivities, an upper bound on the union) — in which case all
+    probes combine via the one-stage union_all into a single row-id semi
+    join; otherwise one scan with an OR filter (a disjunction containing
+    even one unselective key reads most row groups anyway, so the scan
+    wins). Returns (rows, 'index'|'scan')."""
+    from iodf_spark.plans.rowset import union_all
+
+    total_f = sum(key_f(index_df, col, value) for col, value in preds)
+    if total_f <= threshold * n:
+        sets = [
+            probe(index_df, col, value, n, encoding_hint="auto")
+            for col, value in preds
+        ]
+        return data.join(union_all(sets).to_rows(), "row_id", "left_semi"), "index"
+    cond = None
+    for col, value in preds:
+        term = F.col(col) == F.lit(value)
+        cond = term if cond is None else (cond | term)
+    return data.filter(cond), "scan"
