@@ -45,7 +45,9 @@ def op_sequences(draw):
     n = n0
     for _ in range(draw(st.integers(0, 4))):
         kind = draw(
-            st.sampled_from(["and", "or", "andnot", "not", "view", "merge"])
+            st.sampled_from(
+                ["and", "or", "andnot", "not", "view", "merge", "nary_and", "nary_or"]
+            )
         )
         if kind == "view":
             start = draw(st.integers(0, n - 1))
@@ -58,6 +60,9 @@ def op_sequences(draw):
             other_n = draw(st.integers(1, N_MAX))
             ops.append(("merge", ids_for(other_n), draw(ENC), other_n))
             n = n + other_n
+        elif kind in ("nary_and", "nary_or"):
+            k = draw(st.integers(2, 3))
+            ops.append((kind, [(ids_for(n), draw(ENC)) for _ in range(k)], n))
         else:  # and / or / andnot — operand shares the current row space
             ops.append((kind, ids_for(n), draw(ENC), n))
     return bs, n0, init, ops
@@ -90,6 +95,20 @@ def test_rowset_algebra_model_based(spark, seq):
             ps = ps.merge(other)
             model = model | {n + i for i in other_ids}
             n = n + other_n
+        elif kind in ("nary_and", "nary_or"):
+            from iodf_spark.plans.rowset import intersect_all, union_all
+
+            _, operands, op_n = op
+            others = [
+                PostingSet.from_positions(spark, ids, op_n, bs, encoding=enc)
+                for ids, enc in operands
+            ]
+            if kind == "nary_and":
+                ps = intersect_all([ps, *others])
+                model = model.intersection(*(set(ids) for ids, _ in operands))
+            else:
+                ps = union_all([ps, *others])
+                model = model.union(*(set(ids) for ids, _ in operands))
         else:
             _, other_ids, enc, other_n = op
             other = PostingSet.from_positions(spark, other_ids, other_n, bs, encoding=enc)
