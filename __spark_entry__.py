@@ -1456,7 +1456,9 @@ def q_segments_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tstore = SegmentStore(tempfile.mkdtemp(prefix="iodf_tiered_"))
     for _ in range(4):
         tstore.write_segment(
-            load_table(spark, sf_dir, "region"), order_keys=["r_regionkey"]
+            load_table(spark, sf_dir, "region"),
+            order_keys=["r_regionkey"],
+            sketch_cols=["r_regionkey"],
         )
     tstore.compact_tiered(spark, fanout=2)
     if len(tstore.manifest()) != 1:
@@ -1467,11 +1469,22 @@ def q_segments_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("row_id") * F.col("r_regionkey")).cast("long").alias("checksum"),
     )
+    # 'sketch': store-level distinct count from manifest HLL sketches only
+    # (union-merged through the tiered compaction above — no data scan);
+    # HLL is exact at this cardinality, so the oracle checks the value
+    est = tstore.approx_distinct(spark, "r_regionkey")
+    sketch_row = tstore.open(spark).agg(
+        F.lit("sketch").alias("src"),
+        F.lit(len(tstore.manifest())).cast("int").alias("n_segments"),
+        F.lit(est).cast("long").alias("n_rows"),
+        F.countDistinct("r_regionkey").cast("long").alias("checksum"),
+    )
     return (
         compact_row.unionByName(have_row)
         .unionByName(snap_row)
         .unionByName(pruned_row)
         .unionByName(tiered_row)
+        .unionByName(sketch_row)
     )
 
 
@@ -2210,6 +2223,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'pruned' AS src, 1::INT AS n_segments, count(*)::BIGINT AS n_rows,
                    sum(row_id * o_orderkey)::BIGINT AS checksum
             FROM {SEG_RID} WHERE o_orderstatus = 'P'
+            UNION ALL
+            SELECT 'sketch' AS src, 1::INT AS n_segments,
+                   count(DISTINCT r_regionkey)::BIGINT AS n_rows,
+                   count(DISTINCT r_regionkey)::BIGINT AS checksum
+            FROM region
             UNION ALL
             SELECT 'tiered' AS src, 1::INT AS n_segments, count(*)::BIGINT AS n_rows,
                    sum((c.c * (SELECT count(*) FROM region) + r.rid)

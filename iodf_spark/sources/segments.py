@@ -346,6 +346,7 @@ class SegmentStore:
         index_conf: IndexConf | None,
         order_keys: list[str] | None = None,
         n_rows: int | None = None,
+        sketch_cols: list[str] | None = None,
     ) -> dict:
         """Write one segment's data (and index) under seg-<id>/ WITHOUT
         touching the manifest. Job-count discipline (constant-factor fix):
@@ -388,12 +389,27 @@ class SegmentStore:
                 .partitionBy("col_name")
                 .parquet(os.path.join(seg_path, "index"))
             )
-        return {
+        entry = {
             "segment_id": seg_id,
             "n_rows": int(n_rows),
             "indexed": index_conf is not None,
             "stats": stats,
         }
+        if sketch_cols:
+            # per-column Datasketches HLL, base64 in the manifest (~2 KB
+            # each): store-level distinct counts become a metadata union,
+            # never a data scan. One agg job covers every sketched column.
+            import base64
+
+            row = df.agg(
+                *[F.hll_sketch_agg(c).alias(c) for c in sketch_cols]
+            ).collect()[0]
+            entry["sketches"] = {
+                c: base64.b64encode(bytes(row[c])).decode("ascii")
+                for c in sketch_cols
+                if row[c] is not None
+            }
+        return entry
 
     def write_segment(
         self,
@@ -402,6 +418,7 @@ class SegmentStore:
         index_conf: IndexConf | None = None,
         n_rows: int | None = None,
         batch_key: str | None = None,
+        sketch_cols: list[str] | None = None,
     ) -> dict:
         """Append one immutable segment (S1/S3/S5). Local row ids are
         0..n-1 within the segment; the global offset comes from the
@@ -423,7 +440,8 @@ class SegmentStore:
                     return e
         seg_id = max((e["segment_id"] for e in entries), default=-1) + 1
         entry = self._write_segment_files(
-            df, seg_id, index_conf, order_keys=order_keys, n_rows=n_rows
+            df, seg_id, index_conf, order_keys=order_keys, n_rows=n_rows,
+            sketch_cols=sketch_cols,
         )
         entry["row_id_offset"] = sum(e["n_rows"] for e in entries)
         if batch_key is not None:
@@ -593,6 +611,65 @@ class SegmentStore:
         return self._open_entries(
             spark, self.pruned_entries(predicates, at_version), defaults
         )
+
+    def approx_distinct(self, spark: SparkSession, col: str) -> int:
+        """Store-wide approximate distinct count of ``col`` from the
+        per-segment HLL sketches alone — a union over ~2 KB manifest blobs
+        (one tiny k-row job), NEVER a data scan: the metadata shortcut a
+        100 TB catalog answers cardinality questions with. Requires every
+        segment to carry the sketch (written via
+        ``write_segment(sketch_cols=[...])``); raises naming the segments
+        that don't, because an estimate silently missing rows is worse
+        than no estimate."""
+        import base64
+
+        entries = self.manifest()
+        missing = [
+            e["segment_id"] for e in entries if col not in (e.get("sketches") or {})
+        ]
+        if missing:
+            raise ValueError(
+                f"no {col!r} sketch for segments {missing}; write with "
+                f"sketch_cols=[{col!r}] (or compact to re-sketch)"
+            )
+        blobs = [
+            (bytearray(base64.b64decode(e["sketches"][col])),) for e in entries
+        ]
+        row = (
+            spark.createDataFrame(blobs, "s binary")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("s")).alias("e"))
+            .collect()[0]
+        )
+        return int(row["e"])
+
+    @staticmethod
+    def _union_sketches(spark: SparkSession, run: list[dict]) -> dict | None:
+        """Merged sketches for a compaction run: HLL union per column —
+        sketch(A ∪ B) == union(sketch(A), sketch(B)) by construction, so
+        compaction composes sketches without rescanning data. Only columns
+        sketched in EVERY run member survive (a gap would silently
+        undercount)."""
+        import base64
+
+        sk_sets = [set((e.get("sketches") or {}).keys()) for e in run]
+        cols = sorted(set.intersection(*sk_sets)) if sk_sets else []
+        if not cols:
+            return None
+        rows = [
+            tuple(
+                bytearray(base64.b64decode(e["sketches"][c])) for c in cols
+            )
+            for e in run
+        ]
+        schema = ", ".join(f"`{c}` binary" for c in cols)
+        merged = (
+            spark.createDataFrame(rows, schema)
+            .agg(*[F.hll_union_agg(c).alias(c) for c in cols])
+            .collect()[0]
+        )
+        return {
+            c: base64.b64encode(bytes(merged[c])).decode("ascii") for c in cols
+        }
 
     def open_at(
         self,
@@ -810,6 +887,9 @@ class SegmentStore:
                 .parquet(os.path.join(self.path, f"seg-{new_id:05d}", "index"))
             )
             entry["indexed"] = True
+        merged_sketches = self._union_sketches(spark, run)
+        if merged_sketches:
+            entry["sketches"] = merged_sketches
         entry["row_id_offset"] = base
         self._publish(entries[:start] + [entry] + entries[end:])
         self.reconcile()
