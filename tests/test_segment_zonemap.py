@@ -179,3 +179,36 @@ def test_stream_ingest_survives_replayed_batch(spark, tmp_path):
     opened = store.open(spark)
     assert opened.count() == 100
     assert opened.select(F.countDistinct("row_id")).collect()[0][0] == 100
+
+
+def test_event_store_end_to_end_time_pruning(spark, sf_dir, store):
+    """The assembled time-series path: events land via the one-pass
+    partitioned ingest (write_segments_by, one segment per day), the
+    timestamp zone maps come for free, and a day's range read plans only
+    that day's segment — equal to the filtered full read."""
+    import datetime as dt
+
+    from iodf_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())[:3]
+    store.write_segments_by(
+        ev.filter(F.col("day").isin(days)), "day", days, ["event_id"]
+    )
+    assert len(store.manifest()) == 3
+    assert all("ts" in (e["stats"] or {}) for e in store.manifest())
+    d = dt.datetime.strptime(days[1], "%Y-%m-%d")
+    lo, hi = d, d + dt.timedelta(hours=23, minutes=59, seconds=59)
+    kept = store.pruned_entries([("ts", lo, hi)])
+    assert len(kept) == 1, f"day-range read should plan 1 of 3 segments, got {len(kept)}"
+    pruned_n = (
+        store.open_pruned(spark, [("ts", lo, hi)])
+        .filter((F.col("ts") >= lo) & (F.col("ts") <= hi))
+        .count()
+    )
+    full_n = (
+        store.open(spark).filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count()
+    )
+    assert pruned_n == full_n > 0
