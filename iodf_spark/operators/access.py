@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from iodf_spark.operators.index import f as key_f
+from iodf_spark.operators.index import fs as key_fs
 from iodf_spark.operators.index import probe
 
 # default break-even: probe when the key selects <= 10% of rows. The exact
@@ -85,9 +86,8 @@ def smart_filter_all(
     from iodf_spark.plans.rowset import intersect_all
 
     routed = {"index": [], "scan": []}
-    for col, value in preds:
-        path = choose_access_path(index_df, col, value, n, threshold)
-        routed[path].append((col, value))
+    for (col, value), fv in zip(preds, key_fs(index_df, preds)):
+        routed["index" if fv <= threshold * n else "scan"].append((col, value))
     out = data
     if routed["index"]:
         sets = [
@@ -117,7 +117,7 @@ def smart_filter_any(
     wins). Returns (rows, 'index'|'scan')."""
     from iodf_spark.plans.rowset import union_all
 
-    total_f = sum(key_f(index_df, col, value) for col, value in preds)
+    total_f = sum(key_fs(index_df, preds))
     if total_f <= threshold * n:
         sets = [
             probe(index_df, col, value, n, encoding_hint="auto")

@@ -377,12 +377,27 @@ def probe(index_df: DataFrame, col: str, value, n: int,
 def f(index_df: DataFrame, col: str, value) -> int:
     """Selectivity of one key (IndexedDf.scala:91-96): sum of bucket-local
     counts — no posting-list materialization."""
-    row = (
-        index_df.filter(_key_pred(col, value))
-        .agg(F.coalesce(F.sum("f"), F.lit(0)).alias("f"))
-        .collect()[0]
-    )
-    return int(row["f"])
+    return fs(index_df, [(col, value)])[0]
+
+
+def fs(index_df: DataFrame, keys: list[tuple]) -> list[int]:
+    """Selectivities of MANY keys in ONE aggregation job: the scan is
+    filtered to the union of key predicates (col_name partition pruning +
+    value row-group skipping still apply) and each key gets a conditional
+    sum — k stats for the price of one near-point read, the shape the
+    multi-key access planner wants instead of k sequential stat jobs."""
+    pred = None
+    for c, v in keys:
+        term = _key_pred(c, v)
+        pred = term if pred is None else (pred | term)
+    aggs = [
+        F.coalesce(F.sum(F.when(_key_pred(c, v), F.col("f"))), F.lit(0)).alias(
+            f"_f{i}"
+        )
+        for i, (c, v) in enumerate(keys)
+    ]
+    row = index_df.filter(pred).agg(*aggs).collect()[0]
+    return [int(row[f"_f{i}"]) for i in range(len(keys))]
 
 
 def col_values(index_df: DataFrame, col: str) -> DataFrame:
