@@ -296,6 +296,66 @@ class SegmentStore:
     def total_rows(self) -> int:
         return sum(e["n_rows"] for e in self.manifest())
 
+    def describe(self) -> dict:
+        """Store profile from MANIFEST METADATA alone — no Spark session,
+        no data scan (the catalog-query shape: at 100 TB "how big is this
+        table" must never read it): segment count/rows, retained snapshot
+        versions, which columns carry zone maps and HLL sketches, and the
+        store-wide zone-map envelope per column (min of mins / max of
+        maxes — a superset bound, exact when every segment has stats)."""
+        entries = self.manifest()
+        env: dict[str, list] = {}
+        full_cov: dict[str, bool] = {}
+        for e in entries:
+            for c, (lo, hi) in (e.get("stats") or {}).items():
+                if c in env:
+                    if _cmp_lt(lo, env[c][0]):
+                        env[c][0] = lo
+                    if _cmp_lt(env[c][1], hi):
+                        env[c][1] = hi
+                else:
+                    env[c] = [lo, hi]
+        for c in env:
+            full_cov[c] = all(c in (e.get("stats") or {}) for e in entries)
+        return {
+            "n_segments": len(entries),
+            "n_rows": sum(e["n_rows"] for e in entries),
+            "versions": self.versions(),
+            "indexed_segments": sum(1 for e in entries if e.get("indexed")),
+            "sketched_columns": sorted(
+                set.intersection(
+                    *[set((e.get("sketches") or {}).keys()) for e in entries]
+                )
+            )
+            if entries
+            else [],
+            "column_envelopes": {
+                c: {"min": env[c][0], "max": env[c][1], "complete": full_cov[c]}
+                for c in sorted(env)
+            },
+        }
+
+    def history(self) -> list[dict]:
+        """Snapshot log (DESCRIBE HISTORY shape) from the retained manifest
+        versions: per version, its segment count/rows and the delta vs the
+        previous retained version — all driver-side metadata."""
+        out = []
+        prev_rows, prev_segs = 0, 0
+        for v in self.versions():
+            entries = self.manifest_at(v)
+            rows = sum(e["n_rows"] for e in entries)
+            out.append(
+                {
+                    "version": v,
+                    "n_segments": len(entries),
+                    "n_rows": rows,
+                    "rows_delta": rows - prev_rows,
+                    "segments_delta": len(entries) - prev_segs,
+                }
+            )
+            prev_rows, prev_segs = rows, len(entries)
+        return out
+
     def reconcile(self) -> list[str]:
         """Delete seg-* dirs referenced by NO retained manifest version.
 
