@@ -213,9 +213,20 @@ def _cmp_lt(a, b) -> bool:
 
 
 class SegmentStore:
-    def __init__(self, path: str, bucket_size: int = DEFAULT_BUCKET_SIZE):
+    def __init__(
+        self,
+        path: str,
+        bucket_size: int = DEFAULT_BUCKET_SIZE,
+        compression: str = "zstd",
+    ):
         self.path = path
         self.bucket_size = bucket_size
+        # zstd by default: vs Spark's snappy default it cuts stored bytes
+        # ~25-40% at comparable speed — at 100 TB the scan is IO-bound, so
+        # smaller files ARE faster reads (and faster shuffles of spilled
+        # segments). Per-store so callers can pin e.g. "uncompressed" for
+        # CPU-bound local experiments.
+        self.compression = compression
         os.makedirs(path, exist_ok=True)
 
     # -- manifest ------------------------------------------------------------
@@ -432,7 +443,9 @@ class SegmentStore:
         prev_tst = spark.conf.get("spark.sql.parquet.outputTimestampType")
         spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         try:
-            df.write.mode("overwrite").parquet(os.path.join(seg_path, "data"))
+            df.write.mode("overwrite").option(
+                "compression", self.compression
+            ).parquet(os.path.join(seg_path, "data"))
         finally:
             spark.conf.set("spark.sql.parquet.outputTimestampType", prev_tst)
         stats = _footer_stats(os.path.join(seg_path, "data"))
@@ -446,6 +459,7 @@ class SegmentStore:
                 ix.repartition("col_name")
                 .sortWithinPartitions("value_kind", "value_str", "bucket")
                 .write.mode("overwrite")
+                .option("compression", self.compression)
                 .partitionBy("col_name")
                 .parquet(os.path.join(seg_path, "index"))
             )

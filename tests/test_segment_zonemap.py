@@ -212,3 +212,23 @@ def test_event_store_end_to_end_time_pruning(spark, sf_dir, store):
         store.open(spark).filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count()
     )
     assert pruned_n == full_n > 0
+
+
+def test_segment_data_is_zstd_by_default(spark, store):
+    import pyarrow.parquet as pq
+
+    store.write_segment(
+        spark.range(100).select(F.col("id").alias("k")), order_keys=["k"]
+    )
+    data_dir = os.path.join(store.path, "seg-00000", "data")
+    files = [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
+    assert files
+    md = pq.ParquetFile(os.path.join(data_dir, files[0])).metadata
+    codecs = {
+        md.row_group(rg).column(ci).compression
+        for rg in range(md.num_row_groups)
+        for ci in range(md.row_group(rg).num_columns)
+    }
+    assert codecs == {"ZSTD"}
+    # footer stats (zone maps) unaffected by the codec
+    assert store.manifest()[0]["stats"]["k"] == [0, 99]
