@@ -1552,6 +1552,7 @@ def _doc_text_index(spark: SparkSession, sf_dir: str):
 
 
 TEXT_QUERY_TERMS = ["spark", "query", "vector"]
+TEXT_PHRASE = "stream table hash"  # 3-word phrase present in multiple docs
 
 
 def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1583,7 +1584,18 @@ def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_id",
         F.round("score", 9).alias("score"),
     )
-    return probe_rows.unionByName(bm)
+    # 'phrase' rows: exact phrase search with NO positional index — a
+    # k-word phrase IS one k-gram, so its rolling hash probes the shared
+    # gram stream; a normalized-substring verify removes the collision
+    # tail (operators/search.phrase_search)
+    from iodf_spark.operators.search import phrase_search
+
+    ph = phrase_search(docs, "row_id", "text", TEXT_PHRASE).select(
+        F.lit("phrase").alias("variant"),
+        "row_id",
+        F.expr("cast(0 as double)").alias("score"),
+    )
+    return probe_rows.unionByName(bm).unionByName(ph)
 
 
 def q_table_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2262,6 +2274,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'bm25' AS variant, row_id, round(score, 9) AS score
             FROM ({search.bm25_topk_oracle(
                 "documents", "doc_id", "text", TEXT_QUERY_TERMS, k=15)}) b
+            UNION ALL
+            SELECT 'phrase' AS variant, row_id, 0e0 AS score
+            FROM ({search.phrase_search_oracle(
+                "row_id", "text",
+                "(SELECT row_number() OVER (ORDER BY doc_id) - 1 AS row_id, text FROM documents)",
+                TEXT_PHRASE)}) p
         """,
         "text_stats": f"""
             SELECT s.*, r.n_bigrams, r.top_token_frac, r.dup_bigram_frac,

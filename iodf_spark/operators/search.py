@@ -155,3 +155,74 @@ def bm25_topk_oracle(
         SELECT row_id, score FROM scored WHERE score > 0
         ORDER BY score DESC, row_id LIMIT {k}
     """
+
+
+def phrase_hash(phrase: str, dialect: str) -> str:
+    """SQL literal: the rolling k-gram hash of a k-word phrase — identical
+    to the values _gram_stream/shingle_hashes emit, so a phrase probe is a
+    plain integer equality against the document's gram hashes."""
+    toks = [t for t in phrase.split() if t]
+    if not toks:
+        raise ValueError("empty phrase")
+    acc = f"cast({TH.SEED} as bigint)" if dialect == "spark" else f"{TH.SEED}::BIGINT"
+    for t in toks:
+        th = TH.text_hash(f"'{t}'", dialect)
+        acc = f"((({acc}) * {TH.MULT} + {th}) % {TH.MOD})"
+    return acc
+
+
+def phrase_search(
+    df, id_col: str, text_col: str, phrase: str, verify: bool = True
+):
+    """Exact phrase search without a positional index: a k-word phrase IS
+    one k-gram, so membership of its rolling hash in the document's gram
+    stream finds every candidate (the same hash stream the dedup family
+    computes — one shared tokenization everywhere). ``verify`` re-checks
+    candidates with a whitespace-normalized substring test, eliminating
+    the (MOD ~1e9) hash-collision tail — candidates are few, so the exact
+    pass is near-free. Scale shape: the gram probe is the explode +
+    window-lead pipeline (one shuffle on _id) with an early hash-equality
+    filter; nothing quadratic, no positional posting lists to store."""
+    from pyspark.sql import functions as F
+
+    from iodf_spark.operators.dedup import _gram_stream
+
+    k = len([t for t in phrase.split() if t])
+    if k == 0:
+        raise ValueError("empty phrase")
+    target = phrase_hash(phrase, "spark")
+    cands = (
+        _gram_stream(df, id_col, text_col, k)
+        .filter(F.expr(f"_s = {target}"))
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+    )
+    out = df.join(cands, id_col, "left_semi")
+    if verify:
+        norm_text = f"concat(' ', array_join({TH.tokens(text_col, 'spark')}, ' '), ' ')"
+        norm_phrase = " ".join(phrase.split())
+        out = out.filter(
+            F.expr(norm_text).contains(f" {norm_phrase} ")
+        )
+    return out
+
+
+def phrase_search_oracle(
+    id_col: str, text_col: str, table: str, phrase: str
+) -> str:
+    """DuckDB twin: same gram hashes, same normalized-substring verify."""
+    k = len([t for t in phrase.split() if t])
+    th = TH.token_hashes(text_col, "duckdb")
+    grams = TH.shingle_hashes("_th", "duckdb", k, distinct=False)
+    target = phrase_hash(phrase, "duckdb")
+    norm_phrase = " ".join(phrase.split())
+    return f"""
+        SELECT * EXCLUDE (_th) FROM (
+          SELECT *, {th} AS _th FROM {table})
+        WHERE list_contains({grams}, {target})
+          AND contains(
+                ' ' || array_to_string(_th_tokens, ' ') || ' ',
+                ' {norm_phrase} ')
+    """.replace(
+        "_th_tokens", TH.tokens(text_col, "duckdb")
+    )
