@@ -1553,6 +1553,7 @@ def _doc_text_index(spark: SparkSession, sf_dir: str):
 
 TEXT_QUERY_TERMS = ["spark", "query", "vector"]
 TEXT_PHRASE = "stream table hash"  # 3-word phrase present in multiple docs
+TEXT_PREFIX = "sp"  # key-range probe: every token starting with this
 
 
 def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1595,7 +1596,19 @@ def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_id",
         F.expr("cast(0 as double)").alias("score"),
     )
-    return probe_rows.unionByName(bm).unionByName(ph)
+    # 'prefix' rows: dynamic-arity key-range probe — every sorted index key
+    # starting with the prefix ORs its posting list in ONE aggregation
+    # stage (union_posting_rows), however many keys match
+    pre = (
+        idx.probe_prefix(ix, "text", TEXT_PREFIX, n)
+        .to_rows()
+        .select(
+            F.lit("prefix").alias("variant"),
+            "row_id",
+            F.expr("cast(0 as double)").alias("score"),
+        )
+    )
+    return probe_rows.unionByName(bm).unionByName(ph).unionByName(pre)
 
 
 def q_table_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2274,6 +2287,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'bm25' AS variant, row_id, round(score, 9) AS score
             FROM ({search.bm25_topk_oracle(
                 "documents", "doc_id", "text", TEXT_QUERY_TERMS, k=15)}) b
+            UNION ALL
+            SELECT 'prefix' AS variant, row_id, 0e0 AS score
+            FROM (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS row_id, text
+                  FROM documents)
+            WHERE len(list_filter(
+                list_filter(string_split_regex(text, '{TH.WS_CLASS}+'), _t -> _t <> ''),
+                _t -> _t LIKE '{TEXT_PREFIX}%')) > 0
             UNION ALL
             SELECT 'phrase' AS variant, row_id, 0e0 AS score
             FROM ({search.phrase_search_oracle(

@@ -418,3 +418,28 @@ def key_stats(index_df: DataFrame) -> DataFrame:
     """(col, value) -> global selectivity: the index's statistics surface
     (sum over buckets)."""
     return index_df.groupBy(*INDEX_KEY_COLS).agg(F.sum("f").alias("f"))
+
+
+def probe_prefix(index_df: DataFrame, col: str, prefix: str, n: int,
+                 bucket_size: int = DEFAULT_BUCKET_SIZE) -> "PostingSet":
+    """Prefix probe: the OR of every string key starting with ``prefix``
+    (the range-scan the reference's SORTED key space invites —
+    colNameValues is ordered, IndexedDf.scala:87-89 — expressed as one
+    dynamic-arity posting union). col_name partition pruning + the sorted
+    value_str layout make the key filter a contiguous range read;
+    the OR of all matching keys' posting lists is ONE aggregation stage
+    (plans/rowset.union_posting_rows) regardless of how many keys match."""
+    from iodf_spark.plans.rowset import union_posting_rows
+
+    rows = index_df.filter(
+        (F.col("col_name") == col)
+        & (F.col("value_kind") == KIND_STR)
+        & F.col("value_str").startswith(prefix)
+    )
+    cols = ["bucket", "row_ids"]
+    if "words" in index_df.columns:
+        cols.append("words")
+    sel = rows.select(*cols)
+    if "words" not in index_df.columns:
+        sel = sel.withColumn("words", F.lit(None).cast("array<long>"))
+    return union_posting_rows(sel, n, bucket_size)

@@ -989,3 +989,30 @@ def union_all(sets: list["PostingSet"]) -> "PostingSet":
     if not sets:
         raise ValueError("union_all: empty operand list")
     return _nary(sets, _combine_or(sets[0].bucket_size), require_all=False)
+
+
+def union_posting_rows(df: DataFrame, n: int, bucket_size: int) -> "PostingSet":
+    """OR together ALL posting rows in ``df`` (any number of keys'
+    contributions per bucket — the operand count is data-dependent, e.g.
+    every index key matching a prefix) in ONE aggregation stage: the
+    dynamic-arity sibling of :func:`union_all`, using size(_items) instead
+    of a static k for the fold bounds."""
+    combine = _combine_or(bucket_size)
+    grouped = df.groupBy("bucket").agg(
+        F.collect_list(
+            F.struct(F.col("row_ids").alias("ids"), F.col("words").alias("w"))
+        ).alias("_items")
+    )
+    folded = grouped.withColumn(
+        "_r",
+        F.expr(
+            f"aggregate(slice(_items, 2, size(_items) - 1), "
+            f"element_at(_items, 1), (_acc, _it) -> {combine})"
+        ),
+    )
+    out = folded.select(
+        "bucket",
+        F.col("_r.ids").alias("row_ids"),
+        F.col("_r.w").alias("words"),
+    ).filter(F.expr(_NONEMPTY))
+    return PostingSet(out, n, bucket_size)

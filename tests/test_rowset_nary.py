@@ -104,3 +104,24 @@ def test_nary_mismatched_row_space_rejected(spark):
     bad = PostingSet.from_positions(spark, [1], N + 64, BS, encoding="sparse")
     with pytest.raises(ValueError):
         intersect_all([a, bad])
+
+
+def test_union_posting_rows_dynamic_arity(spark):
+    """Dynamic-arity OR (no static operand list): concatenated posting rows
+    from several sets union per bucket in one aggregation, equal to the
+    static union_all and the python model, across encodings."""
+    from pyspark.sql import functions as F
+
+    from iodf_spark.plans.rowset import union_posting_rows
+
+    pys = _rand_sets(11, 4, 0.3)
+    encs = ["sparse", "dense", "adaptive", "dense"]
+    pss = [_mk(spark, s, e) for s, e in zip(pys, encs)]
+    cat = pss[0].df
+    for p in pss[1:]:
+        cat = cat.unionByName(p.df)
+    got = union_posting_rows(cat, N, BS).to_list()
+    assert got == sorted(set.union(*pys))
+    assert got == union_all(pss).to_list()
+    plan = union_posting_rows(cat, N, BS).df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
