@@ -219,6 +219,11 @@ def q_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (~a).f_col().select(F.col("f").alias("f_not_a")),
         intersect_all([a, b, c]).f_col().select(F.col("f").alias("f_and3")),
         union_all([a, b, c]).f_col().select(F.col("f").alias("f_or3")),
+        # P5 sorted-key range probe: OR of every l_quantity key in [10, 20]
+        # — one aggregation stage at any matching-key count (probe_range)
+        idx.probe_range(ix, "l_quantity", 10, 20, n)
+        .f_col()
+        .select(F.col("f").alias("f_range")),
     ]
     out = rows[0]
     for r in rows[1:]:
@@ -1912,7 +1917,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (l_returnflag = 'R' AND l_linestatus = 'F'
                                     AND l_quantity = 25e0)::BIGINT AS f_and3,
                    count(*) FILTER (l_returnflag = 'R' OR l_linestatus = 'F'
-                                    OR l_quantity = 25e0)::BIGINT AS f_or3
+                                    OR l_quantity = 25e0)::BIGINT AS f_or3,
+                   count(*) FILTER (l_quantity >= 10e0 AND l_quantity <= 20e0
+                                   )::BIGINT AS f_range
             FROM lineitem
         """,
         "rowset_ops": f"""

@@ -443,3 +443,28 @@ def probe_prefix(index_df: DataFrame, col: str, prefix: str, n: int,
     if "words" not in index_df.columns:
         sel = sel.withColumn("words", F.lit(None).cast("array<long>"))
     return union_posting_rows(sel, n, bucket_size)
+
+
+def probe_range(index_df: DataFrame, col: str, lo, hi, n: int,
+                bucket_size: int = DEFAULT_BUCKET_SIZE) -> "PostingSet":
+    """Numeric range probe [lo, hi] (None = unbounded side): the OR of
+    every numeric key in the range — the query the reference's sorted key
+    space promises via indexOf floor/ceil (P5, IndexedDf.scala:87-89),
+    expressed as one dynamic-arity posting union. The sorted (value_kind,
+    value_str) index layout row-group-skips to the key range; the union is
+    ONE aggregation stage regardless of how many distinct keys fall in it."""
+    from iodf_spark.plans.rowset import union_posting_rows
+
+    pred = (F.col("col_name") == col) & (F.col("value_kind") == KIND_NUM)
+    val = F.coalesce(F.col("value_double"), F.col("value_long").cast("double"))
+    if lo is not None:
+        pred = pred & (val >= float(lo))
+    if hi is not None:
+        pred = pred & (val <= float(hi))
+    rows = index_df.filter(pred)
+    sel = rows.select("bucket", "row_ids", *(
+        ["words"] if "words" in index_df.columns else []
+    ))
+    if "words" not in index_df.columns:
+        sel = sel.withColumn("words", F.lit(None).cast("array<long>"))
+    return union_posting_rows(sel, n, bucket_size)
