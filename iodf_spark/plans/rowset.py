@@ -457,11 +457,16 @@ class PostingSet:
             F.expr(f"sequence(id * {bs}, least(id * {bs} + {bs}, {n}L) - 1)").alias(
                 "u_ids"
             ),
+            # low-k-bits mask as an UNSIGNED right shift of all-ones:
+            # the textbook shiftleft(1, k) - 1 overflows under ANSI mode at
+            # exactly k = 63 (1<<63 = Long.MIN, MIN - 1 throws) — hit by any
+            # row space whose tail word holds 63 valid bits (hypothesis-
+            # caught via bs=64, n=63)
             F.expr(
                 f"transform(sequence(0, {nw - 1}), _w -> "
                 f"CASE WHEN {valid} >= {wb} THEN -1L "
                 f"WHEN {valid} <= 0 THEN 0L "
-                f"ELSE shiftleft(1L, cast({valid} as int)) - 1L END)"
+                f"ELSE shiftrightunsigned(-1L, cast({wb} - {valid} as int)) END)"
             ).alias("u_words"),
         )
 
