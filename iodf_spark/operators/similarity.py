@@ -484,17 +484,24 @@ def _ivf_assign(
         F.col(vec_col).alias("_cv"),
         F.expr(norm_expr(vec_col, "spark", dim)).alias("_cvn"),
     )
-    return (
+    # the argmax aggregates SCALARS ONLY: any variable-size payload (the
+    # vector) in a max/max_by buffer demotes the agg to SortAggregate and
+    # sorts the whole n_centroids-fold expansion WITH its arrays (measured
+    # 6.5 s at 64 centroids x 50 K rows vs ~0.5 s scalar); ccos is computed
+    # in the same narrow stage and the arrays are projected away before the
+    # shuffle, then the winner's vector re-attaches by one corpus-size join
+    scored = (
         corpus.crossJoin(F.broadcast(cent))
         .withColumn("ccos", F.expr(f"({_dot('_cv', '_ce', 'spark', dim)}) / (_cvn * _cen)"))
-        .groupBy("neighbor_id")
-        .agg(F.expr("max_by(struct(cid, _cv, _cvn), struct(ccos, -cid))").alias("_a"))
-        .select(
-            F.col("_a.cid").alias("cid"),
-            "neighbor_id",
-            F.col("_a._cv").alias("_cv"),
-            F.col("_a._cvn").alias("_cvn"),
-        )
+        .select("neighbor_id", "cid", "ccos")
+    )
+    best = (
+        scored.groupBy("neighbor_id")
+        .agg(F.max(F.struct(F.col("ccos"), (-F.col("cid")).alias("_nc"))).alias("_b"))
+        .select("neighbor_id", (-F.col("_b._nc")).alias("cid"))
+    )
+    return best.join(corpus, "neighbor_id").select(
+        "cid", "neighbor_id", "_cv", "_cvn"
     )
 
 
