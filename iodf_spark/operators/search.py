@@ -89,7 +89,8 @@ def bm25_topk(
     built with the whitespace analyzer (same tokenizer as TH.tokens).
     Returns (row_id, score) with score > 0, ordered score DESC, row_id.
     """
-    from iodf_spark.operators.index import probe
+    from iodf_spark.operators.index import KIND_STR
+    from iodf_spark.plans.rowset import DEFAULT_BUCKET_SIZE, union_posting_rows
 
     # per-term df from the index: one near-point agg folded to a single row
     dfs = index_df.filter(
@@ -110,12 +111,20 @@ def bm25_topk(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.expr(f"size({tok})")).cast("long").alias("_slen"),
     )
-    # candidates: OR of the per-term posting sets (bucket-local kernels)
-    cand = None
-    for t in terms:
-        ps = probe(index_df, text_col, t, n_rows, encoding_hint="auto")
-        cand = ps if cand is None else (cand | ps)
-    cand_ids = cand.to_rows()
+    # candidates: dynamic-arity OR of ALL query terms' posting rows in one
+    # aggregation stage (union_posting_rows) — no per-term probe chain
+    term_rows = index_df.filter(
+        (F.col("col_name") == text_col)
+        & (F.col("value_kind") == KIND_STR)
+        & F.col("value_str").isin(terms)
+    )
+    sel = term_rows.select(
+        "bucket", "row_ids",
+        *( ["words"] if "words" in index_df.columns else [] ),
+    )
+    if "words" not in index_df.columns:
+        sel = sel.withColumn("words", F.lit(None).cast("array<long>"))
+    cand_ids = union_posting_rows(sel, n_rows, DEFAULT_BUCKET_SIZE).to_rows()
     scored = (
         docs.join(cand_ids, "row_id")
         .crossJoin(F.broadcast(stats))
