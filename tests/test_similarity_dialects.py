@@ -97,3 +97,46 @@ def test_dot_dialects(vec_corpora):
             S._dot("vec", "vec", "spark", dim), S._dot("vec", "vec", "duckdb", dim),
             f"dot(dim={dim})",
         )
+
+
+def test_ann_recall_floor_vs_brute_force(spark, sf_dir):
+    """Quality gate for the approximate arms: recall@10 vs the exact
+    baseline on the fixed corpus is deterministic (deterministic hashes,
+    deterministic centroids), so a floor pins it — an LSH plane or IVF
+    probe regression that silently tanks recall turns red here, the same
+    way a perf regression trips the bench gate."""
+    from iodf_spark.operators.similarity import (
+        ann_brute_force,
+        ann_ivf,
+        ann_lsh,
+    )
+    from iodf_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2]
+
+    def topk(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk(ann_brute_force(emb, "vec_id", "embedding", qids, dim=64))
+    floors = {
+        "lsh_multi": 0.5,
+        "ivf64_p8": 0.5,
+    }
+    approx = {
+        "lsh_multi": ann_lsh(
+            emb, "vec_id", "embedding", qids, multi_probe=True, dim=64
+        ),
+        "ivf64_p8": ann_ivf(
+            emb, "vec_id", "embedding", qids, n_centroids=64, n_probe=8, dim=64
+        ),
+    }
+    for name, df in approx.items():
+        got = topk(df)
+        hits = sum(len(exact[q] & got.get(q, set())) for q in qids)
+        total = sum(len(exact[q]) for q in qids)
+        recall = hits / total
+        assert recall >= floors[name], f"{name} recall@10 = {recall:.2f}"
