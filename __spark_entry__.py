@@ -1741,7 +1741,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     same way: quality-argmax canonical selection -> dedup_clusters
     (best_id/keep_best cols); per-source quota -> stratified_sample ('cap'
     rows); token-budget assembly -> quality_filter (cum_tokens/in_budget
-    cols)."""
+    cols); winnowing fingerprints -> dedup_jaccard ('winnow' rows);
+    TPC-H Q3/Q5 shapes + skew-salted join -> join_agg ('q3'/'q5'/'salted'
+    rows); conjunctive/disjunctive access planning -> index_probe_rows
+    ('auto_multi'/'auto_any' rows); n-ary AND/OR + numeric range probe ->
+    bitmap_ops (f_and3/f_or3/f_range cols); zone-map pruned read, tiered
+    compaction, HLL-sketch distinct -> segments_compact
+    ('pruned'/'tiered'/'sketch' rows); phrase + prefix retrieval ->
+    text_search ('phrase'/'prefix' rows)."""
     return {
         "index_distinct_values": q_index_distinct_values,
         "index_stats": q_index_stats,
