@@ -81,22 +81,39 @@ def smart_filter_all(
     100 TB a 3-key conjunction answered by three selective probes touches
     posting lists + one semi join, never the fact columns.
 
-    Returns (rows, {"index": [...], "scan": [...]}). Decision cost is one
-    near-point f aggregation per key — statistics, not data."""
+    Predicates may be 2-tuples ``(col, value)`` (equality) or 3-tuples
+    ``(col, lo, hi)`` (numeric range, None = unbounded side, routed through
+    probe_range). Returns (rows, {"index": [...], "scan": [...]}). Decision
+    cost is ONE batched stats aggregation for every key — statistics,
+    never data."""
+    from iodf_spark.operators.index import fs_range, probe_range
     from iodf_spark.plans.rowset import intersect_all
 
+    eqs = [p for p in preds if len(p) == 2]
+    rngs = [p for p in preds if len(p) == 3]
+    sel = dict(zip(eqs, key_fs(index_df, eqs))) if eqs else {}
+    sel.update(dict(zip(rngs, fs_range(index_df, rngs))) if rngs else {})
     routed = {"index": [], "scan": []}
-    for (col, value), fv in zip(preds, key_fs(index_df, preds)):
-        routed["index" if fv <= threshold * n else "scan"].append((col, value))
+    for p in preds:
+        routed["index" if sel[p] <= threshold * n else "scan"].append(p)
     out = data
     if routed["index"]:
         sets = [
-            probe(index_df, col, value, n, encoding_hint="auto")
-            for col, value in routed["index"]
+            probe(index_df, p[0], p[1], n, encoding_hint="auto")
+            if len(p) == 2
+            else probe_range(index_df, p[0], p[1], p[2], n)
+            for p in routed["index"]
         ]
         out = out.join(intersect_all(sets).to_rows(), "row_id", "left_semi")
-    for col, value in routed["scan"]:
-        out = out.filter(F.col(col) == F.lit(value))
+    for p in routed["scan"]:
+        if len(p) == 2:
+            out = out.filter(F.col(p[0]) == F.lit(p[1]))
+        else:
+            col, lo, hi = p
+            if lo is not None:
+                out = out.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                out = out.filter(F.col(col) <= F.lit(hi))
     return out, routed
 
 

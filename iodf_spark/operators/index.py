@@ -445,6 +445,34 @@ def probe_prefix(index_df: DataFrame, col: str, prefix: str, n: int,
     return union_posting_rows(sel, n, bucket_size)
 
 
+def fs_range(index_df: DataFrame, ranges: list[tuple]) -> list[int]:
+    """Selectivities of numeric RANGES [(col, lo, hi), ...] in one
+    aggregation (the range twin of :func:`fs`): per range, the sum of f
+    over every numeric key inside it — exact, since every distinct value
+    is its own key."""
+    def rng_pred(col, lo, hi):
+        p = (F.col("col_name") == col) & (F.col("value_kind") == KIND_NUM)
+        v = F.coalesce(F.col("value_double"), F.col("value_long").cast("double"))
+        if lo is not None:
+            p = p & (v >= float(lo))
+        if hi is not None:
+            p = p & (v <= float(hi))
+        return p
+
+    pred = None
+    for col, lo, hi in ranges:
+        term = rng_pred(col, lo, hi)
+        pred = term if pred is None else (pred | term)
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(rng_pred(col, lo, hi), F.col("f"))), F.lit(0)
+        ).alias(f"_f{i}")
+        for i, (col, lo, hi) in enumerate(ranges)
+    ]
+    row = index_df.filter(pred).agg(*aggs).collect()[0]
+    return [int(row[f"_f{i}"]) for i in range(len(ranges))]
+
+
 def probe_range(index_df: DataFrame, col: str, lo, hi, n: int,
                 bucket_size: int = DEFAULT_BUCKET_SIZE) -> "PostingSet":
     """Numeric range probe [lo, hi] (None = unbounded side): the OR of

@@ -70,3 +70,39 @@ def test_prefix_and_range_probes_match_filters(spark):
     assert idx.probe_range(ix, "q", 30, None, n).f() == df.filter("q >= 30").count()
     assert idx.probe_range(ix, "q", 100, None, n).to_list() == []
     assert idx.probe_prefix(ix, "tag", "zz", n).to_list() == []
+
+
+def test_planner_mixes_equality_and_range_predicates(spark):
+    """smart_filter_all with (col, lo, hi) range predicates: selective
+    ranges route through probe_range + the one-stage intersect, wide ones
+    stay scan filters; rows equal the plain filter either way."""
+    from iodf_spark.operators.access import smart_filter_all
+    from iodf_spark.sources.tables import with_row_id
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 50).cast("double").alias("q"),
+        F.concat(F.lit("t"), (F.col("id") % 4)).alias("tag"),
+    )
+    df = with_row_id(df, ["k"])
+    n = 1000
+    ix = idx.build_index(df, idx.IndexConf(include=["q", "tag"]), n_rows=n)
+    preds = [("q", 3, 5), ("tag", "t1")]  # range ~6%, equality ~25%
+    out, routed = smart_filter_all(df, ix, preds, n, threshold=0.1)
+    assert routed["index"] == [("q", 3, 5)]
+    assert routed["scan"] == [("tag", "t1")]
+    want = sorted(
+        r["row_id"]
+        for r in df.filter(
+            (F.col("q") >= 3) & (F.col("q") <= 5) & (F.col("tag") == "t1")
+        ).collect()
+    )
+    assert sorted(r["row_id"] for r in out.collect()) == want
+    # both selective -> both probe, combined by intersect_all
+    out2, routed2 = smart_filter_all(df, ix, preds, n, threshold=0.3)
+    assert [p[0] for p in routed2["index"]] == ["q", "tag"]
+    assert sorted(r["row_id"] for r in out2.collect()) == want
+    # unbounded range side on the scan path
+    out3, routed3 = smart_filter_all(df, ix, [("q", 40, None)], n, threshold=0.05)
+    assert routed3["scan"] == [("q", 40, None)]
+    assert out3.count() == df.filter(F.col("q") >= 40).count()
