@@ -151,6 +151,16 @@ def q_index_probe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if p_any != "index":
         raise AssertionError(f"unexpected disjunctive path: {p_any}")
+    # 'auto_any_range': disjunctive planning with a RANGE term — mixing a
+    # (col, lo, hi) 3-tuple with an equality key, symmetric with the
+    # conjunctive planner (reference: MinBound/MaxBound key-range scans,
+    # IoTypes.scala:50-52 / IndexedDf.scala:50-66, apply in OR contexts
+    # too). Union bound ~6% -> probe_range + probe combined by union_all.
+    via_any_rng, p_any_rng = smart_filter_any(
+        li, ix, [("l_quantity", 1.0, 2.0), ("l_quantity", 49.0)], n
+    )
+    if p_any_rng != "index":
+        raise AssertionError(f"unexpected disjunctive range path: {p_any_rng}")
     return (
         probe_rows.unionByName(
             via_index.select(F.lit("auto_index").alias("variant"), "row_id")
@@ -163,6 +173,9 @@ def q_index_probe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             via_any.select(F.lit("auto_any").alias("variant"), "row_id")
+        )
+        .unionByName(
+            via_any_rng.select(F.lit("auto_any_range").alias("variant"), "row_id")
         )
         .unionByName(q_index_seek(spark, sf_dir))
     )
@@ -1900,6 +1913,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'auto_any' AS variant, row_id FROM {LI_RID}
             WHERE l_quantity = 1 OR l_quantity = 2
+            UNION ALL
+            SELECT 'auto_any_range' AS variant, row_id FROM {LI_RID}
+            WHERE (l_quantity >= 1 AND l_quantity <= 2) OR l_quantity = 49
             UNION ALL
             SELECT 'seek0' AS variant, row_id FROM (
               SELECT row_id FROM {LI_RID} WHERE l_returnflag = 'R'

@@ -110,16 +110,21 @@ def regression_gate(
     the gate must not become a new way to lose the round's bench evidence."""
     snap_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "bench_snapshots")
     try:
+        # newest = embedded 'taken_at' (epoch seconds, optional), falling
+        # back to file mtime — filename sort is NOT recency ('...r5-mid'
+        # beats '...r5-end' lexicographically and would pin the gate to a
+        # stale mid-round baseline)
         candidates = []
-        for fname in sorted(os.listdir(snap_dir), reverse=True):
-            with open(os.path.join(snap_dir, fname)) as fh:
+        for fname in os.listdir(snap_dir):
+            path = os.path.join(snap_dir, fname)
+            with open(path) as fh:
                 snap = json.load(fh)
             if snap.get("sf") == sf and snap.get("queries"):
-                candidates.append((fname, snap))
-                break
+                key = snap.get("taken_at") or os.path.getmtime(path)
+                candidates.append((key, fname, snap))
         if not candidates:
             return None
-        fname, snap = candidates[0]
+        _, fname, snap = max(candidates, key=lambda c: c[0])
         regressions = [
             f"{name}: {t_old:.2f}s -> {timings[name]:.2f}s ({timings[name] / t_old:.1f}x)"
             for name, t_old in snap["queries"].items()

@@ -131,18 +131,44 @@ def smart_filter_any(
     probes combine via the one-stage union_all into a single row-id semi
     join; otherwise one scan with an OR filter (a disjunction containing
     even one unselective key reads most row groups anyway, so the scan
-    wins). Returns (rows, 'index'|'scan')."""
+    wins).
+
+    Predicates may be 2-tuples ``(col, value)`` (equality) or 3-tuples
+    ``(col, lo, hi)`` (numeric range, None = unbounded side) — symmetric
+    with :func:`smart_filter_all`, mirroring the reference's
+    MinBound/MaxBound key-range scans which apply in both AND and OR
+    contexts (IoTypes.scala:50-52, IndexedDf.scala:50-66). Range
+    selectivities come from the same batched fs_range aggregation; range
+    probes route through probe_range. Returns (rows, 'index'|'scan')."""
+    from iodf_spark.operators.index import fs_range, probe_range
     from iodf_spark.plans.rowset import union_all
 
-    total_f = sum(key_fs(index_df, preds))
+    eqs = [p for p in preds if len(p) == 2]
+    rngs = [p for p in preds if len(p) == 3]
+    total_f = (sum(key_fs(index_df, eqs)) if eqs else 0) + (
+        sum(fs_range(index_df, rngs)) if rngs else 0
+    )
     if total_f <= threshold * n:
         sets = [
-            probe(index_df, col, value, n, encoding_hint="auto")
-            for col, value in preds
+            probe(index_df, p[0], p[1], n, encoding_hint="auto")
+            if len(p) == 2
+            else probe_range(index_df, p[0], p[1], p[2], n)
+            for p in preds
         ]
         return data.join(union_all(sets).to_rows(), "row_id", "left_semi"), "index"
     cond = None
-    for col, value in preds:
-        term = F.col(col) == F.lit(value)
+    for p in preds:
+        if len(p) == 2:
+            term = F.col(p[0]) == F.lit(p[1])
+        else:
+            col, lo, hi = p
+            term = None
+            if lo is not None:
+                term = F.col(col) >= F.lit(lo)
+            if hi is not None:
+                t2 = F.col(col) <= F.lit(hi)
+                term = t2 if term is None else (term & t2)
+            if term is None:  # (col, None, None) matches every non-null value
+                term = F.col(col).isNotNull()
         cond = term if cond is None else (cond | term)
     return data.filter(cond), "scan"

@@ -48,6 +48,7 @@ OMB = "25e-2"
 
 
 def _tf(tok_arr: str, term: str, dialect: str) -> str:
+    term = term.replace("'", "''")  # SQL-escape the literal, both dialects
     if dialect == "spark":
         return f"cast(size(filter({tok_arr}, _t -> _t = '{term}')) as double)"
     return f"len(list_filter({tok_arr}, _t -> _t = '{term}'))::DOUBLE"
@@ -149,7 +150,8 @@ def bm25_topk_oracle(
     expression text (dialect='duckdb'), same ORDER BY/LIMIT."""
     tok = TH.tokens(text_col, "duckdb")
     df_cols = ", ".join(
-        f"count(*) FILTER (WHERE list_contains(_tok, '{t}'))::BIGINT AS _df{i}"
+        f"count(*) FILTER (WHERE list_contains(_tok, '{t.replace(chr(39), chr(39) * 2)}'))"
+        f"::BIGINT AS _df{i}"
         for i, t in enumerate(terms)
     )
     score = bm25_score_sql("_tok", terms, "duckdb")
@@ -175,7 +177,10 @@ def phrase_hash(phrase: str, dialect: str) -> str:
         raise ValueError("empty phrase")
     acc = f"cast({TH.SEED} as bigint)" if dialect == "spark" else f"{TH.SEED}::BIGINT"
     for t in toks:
-        th = TH.text_hash(f"'{t}'", dialect)
+        # SQL-escape the token literal — a phrase like "don't stop" must
+        # not produce a broken (or injectable) expression in either dialect
+        lit = t.replace("'", "''")
+        th = TH.text_hash(f"'{lit}'", dialect)
         acc = f"((({acc}) * {TH.MULT} + {th}) % {TH.MOD})"
     return acc
 
@@ -224,7 +229,7 @@ def phrase_search_oracle(
     th = TH.token_hashes(text_col, "duckdb")
     grams = TH.shingle_hashes("_th", "duckdb", k, distinct=False)
     target = phrase_hash(phrase, "duckdb")
-    norm_phrase = " ".join(phrase.split())
+    norm_phrase = " ".join(phrase.split()).replace("'", "''")
     return f"""
         SELECT * EXCLUDE (_th) FROM (
           SELECT *, {th} AS _th FROM {table})

@@ -57,9 +57,9 @@ def sessionize_oracle(table: str, user_col: str = "user_id", ts_col: str = "ts",
           FROM {table}),
         numbered AS (
           SELECT {user_col}, {ts_col},
-                 sum(_new) OVER (PARTITION BY {user_col} ORDER BY {ts_col}
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS session_id
+                 (sum(_new) OVER (PARTITION BY {user_col} ORDER BY {ts_col}
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 )::BIGINT AS session_id
           FROM marked)
         SELECT {user_col}, session_id, count(*)::BIGINT AS n_events,
                strftime(min({ts_col}), '%Y-%m-%d %H:%M:%S.%f') AS session_start,

@@ -509,8 +509,12 @@ class SegmentStore:
         sweeps — every interleaving lands on exactly one committed copy.)"""
         entries = self.manifest()
         if batch_key is not None:
+            # consult both the live key and keys absorbed into merged
+            # segments (batch_keys) — compaction must not reopen the
+            # exactly-once window (Delta retains txn appId/version actions
+            # across compaction the same way)
             for e in entries:
-                if e.get("batch_key") == batch_key:
+                if e.get("batch_key") == batch_key or batch_key in e.get("batch_keys", ()):
                     return e
         seg_id = max((e["segment_id"] for e in entries), default=-1) + 1
         entry = self._write_segment_files(
@@ -964,6 +968,17 @@ class SegmentStore:
         merged_sketches = self._union_sketches(spark, run)
         if merged_sketches:
             entry["sketches"] = merged_sketches
+        # carry the run members' idempotency keys forward: an idempotent
+        # producer replay (crash after publish, before checkpoint advance)
+        # that races a maintenance compaction must still see its batch_key
+        # as committed, or it silently re-appends the micro-batch
+        keys: set[str] = set()
+        for e in run:
+            if e.get("batch_key") is not None:
+                keys.add(e["batch_key"])
+            keys.update(e.get("batch_keys", ()))
+        if keys:
+            entry["batch_keys"] = sorted(keys)
         entry["row_id_offset"] = base
         self._publish(entries[:start] + [entry] + entries[end:])
         self.reconcile()
@@ -987,6 +1002,9 @@ class SegmentStore:
         scale-killer this policy exists to avoid. Each merge is one write
         job over the RUN's rows only; reads stay correct throughout (every
         publish is a complete consistent manifest)."""
+        if fanout < 2:
+            raise ValueError(f"compact_tiered fanout must be >= 2, got {fanout}")
+
         def tier(e: dict) -> int:
             # integer log_fanout — float log has precision cliffs at exact
             # powers (log(64, 4) -> 2.999...), which would split a tier

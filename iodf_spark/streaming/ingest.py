@@ -319,27 +319,57 @@ def finalize_sessions(emitted: DataFrame) -> DataFrame:
     )
 
 
+def _ingest_app_id(checkpoint_dir: str, explicit: str | None) -> str:
+    """Stable run identity for idempotent batch keys, Delta's (appId,
+    version) pattern: micro-batch ids restart at 0 per checkpoint, so a key
+    of 'stream-batch-{id}' alone makes a FRESH ingest (reset/deleted
+    checkpoint, or a store copied under a new pipeline) silently no-op its
+    first batches as presumed replays — silent data loss. The identity
+    lives INSIDE the checkpoint dir so their lifetimes are fused: delete
+    the checkpoint -> new identity -> fresh keys; keep it -> replays are
+    still recognized. Pass ``explicit`` when the checkpoint is on an object
+    store without atomic local file semantics."""
+    if explicit is not None:
+        return explicit
+    import os
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "_ingest_app_id")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return fh.read().strip()
+    app_id = uuid.uuid4().hex
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(app_id)
+    os.replace(tmp, marker)
+    return app_id
+
+
 def stream_ingest_segments(
     events: DataFrame,
     store: SegmentStore,
     order_keys: list[str] | None = None,
     index_conf=None,
+    app_id: str | None = None,
 ) -> None:
     """Micro-batch ingest: one immutable segment per micro-batch (the
     streaming rendition of the reference's segment-append + MultiDf read)."""
+    run_id = _ingest_app_id(store.path + "/_checkpoint", app_id)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # batch_key = the engine's micro-batch id: a foreachBatch re-run
-        # after a crash-before-checkpoint replays the same id, and the
-        # store's idempotent append turns the replay into a no-op —
-        # exactly-once segments without a transactional sink
+        # batch_key = (run identity, micro-batch id): a foreachBatch re-run
+        # after a crash-before-checkpoint replays the same id under the
+        # same identity, and the store's idempotent append turns the replay
+        # into a no-op — exactly-once segments without a transactional sink
         store.write_segment(
             batch_df,
             order_keys=order_keys,
             index_conf=index_conf,
-            batch_key=f"stream-batch-{batch_id}",
+            batch_key=f"stream-{run_id}-batch-{batch_id}",
         )
 
     spark = events.sparkSession

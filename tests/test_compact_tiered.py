@@ -161,3 +161,43 @@ def test_tiered_with_index_keeps_probes_correct(spark, store):
     ps = idx.probe(ix, "tag", "3", store.total_rows(), bucket_size=256)
     got = sorted(r["row_id"] for r in ps.to_rows().collect())
     assert got == expect
+
+
+def test_tiered_rejects_fanout_below_two(spark, store):
+    _append(spark, store, 0, 10)
+    with pytest.raises(ValueError):
+        store.compact_tiered(spark, fanout=1)
+    with pytest.raises(ValueError):
+        store.compact_tiered(spark, fanout=0)
+
+
+def test_batch_keys_survive_compaction(spark, store):
+    """Exactly-once across maintenance: a producer replay (crash after
+    publish, before checkpoint advance) that races a compaction must still
+    be recognized as committed — compact_run carries the merged entries'
+    batch_key values forward as batch_keys (Delta's retained txn
+    appId/version pattern)."""
+    for i, lo in enumerate((0, 50, 100, 150)):
+        _append(spark, store, lo, 50, batch_key=f"b{i}")
+    before = _snapshot(spark, store)
+    store.compact_run(spark, 0, 3)  # absorbs b0..b2
+    entries = store.manifest()
+    assert entries[0].get("batch_keys") == ["b0", "b1", "b2"]
+    # replay of an absorbed key: no-op, returns the merged entry
+    df = spark.range(999).select(
+        F.col("id").alias("k"), F.lit("x").alias("tag")
+    )
+    got = store.write_segment(df, order_keys=["k"], batch_key="b1")
+    assert got["segment_id"] == entries[0]["segment_id"]
+    # replay of the untouched tail key: also a no-op
+    got2 = store.write_segment(df, order_keys=["k"], batch_key="b3")
+    assert got2["segment_id"] == entries[1]["segment_id"]
+    assert _snapshot(spark, store) == before
+    # and a SECOND compaction keeps carrying them (batch_keys union)
+    store.compact(spark)
+    only = store.manifest()[0]
+    assert set(only["batch_keys"]) == {"b0", "b1", "b2", "b3"}
+    assert store.write_segment(df, order_keys=["k"], batch_key="b2")[
+        "segment_id"
+    ] == only["segment_id"]
+    assert _snapshot(spark, store) == before

@@ -106,3 +106,68 @@ def test_planner_mixes_equality_and_range_predicates(spark):
     out3, routed3 = smart_filter_all(df, ix, [("q", 40, None)], n, threshold=0.05)
     assert routed3["scan"] == [("q", 40, None)]
     assert out3.count() == df.filter(F.col("q") >= 40).count()
+
+
+def test_disjunctive_planner_accepts_range_predicates(spark):
+    """smart_filter_any with (col, lo, hi) 3-tuples — symmetric with
+    smart_filter_all (reference: MinBound/MaxBound key-range scans apply in
+    OR contexts too, IndexedDf.scala:50-66). A selective range+equality
+    disjunction routes through union_all of probe_range+probe; a wide one
+    falls back to one OR-filter scan. Rows equal the plain filter on BOTH
+    paths."""
+    from iodf_spark.operators.access import smart_filter_any
+    from iodf_spark.sources.tables import with_row_id
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 50).cast("double").alias("q"),
+        F.concat(F.lit("t"), (F.col("id") % 4)).alias("tag"),
+    )
+    df = with_row_id(df, ["k"])
+    n = 1000
+    ix = idx.build_index(df, idx.IndexConf(include=["q", "tag"]), n_rows=n)
+    preds = [("q", 3, 5), ("q", 49.0)]  # range ~6% + equality ~2% -> index
+    want = sorted(
+        r["row_id"]
+        for r in df.filter(
+            ((F.col("q") >= 3) & (F.col("q") <= 5)) | (F.col("q") == 49)
+        ).collect()
+    )
+    out, path = smart_filter_any(df, ix, preds, n, threshold=0.1)
+    assert path == "index"
+    assert sorted(r["row_id"] for r in out.collect()) == want
+    # same preds under a tight threshold -> scan path, same rows
+    out2, path2 = smart_filter_any(df, ix, preds, n, threshold=0.01)
+    assert path2 == "scan"
+    assert sorted(r["row_id"] for r in out2.collect()) == want
+    # unbounded range side on the scan path
+    out3, path3 = smart_filter_any(
+        df, ix, [("q", 40, None), ("tag", "t1")], n, threshold=0.05
+    )
+    assert path3 == "scan"
+    want3 = df.filter((F.col("q") >= 40) | (F.col("tag") == "t1")).count()
+    assert out3.count() == want3
+
+
+def test_phrase_with_apostrophe_is_escaped(spark, docs=None):
+    """A phrase containing an apostrophe must not break (or inject into)
+    the generated SQL in either dialect."""
+    import duckdb
+
+    from iodf_spark.operators.search import phrase_search, phrase_search_oracle
+
+    rows = [(0, "don't stop believing"), (1, "do not stop"), (2, "don't go")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        r["doc_id"] for r in phrase_search(df, "doc_id", "text", "don't stop").collect()
+    )
+    assert got == [0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        "(0, 'don''t stop believing'), (1, 'do not stop'), (2, 'don''t go')"
+        ") v(doc_id, text)"
+    )
+    osql = phrase_search_oracle("doc_id", "text", "docs", "don't stop")
+    orc = sorted(r[0] for r in con.execute(osql).fetchall())
+    assert orc == [0]

@@ -156,3 +156,21 @@ def test_stream_neardup_equals_batch(spark, sf_dir, tmp_path):
     stream_neardup_pairs(stream, "doc_id", "text", state, threshold=0.5)
     stream_pairs = sorted(tuple(r) for r in read_neardup_pairs(spark, state).collect())
     assert stream_pairs == batch_pairs
+
+
+def test_ingest_app_id_is_fused_to_checkpoint_lifetime(tmp_path):
+    """Idempotency keys must be scoped by a run identity that lives and
+    dies with the checkpoint: same checkpoint -> same identity (replays
+    recognized); deleted checkpoint -> NEW identity, so a fresh ingest's
+    batch 0 is not silently swallowed as a presumed replay."""
+    import shutil
+
+    from iodf_spark.streaming.ingest import _ingest_app_id
+
+    ckpt = str(tmp_path / "ckpt")
+    a = _ingest_app_id(ckpt, None)
+    assert _ingest_app_id(ckpt, None) == a  # stable across restarts
+    shutil.rmtree(ckpt)
+    b = _ingest_app_id(ckpt, None)
+    assert b != a  # checkpoint reset -> fresh namespace
+    assert _ingest_app_id(ckpt, "explicit-app") == "explicit-app"
