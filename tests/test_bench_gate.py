@@ -35,3 +35,74 @@ def test_gate_never_raises(tmp_path, monkeypatch):
         bench.os.path, "dirname", lambda p: str(tmp_path / "nope")
     )
     assert bench.regression_gate({"q": 1.0}, {}, 0.1) is None
+
+
+def test_gate_picks_newest_snapshot_by_mtime(tmp_path, monkeypatch):
+    """Recency = taken_at/mtime, NOT filename sort: '...z-mid.json' written
+    AFTER '...a-end.json' must win despite sorting last alphabetically."""
+    import json
+    import os
+    import time
+
+    snap_dir = tmp_path / "tools" / "bench_snapshots"
+    snap_dir.mkdir(parents=True)
+    stale = {"sf": 0.1, "queries": {"q": 100.0}}
+    fresh = {"sf": 0.1, "queries": {"q": 1.0}}
+    # alphabetically LAST file is the stale one
+    (snap_dir / "z-stale.json").write_text(json.dumps(stale))
+    time.sleep(0.05)
+    (snap_dir / "a-fresh.json").write_text(json.dumps(fresh))
+    monkeypatch.setattr(bench.os.path, "dirname", lambda p: str(tmp_path))
+    got = bench.regression_gate({"q": 3.0}, {}, 0.1)
+    assert got is not None
+    snap, regs = got
+    assert snap == "a-fresh.json"  # mtime-newest, not lexicographic
+    assert regs and regs[0].startswith("q:")  # 3x vs fresh 1.0s baseline
+    # explicit taken_at overrides mtime
+    older_but_stamped = {"sf": 0.1, "queries": {"q": 50.0},
+                         "taken_at": time.time() + 1000}
+    (snap_dir / "m-stamped.json").write_text(json.dumps(older_but_stamped))
+    snap2, regs2 = bench.regression_gate({"q": 3.0}, {}, 0.1)
+    assert snap2 == "m-stamped.json"
+    assert regs2 == []
+
+
+def test_bench_compare_consolidation_ledger():
+    """An old query name missing from the new run is excused ONLY when its
+    CONSOLIDATED absorber is present; a truly-dropped name (or a dropped
+    absorber) exits nonzero. Absorbers are compared against their own old
+    time PLUS the absorbed entries' old times (like-for-like)."""
+    import json
+    import subprocess
+    import sys
+    import tempfile
+
+    old = {"value": 10.0, "sf": 0.1,
+           "queries": {"ann_lsh": 4.0, "ann_ivf": 4.0, "ann_topk": 2.0,
+                       "never_existed": 1.5}}
+    new_ok = {"value": 9.0, "sf": 0.1, "queries": {"ann_topk": 9.0}}
+
+    def run(o, n):
+        with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f1, \
+             tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f2:
+            json.dump(o, f1); json.dump(n, f2)
+        p = subprocess.run(
+            [sys.executable, "/root/repo/tools/bench_compare.py", f1.name, f2.name],
+            capture_output=True, text=True,
+        )
+        return p.returncode, p.stdout
+
+    rc, out = run(old, new_ok)
+    # never_existed is a real drop -> nonzero; the consolidated ann_* are
+    # excused; ann_topk at 9.0 vs credited 2+4+4=10 is NOT a regression
+    assert rc == 1
+    assert "never_existed: present in old run, missing from new" in out
+    assert "ann_lsh" not in [l.split(":")[0].strip().replace("REGRESSION ", "")
+                             for l in out.splitlines() if "REGRESSION" in l]
+    assert "ann_topk:" not in out.replace("consolidated", "")
+    # drop the absorber too -> every consolidated name becomes a failure
+    rc2, out2 = run({"value": 10.0, "sf": 0.1,
+                     "queries": {"ann_lsh": 4.0, "ann_topk": 2.0}},
+                    {"value": 1.0, "sf": 0.1, "queries": {"q1": 1.0}})
+    assert rc2 == 1
+    assert "ann_lsh: consolidated into ann_topk, but ann_topk is ALSO missing" in out2

@@ -446,3 +446,67 @@ def test_texthash_dialects_hypothesis(spark, texts):
             if isinstance(sv, list):
                 dv = list(dv) if dv is not None else dv
             assert sv == dv, f"{k} diverges on {text!r}: spark={sv!r} duckdb={dv!r}"
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(
+        st.sampled_from([1, 63, 64, 65, 127, 128, 129]),
+        min_size=3,
+        max_size=5,
+    ),
+    probe_tags=st.sets(st.integers(0, 6), min_size=1, max_size=3),
+)
+def test_index_merge_parity_at_bucket_boundaries(
+    spark, sizes, probe_tags, tmp_path_factory
+):
+    """Whitebox index-merge parity exactly AT bucket boundaries: segment
+    sizes drawn from {1, 64±1, 128±1} make the run offsets land on
+    row_id ≡ 0, ±1 (mod bucket_size=64) across 3+ indexed segments, so
+    compaction's posting shift exercises the aligned bucket-renumber path,
+    the unaligned bucket-local word/bit shift path, and the word-straddling
+    carry — the analog of the reference's 150-bit unaligned concat locks
+    (BitsTest.scala:342-449). Probes, f stats, and distinct values must be
+    bit-identical before and after the merge."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from iodf_spark.operators import index as idx
+    from iodf_spark.sources.segments import SegmentStore
+
+    path = str(tmp_path_factory.mktemp("hyp_ixmerge") / "store")
+    store = SegmentStore(path, bucket_size=64)
+    conf = idx.IndexConf(include=["tag"])
+    try:
+        lo = 0
+        for sz in sizes:
+            df = spark.range(lo, lo + sz).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 7).cast("string").alias("tag"),
+            )
+            store.write_segment(df, order_keys=["k"], index_conf=conf)
+            lo += sz
+        n = store.total_rows()
+        ix_before = store.open_index(spark)
+        tags = [str(t) for t in probe_tags]
+        before = {
+            t: idx.probe(ix_before, "tag", t, n, bucket_size=64).to_list()
+            for t in tags
+        }
+        f_before = {t: idx.f(ix_before, "tag", t) for t in tags}
+        store.compact(spark)  # no index_conf -> posting-shift merge path
+        assert len(store.manifest()) == 1 and store.manifest()[0]["indexed"]
+        ix_after = store.open_index(spark)
+        for t in tags:
+            assert (
+                idx.probe(ix_after, "tag", t, n, bucket_size=64).to_list()
+                == before[t]
+            ), f"posting shift drifted for tag {t} at offsets {sizes}"
+            assert idx.f(ix_after, "tag", t) == f_before[t]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -175,6 +175,48 @@ def test_snapshot_time_travel_and_vacuum(spark, store):
         store.open_at(spark, 2)
 
 
+def test_describe_history_consistent_after_vacuum(spark, store):
+    """Catalog surfaces must track vacuum, not resurrect dropped state:
+    describe().versions and history() list ONLY retained versions, their
+    row/segment numbers agree with the live manifest, and history's deltas
+    re-baseline against the oldest RETAINED version (the reference's
+    closest lifecycle cousin: ref-counted close safety, store/Dir.scala:
+    35-50 — lifecycle edges are where stores corrupt)."""
+    import pytest as _pytest
+
+    for lo, n in ((0, 10), (10, 20), (30, 5)):
+        store.write_segment(
+            spark.createDataFrame([(i,) for i in range(lo, lo + n)], "k long"),
+            order_keys=["k"],
+        )
+    pre = store.describe()
+    assert pre["versions"] == [1, 2, 3]
+    assert [h["version"] for h in store.history()] == [1, 2, 3]
+    store.vacuum(keep_last=2)
+    post = store.describe()
+    assert post["versions"] == [2, 3]
+    assert post["n_rows"] == pre["n_rows"] == 35
+    assert post["n_segments"] == 3
+    hist = store.history()
+    assert [h["version"] for h in hist] == [2, 3]
+    # deltas re-baseline at the oldest retained version (v2 = 30 rows)
+    assert hist[0]["n_rows"] == 30 and hist[0]["rows_delta"] == 30
+    assert hist[1]["n_rows"] == 35 and hist[1]["rows_delta"] == 5
+    # every retained version is actually readable; the dropped one raises
+    assert store.open_at(spark, 2).count() == 30
+    assert store.open_at(spark, 3).count() == 35
+    with _pytest.raises(ValueError, match="not found"):
+        store.open_at(spark, 1)
+    # a segment dir deleted out-of-band (manual cleanup) -> open_at on a
+    # RETAINED version that needs it raises the 'no longer readable' error
+    import shutil
+
+    seg0 = store.manifest_at(2)[0]["segment_id"]
+    shutil.rmtree(f"{store.path}/seg-{seg0:05d}")
+    with _pytest.raises(ValueError, match="no longer readable"):
+        store.open_at(spark, 2)
+
+
 def test_write_segments_by_equals_sequential_writes(spark, sf_dir, store, tmp_path):
     """One-pass partitioned ingest must produce the identical store
     (manifest offsets, opened rows, index probes) as N sequential

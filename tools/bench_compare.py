@@ -21,6 +21,38 @@ import argparse
 import json
 import sys
 
+# Machine-readable consolidation ledger: every bench-query rename or
+# tagged-union absorption, old name -> the entry that carries its work now
+# (prose history in BENCH_NOTES.md). An old name missing from the new run
+# is ONLY excused when its mapped absorber is present — so a genuinely
+# dropped capability can never hide behind "it was consolidated".
+CONSOLIDATED: dict[str, str] = {
+    # round-3 folds
+    "index_f": "bitmap_ops",            # f_a column
+    "merge_concat": "rowset_ops",       # 'merge' rows
+    "view_slice": "rowset_ops",         # 'view' rows
+    "costats_sweep": "costats",         # 'sweep' rows
+    "knn_topk_filtered": "knn_topk",    # 'filtered' rows
+    "write_open_seq": "typed_roundtrip",
+    "have_segments": "segments_compact",  # 'have' arm
+    "window_rank": "window_funcs",
+    "window_running_sum": "window_funcs",
+    "rollup": "grouping_sets",
+    "cube": "grouping_sets",
+    "asof_join_forward": "asof_join",   # both directions in one entry
+    "index_text_tokens": "text_search",
+    "multimodal_frames": "multimodal_meta",
+    # late-r4 50-entry-cap folds
+    "index_seek": "index_probe_rows",   # 'seek*' rows
+    "embedding_clusters_ann": "embedding_clusters",  # 'ann' rows
+    "text_repetition": "text_stats",    # rep_* columns
+    "multimodal_features": "multimodal_meta",  # feat_* columns
+    "ann_lsh": "ann_topk",              # 'lsh_single' rows
+    "ann_lsh_mp": "ann_topk",           # 'lsh_multi' rows
+    "ann_ivf": "ann_topk",              # 'ivf4' rows
+    "ann_ivf64": "ann_topk",            # 'ivf64' rows
+}
+
 
 def load(path: str) -> dict:
     with open(path) as fh:
@@ -72,12 +104,32 @@ def main() -> int:
         if name in (new.get("errors") or {}):
             continue  # already reported
         if name not in newq:
-            problems.append(f"{name}: present in old run, missing from new")
+            absorber = CONSOLIDATED.get(name)
+            if absorber is not None and absorber in newq:
+                print(f"  consolidated: {name} -> {absorber} ({newq[absorber]:.2f}s)")
+                continue
+            if absorber is not None:
+                problems.append(
+                    f"{name}: consolidated into {absorber}, but {absorber} "
+                    "is ALSO missing from the new run"
+                )
+            else:
+                problems.append(f"{name}: present in old run, missing from new")
             continue
-        if t_old >= args.min_sec and newq[name] > t_old * args.factor:
+        # like-for-like baseline: an entry that ABSORBED consolidated
+        # queries is expected to carry their work too, so credit it the
+        # absorbed entries' old times (only those actually folded: present
+        # in old, absent from new)
+        absorbed = [
+            o for o, a in CONSOLIDATED.items()
+            if a == name and o in oldq and o not in newq
+        ]
+        t_base = t_old + sum(oldq[o] for o in absorbed)
+        if t_base >= args.min_sec and newq[name] > t_base * args.factor:
+            suffix = f" (incl. absorbed {'+'.join(absorbed)})" if absorbed else ""
             problems.append(
-                f"{name}: {t_old:.2f}s -> {newq[name]:.2f}s "
-                f"({newq[name] / t_old:.1f}x, threshold {args.factor}x)"
+                f"{name}: {t_base:.2f}s -> {newq[name]:.2f}s "
+                f"({newq[name] / t_base:.1f}x, threshold {args.factor}x){suffix}"
             )
 
     tot_old, tot_new = old.get("value"), new.get("value")

@@ -20,7 +20,19 @@ A plan whose time grows ~linearly in K on fixed cores is shuffle- and
 partition-healthy: work units scale with rows, not rows². Results are
 recorded in SCALE.md ("Measured scaling").
 
-Usage:  python tools/scale_probe.py [max_k]   # solo, like bench.py
+Usage:  python tools/scale_probe.py [max_k]        # replica K-ladder, sf0.1
+        python tools/scale_probe.py --sf-ladder    # sf0.001 -> 0.01 -> 0.1
+
+--sf-ladder runs the HEAVY bench families (index_build, dedup_minhash,
+ann_topk, segments_compact, sequence_pack) as the driver runs them, at all
+three generated scale factors, and prints the measured scaling exponent
+e = log(t_hi/t_lo) / log(rows_hi/rows_lo) per 10x step of each family's
+DRIVING table (lineitem / documents / embeddings / orders). e <= ~1 means
+the plan's work grows at most linearly in rows on fixed cores — the
+empirical check behind SCALE.md's design-argued asymptotics (the
+reference's own ladder: io/test/perf/df/writing-indexed-perf_exp.txt:33's
+32K -> 262K sweep). Cells under the local-mode per-job floor (~0.5 s) are
+printed but their exponents marked floor-dominated.
 """
 
 from __future__ import annotations
@@ -71,7 +83,76 @@ def build_replica(spark, sf_dir: str, table: str, id_col: str, k: int, salt_text
     out.write.mode("overwrite").parquet(path)
 
 
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+FLOOR_SEC = 0.5  # local-mode fixed per-job overhead; cells below it measure
+# the floor, not the operator (BASELINE.md impedance note)
+
+# heavy family -> the table whose row count drives its work
+DRIVING_TABLE = {
+    "index_build": "lineitem",
+    "dedup_minhash": "documents",
+    "ann_topk": "embeddings",
+    "segments_compact": "orders",
+    "sequence_pack": "documents",
+}
+
+
+def sf_ladder():
+    import math
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("iodf_sf_ladder")
+    spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
+    qs = entrymod.queries()
+
+    def run(fam, sf_dir):
+        entrymod._cache.clear()  # stores/indexes rebuilt: family cost, not reopen
+        if fam == "index_build":
+            t0 = time.perf_counter()
+            _, n = entrymod._lineitem_index(spark, sf_dir)
+            return time.perf_counter() - t0
+        t0 = time.perf_counter()
+        qs[fam](spark, sf_dir).count()
+        return time.perf_counter() - t0
+
+    rows_of = {}
+    for sf_dir in SF_DIRS:
+        for t in set(DRIVING_TABLE.values()):
+            rows_of[(sf_dir, t)] = spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+    summary = []
+    for fam, table in DRIVING_TABLE.items():
+        run(fam, SF_DIRS[0])  # codegen/JIT warmup, untimed
+        cells = []
+        for sf_dir in SF_DIRS:
+            best = None
+            for _ in range(2):
+                dt = run(fam, sf_dir)
+                best = dt if best is None else min(best, dt)
+            n = rows_of[(sf_dir, table)]
+            cells.append((sf_dir, n, best))
+            print(json.dumps({"op": fam, "sf_dir": sf_dir, "rows": n,
+                              "sec": round(best, 2)}), flush=True)
+        for (d1, n1, t1), (d2, n2, t2) in zip(cells, cells[1:]):
+            if n2 == n1:
+                continue  # documents/embeddings are flat on the first step
+            exp = math.log(t2 / t1) / math.log(n2 / n1)
+            rec = {"op": fam, "step": f"{n1}->{n2}",
+                   "exponent": round(exp, 2),
+                   "floor_dominated": bool(t1 < FLOOR_SEC or t2 < FLOOR_SEC)}
+            summary.append(rec)
+            print(json.dumps(rec), flush=True)
+    superlinear = [r for r in summary
+                   if r["exponent"] > 1.15 and not r["floor_dominated"]]
+    print(json.dumps({"superlinear": superlinear}), flush=True)
+    sys.exit(1 if superlinear else 0)
+
+
 def main():
+    if "--sf-ladder" in sys.argv:
+        sf_ladder()
+        return
     max_k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("iodf_scale_probe")
