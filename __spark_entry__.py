@@ -114,7 +114,11 @@ def q_index_probe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (IndexedDf.scala:71-96: openIndex + f). The chosen path is asserted
     in-process; the oracle checks both paths return exactly the
     predicate's rows."""
-    from iodf_spark.operators.access import smart_filter, smart_filter_all
+    from iodf_spark.operators.access import (
+        plan_stats,
+        smart_filter,
+        smart_filter_all,
+    )
 
     ix, n = _lineitem_index(spark, sf_dir)
     li = _lineitem(spark, sf_dir)
@@ -123,8 +127,17 @@ def q_index_probe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .to_rows()
         .select(F.lit("probe").alias("variant"), "row_id")
     )
-    via_index, p1 = smart_filter(li, ix, "l_quantity", 1, n)
-    via_scan, p2 = smart_filter(li, ix, "l_returnflag", "R", n)
+    # ONE batched stats read decides every planner arm below (plan_stats):
+    # five separate smart_filter* calls would otherwise each pay their own
+    # near-point aggregation job — the per-job floor, not the stats volume,
+    # dominates at interactive latencies
+    stats = plan_stats(ix, [
+        ("l_quantity", 1), ("l_returnflag", "R"), ("l_quantity", 1.0),
+        ("l_linestatus", "F"), ("l_quantity", 2.0), ("l_quantity", 49.0),
+        ("l_quantity", 1.0, 2.0),
+    ])
+    via_index, p1 = smart_filter(li, ix, "l_quantity", 1, n, sel=stats)
+    via_scan, p2 = smart_filter(li, ix, "l_returnflag", "R", n, sel=stats)
     if (p1, p2) != ("index", "scan"):  # the decision itself is the feature
         raise AssertionError(f"unexpected access paths: {(p1, p2)}")
     # 'auto_multi': CONJUNCTIVE planning — the two selective keys route to
@@ -137,6 +150,7 @@ def q_index_probe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         n,
         threshold=0.4,  # l_quantity ~2% and l_returnflag ~33% route to the
         # index (combined by intersect_all); l_linestatus ~50% stays a scan
+        sel=stats,
     )
     if [c for c, _ in routed["index"]] != ["l_quantity", "l_returnflag"] or [
         c for c, _ in routed["scan"]
@@ -147,7 +161,7 @@ def q_index_probe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iodf_spark.operators.access import smart_filter_any
 
     via_any, p_any = smart_filter_any(
-        li, ix, [("l_quantity", 1.0), ("l_quantity", 2.0)], n
+        li, ix, [("l_quantity", 1.0), ("l_quantity", 2.0)], n, sel=stats
     )
     if p_any != "index":
         raise AssertionError(f"unexpected disjunctive path: {p_any}")
@@ -157,7 +171,7 @@ def q_index_probe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IoTypes.scala:50-52 / IndexedDf.scala:50-66, apply in OR contexts
     # too). Union bound ~6% -> probe_range + probe combined by union_all.
     via_any_rng, p_any_rng = smart_filter_any(
-        li, ix, [("l_quantity", 1.0, 2.0), ("l_quantity", 49.0)], n
+        li, ix, [("l_quantity", 1.0, 2.0), ("l_quantity", 49.0)], n, sel=stats
     )
     if p_any_rng != "index":
         raise AssertionError(f"unexpected disjunctive range path: {p_any_rng}")

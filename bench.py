@@ -88,6 +88,9 @@ def main():
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": sf,
         "rows_lineitem": n,
+        # epoch seconds: snapshots copied from this line carry their own
+        # recency key for regression_gate (mtime survives cp -p but not git)
+        "taken_at": round(time.time(), 3),
     }
     if errors:
         out["errors"] = errors

@@ -28,7 +28,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from iodf_spark.operators.index import f as key_f
-from iodf_spark.operators.index import fs as key_fs
 from iodf_spark.operators.index import probe
 
 # default break-even: probe when the key selects <= 10% of rows. The exact
@@ -37,13 +36,35 @@ from iodf_spark.operators.index import probe
 DEFAULT_THRESHOLD = 0.1
 
 
+def plan_stats(index_df: DataFrame, preds: list[tuple]) -> dict:
+    """Batch the selectivity stats for EVERY predicate of a query's access
+    plan — equality 2-tuples and range 3-tuples mixed — in ONE aggregation
+    job, returned as {pred: f}. Pass the result as ``sel=`` to any number
+    of smart_filter/smart_filter_all/smart_filter_any calls: the planner
+    decisions stay statistics-driven but the whole plan pays one stats
+    read instead of one per call (at interactive latencies the per-job
+    floor, not the stats volume, is the dominant term).
+
+    Predicates that compare equal dedupe to the FIRST occurrence — note
+    Python tuple equality makes ``(col, 1)`` and ``(col, 1.0)`` one key;
+    the int probe is the superset predicate (matches long- OR double-typed
+    stored keys), so list the int form first when mixing them."""
+    from iodf_spark.operators.index import fs_mixed
+
+    uniq = list(dict.fromkeys(preds))
+    return dict(zip(uniq, fs_mixed(index_df, uniq)))
+
+
 def choose_access_path(
     index_df: DataFrame, col: str, value, n: int,
     threshold: float = DEFAULT_THRESHOLD,
+    sel: dict | None = None,
 ) -> str:
     """'index' or 'scan' for a (col = value) predicate, decided from the
-    key's stored selectivity (one near-point agg over pruned index rows)."""
-    fv = key_f(index_df, col, value)
+    key's stored selectivity (one near-point agg over pruned index rows,
+    or a hit in a precomputed ``sel`` batch from :func:`plan_stats`)."""
+    fv = sel[(col, value)] if sel is not None and (col, value) in sel \
+        else key_f(index_df, col, value)
     return "index" if fv <= threshold * n else "scan"
 
 
@@ -54,11 +75,12 @@ def smart_filter(
     value,
     n: int,
     threshold: float = DEFAULT_THRESHOLD,
+    sel: dict | None = None,
 ) -> tuple[DataFrame, str]:
     """Filter `data` (must carry row_id in the index's row space) to rows
     where col = value, via whichever physical path the key's selectivity
     favors. Returns (rows, chosen_path)."""
-    path = choose_access_path(index_df, col, value, n, threshold)
+    path = choose_access_path(index_df, col, value, n, threshold, sel)
     if path == "index":
         ids = probe(index_df, col, value, n, encoding_hint="auto").to_rows()
         return data.join(ids, "row_id", "left_semi"), path
@@ -71,6 +93,7 @@ def smart_filter_all(
     preds: list[tuple],
     n: int,
     threshold: float = DEFAULT_THRESHOLD,
+    sel: dict | None = None,
 ) -> tuple[DataFrame, dict]:
     """Conjunctive predicate planning over [(col, value), ...]: each key's
     STORED selectivity routes it to the index or the scan; all indexed
@@ -86,13 +109,11 @@ def smart_filter_all(
     probe_range). Returns (rows, {"index": [...], "scan": [...]}). Decision
     cost is ONE batched stats aggregation for every key — statistics,
     never data."""
-    from iodf_spark.operators.index import fs_range, probe_range
+    from iodf_spark.operators.index import probe_range
     from iodf_spark.plans.rowset import intersect_all
 
-    eqs = [p for p in preds if len(p) == 2]
-    rngs = [p for p in preds if len(p) == 3]
-    sel = dict(zip(eqs, key_fs(index_df, eqs))) if eqs else {}
-    sel.update(dict(zip(rngs, fs_range(index_df, rngs))) if rngs else {})
+    if sel is None or any(p not in sel for p in preds):
+        sel = plan_stats(index_df, preds)
     routed = {"index": [], "scan": []}
     for p in preds:
         routed["index" if sel[p] <= threshold * n else "scan"].append(p)
@@ -123,6 +144,7 @@ def smart_filter_any(
     preds: list[tuple],
     n: int,
     threshold: float = DEFAULT_THRESHOLD,
+    sel: dict | None = None,
 ) -> tuple[DataFrame, str]:
     """Disjunctive twin of :func:`smart_filter_all`: rows matching ANY
     (col, value). The index path is only right when the UNION of posting
@@ -138,16 +160,14 @@ def smart_filter_any(
     with :func:`smart_filter_all`, mirroring the reference's
     MinBound/MaxBound key-range scans which apply in both AND and OR
     contexts (IoTypes.scala:50-52, IndexedDf.scala:50-66). Range
-    selectivities come from the same batched fs_range aggregation; range
+    selectivities come from the same batched fs_mixed aggregation; range
     probes route through probe_range. Returns (rows, 'index'|'scan')."""
-    from iodf_spark.operators.index import fs_range, probe_range
+    from iodf_spark.operators.index import probe_range
     from iodf_spark.plans.rowset import union_all
 
-    eqs = [p for p in preds if len(p) == 2]
-    rngs = [p for p in preds if len(p) == 3]
-    total_f = (sum(key_fs(index_df, eqs)) if eqs else 0) + (
-        sum(fs_range(index_df, rngs)) if rngs else 0
-    )
+    if sel is None or any(p not in sel for p in preds):
+        sel = plan_stats(index_df, preds)
+    total_f = sum(sel[p] for p in preds)
     if total_f <= threshold * n:
         sets = [
             probe(index_df, p[0], p[1], n, encoding_hint="auto")

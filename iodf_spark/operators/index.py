@@ -386,18 +386,42 @@ def fs(index_df: DataFrame, keys: list[tuple]) -> list[int]:
     value row-group skipping still apply) and each key gets a conditional
     sum — k stats for the price of one near-point read, the shape the
     multi-key access planner wants instead of k sequential stat jobs."""
+    return fs_mixed(index_df, keys)
+
+
+def _range_pred(col, lo, hi):
+    p = (F.col("col_name") == col) & (F.col("value_kind") == KIND_NUM)
+    v = F.coalesce(F.col("value_double"), F.col("value_long").cast("double"))
+    if lo is not None:
+        p = p & (v >= float(lo))
+    if hi is not None:
+        p = p & (v <= float(hi))
+    return p
+
+
+def fs_mixed(index_df: DataFrame, preds: list[tuple]) -> list[int]:
+    """Selectivities of a MIXED predicate batch — (col, value) equality
+    2-tuples and (col, lo, hi) range 3-tuples together — in ONE
+    aggregation job. This is the decision input for an entire
+    multi-predicate access plan (every AND/OR arm of a WHERE clause) at
+    the cost of a single near-point stats read; without it each planner
+    call pays its own Spark job, which at interactive latencies is the
+    dominant term."""
+    if not preds:
+        return []
+    terms = [
+        _key_pred(p[0], p[1]) if len(p) == 2 else _range_pred(*p)
+        for p in preds
+    ]
     pred = None
-    for c, v in keys:
-        term = _key_pred(c, v)
-        pred = term if pred is None else (pred | term)
+    for t in terms:
+        pred = t if pred is None else (pred | t)
     aggs = [
-        F.coalesce(F.sum(F.when(_key_pred(c, v), F.col("f"))), F.lit(0)).alias(
-            f"_f{i}"
-        )
-        for i, (c, v) in enumerate(keys)
+        F.coalesce(F.sum(F.when(t, F.col("f"))), F.lit(0)).alias(f"_f{i}")
+        for i, t in enumerate(terms)
     ]
     row = index_df.filter(pred).agg(*aggs).collect()[0]
-    return [int(row[f"_f{i}"]) for i in range(len(keys))]
+    return [int(row[f"_f{i}"]) for i in range(len(preds))]
 
 
 def col_values(index_df: DataFrame, col: str) -> DataFrame:
@@ -450,27 +474,7 @@ def fs_range(index_df: DataFrame, ranges: list[tuple]) -> list[int]:
     aggregation (the range twin of :func:`fs`): per range, the sum of f
     over every numeric key inside it — exact, since every distinct value
     is its own key."""
-    def rng_pred(col, lo, hi):
-        p = (F.col("col_name") == col) & (F.col("value_kind") == KIND_NUM)
-        v = F.coalesce(F.col("value_double"), F.col("value_long").cast("double"))
-        if lo is not None:
-            p = p & (v >= float(lo))
-        if hi is not None:
-            p = p & (v <= float(hi))
-        return p
-
-    pred = None
-    for col, lo, hi in ranges:
-        term = rng_pred(col, lo, hi)
-        pred = term if pred is None else (pred | term)
-    aggs = [
-        F.coalesce(
-            F.sum(F.when(rng_pred(col, lo, hi), F.col("f"))), F.lit(0)
-        ).alias(f"_f{i}")
-        for i, (col, lo, hi) in enumerate(ranges)
-    ]
-    row = index_df.filter(pred).agg(*aggs).collect()[0]
-    return [int(row[f"_f{i}"]) for i in range(len(ranges))]
+    return fs_mixed(index_df, ranges)
 
 
 def probe_range(index_df: DataFrame, col: str, lo, hi, n: int,

@@ -171,3 +171,51 @@ def test_phrase_with_apostrophe_is_escaped(spark, docs=None):
     osql = phrase_search_oracle("doc_id", "text", "docs", "don't stop")
     orc = sorted(r[0] for r in con.execute(osql).fetchall())
     assert orc == [0]
+
+
+def test_plan_stats_batch_matches_per_call_decisions(spark):
+    """plan_stats-fed planner calls must make the identical decisions and
+    rows as unfed ones (the batch is a pure caching layer), fs_mixed on an
+    empty batch is [], and duplicate predicates dedupe to the first form."""
+    from iodf_spark.operators.access import (
+        plan_stats,
+        smart_filter,
+        smart_filter_all,
+        smart_filter_any,
+    )
+    from iodf_spark.operators.index import fs_mixed
+    from iodf_spark.sources.tables import with_row_id
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 50).cast("double").alias("q"),
+        F.concat(F.lit("t"), (F.col("id") % 4)).alias("tag"),
+    )
+    df = with_row_id(df, ["k"])
+    n = 1000
+    ix = idx.build_index(df, idx.IndexConf(include=["q", "tag"]), n_rows=n)
+    assert fs_mixed(ix, []) == []
+    preds = [("q", 3.0), ("tag", "t1"), ("q", 10, 12), ("q", 3.0)]
+    stats = plan_stats(ix, preds)
+    assert len(stats) == 3  # duplicate (q, 3.0) deduped
+    assert stats[("q", 3.0)] == df.filter("q = 3").count()
+    assert stats[("q", 10, 12)] == df.filter("q between 10 and 12").count()
+    # fed vs unfed: same path, same rows, for all three planners
+    a1, p1 = smart_filter(df, ix, "q", 3.0, n)
+    a2, p2 = smart_filter(df, ix, "q", 3.0, n, sel=stats)
+    assert p1 == p2
+    assert sorted(r["row_id"] for r in a1.collect()) == sorted(
+        r["row_id"] for r in a2.collect()
+    )
+    c1, r1 = smart_filter_all(df, ix, [("q", 3.0), ("tag", "t1")], n)
+    c2, r2 = smart_filter_all(df, ix, [("q", 3.0), ("tag", "t1")], n, sel=stats)
+    assert r1 == r2
+    assert sorted(r["row_id"] for r in c1.collect()) == sorted(
+        r["row_id"] for r in c2.collect()
+    )
+    d1, pa1 = smart_filter_any(df, ix, [("q", 3.0), ("q", 10, 12)], n)
+    d2, pa2 = smart_filter_any(df, ix, [("q", 3.0), ("q", 10, 12)], n, sel=stats)
+    assert pa1 == pa2
+    assert sorted(r["row_id"] for r in d1.collect()) == sorted(
+        r["row_id"] for r in d2.collect()
+    )
