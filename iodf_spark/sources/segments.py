@@ -36,6 +36,7 @@ import contextlib
 import json
 import os
 import tempfile
+import time
 
 from collections.abc import Callable
 
@@ -45,6 +46,12 @@ from pyspark.sql import functions as F
 from iodf_spark.operators.index import IndexConf, build_index
 from iodf_spark.plans.rowset import DEFAULT_BUCKET_SIZE
 from iodf_spark.sources.tables import with_row_id, with_row_id_scalable
+
+
+# commit attempts before an optimistic-concurrency loser gives up; each
+# retry re-reads the fresh manifest, so this bounds livelock under
+# pathological contention, not correctness
+_COMMIT_RETRIES = 20
 
 
 class ManifestConflictError(RuntimeError):
@@ -218,6 +225,7 @@ class SegmentStore:
         path: str,
         bucket_size: int = DEFAULT_BUCKET_SIZE,
         compression: str = "zstd",
+        orphan_grace_seconds: float = 600.0,
     ):
         self.path = path
         self.bucket_size = bucket_size
@@ -227,6 +235,13 @@ class SegmentStore:
         # segments). Per-store so callers can pin e.g. "uncompressed" for
         # CPU-bound local experiments.
         self.compression = compression
+        # how long an unreferenced seg-* dir must sit before the orphan
+        # sweep may delete it: a CONCURRENT writer's segment is on disk
+        # before its manifest entry exists, so a zero-grace sweep racing
+        # that writer deletes files mid-write (the same reason Delta's
+        # VACUUM has a retention window). Crash orphans are reclaimed the
+        # same way, just `grace` later.
+        self.orphan_grace_seconds = orphan_grace_seconds
         os.makedirs(path, exist_ok=True)
 
     # -- manifest ------------------------------------------------------------
@@ -253,7 +268,20 @@ class SegmentStore:
         with open(self._manifest_path) as fh:
             return json.load(fh)
 
-    def _publish(self, entries: list[dict]) -> None:
+    def manifest_versioned(self) -> tuple[list[dict], int]:
+        """(entries, version) as one consistent read — the version is the
+        OCC base every multi-step writer must hand back to _publish, so a
+        commit landing anywhere between this read and the publish is
+        detected (version files are immutable; re-reading the chosen file
+        cannot tear)."""
+        vs = self.versions()
+        if vs:
+            return self.manifest_at(vs[-1]), vs[-1]
+        return self.manifest(), 0
+
+    def _publish(
+        self, entries: list[dict], base_version: int | None = None
+    ) -> None:
         """Atomically publish a new manifest AND archive it as an immutable
         numbered version (Delta/Iceberg-style snapshot log at manifest
         grain): every publish appends ``manifest-v<k>.json``; `open_at`
@@ -266,12 +294,22 @@ class SegmentStore:
         exclusive link — if another writer already published this version
         number, the publish raises ManifestConflictError instead of
         silently clobbering its manifest (losing that writer's segments
-        from the log while their dirs survive as orphans). The store's
-        contract stays single-writer; the check turns a violated contract
-        into a loud error. On an object store, the link becomes a
-        conditional put (if-none-match) — same protocol Delta/Iceberg use
-        for their commit files."""
-        v = (self.versions() or [0])[-1] + 1
+        from the log while their dirs survive as orphans). On an object
+        store, the link becomes a conditional put (if-none-match) — same
+        protocol Delta/Iceberg use for their commit files.
+
+        ``base_version`` is the version the caller's ``entries`` were
+        DERIVED from (``manifest_versioned``); the publish claims exactly
+        ``base_version + 1``, so ANY commit that landed after the caller's
+        read — no matter how long the caller spent writing segment files —
+        surfaces as a conflict instead of a lost update. Claiming
+        ``latest + 1`` at publish time (the None legacy path) only detects
+        races inside the publish call itself; every multi-step writer must
+        pass its read version."""
+        v = (
+            base_version if base_version is not None
+            else (self.versions() or [0])[-1]
+        ) + 1
         fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
         with os.fdopen(fd, "w") as fh:
             json.dump(entries, fh, indent=1)
@@ -367,7 +405,7 @@ class SegmentStore:
             prev_rows, prev_segs = rows, len(entries)
         return out
 
-    def reconcile(self) -> list[str]:
+    def reconcile(self, grace_seconds: float | None = None) -> list[str]:
         """Delete seg-* dirs referenced by NO retained manifest version.
 
         A crash between a publish and its cleanup loop can leave segment
@@ -376,24 +414,39 @@ class SegmentStore:
         garbage — they back `open_at` time travel — so liveness is the
         union over every retained version (current manifest included);
         `vacuum` shrinks that set by dropping old version files first.
-        The manifest-last write ordering makes the sweep safe: any dir in
-        no retained manifest is unreachable by definition."""
+
+        Unreferenced dirs (and stale .manifest.tmp files) younger than
+        ``grace_seconds`` (default: the store's ``orphan_grace_seconds``)
+        are SKIPPED: a concurrent writer's segment exists on disk before
+        its manifest entry does, and sweeping it mid-write destroys a
+        commit in flight — Delta's VACUUM retention window, at segment
+        grain. Pass 0 only when no other writer can be active."""
         import shutil
 
+        if grace_seconds is None:
+            grace_seconds = self.orphan_grace_seconds
         live = {f"seg-{e['segment_id']:05d}" for e in self.manifest()}
         for v in self.versions():
             live |= {f"seg-{e['segment_id']:05d}" for e in self.manifest_at(v)}
+        now = time.time()
+
+        def aged(p: str) -> bool:
+            with contextlib.suppress(OSError):
+                return now - os.path.getmtime(p) >= grace_seconds
+            return True  # vanished while we looked: not ours to keep
+
         removed = []
         for name in os.listdir(self.path):
-            if name.startswith("seg-") and name not in live:
-                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+            full = os.path.join(self.path, name)
+            if name.startswith("seg-") and name not in live and aged(full):
+                shutil.rmtree(full, ignore_errors=True)
                 removed.append(name)
-            elif name.endswith(".manifest.tmp"):
+            elif name.endswith(".manifest.tmp") and aged(full):
                 # a crash between mkstemp and the atomic os.replace in
                 # _publish leaves the temp file forever; it is never
                 # referenced by anything (replace is the only consumer)
                 with contextlib.suppress(OSError):
-                    os.remove(os.path.join(self.path, name))
+                    os.remove(full)
                 removed.append(name)
         return removed
 
@@ -401,14 +454,53 @@ class SegmentStore:
         """Drop all but the last ``keep_last`` snapshot versions, then sweep
         the segment dirs that are no longer referenced by any retained
         version (the storage-reclaim half of time travel; `open_at` on a
-        vacuumed version raises). Returns the removed segment dirs."""
-        keep = set(self.versions()[-max(keep_last, 1):])
-        for v in self.versions():
+        vacuumed version raises). Returns the removed segment dirs.
+
+        Dirs referenced by the DROPPED versions were durably committed, so
+        they are reclaimed immediately; dirs referenced by no version ever
+        may belong to an in-flight concurrent commit and get the reconcile
+        grace window instead."""
+        import shutil
+
+        all_vs = self.versions()
+        keep = set(all_vs[-max(keep_last, 1):])
+        dropped_refs: set[str] = set()
+        for v in all_vs:
             if v not in keep:
+                dropped_refs |= {
+                    f"seg-{e['segment_id']:05d}" for e in self.manifest_at(v)
+                }
                 os.remove(os.path.join(self.path, f"manifest-v{v:06d}.json"))
-        return self.reconcile()
+        live = set()
+        for v in sorted(keep):
+            live |= {f"seg-{e['segment_id']:05d}" for e in self.manifest_at(v)}
+        removed = []
+        for name in sorted(dropped_refs - live):
+            shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+            removed.append(name)
+        return removed + self.reconcile()
 
     # -- write ---------------------------------------------------------------
+
+    def _claim_seg_id(self, start_id: int) -> int:
+        """Allocate a segment id by ATOMICALLY creating its directory
+        (mkdir is exclusive): two writers that both read `max(id)+1` from
+        the same committed manifest get DIFFERENT ids, so no two commits
+        can ever interleave files inside one seg-* dir. Ids claimed by a
+        commit that later loses its manifest race stay valid — segment ids
+        are names, concatenation order lives in the manifest list, so ids
+        need uniqueness, not density or monotonicity. On an object store
+        the mkdir becomes a conditional put of a marker key."""
+        seg_id = start_id
+        while True:
+            try:
+                os.makedirs(
+                    os.path.join(self.path, f"seg-{seg_id:05d}"),
+                    exist_ok=False,
+                )
+                return seg_id
+            except FileExistsError:
+                seg_id += 1
 
     def _write_segment_files(
         self,
@@ -506,8 +598,16 @@ class SegmentStore:
         checkpoint advance re-runs the same micro-batch on restart and
         would otherwise append the segment twice. (A crash between the
         data write and the publish leaves an orphan dir that reconcile()
-        sweeps — every interleaving lands on exactly one committed copy.)"""
-        entries = self.manifest()
+        sweeps — every interleaving lands on exactly one committed copy.)
+
+        CONCURRENT appends are safe and both commit: the segment dir is
+        claimed atomically (no file interleaving) and a lost manifest race
+        is retried by re-reading the fresh manifest and re-appending at
+        its end — appends commute with appends and with compaction
+        (compaction rewrites only already-committed entries and carries
+        their batch_keys), which is exactly Delta's append-vs-append
+        conflict-resolution rule."""
+        entries, base_v = self.manifest_versioned()
         if batch_key is not None:
             # consult both the live key and keys absorbed into merged
             # segments (batch_keys) — compaction must not reopen the
@@ -516,16 +616,41 @@ class SegmentStore:
             for e in entries:
                 if e.get("batch_key") == batch_key or batch_key in e.get("batch_keys", ()):
                     return e
-        seg_id = max((e["segment_id"] for e in entries), default=-1) + 1
+        seg_id = self._claim_seg_id(
+            max((e["segment_id"] for e in entries), default=-1) + 1
+        )
         entry = self._write_segment_files(
             df, seg_id, index_conf, order_keys=order_keys, n_rows=n_rows,
             sketch_cols=sketch_cols,
         )
-        entry["row_id_offset"] = sum(e["n_rows"] for e in entries)
         if batch_key is not None:
             entry["batch_key"] = batch_key
-        self._publish(entries + [entry])
-        return entry
+        for _ in range(_COMMIT_RETRIES):
+            entry["row_id_offset"] = sum(e["n_rows"] for e in entries)
+            try:
+                self._publish(entries + [entry], base_version=base_v)
+                return entry
+            except ManifestConflictError:
+                entries, base_v = self.manifest_versioned()
+                if batch_key is not None:
+                    for e in entries:
+                        if e.get("batch_key") == batch_key or batch_key in e.get(
+                            "batch_keys", ()
+                        ):
+                            # the racing writer WAS us (replayed producer):
+                            # drop our duplicate files, adopt its commit
+                            import shutil
+
+                            shutil.rmtree(
+                                os.path.join(self.path, f"seg-{seg_id:05d}"),
+                                ignore_errors=True,
+                            )
+                            return e
+        raise ManifestConflictError(
+            f"append lost the manifest race {_COMMIT_RETRIES} times in "
+            f"{self.path}; giving up (segment files kept at seg-{seg_id:05d} "
+            "pending reconcile)"
+        )
 
     def write_segments_by(
         self,
@@ -569,10 +694,10 @@ class SegmentStore:
             .agg(F.count(F.lit(1)).alias("cnt"))
             .collect()
         }
-        entries_prev = self.manifest()
+        entries_prev, base_v = self.manifest_versioned()
         next_id = max((e["segment_id"] for e in entries_prev), default=-1) + 1
         base_offset = sum(e["n_rows"] for e in entries_prev)
-        new_entries, seg_start, seg_starts = [], 0, {}
+        new_entries, seg_ids, seg_start, seg_starts = [], [], 0, {}
         for i, v in enumerate(split_values):
             seg_starts[i] = seg_start
             n_seg = int(counts.get(i, 0))
@@ -583,7 +708,10 @@ class SegmentStore:
             )
             if per_segment is not None:
                 seg = per_segment(v, seg)
-            entry = self._write_segment_files(seg, next_id + i, None, n_rows=n_seg)
+            sid = self._claim_seg_id(next_id)
+            next_id = sid + 1
+            seg_ids.append(sid)
+            entry = self._write_segment_files(seg, sid, None, n_rows=n_seg)
             entry["indexed"] = index_conf is not None
             entry["row_id_offset"] = base_offset + seg_start
             new_entries.append(entry)
@@ -620,7 +748,7 @@ class SegmentStore:
             )
             for i in range(len(split_values)):
                 dst = os.path.join(
-                    self.path, f"seg-{next_id + i:05d}", "index"
+                    self.path, f"seg-{seg_ids[i]:05d}", "index"
                 )
                 src = os.path.join(tmp, f"_srank={i}")
                 if os.path.isdir(src):
@@ -632,8 +760,20 @@ class SegmentStore:
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
-        self._publish(entries_prev + new_entries)
-        return new_entries
+        for _ in range(_COMMIT_RETRIES):
+            for i, entry in enumerate(new_entries):
+                entry["row_id_offset"] = base_offset + seg_starts[i]
+            try:
+                self._publish(entries_prev + new_entries, base_version=base_v)
+                return new_entries
+            except ManifestConflictError:
+                # appends commute: re-read and re-append at the fresh end
+                entries_prev, base_v = self.manifest_versioned()
+                base_offset = sum(e["n_rows"] for e in entries_prev)
+        raise ManifestConflictError(
+            f"batched append lost the manifest race {_COMMIT_RETRIES} times "
+            f"in {self.path}; giving up"
+        )
 
     # -- read ----------------------------------------------------------------
 
@@ -648,10 +788,10 @@ class SegmentStore:
         Also sweeps crash orphans (reconcile): a store that died between a
         segment write and its manifest publish, and is only ever READ from
         then on, would otherwise keep the orphan dirs forever — compact-time
-        sweeping alone never reaches it. Safe under the store's single-writer
-        contract (the same assumption compact's sweep already makes):
+        sweeping alone never reaches it. Safe under concurrent writers:
         reconcile only removes dirs referenced by NO retained manifest
-        version, which are unreachable by every read path including open_at."""
+        version AND older than the orphan grace window, so another
+        writer's written-but-unpublished segment survives the sweep."""
         self.reconcile()
         return self._open_entries(spark, self.manifest(), defaults)
 
@@ -881,10 +1021,19 @@ class SegmentStore:
         index_conf: IndexConf | None = None,
     ) -> dict | None:
         """haveIndexedDf (Dfs.scala:546-554): create-if-absent memoization —
-        build and write only when the store is empty; idempotent ingest."""
+        build and write only when the store is empty; idempotent ingest.
+        Two racing creators converge on ONE segment: the initial write
+        carries a reserved batch_key, so the race loser's commit retry
+        finds it committed, adopts the winner's entry, and removes its own
+        files (write_segment's replayed-producer rule)."""
         if self.manifest():
             return None
-        return self.write_segment(build(), order_keys=order_keys, index_conf=index_conf)
+        return self.write_segment(
+            build(),
+            order_keys=order_keys,
+            index_conf=index_conf,
+            batch_key="__have_init__",
+        )
 
     # -- maintenance ---------------------------------------------------------
 
@@ -934,7 +1083,7 @@ class SegmentStore:
         all other entries keep their offsets. Crash-safe like compact():
         data first, manifest last, orphan sweep after."""
         self.reconcile()
-        entries = self.manifest()
+        entries, base_v = self.manifest_versioned()
         if not (0 <= start < end <= len(entries)):
             raise ValueError(f"run [{start}, {end}) out of range 0..{len(entries)}")
         if end - start == 1:
@@ -943,7 +1092,7 @@ class SegmentStore:
         base = run[0]["row_id_offset"]
         rebased = [dict(e, row_id_offset=e["row_id_offset"] - base) for e in run]
         merged = self._open_entries(spark, rebased, defaults)
-        new_id = max(e["segment_id"] for e in entries) + 1
+        new_id = self._claim_seg_id(max(e["segment_id"] for e in entries) + 1)
         entry = self._write_segment_files(
             merged, new_id, index_conf, n_rows=sum(e["n_rows"] for e in run)
         )
@@ -980,9 +1129,50 @@ class SegmentStore:
         if keys:
             entry["batch_keys"] = sorted(keys)
         entry["row_id_offset"] = base
-        self._publish(entries[:start] + [entry] + entries[end:])
-        self.reconcile()
-        return entry
+        run_ids = [e["segment_id"] for e in run]
+        for _ in range(_COMMIT_RETRIES):
+            try:
+                self._publish(
+                    entries[:start] + [entry] + entries[end:],
+                    base_version=base_v,
+                )
+                self.reconcile()
+                return entry
+            except ManifestConflictError:
+                # a concurrent commit landed first. Compaction commutes
+                # with APPENDS (they only extend the list past the run) —
+                # relocate the identical run in the fresh manifest and
+                # re-publish around it. If the run itself changed (a
+                # concurrent compactor merged part of it), the merge we
+                # wrote is stale: drop it and surface the conflict.
+                fresh, base_v = self.manifest_versioned()
+                ids = [e["segment_id"] for e in fresh]
+                pos = next(
+                    (
+                        i
+                        for i in range(len(fresh) - len(run_ids) + 1)
+                        if ids[i : i + len(run_ids)] == run_ids
+                    ),
+                    None,
+                )
+                if pos is None or fresh[pos]["row_id_offset"] != base:
+                    import shutil
+
+                    shutil.rmtree(
+                        os.path.join(self.path, f"seg-{new_id:05d}"),
+                        ignore_errors=True,
+                    )
+                    raise ManifestConflictError(
+                        f"compact_run [{start}, {end}) raced a concurrent "
+                        f"compaction in {self.path}: the run is no longer "
+                        "intact in the latest manifest — re-plan against "
+                        "the fresh manifest and retry"
+                    ) from None
+                entries, start, end = fresh, pos, pos + len(run_ids)
+        raise ManifestConflictError(
+            f"compact_run lost the manifest race {_COMMIT_RETRIES} times in "
+            f"{self.path}; giving up"
+        )
 
     def compact_tiered(
         self,

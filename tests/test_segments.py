@@ -124,8 +124,12 @@ def test_write_open_seq_roundtrip(spark, sf_dir, tmp_path):
 def test_reconcile_sweeps_orphan_dirs(spark, store):
     """A crash between compact's manifest publish and its cleanup loop
     leaves superseded seg-* dirs on disk; reconcile (run at the start of
-    every compact) must sweep exactly the unreferenced dirs."""
+    every compact) must sweep exactly the unreferenced dirs — but only
+    once they outlive the orphan grace window, because a YOUNG
+    unreferenced dir may be a concurrent writer's commit in flight
+    (Delta's VACUUM retention rule at segment grain)."""
     import os
+    import time as _time
 
     df = spark.createDataFrame([(i, i * 10) for i in range(50)], "k long, v long")
     store.write_segment(df, order_keys=["k"])
@@ -135,6 +139,12 @@ def test_reconcile_sweeps_orphan_dirs(spark, store):
     os.makedirs(os.path.join(orphan, "data"), exist_ok=True)
     with open(os.path.join(orphan, "data", "junk"), "w") as fh:
         fh.write("x")
+    # fresh orphan = possibly another writer mid-commit: protected
+    assert store.reconcile() == []
+    assert os.path.exists(orphan)
+    # ...until it ages past the grace window (backdate the mtime)
+    old = _time.time() - store.orphan_grace_seconds - 1
+    os.utime(orphan, (old, old))
     removed = store.reconcile()
     assert removed == ["seg-00999"]
     assert not os.path.exists(orphan)
@@ -254,12 +264,16 @@ def test_open_sweeps_crash_orphans(spark, store):
     it)."""
     import os
 
+    import time as _time
+
     df = spark.createDataFrame([(i, i * 10) for i in range(50)], "k long, v long")
     store.write_segment(df, order_keys=["k"])
     orphan = os.path.join(store.path, "seg-00777")
     os.makedirs(os.path.join(orphan, "data"), exist_ok=True)
     with open(os.path.join(orphan, "data", "junk"), "w") as fh:
         fh.write("x")
+    old = _time.time() - store.orphan_grace_seconds - 1
+    os.utime(orphan, (old, old))  # aged past the in-flight grace window
     opened = store.open(spark)
     assert not os.path.exists(orphan)
     assert opened.count() == 50
@@ -270,11 +284,15 @@ def test_reconcile_sweeps_stale_manifest_tmp(spark, store):
     .manifest.tmp no code path ever reads; reconcile must remove it."""
     import os
 
+    import time as _time
+
     df = spark.createDataFrame([(1, 2)], "k long, v long")
     store.write_segment(df, order_keys=["k"])
     stale = os.path.join(store.path, "xyz123.manifest.tmp")
     with open(stale, "w") as fh:
         fh.write("{}")
+    old = _time.time() - store.orphan_grace_seconds - 1
+    os.utime(stale, (old, old))  # a FRESH tmp may be a publish in flight
     removed = store.reconcile()
     assert "xyz123.manifest.tmp" in removed
     assert not os.path.exists(stale)
