@@ -1425,7 +1425,11 @@ def q_segments_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     isolation and compaction invariance through one oracle. 'have':
     create-if-absent memoization — the first call builds and writes, the
     second is a no-op (asserted in-process); the opened store holds exactly
-    one segment."""
+    one segment. Further arms below: 'pruned' (zone-map segment skipping),
+    'tiered' (size-tiered compaction), 'sketch' (manifest HLL distinct),
+    and 'delete'/'del_snap'/'cdf'/'purge' (row-level tombstone deletes +
+    time-travel around them + the incremental change feed across the
+    delete window + forced-merge materialization)."""
     import tempfile
 
     from iodf_spark.sources.segments import SegmentStore
@@ -1511,12 +1515,69 @@ def q_segments_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(est).cast("long").alias("n_rows"),
         F.countDistinct("r_regionkey").cast("long").alias("checksum"),
     )
+    # 'delete' / 'del_snap' / 'purge': row-level deletes (takedown /
+    # right-to-be-forgotten — absent from the reference's append-only
+    # model, SURVEY.md §1.4; design = Lucene liveDocs, the reference's own
+    # index lineage). delete: tombstone every o_orderpriority='1-URGENT'
+    # row via ONE id-list write, no segment rewrite — open() hides them
+    # while survivors keep their ORIGINAL global row_ids (id-weighted
+    # checksum attests). del_snap: the pre-delete version still reads all
+    # rows (tombstones live in the versioned manifest, not the files).
+    # purge: the forced merge — live rows rewritten as one segment with a
+    # dense renumbered id space preserving survivor order.
+    import shutil
+
+    base3 = _orders_store(spark, sf_dir, compact=False)
+    dpath = tempfile.mkdtemp(prefix="iodf_segs_d_")
+    shutil.rmtree(dpath)
+    shutil.copytree(base3.path, dpath)
+    dstore = SegmentStore(dpath)
+    pre_delete_v = dstore.versions()[-1]
+    t = dstore.delete_where(spark, "o_orderpriority = '1-URGENT'")
+    live = dstore.open(spark, defaults={"flag": 0})
+    if dstore.live_rows() != dstore.total_rows() - t["n"]:
+        raise AssertionError("tombstone accounting drifted")
+    delete_row = live.agg(
+        F.lit("delete").alias("src"),
+        F.lit(len(dstore.manifest())).cast("int").alias("n_segments"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
+    )
+    del_snap_row = dstore.open_at(spark, pre_delete_v, defaults={"flag": 0}).agg(
+        F.lit("del_snap").alias("src"),
+        F.lit(3).cast("int").alias("n_segments"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
+    )
+    # 'cdf': incremental change feed across the delete window — a consumer
+    # at the pre-delete snapshot catches up by reading ONLY the tombstoned
+    # ids (no inserts happened in the window, no corpus rescan); checksum =
+    # the id-sum of exactly the deleted rows
+    cdf_row = dstore.read_changes(spark, pre_delete_v).agg(
+        F.lit("cdf").alias("src"),
+        F.lit(3).cast("int").alias("n_segments"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("row_id").cast("long").alias("checksum"),
+    )
+    dstore.purge(spark)
+    if dstore.manifest_doc()["tombstones"] or dstore.live_rows() != dstore.total_rows():
+        raise AssertionError("purge left tombstones behind")
+    purge_row = dstore.open(spark, defaults={"flag": 0}).agg(
+        F.lit("purge").alias("src"),
+        F.lit(len(dstore.manifest())).cast("int").alias("n_segments"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
+    )
     return (
         compact_row.unionByName(have_row)
         .unionByName(snap_row)
         .unionByName(pruned_row)
         .unionByName(tiered_row)
         .unionByName(sketch_row)
+        .unionByName(delete_row)
+        .unionByName(del_snap_row)
+        .unionByName(cdf_row)
+        .unionByName(purge_row)
     )
 
 
@@ -2305,6 +2366,28 @@ def oracle_sql() -> dict[str, str]:
                          r_regionkey
                   FROM region) r
             CROSS JOIN (SELECT unnest(range(4)) AS c) c
+            UNION ALL
+            SELECT 'delete' AS src, 3::INT AS n_segments,
+                   count(*)::BIGINT AS n_rows,
+                   sum(row_id * o_orderkey)::BIGINT AS checksum
+            FROM {SEG_RID} WHERE o_orderpriority <> '1-URGENT'
+            UNION ALL
+            SELECT 'del_snap' AS src, 3::INT AS n_segments,
+                   count(*)::BIGINT AS n_rows,
+                   sum(row_id * o_orderkey)::BIGINT AS checksum
+            FROM {SEG_RID}
+            UNION ALL
+            SELECT 'cdf' AS src, 3::INT AS n_segments,
+                   count(*)::BIGINT AS n_rows,
+                   sum(row_id)::BIGINT AS checksum
+            FROM {SEG_RID} WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT 'purge' AS src, 1::INT AS n_segments,
+                   count(*)::BIGINT AS n_rows,
+                   sum(new_rid * o_orderkey)::BIGINT AS checksum
+            FROM (SELECT row_number() OVER (ORDER BY row_id) - 1 AS new_rid,
+                         o_orderkey
+                  FROM {SEG_RID} WHERE o_orderpriority <> '1-URGENT')
         """,
         "typed_roundtrip": """
             SELECT row_number() OVER (ORDER BY n_nationkey) - 1 AS row_id,

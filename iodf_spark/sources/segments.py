@@ -250,34 +250,51 @@ class SegmentStore:
     def _manifest_path(self) -> str:
         return os.path.join(self.path, "manifest.json")
 
-    def manifest(self) -> list[dict]:
-        """Current manifest = the HIGHEST archived version, not the
-        manifest.json pointer. The version files are the source of truth:
-        each is claimed with an atomic exclusive link (see _publish), so
-        the maximum version is always the latest committed state, while
-        the pointer write is a separate non-transactional step — two
-        stalled writers could interleave pointer replaces so it regresses
-        to an older manifest (review-caught). Reading max(version) makes a
-        regressed pointer harmless; the pointer stays as a human-readable
-        convenience and legacy fallback for pre-versioning stores."""
-        vs = self.versions()
-        if vs:
-            return self.manifest_at(vs[-1])
-        if not os.path.exists(self._manifest_path):
-            return []
-        with open(self._manifest_path) as fh:
-            return json.load(fh)
+    @staticmethod
+    def _as_doc(raw) -> dict:
+        """Normalize a stored manifest to the doc shape. Pre-tombstone
+        manifests were a bare entries list; the doc adds store-level state
+        (tombstones) that isn't per-segment. Old files keep reading."""
+        if isinstance(raw, list):
+            return {"segments": raw, "tombstones": []}
+        return {"tombstones": [], **raw}
 
-    def manifest_versioned(self) -> tuple[list[dict], int]:
-        """(entries, version) as one consistent read — the version is the
+    def manifest(self) -> list[dict]:
+        """Current segment entries (see manifest_doc for the full doc) =
+        the HIGHEST archived version, not the manifest.json pointer. The
+        version files are the source of truth: each is claimed with an
+        atomic exclusive link (see _publish), so the maximum version is
+        always the latest committed state, while the pointer write is a
+        separate non-transactional step — two stalled writers could
+        interleave pointer replaces so it regresses to an older manifest
+        (review-caught). Reading max(version) makes a regressed pointer
+        harmless; the pointer stays as a human-readable convenience and
+        legacy fallback for pre-versioning stores."""
+        return self.manifest_doc()["segments"]
+
+    def manifest_doc(self) -> dict:
+        """Current full manifest doc: {"segments": [...], "tombstones":
+        [...]} — tombstones are store-level (global row_ids are invariant
+        under compaction, so deletes never need rebasing)."""
+        return self.manifest_doc_versioned()[0]
+
+    def manifest_doc_versioned(self) -> tuple[dict, int]:
+        """(doc, version) as one consistent read — the version is the
         OCC base every multi-step writer must hand back to _publish, so a
         commit landing anywhere between this read and the publish is
         detected (version files are immutable; re-reading the chosen file
         cannot tear)."""
         vs = self.versions()
         if vs:
-            return self.manifest_at(vs[-1]), vs[-1]
-        return self.manifest(), 0
+            return self.manifest_doc_at(vs[-1]), vs[-1]
+        if not os.path.exists(self._manifest_path):
+            return {"segments": [], "tombstones": []}, 0
+        with open(self._manifest_path) as fh:
+            return self._as_doc(json.load(fh)), 0
+
+    def manifest_versioned(self) -> tuple[list[dict], int]:
+        doc, v = self.manifest_doc_versioned()
+        return doc["segments"], v
 
     def _publish(
         self, entries: list[dict], base_version: int | None = None
@@ -305,14 +322,22 @@ class SegmentStore:
         surfaces as a conflict instead of a lost update. Claiming
         ``latest + 1`` at publish time (the None legacy path) only detects
         races inside the publish call itself; every multi-step writer must
-        pass its read version."""
+        pass its read version.
+
+        ``entries`` may be a bare segment list (tombstones carried over
+        from the current doc) or a full manifest doc."""
+        doc = (
+            {"segments": entries, "tombstones": self.manifest_doc()["tombstones"]}
+            if isinstance(entries, list)
+            else entries
+        )
         v = (
             base_version if base_version is not None
             else (self.versions() or [0])[-1]
         ) + 1
         fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
         with os.fdopen(fd, "w") as fh:
-            json.dump(entries, fh, indent=1)
+            json.dump(doc, fh, indent=1)
         vpath = os.path.join(self.path, f"manifest-v{v:06d}.json")
         try:
             os.link(tmp, vpath)  # atomic claim: fails iff the version exists
@@ -333,6 +358,9 @@ class SegmentStore:
         return sorted(out)
 
     def manifest_at(self, version: int) -> list[dict]:
+        return self.manifest_doc_at(version)["segments"]
+
+    def manifest_doc_at(self, version: int) -> dict:
         p = os.path.join(self.path, f"manifest-v{version:06d}.json")
         if not os.path.exists(p):
             raise ValueError(
@@ -340,7 +368,7 @@ class SegmentStore:
                 " — vacuumed or never published)"
             )
         with open(p) as fh:
-            return json.load(fh)
+            return self._as_doc(json.load(fh))
 
     def total_rows(self) -> int:
         return sum(e["n_rows"] for e in self.manifest())
@@ -352,7 +380,8 @@ class SegmentStore:
         versions, which columns carry zone maps and HLL sketches, and the
         store-wide zone-map envelope per column (min of mins / max of
         maxes — a superset bound, exact when every segment has stats)."""
-        entries = self.manifest()
+        doc = self.manifest_doc()
+        entries = doc["segments"]
         env: dict[str, list] = {}
         full_cov: dict[str, bool] = {}
         for e in entries:
@@ -369,6 +398,9 @@ class SegmentStore:
         return {
             "n_segments": len(entries),
             "n_rows": sum(e["n_rows"] for e in entries),
+            "n_deleted": sum(t["n"] for t in doc["tombstones"]),
+            "live_rows": sum(e["n_rows"] for e in entries)
+            - sum(t["n"] for t in doc["tombstones"]),
             "versions": self.versions(),
             "indexed_segments": sum(1 for e in entries if e.get("indexed")),
             "sketched_columns": sorted(
@@ -386,24 +418,95 @@ class SegmentStore:
 
     def history(self) -> list[dict]:
         """Snapshot log (DESCRIBE HISTORY shape) from the retained manifest
-        versions: per version, its segment count/rows and the delta vs the
-        previous retained version — all driver-side metadata."""
+        versions: per version, its segment count/physical/live rows and the
+        delta vs the previous retained version — all driver-side
+        metadata."""
         out = []
         prev_rows, prev_segs = 0, 0
         for v in self.versions():
-            entries = self.manifest_at(v)
+            doc = self.manifest_doc_at(v)
+            entries = doc["segments"]
             rows = sum(e["n_rows"] for e in entries)
             out.append(
                 {
                     "version": v,
                     "n_segments": len(entries),
                     "n_rows": rows,
+                    "n_deleted": sum(t["n"] for t in doc["tombstones"]),
                     "rows_delta": rows - prev_rows,
                     "segments_delta": len(entries) - prev_segs,
                 }
             )
             prev_rows, prev_segs = rows, len(entries)
         return out
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+        defaults: dict[str, object] | None = None,
+    ) -> DataFrame:
+        """Change feed between two retained snapshots (Delta CDF shape):
+        the incremental-consumer primitive — a downstream pipeline that
+        processed version ``from_version`` catches up to ``to_version``
+        (default: latest) by reading ONLY the delta, never rescanning the
+        corpus. Returns rows tagged ``_change_type``:
+
+        * ``'insert'`` — rows appended in the window that are still live
+          at ``to_version`` (full row content; rows both inserted AND
+          deleted inside the window are omitted — the consumer never saw
+          them);
+        * ``'delete'`` — the global row_ids tombstoned in the window that
+          the consumer already holds (data columns null).
+
+        Pure manifest math decides what to scan: appends land strictly at
+        the end of the row space, so inserts are the segments whose range
+        crosses ``from``'s total row count (offset pruning — segments the
+        consumer has seen are never opened), and deletes are the id-list
+        files added to the tombstone set. Compaction windows are
+        transparent (row ids invariant); a PURGE renumbers the row space,
+        which no delta can express — detected via the monotone tombstone-
+        set/total-rows invariants and raised as "full refresh needed"."""
+        to_v = to_version if to_version is not None else self.versions()[-1]
+        from_doc = self.manifest_doc_at(from_version)
+        to_doc = self.manifest_doc_at(to_v)
+        from_total = sum(e["n_rows"] for e in from_doc["segments"])
+        to_total = sum(e["n_rows"] for e in to_doc["segments"])
+        from_files = {t["file"] for t in from_doc["tombstones"]}
+        to_files = {t["file"] for t in to_doc["tombstones"]}
+        if to_total < from_total or not from_files <= to_files:
+            raise ValueError(
+                f"row space was renumbered between versions {from_version} "
+                f"and {to_v} (purge): no incremental delta exists — do a "
+                "full refresh from the newer snapshot"
+            )
+        new_entries = [
+            e
+            for e in to_doc["segments"]
+            if e["row_id_offset"] + e["n_rows"] > from_total
+        ]
+        ins = (
+            self._apply_tombstones(
+                spark,
+                self._open_entries(spark, new_entries, defaults),
+                to_doc["tombstones"],
+            )
+            .filter(F.col("row_id") >= from_total)
+            .withColumn("_change_type", F.lit("insert"))
+        )
+        new_tombs = [t for t in to_doc["tombstones"] if t["file"] not in from_files]
+        if not new_tombs:
+            return ins
+        dels = (
+            spark.read.parquet(
+                *[os.path.join(self.path, t["file"]) for t in new_tombs]
+            )
+            .select("row_id")
+            .filter(F.col("row_id") < from_total)
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        return ins.unionByName(dels, allowMissingColumns=True)
 
     def reconcile(self, grace_seconds: float | None = None) -> list[str]:
         """Delete seg-* dirs referenced by NO retained manifest version.
@@ -425,9 +528,12 @@ class SegmentStore:
 
         if grace_seconds is None:
             grace_seconds = self.orphan_grace_seconds
-        live = {f"seg-{e['segment_id']:05d}" for e in self.manifest()}
-        for v in self.versions():
-            live |= {f"seg-{e['segment_id']:05d}" for e in self.manifest_at(v)}
+        live = set()
+        for doc in [self.manifest_doc()] + [
+            self.manifest_doc_at(v) for v in self.versions()
+        ]:
+            live |= {f"seg-{e['segment_id']:05d}" for e in doc["segments"]}
+            live |= {t["file"] for t in doc["tombstones"]}
         now = time.time()
 
         def aged(p: str) -> bool:
@@ -438,7 +544,11 @@ class SegmentStore:
         removed = []
         for name in os.listdir(self.path):
             full = os.path.join(self.path, name)
-            if name.startswith("seg-") and name not in live and aged(full):
+            if (
+                name.startswith(("seg-", "del-"))
+                and name not in live
+                and aged(full)
+            ):
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(name)
             elif name.endswith(".manifest.tmp") and aged(full):
@@ -467,13 +577,17 @@ class SegmentStore:
         dropped_refs: set[str] = set()
         for v in all_vs:
             if v not in keep:
+                doc = self.manifest_doc_at(v)
                 dropped_refs |= {
-                    f"seg-{e['segment_id']:05d}" for e in self.manifest_at(v)
+                    f"seg-{e['segment_id']:05d}" for e in doc["segments"]
                 }
+                dropped_refs |= {t["file"] for t in doc["tombstones"]}
                 os.remove(os.path.join(self.path, f"manifest-v{v:06d}.json"))
         live = set()
         for v in sorted(keep):
-            live |= {f"seg-{e['segment_id']:05d}" for e in self.manifest_at(v)}
+            doc = self.manifest_doc_at(v)
+            live |= {f"seg-{e['segment_id']:05d}" for e in doc["segments"]}
+            live |= {t["file"] for t in doc["tombstones"]}
         removed = []
         for name in sorted(dropped_refs - live):
             shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
@@ -491,16 +605,19 @@ class SegmentStore:
         are names, concatenation order lives in the manifest list, so ids
         need uniqueness, not density or monotonicity. On an object store
         the mkdir becomes a conditional put of a marker key."""
-        seg_id = start_id
+        return self._claim_dir("seg", start_id)
+
+    def _claim_dir(self, prefix: str, start_id: int) -> int:
+        claim_id = start_id
         while True:
             try:
                 os.makedirs(
-                    os.path.join(self.path, f"seg-{seg_id:05d}"),
+                    os.path.join(self.path, f"{prefix}-{claim_id:05d}"),
                     exist_ok=False,
                 )
-                return seg_id
+                return claim_id
             except FileExistsError:
-                seg_id += 1
+                claim_id += 1
 
     def _write_segment_files(
         self,
@@ -793,7 +910,12 @@ class SegmentStore:
         version AND older than the orphan grace window, so another
         writer's written-but-unpublished segment survives the sweep."""
         self.reconcile()
-        return self._open_entries(spark, self.manifest(), defaults)
+        doc = self.manifest_doc()
+        return self._apply_tombstones(
+            spark,
+            self._open_entries(spark, doc["segments"], defaults),
+            doc["tombstones"],
+        )
 
     def pruned_entries(
         self, predicates: list[tuple], at_version: int | None = None
@@ -826,8 +948,17 @@ class SegmentStore:
         identical to the reference's segment-skipping reads
         (MultiDf.scala:33-184 reads only the segments a view touches)."""
         self.reconcile()
-        return self._open_entries(
-            spark, self.pruned_entries(predicates, at_version), defaults
+        doc = (
+            self.manifest_doc()
+            if at_version is None
+            else self.manifest_doc_at(at_version)
+        )
+        return self._apply_tombstones(
+            spark,
+            self._open_entries(
+                spark, self.pruned_entries(predicates, at_version), defaults
+            ),
+            doc["tombstones"],
         )
 
     def approx_distinct(self, spark: SparkSession, col: str) -> int:
@@ -897,9 +1028,11 @@ class SegmentStore:
     ) -> DataFrame:
         """Time-travel open: the store exactly as of snapshot ``version``
         (segment files are immutable, so an old manifest against them IS
-        the old store). Raises if the version — or a segment dir it needs —
-        has been vacuumed."""
-        entries = self.manifest_at(version)
+        the old store — and a pre-delete manifest lists no tombstones, so
+        deleted rows are still visible there until vacuum). Raises if the
+        version — or a segment dir it needs — has been vacuumed."""
+        doc = self.manifest_doc_at(version)
+        entries = doc["segments"]
         missing = [
             e["segment_id"]
             for e in entries
@@ -912,7 +1045,165 @@ class SegmentStore:
                 f"snapshot version {version} is no longer readable: "
                 f"segments {missing} were vacuumed"
             )
-        return self._open_entries(spark, entries, defaults)
+        return self._apply_tombstones(
+            spark, self._open_entries(spark, entries, defaults), doc["tombstones"]
+        )
+
+    def _apply_tombstones(
+        self, spark: SparkSession, df: DataFrame, tombstones: list[dict]
+    ) -> DataFrame:
+        """Filter out tombstoned rows: one anti join against the union of
+        tombstone id files — broadcast while the dead set is small (the
+        overwhelmingly common takedown shape), shuffled hash anti join
+        once it isn't. Deleted rows stay physically present in segment
+        files (and in stored index postings, as upper bounds) until
+        purge/compaction materializes the delete — Lucene's liveDocs
+        model, which is what keeps a takedown at 100 TB a metadata-plus-
+        id-list operation instead of a corpus rewrite."""
+        if not tombstones:
+            return df
+        dead = spark.read.parquet(
+            *[os.path.join(self.path, t["file"]) for t in tombstones]
+        ).select("row_id")
+        if sum(t["n"] for t in tombstones) <= 5_000_000:
+            dead = F.broadcast(dead)
+        return df.join(dead, "row_id", "left_anti")
+
+    def delete_where(self, spark: SparkSession, predicate) -> dict:
+        """Row-level delete (takedown / right-to-be-forgotten): tombstone
+        every LIVE row matching ``predicate`` (a Column or SQL string)
+        without touching segment files. The matching global row_ids are
+        written as one id-list file; readers anti-join it from then on.
+        Global ids are invariant under compaction, so tombstones never
+        need rebasing. Returns {"file", "n"}; n == 0 publishes nothing.
+
+        Concurrency: commits via the same OCC loop as appends. Deletes
+        commute with appends and compactions; racing a concurrent DELETE,
+        the overlap is subtracted from this tombstone before republishing
+        so tombstone sets stay disjoint and ``live_rows`` stays exact."""
+        doc, base_v = self.manifest_doc_versioned()
+        live = self._apply_tombstones(
+            spark, self._open_entries(spark, doc["segments"]), doc["tombstones"]
+        )
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        del_id = self._claim_dir("del", len(doc["tombstones"]))
+        fname = f"del-{del_id:05d}"
+        fpath = os.path.join(self.path, fname)
+        live.filter(pred).select("row_id").write.mode("overwrite").parquet(fpath)
+        n = int(spark.read.parquet(fpath).count())  # metadata-only count
+        known = {t["file"] for t in doc["tombstones"]}
+        for _ in range(_COMMIT_RETRIES):
+            if n == 0:
+                import shutil
+
+                shutil.rmtree(fpath, ignore_errors=True)
+                return {"file": None, "n": 0}
+            t = {"file": fname, "n": n}
+            try:
+                self._publish(
+                    dict(doc, tombstones=doc["tombstones"] + [t]),
+                    base_version=base_v,
+                )
+                return t
+            except ManifestConflictError:
+                doc, base_v = self.manifest_doc_versioned()
+                newly = [x for x in doc["tombstones"] if x["file"] not in known]
+                known = {x["file"] for x in doc["tombstones"]}
+                if newly:
+                    # a concurrent delete landed: keep sets disjoint by
+                    # subtracting its ids from ours (rewrite is safe — our
+                    # file is not yet referenced by any manifest)
+                    mine = spark.read.parquet(fpath).join(
+                        spark.read.parquet(
+                            *[os.path.join(self.path, x["file"]) for x in newly]
+                        ).select("row_id"),
+                        "row_id",
+                        "left_anti",
+                    )
+                    tmp = fpath + ".rewrite"
+                    mine.write.mode("overwrite").parquet(tmp)
+                    import shutil
+
+                    shutil.rmtree(fpath, ignore_errors=True)
+                    os.replace(tmp, fpath)
+                    n = int(spark.read.parquet(fpath).count())
+        raise ManifestConflictError(
+            f"delete_where lost the manifest race {_COMMIT_RETRIES} times in "
+            f"{self.path}; giving up"
+        )
+
+    def live_rows(self) -> int:
+        """Exact live row count from manifest metadata alone: physical
+        rows minus tombstoned rows (tombstone sets are disjoint by
+        construction — delete_where only tombstones live rows and
+        subtracts concurrent overlaps on retry)."""
+        doc = self.manifest_doc()
+        return sum(e["n_rows"] for e in doc["segments"]) - sum(
+            t["n"] for t in doc["tombstones"]
+        )
+
+    def purge(
+        self,
+        spark: SparkSession,
+        index_conf: IndexConf | None = None,
+        defaults: dict[str, object] | None = None,
+    ) -> dict | None:
+        """Materialize tombstones: rewrite the LIVE rows as one fresh
+        segment with a dense row_id space (original order preserved) and
+        an empty tombstone list — Lucene's forced merge dropping deleted
+        docs, and the point where deleted bytes actually leave storage
+        (after vacuum reclaims the old version's files). This is the ONE
+        operation that renumbers row ids, so stored indexes are rebuilt
+        (pass index_conf) rather than shifted. No-op without tombstones.
+
+        Unlike append/compact, a purge racing ANY concurrent commit is
+        stale by construction (it rewrote the whole row space), so a
+        conflict surfaces as ManifestConflictError: re-run against the
+        fresh store."""
+        doc, base_v = self.manifest_doc_versioned()
+        if not doc["tombstones"]:
+            return None
+        live = self._apply_tombstones(
+            spark,
+            self._open_entries(spark, doc["segments"], defaults),
+            doc["tombstones"],
+        )
+        stamped, n = with_row_id(
+            live.withColumnRenamed("row_id", "_purge_oldid"), ["_purge_oldid"],
+            return_count=True,
+        )
+        stamped = stamped.drop("_purge_oldid")
+        new_id = self._claim_seg_id(
+            max((e["segment_id"] for e in doc["segments"]), default=-1) + 1
+        )
+        entry = self._write_segment_files(stamped, new_id, index_conf, n_rows=n)
+        entry["row_id_offset"] = 0
+        # carry every absorbed batch_key: replayed producers must still
+        # see their batches as committed after the purge
+        keys: set[str] = set()
+        for e in doc["segments"]:
+            if e.get("batch_key") is not None:
+                keys.add(e["batch_key"])
+            keys.update(e.get("batch_keys", ()))
+        if keys:
+            entry["batch_keys"] = sorted(keys)
+        try:
+            self._publish(
+                {"segments": [entry], "tombstones": []}, base_version=base_v
+            )
+        except ManifestConflictError:
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(self.path, f"seg-{new_id:05d}"), ignore_errors=True
+            )
+            raise ManifestConflictError(
+                f"purge raced a concurrent commit in {self.path}: the "
+                "rewritten row space is stale — re-run purge against the "
+                "fresh store"
+            ) from None
+        self.reconcile()
+        return entry
 
     def _open_entries(
         self,
