@@ -210,6 +210,82 @@ def _entry_overlaps(entry: dict, predicates: list[tuple]) -> bool:
     return True
 
 
+def _bloom_positions_py(value, m: int, k: int) -> list[int]:
+    """The k bit positions of ``value`` — MUST match the Spark-side
+    expression in _bloom_build bit-for-bit. Both sides hash the value's
+    STRING form through sha256 and slice k disjoint 8-hex-digit windows
+    of the digest (32 bits each, always non-negative) mod m. sha2 exists
+    identically in Spark SQL and hashlib, so membership tests are pure
+    driver-side Python — no Spark job to probe a manifest."""
+    import hashlib
+
+    h = hashlib.sha256(str(value).encode("utf-8")).hexdigest()
+    return [int(h[8 * i : 8 * i + 8], 16) % m for i in range(k)]
+
+
+def _bloom_build(df: DataFrame, col: str, m: int, k: int) -> str:
+    """One aggregation job -> base64 little-endian word bitset (m bits).
+    Restricted to string/integer-family columns: their Spark
+    CAST(.. AS STRING) equals Python str() (floats don't — '1.0E-7' vs
+    '1e-07' — and are the zone map's job anyway)."""
+    import base64
+
+    kind = df.schema[col].dataType.simpleString()
+    if kind not in ("string", "tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"bloom filter on {col!r} ({kind}): only string/integer "
+            "columns hash identically in Spark and Python; use zone maps "
+            "for ordered numerics"
+        )
+    h = F.sha2(F.col(col).cast("string"), 256)
+    pos = F.array(
+        *[
+            (F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % m)
+            for i in range(k)
+        ]
+    )
+    words = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(pos).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("word"))
+        .collect()
+    )
+    buf = bytearray(m // 8)
+    for r in words:
+        buf[r["w"] * 8 : r["w"] * 8 + 8] = int(r["word"]).to_bytes(
+            8, "little", signed=True
+        )
+    return base64.b64encode(bytes(buf)).decode("ascii")
+
+
+def _bloom_test(blob: str, m: int, k: int, value) -> bool:
+    """May the segment contain value? False negatives are impossible;
+    false-positive rate ~ (1 - e^(-k*n_distinct/m))^k."""
+    import base64
+
+    buf = base64.b64decode(blob)
+    return all(
+        (buf[p // 8] >> (p % 8)) & 1
+        for p in _bloom_positions_py(value, m, k)
+    )
+
+
+def _bloom_union(blobs: list[str]) -> str:
+    import base64
+
+    bufs = [bytearray(base64.b64decode(b)) for b in blobs]
+    out = bufs[0]
+    for b in bufs[1:]:
+        for i in range(len(out)):
+            out[i] |= b[i]
+    return base64.b64encode(bytes(out)).decode("ascii")
+
+
 def _cmp_lt(a, b) -> bool:
     """a < b when comparable; incomparable (mixed-type drift) -> False, which
     keeps the segment — the always-correct degradation."""
@@ -410,6 +486,13 @@ class SegmentStore:
             )
             if entries
             else [],
+            "bloom_columns": sorted(
+                set.intersection(
+                    *[set((e.get("blooms") or {}).keys()) for e in entries]
+                )
+            )
+            if entries
+            else [],
             "column_envelopes": {
                 c: {"min": env[c][0], "max": env[c][1], "complete": full_cov[c]}
                 for c in sorted(env)
@@ -486,13 +569,20 @@ class SegmentStore:
             for e in to_doc["segments"]
             if e["row_id_offset"] + e["n_rows"] > from_total
         ]
+        if not new_entries and to_doc["segments"]:
+            # empty window: keep the full data schema (consumers union
+            # deltas across windows) by planning one segment filtered out
+            new_entries = to_doc["segments"][:1]
+            ins_filter = F.lit(False)
+        else:
+            ins_filter = F.col("row_id") >= from_total
         ins = (
             self._apply_tombstones(
                 spark,
                 self._open_entries(spark, new_entries, defaults),
                 to_doc["tombstones"],
             )
-            .filter(F.col("row_id") >= from_total)
+            .filter(ins_filter)
             .withColumn("_change_type", F.lit("insert"))
         )
         new_tombs = [t for t in to_doc["tombstones"] if t["file"] not in from_files]
@@ -627,6 +717,9 @@ class SegmentStore:
         order_keys: list[str] | None = None,
         n_rows: int | None = None,
         sketch_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_m: int = 1 << 16,
+        bloom_k: int = 4,
     ) -> dict:
         """Write one segment's data (and index) under seg-<id>/ WITHOUT
         touching the manifest. Job-count discipline (constant-factor fix):
@@ -692,6 +785,20 @@ class SegmentStore:
                 for c in sketch_cols
                 if row[c] is not None
             }
+        if bloom_cols:
+            # per-column Bloom membership bitsets in the manifest (~11 KB
+            # base64 at the default 64 Kbit): POINT-lookup segment
+            # skipping on unsorted high-cardinality keys — the case zone
+            # maps can't prune (their min/max envelope of a shuffled key
+            # spans everything). Probes are pure driver-side Python.
+            entry["blooms"] = {
+                c: {
+                    "m": bloom_m,
+                    "k": bloom_k,
+                    "bits": _bloom_build(df, c, bloom_m, bloom_k),
+                }
+                for c in bloom_cols
+            }
         return entry
 
     def write_segment(
@@ -702,6 +809,7 @@ class SegmentStore:
         n_rows: int | None = None,
         batch_key: str | None = None,
         sketch_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> dict:
         """Append one immutable segment (S1/S3/S5). Local row ids are
         0..n-1 within the segment; the global offset comes from the
@@ -738,7 +846,7 @@ class SegmentStore:
         )
         entry = self._write_segment_files(
             df, seg_id, index_conf, order_keys=order_keys, n_rows=n_rows,
-            sketch_cols=sketch_cols,
+            sketch_cols=sketch_cols, bloom_cols=bloom_cols,
         )
         if batch_key is not None:
             entry["batch_key"] = batch_key
@@ -955,8 +1063,78 @@ class SegmentStore:
         )
         return self._apply_tombstones(
             spark,
-            self._open_entries(
-                spark, self.pruned_entries(predicates, at_version), defaults
+            self._open_superset(
+                spark,
+                self.pruned_entries(predicates, at_version),
+                doc["segments"],
+                defaults,
+            ),
+            doc["tombstones"],
+        )
+
+    def _open_superset(
+        self,
+        spark: SparkSession,
+        entries: list[dict],
+        all_entries: list[dict],
+        defaults: dict[str, object] | None,
+    ) -> DataFrame:
+        """Open a PRUNED entry subset, keeping the store's data schema
+        even when pruning proved every segment empty (callers apply the
+        row filter to the result — an empty row_id-only frame would break
+        them): plan one segment filtered to false instead."""
+        if not entries and all_entries:
+            return self._open_entries(spark, all_entries[:1], defaults).filter(
+                F.lit(False)
+            )
+        return self._open_entries(spark, entries, defaults)
+
+    def pruned_entries_point(
+        self, col: str, value, at_version: int | None = None
+    ) -> list[dict]:
+        """Manifest entries that MAY contain ``col = value`` per their
+        Bloom bitsets — pure driver-side metadata, no Spark job (the
+        sha256 bit positions are recomputed in Python; the build wrote
+        them with the identical Spark expression). Segments without a
+        bloom for ``col`` are conservatively kept. This is the POINT
+        twin of zone-map pruning: an unsorted high-cardinality key (a
+        user id in arrival-ordered data) has a useless min/max envelope,
+        but its bloom prunes every segment the user never touched —
+        Parquet bloom filters / Delta file skipping, at segment grain."""
+        entries = (
+            self.manifest() if at_version is None else self.manifest_at(at_version)
+        )
+        out = []
+        for e in entries:
+            b = (e.get("blooms") or {}).get(col)
+            if b is None or _bloom_test(b["bits"], b["m"], b["k"], value):
+                out.append(e)
+        return out
+
+    def open_point(
+        self,
+        spark: SparkSession,
+        col: str,
+        value,
+        defaults: dict[str, object] | None = None,
+        at_version: int | None = None,
+    ) -> DataFrame:
+        """Bloom-pruned open for a point predicate: exactly ``open()``
+        minus segments whose bloom proves ``col`` never equals ``value``
+        (no false negatives — a superset guarantee like open_pruned; the
+        caller still applies the row filter). Global row_ids unchanged."""
+        doc = (
+            self.manifest_doc()
+            if at_version is None
+            else self.manifest_doc_at(at_version)
+        )
+        return self._apply_tombstones(
+            spark,
+            self._open_superset(
+                spark,
+                self.pruned_entries_point(col, value, at_version),
+                doc["segments"],
+                defaults,
             ),
             doc["tombstones"],
         )
@@ -1408,6 +1586,23 @@ class SegmentStore:
         merged_sketches = self._union_sketches(spark, run)
         if merged_sketches:
             entry["sketches"] = merged_sketches
+        # blooms compose like sketches: bitwise OR is exactly the bloom of
+        # the union (same hash geometry), so compaction keeps point-skip
+        # metadata without rescanning data. Mismatched geometries drop the
+        # column (correct: absence of a bloom just disables pruning).
+        bl_sets = [e.get("blooms") or {} for e in run]
+        merged_blooms = {}
+        for c in set.intersection(*[set(b) for b in bl_sets]) if bl_sets else set():
+            geoms = {(b[c]["m"], b[c]["k"]) for b in bl_sets}
+            if len(geoms) == 1:
+                m_, k_ = geoms.pop()
+                merged_blooms[c] = {
+                    "m": m_,
+                    "k": k_,
+                    "bits": _bloom_union([b[c]["bits"] for b in bl_sets]),
+                }
+        if merged_blooms:
+            entry["blooms"] = merged_blooms
         # carry the run members' idempotency keys forward: an idempotent
         # producer replay (crash after publish, before checkpoint advance)
         # that races a maintenance compaction must still see its batch_key

@@ -121,6 +121,21 @@ def test_purge_materializes_and_renumbers(spark, store):
     assert store.purge(spark) is None
 
 
+def test_delete_everything_then_purge(spark, store):
+    """The degenerate takedown: every row tombstoned, then materialized —
+    the store must come back readable and EMPTY, not corrupt."""
+    store.write_segment(_df(spark, 0, 25), order_keys=["k"])
+    t = store.delete_where(spark, "k >= 0")
+    assert t["n"] == 25 and store.live_rows() == 0
+    assert store.open(spark).count() == 0
+    store.purge(spark)
+    assert store.total_rows() == store.live_rows() == 0
+    assert store.open(spark).count() == 0
+    # and the empty store accepts new appends afterwards
+    store.write_segment(_df(spark, 100, 105), order_keys=["k"])
+    assert store.open(spark).count() == 5
+
+
 def test_concurrent_deletes_stay_disjoint(spark, store):
     """Two deletes race; the loser subtracts the winner's ids so
     tombstone sets stay disjoint and live_rows stays exact even though

@@ -41,8 +41,11 @@ def test_appends_and_deletes_feed_incrementally(spark, store):
     ch23 = store.read_changes(spark, 2, 3)
     assert ch23.filter("_change_type = 'insert'").count() == 0
     assert ch23.filter("_change_type = 'delete'").count() == 10
-    # empty window
-    assert store.read_changes(spark, 4, 4).count() == 0
+    # empty window: zero rows but the FULL data schema (consumers union
+    # deltas across windows)
+    empty = store.read_changes(spark, 4, 4)
+    assert empty.count() == 0
+    assert set(empty.columns) >= {"row_id", "k", "m", "_change_type"}
 
 
 def test_rows_inserted_and_deleted_inside_window_are_omitted(spark, store):
