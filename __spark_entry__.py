@@ -1409,7 +1409,8 @@ def q_segments_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _orders_store(spark, sf_dir)
     ix = store.open_index(spark)
     return idx.probe(
-        ix, "o_orderpriority", "1-URGENT", store.total_rows(), encoding_hint="auto"
+        ix, "o_orderpriority", "1-URGENT", store.total_rows(),
+        store.bucket_size, encoding_hint="auto",
     ).to_rows()
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from iodf_spark.operators.index import DEFAULT_BUCKET_SIZE
 from iodf_spark.operators.index import f as key_f
 from iodf_spark.operators.index import probe
 
@@ -76,13 +77,19 @@ def smart_filter(
     n: int,
     threshold: float = DEFAULT_THRESHOLD,
     sel: dict | None = None,
+    bucket_size: int = DEFAULT_BUCKET_SIZE,
 ) -> tuple[DataFrame, str]:
     """Filter `data` (must carry row_id in the index's row space) to rows
     where col = value, via whichever physical path the key's selectivity
-    favors. Returns (rows, chosen_path)."""
+    favors. Returns (rows, chosen_path). ``bucket_size`` MUST match the
+    probed index's build-time bucket size — dense posting words decode
+    positions as bucket*bucket_size + word*64 + bit, so a mismatch
+    silently yields wrong row ids (sparse postings don't care)."""
     path = choose_access_path(index_df, col, value, n, threshold, sel)
     if path == "index":
-        ids = probe(index_df, col, value, n, encoding_hint="auto").to_rows()
+        ids = probe(
+            index_df, col, value, n, bucket_size, encoding_hint="auto"
+        ).to_rows()
         return data.join(ids, "row_id", "left_semi"), path
     return data.filter(F.col(col) == F.lit(value)), path
 
@@ -94,6 +101,7 @@ def smart_filter_all(
     n: int,
     threshold: float = DEFAULT_THRESHOLD,
     sel: dict | None = None,
+    bucket_size: int = DEFAULT_BUCKET_SIZE,
 ) -> tuple[DataFrame, dict]:
     """Conjunctive predicate planning over [(col, value), ...]: each key's
     STORED selectivity routes it to the index or the scan; all indexed
@@ -120,9 +128,9 @@ def smart_filter_all(
     out = data
     if routed["index"]:
         sets = [
-            probe(index_df, p[0], p[1], n, encoding_hint="auto")
+            probe(index_df, p[0], p[1], n, bucket_size, encoding_hint="auto")
             if len(p) == 2
-            else probe_range(index_df, p[0], p[1], p[2], n)
+            else probe_range(index_df, p[0], p[1], p[2], n, bucket_size)
             for p in routed["index"]
         ]
         out = out.join(intersect_all(sets).to_rows(), "row_id", "left_semi")
@@ -145,6 +153,7 @@ def smart_filter_any(
     n: int,
     threshold: float = DEFAULT_THRESHOLD,
     sel: dict | None = None,
+    bucket_size: int = DEFAULT_BUCKET_SIZE,
 ) -> tuple[DataFrame, str]:
     """Disjunctive twin of :func:`smart_filter_all`: rows matching ANY
     (col, value). The index path is only right when the UNION of posting
@@ -170,9 +179,9 @@ def smart_filter_any(
     total_f = sum(sel[p] for p in preds)
     if total_f <= threshold * n:
         sets = [
-            probe(index_df, p[0], p[1], n, encoding_hint="auto")
+            probe(index_df, p[0], p[1], n, bucket_size, encoding_hint="auto")
             if len(p) == 2
-            else probe_range(index_df, p[0], p[1], p[2], n)
+            else probe_range(index_df, p[0], p[1], p[2], n, bucket_size)
             for p in preds
         ]
         return data.join(union_all(sets).to_rows(), "row_id", "left_semi"), "index"

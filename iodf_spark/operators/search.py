@@ -84,11 +84,18 @@ def bm25_topk(
     terms: list[str],
     n_rows: int,
     k: int = 15,
+    bucket_size: int | None = None,
 ) -> DataFrame:
     """Top-k documents by BM25 over ``terms``. ``docs`` must carry
     ``row_id`` in the index's row space; ``index_df`` is the text index
     built with the whitespace analyzer (same tokenizer as TH.tokens).
     Returns (row_id, score) with score > 0, ordered score DESC, row_id.
+
+    ``bucket_size`` must match the index's build-time bucket size when it
+    differs from the default — DENSE posting words decode positions as
+    bucket*bucket_size + word*64 + bit, so a mismatched decode silently
+    yields wrong candidate ids (sparse postings don't care, which is why
+    low-df query terms mask the mistake).
     """
     from iodf_spark.operators.index import KIND_STR
     from iodf_spark.plans.rowset import DEFAULT_BUCKET_SIZE, union_posting_rows
@@ -125,7 +132,9 @@ def bm25_topk(
     )
     if "words" not in index_df.columns:
         sel = sel.withColumn("words", F.lit(None).cast("array<long>"))
-    cand_ids = union_posting_rows(sel, n_rows, DEFAULT_BUCKET_SIZE).to_rows()
+    cand_ids = union_posting_rows(
+        sel, n_rows, bucket_size or DEFAULT_BUCKET_SIZE
+    ).to_rows()
     scored = (
         docs.join(cand_ids, "row_id")
         .crossJoin(F.broadcast(stats))

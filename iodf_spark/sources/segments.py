@@ -771,6 +771,11 @@ class SegmentStore:
             "indexed": index_conf is not None,
             "stats": stats,
         }
+        if index_conf is not None:
+            # which columns the stored index COVERS: the access planner
+            # must scan, not probe, a predicate on an uncovered column
+            # (its f there is 0 — "no postings", not "no rows")
+            entry["indexed_cols"] = sorted(index_conf.columns(df))
         if sketch_cols:
             # per-column Datasketches HLL, base64 in the manifest (~2 KB
             # each): store-level distinct counts become a metadata union,
@@ -938,6 +943,10 @@ class SegmentStore:
             seg_ids.append(sid)
             entry = self._write_segment_files(seg, sid, None, n_rows=n_seg)
             entry["indexed"] = index_conf is not None
+            if index_conf is not None:
+                entry["indexed_cols"] = sorted(
+                    c for c in index_conf.columns(df) if c != "_srank"
+                )
             entry["row_id_offset"] = base_offset + seg_start
             new_entries.append(entry)
             seg_start += n_seg
@@ -1407,6 +1416,70 @@ class SegmentStore:
                     out = out.withColumn(col, F.coalesce(F.col(col), F.lit(dv)))
         return out
 
+    def smart_filter(
+        self,
+        spark: SparkSession,
+        col: str,
+        value,
+        threshold: float = 0.1,
+        defaults: dict[str, object] | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """ONE entry point for a point predicate over the whole store,
+        stacking every pruning layer the store maintains (the store-level
+        rendition of the reference's predicate -> access-path planning,
+        IndexedDf.scala:71-96):
+
+        1. MANIFEST (zero Spark jobs): zone-map envelopes and Bloom
+           bitsets drop every segment that provably cannot hold
+           ``col = value``;
+        2. INDEX: when every surviving segment is indexed, the surviving
+           posting lists answer the predicate — routed index-vs-scan by
+           the key's STORED selectivity exactly like
+           ``access.smart_filter``;
+        3. SCAN: otherwise the filter is pushed into the (pruned,
+           tombstone-filtered) Parquet scan.
+
+        Returns (matching rows with global row_id, plan report). The
+        predicate column must be indexed as raw values (default
+        analyzer) for the index path to mean equality — same caveat as
+        ``access.smart_filter``."""
+        from iodf_spark.operators.access import smart_filter as _sf
+
+        doc = self.manifest_doc()
+        entries = doc["segments"]
+        survivors = [
+            e
+            for e in self.pruned_entries_point(col, value)
+            if _entry_overlaps(e, [(col, value, value)])
+        ]
+        plan = {
+            "segments": len(entries),
+            "survivors": len(survivors),
+            "pruned": len(entries) - len(survivors),
+        }
+        data = self._apply_tombstones(
+            spark,
+            self._open_superset(spark, survivors, entries, defaults),
+            doc["tombstones"],
+        )
+        if not survivors:
+            plan["path"] = "pruned_all"
+            return data.filter(F.col(col) == F.lit(value)), plan
+        covered = all(
+            e.get("indexed") and col in e.get("indexed_cols", ())
+            for e in survivors
+        )
+        if covered:
+            ix = self._merged_index_frame(spark, survivors, base=0)
+            rows, path = _sf(
+                data, ix, col, value, self.total_rows(), threshold,
+                bucket_size=self.bucket_size,
+            )
+            plan["path"] = path
+            return rows, plan
+        plan["path"] = "scan"
+        return data.filter(F.col(col) == F.lit(value)), plan
+
     def open_index(self, spark: SparkSession) -> DataFrame:
         """Multi-segment index view: per-segment posting rows shifted into
         the global row space (MultiBits 'shard' alignment,
@@ -1583,6 +1656,10 @@ class SegmentStore:
                 .parquet(os.path.join(self.path, f"seg-{new_id:05d}", "index"))
             )
             entry["indexed"] = True
+            cols_sets = [set(e.get("indexed_cols", ())) for e in run]
+            merged_cols = set.intersection(*cols_sets) if cols_sets else set()
+            if merged_cols:
+                entry["indexed_cols"] = sorted(merged_cols)
         merged_sketches = self._union_sketches(spark, run)
         if merged_sketches:
             entry["sketches"] = merged_sketches

@@ -69,7 +69,10 @@ def test_training_pipeline_composition(spark, sf_dir, tmp_path):
 
     # 5. ranked retrieval over the curated store via its own index
     ix = store.open_index(spark)
-    hits = bm25_topk(opened, ix, "text", ["spark", "query"], n_final, k=5)
+    hits = bm25_topk(
+        opened, ix, "text", ["spark", "query"], n_final, k=5,
+        bucket_size=store.bucket_size,
+    )
     got = hits.collect()
     assert 0 < len(got) <= 5
     assert all(r["score"] > 0 for r in got)
@@ -83,3 +86,47 @@ def test_training_pipeline_composition(spark, sf_dir, tmp_path):
         ("spark" in r["text"].split()) or ("query" in r["text"].split())
         for r in hit_docs
     )
+
+
+def test_bm25_dense_term_nondefault_bucket(spark, tmp_path):
+    """A query term present in MOST documents stores DENSE posting words;
+    dense decode is the one path that depends on bucket size (position =
+    bucket*bucket_size + word*64 + bit). A default-bucket decode against
+    this 256-bucket store silently yields garbage candidate ids — low-df
+    terms mask it (sparse arrays carry literal ids), so pin the dense
+    case explicitly."""
+    from iodf_spark.operators.search import bm25_topk
+    from iodf_spark.sources.segments import SegmentStore
+
+    docs = spark.createDataFrame(
+        [
+            (i, "common " * 3 + (f"needle{i % 7} " if i % 2 else "hay "))
+            for i in range(600)
+        ],
+        "doc_id long, text string",
+    )
+    store = SegmentStore(str(tmp_path / "s"), bucket_size=256)
+    store.write_segment(
+        docs,
+        order_keys=["doc_id"],
+        index_conf=idx.IndexConf(
+            include=["text"], analyzers={"text": idx.text_analyzer}
+        ),
+    )
+    opened = store.open(spark)
+    n = store.total_rows()
+    ix = store.open_index(spark)
+    # 'common' appears in every doc -> dense words; candidates must be
+    # REAL row ids (the join keeps them in [0, n))
+    hits = bm25_topk(
+        opened, ix, "text", ["common", "needle3"], n, k=10,
+        bucket_size=store.bucket_size,
+    ).collect()
+    assert hits, "dense-term candidates vanished"
+    assert all(0 <= r["row_id"] < n for r in hits)
+    # needle3 docs dominate the ranking (higher idf term present)
+    top = {r["row_id"] for r in hits}
+    needled = {
+        r["row_id"] for r in opened.filter("text like '%needle3%'").collect()
+    }
+    assert top <= needled

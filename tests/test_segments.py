@@ -251,9 +251,25 @@ def test_write_segments_by_equals_sequential_writes(spark, sf_dir, store, tmp_pa
     a = seq.open(spark).select("row_id", "o_orderkey").orderBy("row_id").collect()
     b = one.open(spark).select("row_id", "o_orderkey").orderBy("row_id").collect()
     assert a == b
-    pa = idx.probe(seq.open_index(spark), "o_orderpriority", "1-URGENT", seq.total_rows())
-    pb = idx.probe(one.open_index(spark), "o_orderpriority", "1-URGENT", one.total_rows())
-    assert pa.to_list() == pb.to_list()
+    # bucket_size MUST match the store's (dense words decode positions as
+    # bucket*bucket_size + word*64 + bit — a default-bucket probe against a
+    # 1024-bucket store silently yields garbage ids); assert against the
+    # DATA, not probe-vs-probe (which would mask a shared decode bug)
+    pa = idx.probe(
+        seq.open_index(spark), "o_orderpriority", "1-URGENT",
+        seq.total_rows(), seq.bucket_size,
+    )
+    pb = idx.probe(
+        one.open_index(spark), "o_orderpriority", "1-URGENT",
+        one.total_rows(), one.bucket_size,
+    )
+    truth = sorted(
+        r["row_id"]
+        for r in seq.open(spark)
+        .filter("o_orderpriority = '1-URGENT'")
+        .collect()
+    )
+    assert pa.to_list() == pb.to_list() == truth
 
 
 def test_open_sweeps_crash_orphans(spark, store):

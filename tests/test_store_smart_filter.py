@@ -1,0 +1,89 @@
+"""Store-level access planning: SegmentStore.smart_filter stacks every
+pruning layer the store maintains — manifest zone maps + Bloom bitsets
+(zero jobs), then stored-index probe vs pushed-down scan by stored
+selectivity (the store-level rendition of the reference's predicate
+planning, IndexedDf.scala:71-96) — and must return exactly the
+predicate's rows under every layer combination, tombstones included."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iodf_spark.operators.index import IndexConf
+from iodf_spark.sources.segments import SegmentStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = SegmentStore(str(tmp_path / "store"), bucket_size=1024)
+    conf = IndexConf(include=["tag"])
+    for lo, hi in [(0, 500), (500, 1000), (1000, 1500)]:
+        df = spark.createDataFrame(
+            [(i, f"u{i}", f"t{i % 7}") for i in range(lo, hi)],
+            "k long, uid string, tag string",
+        )
+        s.write_segment(
+            df, order_keys=["k"], index_conf=conf, bloom_cols=["uid"]
+        )
+    return s
+
+
+def test_zone_map_layer_prunes_ordered_key(spark, store):
+    rows, plan = store.smart_filter(spark, "k", 700)
+    assert plan["pruned"] == 2 and plan["survivors"] == 1
+    got = rows.collect()
+    assert len(got) == 1 and got[0]["row_id"] == 700 and got[0]["k"] == 700
+
+
+def test_bloom_layer_prunes_unsorted_key(spark, store):
+    rows, plan = store.smart_filter(spark, "uid", "u1200")
+    assert plan["survivors"] < 3  # bloom dropped segments without u1200
+    got = rows.collect()
+    assert len(got) == 1 and got[0]["row_id"] == 1200
+    # absent key: all layers prune, schema-stable empty result
+    rows0, plan0 = store.smart_filter(spark, "uid", "u99999")
+    assert rows0.count() == 0
+    assert plan0["path"] in ("pruned_all", "index", "scan")
+
+
+def test_index_layer_routes_by_stored_selectivity(spark, store):
+    # selective key (1/7 of rows is ~14% > default 10% -> may scan); use a
+    # tighter threshold comparison: just assert exactness on both paths
+    rows, plan = store.smart_filter(spark, "tag", "t3", threshold=0.5)
+    assert plan["path"] == "index"
+    expect = sorted(
+        r["row_id"]
+        for r in store.open(spark).filter("tag = 't3'").collect()
+    )
+    assert sorted(r["row_id"] for r in rows.collect()) == expect
+    rows2, plan2 = store.smart_filter(spark, "tag", "t3", threshold=0.01)
+    assert plan2["path"] == "scan"
+    assert sorted(r["row_id"] for r in rows2.collect()) == expect
+
+
+def test_tombstones_respected_on_every_path(spark, store):
+    store.delete_where(spark, "k % 2 = 0")
+    for probe_col, probe_val in [("tag", "t3"), ("k", 700), ("uid", "u701")]:
+        rows, plan = store.smart_filter(spark, probe_col, probe_val, threshold=0.5)
+        expect = sorted(
+            r["row_id"]
+            for r in store.open(spark)
+            .filter(F.col(probe_col) == F.lit(probe_val))
+            .collect()
+        )
+        got = sorted(r["row_id"] for r in rows.collect())
+        assert got == expect, (probe_col, plan)
+    # the even k=700 row is tombstoned: zone maps still prune, rows empty
+    rows, plan = store.smart_filter(spark, "k", 700)
+    assert plan["pruned"] == 2 and rows.count() == 0
+
+
+def test_mixed_indexed_unindexed_falls_back_to_scan(spark, store):
+    df = spark.createDataFrame(
+        [(i, f"u{i}", "t0") for i in range(5000, 5050)],
+        "k long, uid string, tag string",
+    )
+    store.write_segment(df, order_keys=["k"])  # unindexed, no bloom
+    rows, plan = store.smart_filter(spark, "tag", "t0", threshold=0.5)
+    assert plan["path"] == "scan"
+    expect = store.open(spark).filter("tag = 't0'").count()
+    assert rows.count() == expect
