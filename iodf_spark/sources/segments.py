@@ -1480,6 +1480,146 @@ class SegmentStore:
         plan["path"] = "scan"
         return data.filter(F.col(col) == F.lit(value)), plan
 
+    def smart_filter_all(
+        self,
+        spark: SparkSession,
+        preds: list[tuple],
+        threshold: float = 0.1,
+        defaults: dict[str, object] | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Conjunctive store-level planning: ``preds`` mixes equality
+        2-tuples ``(col, value)`` and range 3-tuples ``(col, lo, hi)``
+        exactly like ``access.smart_filter_all``, but pruning uses the
+        STORE's metadata first — ranges and equalities against zone-map
+        envelopes, equalities additionally against Bloom bitsets — all
+        driver-side; the surviving segments then route each predicate to
+        the stored index or the pushed-down scan by stored selectivity
+        (one batched plan_stats aggregation for every key). At 100 TB a
+        `user = X AND ts BETWEEN a AND b` touches the handful of segments
+        both layers allow, then posting lists, never the corpus."""
+        from iodf_spark.operators.access import smart_filter_all as _sfa
+
+        doc = self.manifest_doc()
+        entries = doc["segments"]
+        ranges = [
+            (p[0], p[1], p[2]) if len(p) == 3 else (p[0], p[1], p[1])
+            for p in preds
+        ]
+        survivors = [e for e in entries if _entry_overlaps(e, ranges)]
+        for p in preds:
+            if len(p) == 2:
+                survivors = [
+                    e
+                    for e in survivors
+                    if (b := (e.get("blooms") or {}).get(p[0])) is None
+                    or _bloom_test(b["bits"], b["m"], b["k"], p[1])
+                ]
+        plan = {
+            "segments": len(entries),
+            "survivors": len(survivors),
+            "pruned": len(entries) - len(survivors),
+        }
+        data = self._apply_tombstones(
+            spark,
+            self._open_superset(spark, survivors, entries, defaults),
+            doc["tombstones"],
+        )
+        covered = survivors and all(
+            e.get("indexed")
+            and all(p[0] in e.get("indexed_cols", ()) for p in preds)
+            for e in survivors
+        )
+        if covered:
+            ix = self._merged_index_frame(spark, survivors, base=0)
+            rows, routed = _sfa(
+                data, ix, preds, self.total_rows(), threshold,
+                bucket_size=self.bucket_size,
+            )
+            plan["routed"] = {
+                k: [p[0] for p in v] for k, v in routed.items()
+            }
+            return rows, plan
+        plan["routed"] = {"index": [], "scan": [p[0] for p in preds]}
+        out = data
+        for p in preds:
+            if len(p) == 2:
+                out = out.filter(F.col(p[0]) == F.lit(p[1]))
+            else:
+                col, lo, hi = p
+                if lo is not None:
+                    out = out.filter(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    out = out.filter(F.col(col) <= F.lit(hi))
+        return out, plan
+
+    def smart_filter_any(
+        self,
+        spark: SparkSession,
+        preds: list[tuple],
+        threshold: float = 0.1,
+        defaults: dict[str, object] | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Disjunctive store-level planning (rows matching ANY predicate;
+        equality 2-tuples + range 3-tuples mixed): a segment survives if
+        ANY arm allows it (zone maps for ranges/equalities, blooms for
+        equalities), then ``access.smart_filter_any`` decides one
+        union-of-probes semi join vs one OR-filter scan over the
+        survivors from the stored stats."""
+        from iodf_spark.operators.access import smart_filter_any as _sfy
+
+        doc = self.manifest_doc()
+        entries = doc["segments"]
+
+        def arm_allows(e: dict, p: tuple) -> bool:
+            if len(p) == 3:
+                return _entry_overlaps(e, [p])
+            if not _entry_overlaps(e, [(p[0], p[1], p[1])]):
+                return False
+            b = (e.get("blooms") or {}).get(p[0])
+            return b is None or _bloom_test(b["bits"], b["m"], b["k"], p[1])
+
+        survivors = [e for e in entries if any(arm_allows(e, p) for p in preds)]
+        plan = {
+            "segments": len(entries),
+            "survivors": len(survivors),
+            "pruned": len(entries) - len(survivors),
+        }
+        data = self._apply_tombstones(
+            spark,
+            self._open_superset(spark, survivors, entries, defaults),
+            doc["tombstones"],
+        )
+        covered = survivors and all(
+            e.get("indexed")
+            and all(p[0] in e.get("indexed_cols", ()) for p in preds)
+            for e in survivors
+        )
+        if covered:
+            ix = self._merged_index_frame(spark, survivors, base=0)
+            rows, path = _sfy(
+                data, ix, preds, self.total_rows(), threshold,
+                bucket_size=self.bucket_size,
+            )
+            plan["path"] = path
+            return rows, plan
+        plan["path"] = "scan"
+        cond = None
+        for p in preds:
+            if len(p) == 2:
+                term = F.col(p[0]) == F.lit(p[1])
+            else:
+                col, lo, hi = p
+                term = None
+                if lo is not None:
+                    term = F.col(col) >= F.lit(lo)
+                if hi is not None:
+                    t2 = F.col(col) <= F.lit(hi)
+                    term = t2 if term is None else (term & t2)
+                if term is None:
+                    term = F.col(col).isNotNull()
+            cond = term if cond is None else (cond | term)
+        return data.filter(cond), plan
+
     def open_index(self, spark: SparkSession) -> DataFrame:
         """Multi-segment index view: per-segment posting rows shifted into
         the global row space (MultiBits 'shard' alignment,

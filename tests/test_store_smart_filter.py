@@ -87,3 +87,58 @@ def test_mixed_indexed_unindexed_falls_back_to_scan(spark, store):
     assert plan["path"] == "scan"
     expect = store.open(spark).filter("tag = 't0'").count()
     assert rows.count() == expect
+
+
+def test_conjunctive_store_planning(spark, store):
+    """smart_filter_all over the store: zone maps prune the k-range,
+    blooms prune the uid equality, surviving indexed segments route per
+    predicate — result must equal the plain conjunctive filter."""
+    rows, plan = store.smart_filter_all(
+        spark, [("tag", "t3"), ("k", 600, 800)], threshold=0.5
+    )
+    assert plan["survivors"] == 1  # zone maps prove only segment 2 overlaps
+    expect = sorted(
+        r["row_id"]
+        for r in store.open(spark)
+        .filter("tag = 't3' and k between 600 and 800")
+        .collect()
+    )
+    assert sorted(r["row_id"] for r in rows.collect()) == expect and expect
+    # equality + bloom layer: uid u700 only lives in segment 2
+    rows2, plan2 = store.smart_filter_all(
+        spark, [("uid", "u700"), ("k", 0, 2000)], threshold=0.5
+    )
+    assert plan2["survivors"] < 3
+    got2 = rows2.collect()
+    assert len(got2) == 1 and got2[0]["row_id"] == 700
+    # with deletes: tombstoned rows never resurface on any path
+    store.delete_where(spark, "k = 700")
+    rows3, _ = store.smart_filter_all(
+        spark, [("uid", "u700"), ("k", 0, 2000)], threshold=0.5
+    )
+    assert rows3.count() == 0
+    # uncovered column (uid is not indexed) -> scan fallback, still exact
+    assert plan2["routed"]["scan"] or plan2["routed"]["index"]
+
+
+def test_disjunctive_store_planning(spark, store):
+    """smart_filter_any: a segment survives when ANY arm allows it;
+    result equals the plain OR filter on every path."""
+    rows, plan = store.smart_filter_any(
+        spark, [("k", 100, 120), ("k", 1100, 1120)], threshold=0.5
+    )
+    assert plan["survivors"] == 2  # zone maps keep exactly the two ranges
+    expect = sorted(
+        r["row_id"]
+        for r in store.open(spark)
+        .filter("k between 100 and 120 or k between 1100 and 1120")
+        .collect()
+    )
+    assert sorted(r["row_id"] for r in rows.collect()) == expect and expect
+    # equality arms ride the blooms; tombstones respected
+    store.delete_where(spark, "k = 1110")
+    rows2, plan2 = store.smart_filter_any(
+        spark, [("uid", "u1110"), ("uid", "u110")], threshold=0.5
+    )
+    assert plan2["survivors"] < 3
+    assert sorted(r["row_id"] for r in rows2.collect()) == [110]
