@@ -120,6 +120,8 @@ def smart_filter_all(
     from iodf_spark.operators.index import probe_range
     from iodf_spark.plans.rowset import intersect_all
 
+    if not preds:
+        raise ValueError("smart_filter_all needs at least one predicate")
     if sel is None or any(p not in sel for p in preds):
         sel = plan_stats(index_df, preds)
     routed = {"index": [], "scan": []}
@@ -174,6 +176,8 @@ def smart_filter_any(
     from iodf_spark.operators.index import probe_range
     from iodf_spark.plans.rowset import union_all
 
+    if not preds:
+        raise ValueError("smart_filter_any needs at least one predicate")
     if sel is None or any(p not in sel for p in preds):
         sel = plan_stats(index_df, preds)
     total_f = sum(sel[p] for p in preds)

@@ -1499,6 +1499,8 @@ class SegmentStore:
         both layers allow, then posting lists, never the corpus."""
         from iodf_spark.operators.access import smart_filter_all as _sfa
 
+        if not preds:
+            raise ValueError("smart_filter_all needs at least one predicate")
         doc = self.manifest_doc()
         entries = doc["segments"]
         ranges = [
@@ -1567,6 +1569,8 @@ class SegmentStore:
         survivors from the stored stats."""
         from iodf_spark.operators.access import smart_filter_any as _sfy
 
+        if not preds:
+            raise ValueError("smart_filter_any needs at least one predicate")
         doc = self.manifest_doc()
         entries = doc["segments"]
 

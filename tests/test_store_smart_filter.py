@@ -142,3 +142,18 @@ def test_disjunctive_store_planning(spark, store):
     )
     assert plan2["survivors"] < 3
     assert sorted(r["row_id"] for r in rows2.collect()) == [110]
+
+
+def test_empty_predicate_lists_raise(spark, store):
+    """An empty WHERE clause is a caller bug — loud error, not a full
+    scan mislabeled as a plan."""
+    from iodf_spark.operators.access import smart_filter_all, smart_filter_any
+
+    with pytest.raises(ValueError, match="at least one predicate"):
+        store.smart_filter_all(spark, [])
+    with pytest.raises(ValueError, match="at least one predicate"):
+        store.smart_filter_any(spark, [])
+    with pytest.raises(ValueError, match="at least one predicate"):
+        smart_filter_all(store.open(spark), None, [], 1)
+    with pytest.raises(ValueError, match="at least one predicate"):
+        smart_filter_any(store.open(spark), None, [], 1)
