@@ -37,3 +37,22 @@ def test_every_query_has_an_oracle_and_vice_versa():
 def test_all_queries_are_callables():
     for name, fn in entrymod.queries().items():
         assert callable(fn), name
+
+
+def test_segments_compact_arm_inventory_is_stable():
+    """segments_compact is the consolidation vehicle for the store's
+    attested lifecycle (the 50-entry cap forces arms, not new queries —
+    see round-4/5 history): every arm must stay present in BOTH the
+    Spark query source and its oracle SQL, or a capability silently
+    loses its attestation."""
+    import inspect
+
+    arms = [
+        "compact", "have", "snapshot", "pruned", "tiered", "sketch",
+        "delete", "del_snap", "cdf", "purge",
+    ]
+    src = inspect.getsource(entrymod.q_segments_compact)
+    osql = entrymod.oracle_sql()["segments_compact"]
+    for arm in arms:
+        assert f'"{arm}"' in src or f"'{arm}'" in src, f"arm {arm} gone from query"
+        assert f"'{arm}'" in osql, f"arm {arm} gone from oracle"
