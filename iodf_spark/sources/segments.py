@@ -210,6 +210,92 @@ def _entry_overlaps(entry: dict, predicates: list[tuple]) -> bool:
     return True
 
 
+def _parquet_dir_rows(path: str) -> int:
+    """Exact row count of a Parquet directory from file FOOTERS alone —
+    driver-side metadata reads, zero Spark jobs (the count twin of
+    _footer_stats; at scale the count of a just-written id-list must not
+    schedule a job per delete)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+    return int(total)
+
+
+_BLOOM_INT_KINDS = ("tinyint", "smallint", "int", "bigint")
+# target false-positive rate for auto-sized blooms; the classic formulas
+# m = -n ln p / ln^2 2 and k = (m/n) ln 2 minimize bits at this rate
+_BLOOM_FPP = 0.01
+# manifest-size budget per (segment, column): 2^20 bits = 128 KiB bitset
+# (~171 KiB base64'd). Past this cap a bigger segment SATURATES the bitset
+# instead of growing it; the build detects saturation and drops the bloom
+# (flagging it) — pruning silently evaporating is worse than none at all.
+_BLOOM_MAX_M = 1 << 20
+# saturation guard: an OPTIMALLY sized bloom sits at 0.5 fill by design
+# (k = (m/n)ln2 makes the expected fill exactly 1/2), so the drop line
+# sits just above it — past 0.6 the fpp (= fill^k) is collapsing and the
+# bitset is dead manifest weight
+_BLOOM_MAX_FILL = 0.6
+
+
+def _bloom_geometry(n_rows: int, fpp: float = _BLOOM_FPP) -> tuple[int, int]:
+    """(m, k) sized for ``n_rows`` keys at ``fpp`` false positives: the
+    round-5 fixed 64 Kbit / k=4 default saturated at ~10M-row segments
+    (pruning silently evaporated); sizing from n keeps the advertised fpp
+    until the manifest budget caps m, where the saturation guard takes
+    over. m rounds up to whole 64-bit words; k is capped at 8 hash slices
+    (sha256 yields 8 disjoint 32-bit windows)."""
+    import math
+
+    n = max(int(n_rows), 1)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = min(max((m + 63) // 64 * 64, 64), _BLOOM_MAX_M)
+    k = max(1, min(8, round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_probe_key(value, kind: str | None) -> str | None:
+    """Canonical probe STRING for a bloom built on a column of Spark type
+    ``kind`` (None = legacy bloom that recorded no kind), or None meaning
+    the value cannot be canonicalized safely and the caller must SKIP
+    bloom pruning for this segment (keep it — always correct).
+
+    The build hashed CAST(col AS STRING); a raw str(value) probe diverges
+    from it under Spark's coercing equality: probing an int column with
+    the float 1.0 hashes '1.0' vs stored '1' — a FALSE NEGATIVE that
+    prunes segments `1.0 == 1` would match. Canonicalization mirrors the
+    type-family restriction _bloom_build enforces: bools and integral
+    floats collapse to int before hashing against integer-family columns;
+    cross-family probes (str vs int column, number vs string column) skip
+    pruning — Spark's implicit casts there ('01' = 1, ' 1' = 1) cannot be
+    replayed against a bitset of exact strings."""
+    if isinstance(value, bool):
+        value = int(value)  # Spark CAST(true AS STRING)='true', Python 'True'
+    if isinstance(value, float):
+        if value != value or value in (float("inf"), float("-inf")):
+            return None
+        if float(value).is_integer() and abs(value) <= 2**53:
+            value = int(value)
+        else:
+            return None  # no exact string twin; zone maps own fractionals
+    if isinstance(value, int):
+        return str(value) if kind is None or kind in _BLOOM_INT_KINDS else None
+    if isinstance(value, str):
+        return value if kind is None or kind == "string" else None
+    return None
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    """Segment-level membership verdict honoring the no-false-negatives
+    guarantee: an un-canonicalizable probe keeps the segment."""
+    key = _bloom_probe_key(value, bloom.get("kind"))
+    if key is None:
+        return True
+    return _bloom_test(bloom["bits"], bloom["m"], bloom["k"], key)
+
+
 def _bloom_positions_py(value, m: int, k: int) -> list[int]:
     """The k bit positions of ``value`` — MUST match the Spark-side
     expression in _bloom_build bit-for-bit. Both sides hash the value's
@@ -223,15 +309,18 @@ def _bloom_positions_py(value, m: int, k: int) -> list[int]:
     return [int(h[8 * i : 8 * i + 8], 16) % m for i in range(k)]
 
 
-def _bloom_build(df: DataFrame, col: str, m: int, k: int) -> str:
-    """One aggregation job -> base64 little-endian word bitset (m bits).
-    Restricted to string/integer-family columns: their Spark
-    CAST(.. AS STRING) equals Python str() (floats don't — '1.0E-7' vs
-    '1e-07' — and are the zone map's job anyway)."""
+def _bloom_build(df: DataFrame, col: str, m: int, k: int) -> tuple[str, float]:
+    """One aggregation job -> (base64 little-endian word bitset of m bits,
+    fill ratio = set bits / m). Restricted to string/integer-family
+    columns: their Spark CAST(.. AS STRING) equals Python str() (floats
+    don't — '1.0E-7' vs '1e-07' — and are the zone map's job anyway). The
+    fill ratio is the saturation signal: past ~50% the fpp collapses
+    toward 1 and the caller drops the bloom rather than carry dead
+    manifest weight that prunes nothing."""
     import base64
 
     kind = df.schema[col].dataType.simpleString()
-    if kind not in ("string", "tinyint", "smallint", "int", "bigint"):
+    if kind not in ("string", *_BLOOM_INT_KINDS):
         raise ValueError(
             f"bloom filter on {col!r} ({kind}): only string/integer "
             "columns hash identically in Spark and Python; use zone maps "
@@ -256,11 +345,12 @@ def _bloom_build(df: DataFrame, col: str, m: int, k: int) -> str:
         .collect()
     )
     buf = bytearray(m // 8)
+    set_bits = 0
     for r in words:
-        buf[r["w"] * 8 : r["w"] * 8 + 8] = int(r["word"]).to_bytes(
-            8, "little", signed=True
-        )
-    return base64.b64encode(bytes(buf)).decode("ascii")
+        w = int(r["word"])
+        buf[r["w"] * 8 : r["w"] * 8 + 8] = w.to_bytes(8, "little", signed=True)
+        set_bits += (w & 0xFFFFFFFFFFFFFFFF).bit_count()
+    return base64.b64encode(bytes(buf)).decode("ascii"), set_bits / m
 
 
 def _bloom_test(blob: str, m: int, k: int, value) -> bool:
@@ -284,6 +374,15 @@ def _bloom_union(blobs: list[str]) -> str:
         for i in range(len(out)):
             out[i] |= b[i]
     return base64.b64encode(bytes(out)).decode("ascii")
+
+
+def _bloom_fill(blob: str, m: int) -> float:
+    """Set-bit fraction of a stored bitset — the saturation check for
+    OR-merged compaction blooms (a union of healthy blooms can still
+    saturate; keeping it would advertise pruning that never fires)."""
+    import base64
+
+    return sum(b.bit_count() for b in base64.b64decode(blob)) / m
 
 
 def _cmp_lt(a, b) -> bool:
@@ -330,10 +429,16 @@ class SegmentStore:
     def _as_doc(raw) -> dict:
         """Normalize a stored manifest to the doc shape. Pre-tombstone
         manifests were a bare entries list; the doc adds store-level state
-        (tombstones) that isn't per-segment. Old files keep reading."""
+        that isn't per-segment: ``tombstones`` and ``renumber_epoch`` — a
+        monotone counter bumped ONLY by :meth:`purge` (the one operation
+        that renumbers the global row space). Any writer or consumer whose
+        work depends on stable row_ids compares the epoch it read against
+        the epoch it publishes/catches-up to; a mismatch means its row_ids
+        name different rows now and MUST surface as a conflict, never be
+        silently republished. Old files keep reading (epoch defaults 0)."""
         if isinstance(raw, list):
-            return {"segments": raw, "tombstones": []}
-        return {"tombstones": [], **raw}
+            return {"segments": raw, "tombstones": [], "renumber_epoch": 0}
+        return {"tombstones": [], "renumber_epoch": 0, **raw}
 
     def manifest(self) -> list[dict]:
         """Current segment entries (see manifest_doc for the full doc) =
@@ -400,12 +505,13 @@ class SegmentStore:
         races inside the publish call itself; every multi-step writer must
         pass its read version.
 
-        ``entries`` may be a bare segment list (tombstones carried over
-        from the current doc) or a full manifest doc."""
+        ``entries`` may be a bare segment list (tombstones and
+        renumber_epoch carried over from the current doc) or a full
+        manifest doc."""
         doc = (
-            {"segments": entries, "tombstones": self.manifest_doc()["tombstones"]}
+            dict(self.manifest_doc(), segments=entries)
             if isinstance(entries, list)
-            else entries
+            else self._as_doc(entries)
         )
         v = (
             base_version if base_version is not None
@@ -558,7 +664,18 @@ class SegmentStore:
         to_total = sum(e["n_rows"] for e in to_doc["segments"])
         from_files = {t["file"] for t in from_doc["tombstones"]}
         to_files = {t["file"] for t in to_doc["tombstones"]}
-        if to_total < from_total or not from_files <= to_files:
+        # the renumber EPOCH is the authoritative purge detector: the old
+        # heuristic (total shrank / tombstone files vanished) had a false-
+        # negative window — a delete→purge→append sequence whose appends
+        # regrow past from_total, starting from a tombstone-free
+        # from_version, passed both checks and silently mapped the
+        # consumer's row_ids onto a renumbered space. The heuristic stays
+        # as a backstop for legacy manifests that predate the epoch.
+        if (
+            from_doc["renumber_epoch"] != to_doc["renumber_epoch"]
+            or to_total < from_total
+            or not from_files <= to_files
+        ):
             raise ValueError(
                 f"row space was renumbered between versions {from_version} "
                 f"and {to_v} (purge): no incremental delta exists — do a "
@@ -650,7 +767,9 @@ class SegmentStore:
                 removed.append(name)
         return removed
 
-    def vacuum(self, keep_last: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_last: int = 1, min_age_seconds: float = 0.0
+    ) -> list[str]:
         """Drop all but the last ``keep_last`` snapshot versions, then sweep
         the segment dirs that are no longer referenced by any retained
         version (the storage-reclaim half of time travel; `open_at` on a
@@ -659,11 +778,27 @@ class SegmentStore:
         Dirs referenced by the DROPPED versions were durably committed, so
         they are reclaimed immediately; dirs referenced by no version ever
         may belong to an in-flight concurrent commit and get the reconcile
-        grace window instead."""
+        grace window instead.
+
+        ``min_age_seconds`` is the RETENTION window on version files (the
+        version-grain twin of reconcile's orphan grace): versions younger
+        than it are kept beyond ``keep_last``, because a concurrent reader
+        that just resolved a version (open_at, read_changes catch-up) holds
+        a reference no filesystem can see — deleting the version file and
+        its segment dirs under that reader fails its scan mid-flight.
+        Delta's VACUUM retention default solves the identical race; pass 0
+        only when no concurrent reader can be active."""
         import shutil
 
         all_vs = self.versions()
         keep = set(all_vs[-max(keep_last, 1):])
+        if min_age_seconds > 0:
+            now = time.time()
+            for v in all_vs:
+                p = os.path.join(self.path, f"manifest-v{v:06d}.json")
+                with contextlib.suppress(OSError):
+                    if now - os.path.getmtime(p) < min_age_seconds:
+                        keep.add(v)
         dropped_refs: set[str] = set()
         for v in all_vs:
             if v not in keep:
@@ -718,8 +853,8 @@ class SegmentStore:
         n_rows: int | None = None,
         sketch_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
-        bloom_m: int = 1 << 16,
-        bloom_k: int = 4,
+        bloom_m: int | None = None,
+        bloom_k: int | None = None,
     ) -> dict:
         """Write one segment's data (and index) under seg-<id>/ WITHOUT
         touching the manifest. Job-count discipline (constant-factor fix):
@@ -791,19 +926,34 @@ class SegmentStore:
                 if row[c] is not None
             }
         if bloom_cols:
-            # per-column Bloom membership bitsets in the manifest (~11 KB
-            # base64 at the default 64 Kbit): POINT-lookup segment
-            # skipping on unsorted high-cardinality keys — the case zone
-            # maps can't prune (their min/max envelope of a shuffled key
-            # spans everything). Probes are pure driver-side Python.
-            entry["blooms"] = {
-                c: {
-                    "m": bloom_m,
-                    "k": bloom_k,
-                    "bits": _bloom_build(df, c, bloom_m, bloom_k),
+            # per-column Bloom membership bitsets in the manifest: POINT-
+            # lookup segment skipping on unsorted high-cardinality keys —
+            # the case zone maps can't prune (their min/max envelope of a
+            # shuffled key spans everything). Probes are pure driver-side
+            # Python. Geometry auto-sizes from the segment's row count at
+            # the target fpp unless pinned by the caller; a build whose
+            # bitset exceeds 50% fill (row count past the manifest budget)
+            # is DROPPED and flagged — a saturated bloom prunes nothing
+            # but still costs manifest bytes and probe time. The stored
+            # column kind canonicalizes coercing probes (1.0 vs int col).
+            m = bloom_m if bloom_m is not None else _bloom_geometry(n_rows)[0]
+            k = bloom_k if bloom_k is not None else _bloom_geometry(n_rows)[1]
+            blooms, dropped = {}, []
+            for c in bloom_cols:
+                bits, fill = _bloom_build(df, c, m, k)
+                if fill > _BLOOM_MAX_FILL:
+                    dropped.append(c)
+                    continue
+                blooms[c] = {
+                    "m": m,
+                    "k": k,
+                    "bits": bits,
+                    "kind": df.schema[c].dataType.simpleString(),
                 }
-                for c in bloom_cols
-            }
+            if blooms:
+                entry["blooms"] = blooms
+            if dropped:
+                entry["blooms_dropped"] = sorted(dropped)
         return entry
 
     def write_segment(
@@ -815,6 +965,8 @@ class SegmentStore:
         batch_key: str | None = None,
         sketch_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        bloom_m: int | None = None,
+        bloom_k: int | None = None,
     ) -> dict:
         """Append one immutable segment (S1/S3/S5). Local row ids are
         0..n-1 within the segment; the global offset comes from the
@@ -852,6 +1004,7 @@ class SegmentStore:
         entry = self._write_segment_files(
             df, seg_id, index_conf, order_keys=order_keys, n_rows=n_rows,
             sketch_cols=sketch_cols, bloom_cols=bloom_cols,
+            bloom_m=bloom_m, bloom_k=bloom_k,
         )
         if batch_key is not None:
             entry["batch_key"] = batch_key
@@ -1074,7 +1227,8 @@ class SegmentStore:
             spark,
             self._open_superset(
                 spark,
-                self.pruned_entries(predicates, at_version),
+                # prune the SAME doc the tombstones come from (one read)
+                [e for e in doc["segments"] if _entry_overlaps(e, predicates)],
                 doc["segments"],
                 defaults,
             ),
@@ -1113,12 +1267,23 @@ class SegmentStore:
         entries = (
             self.manifest() if at_version is None else self.manifest_at(at_version)
         )
-        out = []
-        for e in entries:
-            b = (e.get("blooms") or {}).get(col)
-            if b is None or _bloom_test(b["bits"], b["m"], b["k"], value):
-                out.append(e)
-        return out
+        return self._pruned_point(entries, col, value)
+
+    @staticmethod
+    def _pruned_point(entries: list[dict], col: str, value) -> list[dict]:
+        """Bloom pruning over an ALREADY-READ entry list — planners that
+        stack several pruning layers read the manifest doc once and thread
+        it through (re-reading between layers lets a concurrent commit
+        produce a mixed-version plan: e.g. old tombstones applied to new
+        survivors). Probe values are canonicalized against the bloom's
+        stored column kind (_bloom_probe_key) so Spark's coercing equality
+        (1.0 == 1) never turns into a false-negative prune."""
+        return [
+            e
+            for e in entries
+            if (b := (e.get("blooms") or {}).get(col)) is None
+            or _bloom_may_contain(b, value)
+        ]
 
     def open_point(
         self,
@@ -1141,7 +1306,7 @@ class SegmentStore:
             spark,
             self._open_superset(
                 spark,
-                self.pruned_entries_point(col, value, at_version),
+                self._pruned_point(doc["segments"], col, value),
                 doc["segments"],
                 defaults,
             ),
@@ -1267,8 +1432,15 @@ class SegmentStore:
         Concurrency: commits via the same OCC loop as appends. Deletes
         commute with appends and compactions; racing a concurrent DELETE,
         the overlap is subtracted from this tombstone before republishing
-        so tombstone sets stay disjoint and ``live_rows`` stays exact."""
+        so tombstone sets stay disjoint and ``live_rows`` stays exact.
+        Racing a concurrent PURGE does NOT commute — the purge renumbered
+        the row space, so this delete's already-written row_ids name
+        different rows now; the retry detects the renumber epoch bump and
+        raises ManifestConflictError ("re-run delete_where") instead of
+        republishing stale ids (which would silently hide the WRONG rows
+        while the rows the caller asked to delete stay live)."""
         doc, base_v = self.manifest_doc_versioned()
+        epoch = doc["renumber_epoch"]
         live = self._apply_tombstones(
             spark, self._open_entries(spark, doc["segments"]), doc["tombstones"]
         )
@@ -1277,7 +1449,9 @@ class SegmentStore:
         fname = f"del-{del_id:05d}"
         fpath = os.path.join(self.path, fname)
         live.filter(pred).select("row_id").write.mode("overwrite").parquet(fpath)
-        n = int(spark.read.parquet(fpath).count())  # metadata-only count
+        # exact count from the Parquet footers just written — driver-side
+        # metadata, zero extra Spark jobs (the write already produced them)
+        n = _parquet_dir_rows(fpath)
         known = {t["file"] for t in doc["tombstones"]}
         for _ in range(_COMMIT_RETRIES):
             if n == 0:
@@ -1294,6 +1468,21 @@ class SegmentStore:
                 return t
             except ManifestConflictError:
                 doc, base_v = self.manifest_doc_versioned()
+                if doc["renumber_epoch"] != epoch:
+                    # a purge landed after our read: the row space was
+                    # renumbered, so the id-list we wrote is meaningless in
+                    # the fresh store — drop it and surface the conflict
+                    # (the same contract purge enforces for the reverse
+                    # ordering; writeMergedDf's single-writer renumbering
+                    # discipline, Dfs.scala:222-228, made detectable)
+                    import shutil
+
+                    shutil.rmtree(fpath, ignore_errors=True)
+                    raise ManifestConflictError(
+                        f"delete_where raced a purge in {self.path}: the row "
+                        "space was renumbered, so the computed row_ids are "
+                        "stale — re-run delete_where against the fresh store"
+                    ) from None
                 newly = [x for x in doc["tombstones"] if x["file"] not in known]
                 known = {x["file"] for x in doc["tombstones"]}
                 if newly:
@@ -1313,7 +1502,7 @@ class SegmentStore:
 
                     shutil.rmtree(fpath, ignore_errors=True)
                     os.replace(tmp, fpath)
-                    n = int(spark.read.parquet(fpath).count())
+                    n = _parquet_dir_rows(fpath)
         raise ManifestConflictError(
             f"delete_where lost the manifest race {_COMMIT_RETRIES} times in "
             f"{self.path}; giving up"
@@ -1376,7 +1565,16 @@ class SegmentStore:
             entry["batch_keys"] = sorted(keys)
         try:
             self._publish(
-                {"segments": [entry], "tombstones": []}, base_version=base_v
+                {
+                    "segments": [entry],
+                    "tombstones": [],
+                    # purge is the ONE renumbering operation: bump the
+                    # monotone epoch so every reader/writer holding
+                    # pre-purge row_ids (delete_where retries, change-feed
+                    # consumers) detects that its ids name different rows
+                    "renumber_epoch": doc["renumber_epoch"] + 1,
+                },
+                base_version=base_v,
             )
         except ManifestConflictError:
             import shutil
@@ -1445,11 +1643,17 @@ class SegmentStore:
         ``access.smart_filter``."""
         from iodf_spark.operators.access import smart_filter as _sf
 
+        # ONE manifest read per call: entries, tombstones and the total
+        # row count must come from the SAME doc — re-reading between
+        # pruning layers lets a commit land in the gap and yields a
+        # mixed-version plan (e.g. old tombstones over new survivors:
+        # freshly deleted rows reappear)
         doc = self.manifest_doc()
         entries = doc["segments"]
+        total = sum(e["n_rows"] for e in entries)
         survivors = [
             e
-            for e in self.pruned_entries_point(col, value)
+            for e in self._pruned_point(entries, col, value)
             if _entry_overlaps(e, [(col, value, value)])
         ]
         plan = {
@@ -1472,7 +1676,7 @@ class SegmentStore:
         if covered:
             ix = self._merged_index_frame(spark, survivors, base=0)
             rows, path = _sf(
-                data, ix, col, value, self.total_rows(), threshold,
+                data, ix, col, value, total, threshold,
                 bucket_size=self.bucket_size,
             )
             plan["path"] = path
@@ -1501,8 +1705,10 @@ class SegmentStore:
 
         if not preds:
             raise ValueError("smart_filter_all needs at least one predicate")
+        # one manifest read per call (see smart_filter)
         doc = self.manifest_doc()
         entries = doc["segments"]
+        total = sum(e["n_rows"] for e in entries)
         ranges = [
             (p[0], p[1], p[2]) if len(p) == 3 else (p[0], p[1], p[1])
             for p in preds
@@ -1510,12 +1716,7 @@ class SegmentStore:
         survivors = [e for e in entries if _entry_overlaps(e, ranges)]
         for p in preds:
             if len(p) == 2:
-                survivors = [
-                    e
-                    for e in survivors
-                    if (b := (e.get("blooms") or {}).get(p[0])) is None
-                    or _bloom_test(b["bits"], b["m"], b["k"], p[1])
-                ]
+                survivors = self._pruned_point(survivors, p[0], p[1])
         plan = {
             "segments": len(entries),
             "survivors": len(survivors),
@@ -1534,7 +1735,7 @@ class SegmentStore:
         if covered:
             ix = self._merged_index_frame(spark, survivors, base=0)
             rows, routed = _sfa(
-                data, ix, preds, self.total_rows(), threshold,
+                data, ix, preds, total, threshold,
                 bucket_size=self.bucket_size,
             )
             plan["routed"] = {
@@ -1571,8 +1772,10 @@ class SegmentStore:
 
         if not preds:
             raise ValueError("smart_filter_any needs at least one predicate")
+        # one manifest read per call (see smart_filter)
         doc = self.manifest_doc()
         entries = doc["segments"]
+        total = sum(e["n_rows"] for e in entries)
 
         def arm_allows(e: dict, p: tuple) -> bool:
             if len(p) == 3:
@@ -1580,7 +1783,7 @@ class SegmentStore:
             if not _entry_overlaps(e, [(p[0], p[1], p[1])]):
                 return False
             b = (e.get("blooms") or {}).get(p[0])
-            return b is None or _bloom_test(b["bits"], b["m"], b["k"], p[1])
+            return b is None or _bloom_may_contain(b, p[1])
 
         survivors = [e for e in entries if any(arm_allows(e, p) for p in preds)]
         plan = {
@@ -1601,7 +1804,7 @@ class SegmentStore:
         if covered:
             ix = self._merged_index_frame(spark, survivors, base=0)
             rows, path = _sfy(
-                data, ix, preds, self.total_rows(), threshold,
+                data, ix, preds, total, threshold,
                 bucket_size=self.bucket_size,
             )
             plan["path"] = path
@@ -1809,18 +2012,40 @@ class SegmentStore:
             entry["sketches"] = merged_sketches
         # blooms compose like sketches: bitwise OR is exactly the bloom of
         # the union (same hash geometry), so compaction keeps point-skip
-        # metadata without rescanning data. Mismatched geometries drop the
-        # column (correct: absence of a bloom just disables pruning).
+        # metadata without rescanning data — the free fast path. But a
+        # union of healthy blooms carries k·N keys in a bitset sized for
+        # k·n, so big merges SATURATE it; those columns (and mismatched
+        # geometries) are instead REBUILT at the auto geometry for the
+        # merged row count — compaction is already rewriting this data,
+        # so one extra aggregation per column restores the target fpp
+        # instead of letting pruning quietly decay at every merge level.
         bl_sets = [e.get("blooms") or {} for e in run]
-        merged_blooms = {}
-        for c in set.intersection(*[set(b) for b in bl_sets]) if bl_sets else set():
+        shared = set.intersection(*[set(b) for b in bl_sets]) if bl_sets else set()
+        merged_blooms, rebuild_cols = {}, []
+        for c in shared:
             geoms = {(b[c]["m"], b[c]["k"]) for b in bl_sets}
             if len(geoms) == 1:
                 m_, k_ = geoms.pop()
+                bits = _bloom_union([b[c]["bits"] for b in bl_sets])
+                if _bloom_fill(bits, m_) <= _BLOOM_MAX_FILL:
+                    merged_blooms[c] = {"m": m_, "k": k_, "bits": bits}
+                    kinds = {b[c].get("kind") for b in bl_sets}
+                    if len(kinds) == 1 and None not in kinds:
+                        merged_blooms[c]["kind"] = kinds.pop()
+                    continue
+            rebuild_cols.append(c)
+        for c in sorted(rebuild_cols):
+            m_, k_ = _bloom_geometry(entry["n_rows"])
+            try:
+                bits, fill = _bloom_build(merged, c, m_, k_)
+            except ValueError:  # type widened out of the bloomable family
+                continue
+            if fill <= _BLOOM_MAX_FILL:
                 merged_blooms[c] = {
                     "m": m_,
                     "k": k_,
-                    "bits": _bloom_union([b[c]["bits"] for b in bl_sets]),
+                    "bits": bits,
+                    "kind": merged.schema[c].dataType.simpleString(),
                 }
         if merged_blooms:
             entry["blooms"] = merged_blooms

@@ -122,3 +122,102 @@ def bloom_fixture(spark, tmp_path_factory):
     for v in ints:
         assert _bloom_test(b2["bits"], b2["m"], b2["k"], v), v
     return b1["bits"], b1["m"], b1["k"], set(values)
+
+
+def test_coercing_probe_never_false_negative(spark, store):
+    """MEDIUM pin: the build hashed CAST(col AS STRING); a raw str(value)
+    probe diverges under Spark's coercing equality — probing an int column
+    with the float 1.0 hashed '1.0' vs stored '1' and PRUNED segments
+    `1.0 == 1` matches (silently dropped rows). Probe values are now
+    canonicalized against the bloom's stored column kind."""
+    store.write_segment(_users(spark, 0, 400), order_keys=["k"], bloom_cols=["k", "uid"])
+    store.write_segment(_users(spark, 400, 800), order_keys=["k"], bloom_cols=["k", "uid"])
+    # float probe of an int column: 42.0 must keep segment 0 (42 lives there)
+    kept = store.pruned_entries_point("k", 42.0)
+    assert any(e["segment_id"] == 0 for e in kept)
+    # and the coercing read agrees with the full scan
+    assert (
+        store.open_point(spark, "k", 42.0).filter(F.col("k") == 42.0).count()
+        == store.open(spark).filter(F.col("k") == 42.0).count()
+        == 1
+    )
+    # bool probe of an int column containing 1: str(True)='True' would
+    # false-negative; canonicalized to '1' it keeps segment 0
+    assert any(e["segment_id"] == 0 for e in store.pruned_entries_point("k", True))
+    # cross-family probes cannot be replayed against exact-string hashes:
+    # they must SKIP pruning (keep everything), never prune wrongly
+    assert len(store.pruned_entries_point("k", "42")) == 2  # str vs int col
+    assert len(store.pruned_entries_point("uid", 7)) == 2  # int vs str col
+    assert len(store.pruned_entries_point("k", 1.5)) == 2  # fractional float
+    # exact probes still prune
+    assert len(store.pruned_entries_point("k", 42)) < 2
+    assert len(store.pruned_entries_point("uid", "user-650")) < 2
+
+
+def test_bloom_geometry_auto_sizing_and_fpp(spark, store):
+    """Auto geometry: m,k derive from the segment's row count at the
+    target fpp (the round-5 fixed 64 Kbit saturated at large segments).
+    Measured fpp over absent keys must respect a loose bound of the
+    design target."""
+    from iodf_spark.sources.segments import _bloom_geometry, _bloom_may_contain
+
+    # formula shape: m grows ~linearly in n, k stays near (m/n)ln2
+    m1, k1 = _bloom_geometry(1_000)
+    m2, k2 = _bloom_geometry(100_000)
+    assert m1 % 64 == 0 and m2 % 64 == 0
+    assert 9 * 1_000 < m1 < 11 * 1_000  # ~9.6 bits/key at fpp=0.01
+    assert 9 * 100_000 < m2 < 11 * 100_000
+    assert 1 <= k1 <= 8 and 1 <= k2 <= 8
+    # the budget cap binds eventually
+    m3, _ = _bloom_geometry(10**9)
+    assert m3 == 1 << 20
+    # measured fpp: 5k-key bloom probed with 2k absent keys
+    e = store.write_segment(
+        _users(spark, 0, 5000), order_keys=["k"], bloom_cols=["uid"]
+    )
+    b = e["blooms"]["uid"]
+    false_pos = sum(
+        _bloom_may_contain(b, f"user-{i}") for i in range(10_000, 12_000)
+    )
+    assert false_pos / 2000 < 0.05  # target 0.01, loose 5x bound
+
+
+def test_saturated_bloom_dropped_and_flagged(spark, store):
+    """A bitset past ~50% fill prunes nothing (fpp -> 1) while still
+    costing manifest bytes: the build must drop it and flag the column,
+    not advertise dead pruning metadata."""
+    e = store.write_segment(
+        _users(spark, 0, 3000),
+        order_keys=["k"],
+        bloom_cols=["uid"],
+        # pin a geometry far too small for 3000 keys: saturates
+        bloom_m=256,
+        bloom_k=4,
+    )
+    assert "uid" in e.get("blooms_dropped", [])
+    assert "uid" not in (e.get("blooms") or {})
+    # absence of a bloom = conservatively kept: no false negatives
+    assert len(store.pruned_entries_point("uid", "user-1")) == 1
+
+
+def test_compaction_rebuilds_saturating_bloom_union(spark, store):
+    """OR-merging healthy blooms from a big run saturates the shared
+    geometry; compaction must REBUILD those columns at the merged row
+    count's geometry (it is rewriting the data anyway) so the target fpp
+    survives merge levels instead of quietly decaying."""
+    for lo in range(0, 4000, 1000):
+        store.write_segment(
+            _users(spark, lo, lo + 1000), order_keys=["k"], bloom_cols=["uid"]
+        )
+    store.compact(spark)
+    [entry] = store.manifest()
+    b = entry.get("blooms", {}).get("uid")
+    assert b is not None, "merged bloom was dropped instead of rebuilt"
+    # rebuilt at the 4000-row geometry, not the per-1000-row one
+    from iodf_spark.sources.segments import _bloom_fill, _bloom_geometry
+
+    assert b["m"] == _bloom_geometry(4000)[0]
+    assert _bloom_fill(b["bits"], b["m"]) <= 0.6
+    # it still answers for every member's values
+    for probe in ["user-5", "user-1500", "user-3999"]:
+        assert len(store.pruned_entries_point("uid", probe)) == 1

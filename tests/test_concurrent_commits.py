@@ -213,3 +213,71 @@ def test_threaded_appends_all_commit(spark, path):
     # row_id space is dense and collision-free
     assert df.select("row_id").distinct().count() == acc
     assert df.agg(F.max("row_id")).collect()[0][0] == acc - 1
+
+
+def test_delete_where_racing_purge_raises_not_corrupts(spark, path):
+    """HIGH-severity pin: delete_where losing its OCC race to a concurrent
+    PURGE must raise (its computed row_ids were renumbered out from under
+    it), NEVER republish the pre-purge id-list — that would silently hide
+    the wrong rows while the rows the caller asked to delete stay live.
+    The purge's renumber epoch bump is the detector."""
+    store = SegmentStore(path)
+    store.write_segment(_df(spark, 0, 40), order_keys=["k"])
+    store.delete_where(spark, "k < 10")  # rows 0..9 tombstoned
+    victim = SegmentStore(path)
+
+    def competitor():
+        SegmentStore(path).purge(spark)  # renumbers: live rows now 0..29
+
+    _inject_then_conflict(victim, competitor)
+    with pytest.raises(ManifestConflictError, match="re-run delete_where"):
+        victim.delete_where(spark, "k >= 30")
+    # the loser's id-list must not survive as a referenced tombstone: the
+    # store still reads exactly the purge's 30 live rows
+    fresh = SegmentStore(path)
+    assert fresh.manifest_doc()["tombstones"] == []
+    assert fresh.live_rows() == 30
+    got = sorted(r["k"] for r in fresh.open(spark).collect())
+    assert got == list(range(10, 40))
+    # and the caller's re-run (the documented contract) deletes the right
+    # rows in the renumbered space
+    t = fresh.delete_where(spark, "k >= 30")
+    assert t["n"] == 10
+    assert sorted(r["k"] for r in fresh.open(spark).collect()) == list(range(10, 30))
+
+
+def test_purge_bumps_renumber_epoch_monotonically(spark, path):
+    store = SegmentStore(path)
+    store.write_segment(_df(spark, 0, 20), order_keys=["k"])
+    assert store.manifest_doc()["renumber_epoch"] == 0
+    store.delete_where(spark, "k < 3")
+    assert store.manifest_doc()["renumber_epoch"] == 0  # deletes don't renumber
+    store.purge(spark)
+    assert store.manifest_doc()["renumber_epoch"] == 1
+    store.write_segment(_df(spark, 100, 110), order_keys=["k"])
+    assert store.manifest_doc()["renumber_epoch"] == 1  # appends carry it
+    store.compact(spark)
+    assert store.manifest_doc()["renumber_epoch"] == 1  # compaction too
+    store.delete_where(spark, "k >= 105")
+    store.purge(spark)
+    assert store.manifest_doc()["renumber_epoch"] == 2
+
+
+def test_vacuum_retention_window_spares_young_versions(spark, path):
+    """A concurrent reader that just resolved a version holds an invisible
+    reference; vacuum's min-age retention (Delta's VACUUM window) must
+    keep young version files — and their segment dirs — readable."""
+    store = SegmentStore(path)
+    store.write_segment(_df(spark, 0, 10), order_keys=["k"])  # v1
+    store.write_segment(_df(spark, 10, 20), order_keys=["k"])  # v2
+    store.compact(spark)  # v3: v1/v2's segments now unreferenced by latest
+    removed = store.vacuum(keep_last=1, min_age_seconds=3600)
+    assert store.versions() == [1, 2, 3]  # all younger than the window
+    assert removed == []
+    # the old snapshot is still fully readable (files spared)
+    assert store.open_at(spark, 1).count() == 10
+    # outside the window the same call reclaims
+    store.vacuum(keep_last=1, min_age_seconds=0)
+    assert store.versions() == [3]
+    with pytest.raises(ValueError):
+        store.open_at(spark, 1)

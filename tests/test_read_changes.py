@@ -80,3 +80,21 @@ def test_purge_window_refuses_delta(spark, store):
     store.write_segment(_df(spark, 200, 210), order_keys=["k"])  # v4
     ch = store.read_changes(spark, 3)
     assert sorted(r["k"] for r in ch.collect()) == list(range(200, 210))
+
+
+def test_delete_purge_append_window_detected(spark, store):
+    """MEDIUM pin: the old purge detector (total shrank / tombstone files
+    vanished) had a false-negative window — from_version carries no
+    tombstones (the empty set is a subset of everything) and post-purge
+    appends regrow the total past from_total. The renumber epoch closes
+    it: the delta must be refused, not silently mapped onto a renumbered
+    row space."""
+    store.write_segment(_df(spark, 0, 40), order_keys=["k"])  # v1: no tombs
+    store.delete_where(spark, "k < 20")  # v2
+    store.purge(spark)  # v3: renumbered, tombstones emptied
+    store.write_segment(_df(spark, 100, 140), order_keys=["k"])  # v4: 60 >= 40
+    to_doc = store.manifest_doc()
+    assert sum(e["n_rows"] for e in to_doc["segments"]) >= 40  # regrown
+    assert to_doc["tombstones"] == []  # old heuristic sees nothing wrong
+    with pytest.raises(ValueError, match="full refresh"):
+        store.read_changes(spark, 1)

@@ -157,3 +157,40 @@ def test_empty_predicate_lists_raise(spark, store):
         smart_filter_all(store.open(spark), None, [], 1)
     with pytest.raises(ValueError, match="at least one predicate"):
         smart_filter_any(store.open(spark), None, [], 1)
+
+
+def test_planner_reads_manifest_exactly_once(spark, store, monkeypatch):
+    """LOW pin: a smart_filter call must derive entries, tombstones AND
+    the total row count from ONE manifest doc read — repeated reads let a
+    commit land between them and produce a mixed-version plan (e.g. old
+    tombstones over new survivors: freshly deleted rows reappear)."""
+    calls = {"doc": 0}
+    orig_doc = SegmentStore.manifest_doc
+
+    def counting_doc(self):
+        calls["doc"] += 1
+        return orig_doc(self)
+
+    monkeypatch.setattr(SegmentStore, "manifest_doc", counting_doc)
+
+    def forbid(self, *a, **k):  # any extra metadata read = a second view
+        raise AssertionError("planner re-read the manifest mid-plan")
+
+    monkeypatch.setattr(SegmentStore, "total_rows", forbid)
+    monkeypatch.setattr(SegmentStore, "pruned_entries_point", forbid)
+    monkeypatch.setattr(SegmentStore, "pruned_entries", forbid)
+
+    calls["doc"] = 0
+    rows, plan = store.smart_filter(spark, "tag", "t3")
+    assert calls["doc"] == 1
+    assert rows.count() > 0
+
+    calls["doc"] = 0
+    rows, plan = store.smart_filter_all(spark, [("tag", "t3"), ("k", 0, 700)])
+    assert calls["doc"] == 1
+    assert rows.count() > 0
+
+    calls["doc"] = 0
+    rows, path = store.smart_filter_any(spark, [("tag", "t3"), ("uid", "u42")])
+    assert calls["doc"] == 1
+    assert rows.count() > 0
