@@ -114,109 +114,155 @@ def q_index_probe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (IndexedDf.scala:71-96: openIndex + f). The chosen path is asserted
     in-process; the oracle checks both paths return exactly the
     predicate's rows."""
+    out = None
+    for _name, thunk in _index_probe_arms(spark, sf_dir):
+        df = thunk()
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _index_probe_arms(spark: SparkSession, sf_dir: str):
+    """ORDERED arm thunks of index_probe_rows (bench times each arm;
+    q_index_probe_rows unions them for the oracle). The batched planner
+    stats read (plan_stats — ONE aggregation feeding every routing
+    decision; five separate smart_filter* calls would each pay their own
+    near-point job) is lazily memoized, so its one-time cost lands in the
+    first planner arm's timing."""
     from iodf_spark.operators.access import (
         plan_stats,
         smart_filter,
         smart_filter_all,
+        smart_filter_any,
     )
 
-    ix, n = _lineitem_index(spark, sf_dir)
-    li = _lineitem(spark, sf_dir)
-    probe_rows = (
-        idx.probe(ix, "l_returnflag", "R", n, encoding_hint="auto")
-        .to_rows()
-        .select(F.lit("probe").alias("variant"), "row_id")
-    )
-    # ONE batched stats read decides every planner arm below (plan_stats):
-    # five separate smart_filter* calls would otherwise each pay their own
-    # near-point aggregation job — the per-job floor, not the stats volume,
-    # dominates at interactive latencies
-    stats = plan_stats(ix, [
-        ("l_quantity", 1), ("l_returnflag", "R"), ("l_quantity", 1.0),
-        ("l_linestatus", "F"), ("l_quantity", 2.0), ("l_quantity", 49.0),
-        ("l_quantity", 1.0, 2.0),
-    ])
-    via_index, p1 = smart_filter(li, ix, "l_quantity", 1, n, sel=stats)
-    via_scan, p2 = smart_filter(li, ix, "l_returnflag", "R", n, sel=stats)
-    if (p1, p2) != ("index", "scan"):  # the decision itself is the feature
-        raise AssertionError(f"unexpected access paths: {(p1, p2)}")
-    # 'auto_multi': CONJUNCTIVE planning — the two selective keys route to
-    # index probes combined by the one-stage n-ary intersect + ONE semi
-    # join, the unselective key stays a pushed-down scan filter
-    via_multi, routed = smart_filter_all(
-        li,
-        ix,
-        [("l_quantity", 1.0), ("l_returnflag", "R"), ("l_linestatus", "F")],
-        n,
-        threshold=0.4,  # l_quantity ~2% and l_returnflag ~33% route to the
-        # index (combined by intersect_all); l_linestatus ~50% stays a scan
-        sel=stats,
-    )
-    if [c for c, _ in routed["index"]] != ["l_quantity", "l_returnflag"] or [
-        c for c, _ in routed["scan"]
-    ] != ["l_linestatus"]:
-        raise AssertionError(f"unexpected multi-key routing: {routed}")
-    # 'auto_any': DISJUNCTIVE planning — two selective keys, union bound
-    # ~4% of rows, so the plan is union_all of the probes + ONE semi join
-    from iodf_spark.operators.access import smart_filter_any
+    memo: dict[str, object] = {}
 
-    via_any, p_any = smart_filter_any(
-        li, ix, [("l_quantity", 1.0), ("l_quantity", 2.0)], n, sel=stats
-    )
-    if p_any != "index":
-        raise AssertionError(f"unexpected disjunctive path: {p_any}")
-    # 'auto_any_range': disjunctive planning with a RANGE term — mixing a
-    # (col, lo, hi) 3-tuple with an equality key, symmetric with the
-    # conjunctive planner (reference: MinBound/MaxBound key-range scans,
-    # IoTypes.scala:50-52 / IndexedDf.scala:50-66, apply in OR contexts
-    # too). Union bound ~6% -> probe_range + probe combined by union_all.
-    via_any_rng, p_any_rng = smart_filter_any(
-        li, ix, [("l_quantity", 1.0, 2.0), ("l_quantity", 49.0)], n, sel=stats
-    )
-    if p_any_rng != "index":
-        raise AssertionError(f"unexpected disjunctive range path: {p_any_rng}")
-    return (
-        probe_rows.unionByName(
-            via_index.select(F.lit("auto_index").alias("variant"), "row_id")
-        )
-        .unionByName(
-            via_scan.select(F.lit("auto_scan").alias("variant"), "row_id")
-        )
-        .unionByName(
-            via_multi.select(F.lit("auto_multi").alias("variant"), "row_id")
-        )
-        .unionByName(
-            via_any.select(F.lit("auto_any").alias("variant"), "row_id")
-        )
-        .unionByName(
-            via_any_rng.select(F.lit("auto_any_range").alias("variant"), "row_id")
-        )
-        .unionByName(q_index_seek(spark, sf_dir))
-    )
+    def ixn() -> tuple[DataFrame, int]:
+        # lazy: the factory itself is side-effect-free (the contract test
+        # enumerates arm names without a SparkSession); the one-time index
+        # build cost lands in the first arm that touches it
+        if "ixn" not in memo:
+            memo["ixn"] = _lineitem_index(spark, sf_dir)
+        return memo["ixn"]  # type: ignore[return-value]
 
+    def li() -> DataFrame:
+        if "li" not in memo:
+            memo["li"] = _lineitem(spark, sf_dir)
+        return memo["li"]  # type: ignore[return-value]
 
-def q_index_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B6 seekable-cursor parity (attested as the 'seek*' rows of
-    index_probe_rows — the 50-entry attestation cap makes it a tagged
-    union): PostingSet.trues_after(t, k) = the first k set ids >= t of the
-    l_returnflag='R' posting set (Scanner.seek,
-    utils/MergeSortIterator.scala:34-58). Variants cover seek-to-0, a
-    mid-bucket seek, and a near-tail seek whose page runs past the end —
-    the distributed 'cursor' is bucket pruning + TakeOrdered, and repeated
-    calls with t = last + 1 paginate exactly like the reference's loop."""
-    ix, n = _lineitem_index(spark, sf_dir)
-    ps = idx.probe(ix, "l_returnflag", "R", n, encoding_hint="auto")
-    out = None
-    for tag, t, k in [
-        ("seek0", 0, 20),
-        ("mid", 1234, 50),
-        ("tail", max(n - 500, 0), 1000),
-    ]:
-        page = ps.trues_after(t, k).select(
-            F.lit(tag).alias("variant"), "row_id"
+    def stats() -> dict:
+        if "s" not in memo:
+            ix, _ = ixn()
+            memo["s"] = plan_stats(ix, [
+                ("l_quantity", 1), ("l_returnflag", "R"), ("l_quantity", 1.0),
+                ("l_linestatus", "F"), ("l_quantity", 2.0), ("l_quantity", 49.0),
+                ("l_quantity", 1.0, 2.0),
+            ])
+        return memo["s"]  # type: ignore[return-value]
+
+    def arm_probe() -> DataFrame:
+        ix, n = ixn()
+        return (
+            idx.probe(ix, "l_returnflag", "R", n, encoding_hint="auto")
+            .to_rows()
+            .select(F.lit("probe").alias("variant"), "row_id")
         )
-        out = page if out is None else out.unionByName(page)
-    return out
+
+    def arm_auto_index() -> DataFrame:
+        # the selective key (l_quantity = 1, ~2%) must route through an
+        # index probe + semi join — the decision itself is the feature
+        ix, n = ixn()
+        via_index, p = smart_filter(li(), ix, "l_quantity", 1, n, sel=stats())
+        if p != "index":
+            raise AssertionError(f"unexpected access path: {p}")
+        return via_index.select(F.lit("auto_index").alias("variant"), "row_id")
+
+    def arm_auto_scan() -> DataFrame:
+        # the unselective key (l_returnflag = 'R', ~33%) must route
+        # through a pushed-down scan filter
+        ix, n = ixn()
+        via_scan, p = smart_filter(li(), ix, "l_returnflag", "R", n, sel=stats())
+        if p != "scan":
+            raise AssertionError(f"unexpected access path: {p}")
+        return via_scan.select(F.lit("auto_scan").alias("variant"), "row_id")
+
+    def arm_auto_multi() -> DataFrame:
+        # CONJUNCTIVE planning — the two selective keys route to index
+        # probes combined by the one-stage n-ary intersect + ONE semi
+        # join, the unselective key stays a pushed-down scan filter
+        ix, n = ixn()
+        via_multi, routed = smart_filter_all(
+            li(),
+            ix,
+            [("l_quantity", 1.0), ("l_returnflag", "R"), ("l_linestatus", "F")],
+            n,
+            threshold=0.4,  # l_quantity ~2% and l_returnflag ~33% route to
+            # the index (combined by intersect_all); l_linestatus ~50% scans
+            sel=stats(),
+        )
+        if [c for c, _ in routed["index"]] != ["l_quantity", "l_returnflag"] or [
+            c for c, _ in routed["scan"]
+        ] != ["l_linestatus"]:
+            raise AssertionError(f"unexpected multi-key routing: {routed}")
+        return via_multi.select(F.lit("auto_multi").alias("variant"), "row_id")
+
+    def arm_auto_any() -> DataFrame:
+        # DISJUNCTIVE planning — two selective keys, union bound ~4% of
+        # rows, so the plan is union_all of the probes + ONE semi join
+        ix, n = ixn()
+        via_any, p = smart_filter_any(
+            li(), ix, [("l_quantity", 1.0), ("l_quantity", 2.0)], n, sel=stats()
+        )
+        if p != "index":
+            raise AssertionError(f"unexpected disjunctive path: {p}")
+        return via_any.select(F.lit("auto_any").alias("variant"), "row_id")
+
+    def arm_auto_any_range() -> DataFrame:
+        # disjunctive planning with a RANGE term — mixing a (col, lo, hi)
+        # 3-tuple with an equality key, symmetric with the conjunctive
+        # planner (reference: MinBound/MaxBound key-range scans,
+        # IoTypes.scala:50-52 / IndexedDf.scala:50-66, apply in OR
+        # contexts too). Union bound ~6% -> probe_range + probe, union_all.
+        ix, n = ixn()
+        via_rng, p = smart_filter_any(
+            li(), ix, [("l_quantity", 1.0, 2.0), ("l_quantity", 49.0)], n,
+            sel=stats(),
+        )
+        if p != "index":
+            raise AssertionError(f"unexpected disjunctive range path: {p}")
+        return via_rng.select(F.lit("auto_any_range").alias("variant"), "row_id")
+
+    def seek_arm(tag: str, t, k: int):
+        # B6 seekable-cursor parity: PostingSet.trues_after(t, k) = the
+        # first k set ids >= t of the l_returnflag='R' posting set
+        # (Scanner.seek, utils/MergeSortIterator.scala:34-58). Arms cover
+        # seek-to-0, a mid-bucket seek, and a near-tail seek whose page
+        # runs past the end — the distributed 'cursor' is bucket pruning
+        # + TakeOrdered; repeated calls with t = last + 1 paginate exactly
+        # like the reference's loop. ``t`` may be a callable of n (the
+        # tail seek depends on the corpus size, unknown until the lazy
+        # index build runs).
+        def arm() -> DataFrame:
+            ix, n = ixn()
+            t_val = t(n) if callable(t) else t
+            ps = idx.probe(ix, "l_returnflag", "R", n, encoding_hint="auto")
+            return ps.trues_after(t_val, k).select(
+                F.lit(tag).alias("variant"), "row_id"
+            )
+
+        return arm
+
+    return [
+        ("probe", arm_probe),
+        ("auto_index", arm_auto_index),
+        ("auto_scan", arm_auto_scan),
+        ("auto_multi", arm_auto_multi),
+        ("auto_any", arm_auto_any),
+        ("auto_any_range", arm_auto_any_range),
+        ("seek0", seek_arm("seek0", 0, 20)),
+        ("mid", seek_arm("mid", 1234, 50)),
+        ("tail", seek_arm("tail", lambda n: max(n - 500, 0), 1000)),
+    ]
 
 
 def q_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,46 +587,87 @@ def _ivf_store_arm(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFram
     )
 
 
+def _ann_topk_arms(spark: SparkSession, sf_dir: str):
+    """ORDERED arm thunks of the ann_topk entry (see q_ann_topk) — split
+    out so bench.py can time each ANN variant individually (the single
+    consolidated cell hid one-arm regressions from the 2x gate)."""
+    from iodf_spark.operators.similarity import ann_brute_force, ann_ivf, ann_lsh
+
+    memo: dict[str, DataFrame] = {}
+
+    def emb() -> DataFrame:
+        # lazy: the factory itself must be side-effect-free (the contract
+        # test enumerates arm names without a SparkSession)
+        if "emb" not in memo:
+            memo["emb"] = load_table(spark, sf_dir, "embeddings")
+        return memo["emb"]
+
+    def tag(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("method"), "*")
+
+    # dim passed explicitly everywhere: each omission costs a full-scan
+    # _infer_dim probe job per arm (the 100 TB rule — the caller knows the
+    # corpus width; six probe scans of the corpus bought nothing)
+    return [
+        (
+            "brute",
+            lambda: tag(
+                "brute",
+                ann_brute_force(emb(), "vec_id", "embedding", ANN_QUERY_IDS, dim=EMB_DIM),
+            ),
+        ),
+        (
+            "lsh_single",
+            lambda: tag(
+                "lsh_single",
+                ann_lsh(emb(), "vec_id", "embedding", ANN_QUERY_IDS, dim=EMB_DIM),
+            ),
+        ),
+        (
+            "lsh_multi",
+            lambda: tag(
+                "lsh_multi",
+                ann_lsh(
+                    emb(), "vec_id", "embedding", ANN_QUERY_IDS,
+                    multi_probe=True, dim=EMB_DIM,
+                ),
+            ),
+        ),
+        (
+            "ivf4",
+            lambda: tag(
+                "ivf4", ann_ivf(emb(), "vec_id", "embedding", ANN_QUERY_IDS, dim=EMB_DIM)
+            ),
+        ),
+        (
+            "ivf64",
+            lambda: tag(
+                "ivf64",
+                ann_ivf(
+                    emb(), "vec_id", "embedding", ANN_QUERY_IDS,
+                    n_centroids=64, n_probe=8, dim=EMB_DIM,
+                ),
+            ),
+        ),
+        (
+            "ivf4_store",
+            lambda: tag("ivf4_store", _ivf_store_arm(spark, sf_dir, emb())),
+        ),
+    ]
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole ANN family in one attested entry (former ann_topk +
     ann_lsh/_mp + ann_ivf/_64 — the 50-entry attestation cap): exact brute
     force as the recall baseline, LSH single- and Hamming-1 multi-probe
-    (corpus hashed once, query-side fan-out only), and IVF at 4-centroid/
+    (corpus hashed once, query-side fan-out only), IVF at 4-centroid/
     2-probe and 64-centroid/8-probe geometries (max_by cell assignment —
-    a narrow agg where a row_number window would sort a 64x expansion)."""
-    from iodf_spark.operators.similarity import ann_brute_force, ann_ivf, ann_lsh
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    # dim passed explicitly everywhere: each omission costs a full-scan
-    # _infer_dim probe job per arm (the 100 TB rule — the caller knows the
-    # corpus width; six probe scans of the corpus bought nothing)
-    arms = [
-        (
-            "brute",
-            ann_brute_force(emb, "vec_id", "embedding", ANN_QUERY_IDS, dim=EMB_DIM),
-        ),
-        ("lsh_single", ann_lsh(emb, "vec_id", "embedding", ANN_QUERY_IDS, dim=EMB_DIM)),
-        (
-            "lsh_multi",
-            ann_lsh(
-                emb, "vec_id", "embedding", ANN_QUERY_IDS,
-                multi_probe=True, dim=EMB_DIM,
-            ),
-        ),
-        ("ivf4", ann_ivf(emb, "vec_id", "embedding", ANN_QUERY_IDS, dim=EMB_DIM)),
-        (
-            "ivf64",
-            ann_ivf(
-                emb, "vec_id", "embedding", ANN_QUERY_IDS,
-                n_centroids=64, n_probe=8, dim=EMB_DIM,
-            ),
-        ),
-        ("ivf4_store", _ivf_store_arm(spark, sf_dir, emb)),
-    ]
+    a narrow agg where a row_number window would sort a 64x expansion),
+    and the persisted IVF store with partition-pruned probes."""
     out = None
-    for tag, df in arms:
-        tagged = df.select(F.lit(tag).alias("method"), "*")
-        out = tagged if out is None else out.unionByName(tagged)
+    for _name, thunk in _ann_topk_arms(spark, sf_dir):
+        df = thunk()
+        out = df if out is None else out.unionByName(df)
     return out.orderBy("method", "query_id", "rank")
 
 
@@ -1414,172 +1501,318 @@ def q_segments_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).to_rows()
 
 
-def q_segments_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """writeMergedDf (Dfs.scala:222-228) + S7 haveIndexedDf
-    (Dfs.scala:546-554) in one attested entry (former segments_compact +
-    have_segments). 'compact': compaction rewrites 3 segments as 1;
-    order-preserving concat keeps every (row_id, row) binding — checked via
-    a content checksum plus the segment count. 'snapshot': time-travel read
-    of manifest version 1 (the PRE-compact 3-segment store — segment files
-    are immutable, so the old manifest against them is the old store); its
-    checksum must equal the compact row's, which attests both snapshot
-    isolation and compaction invariance through one oracle. 'have':
-    create-if-absent memoization — the first call builds and writes, the
-    second is a no-op (asserted in-process); the opened store holds exactly
-    one segment. Further arms below: 'pruned' (zone-map segment skipping),
-    'tiered' (size-tiered compaction), 'sketch' (manifest HLL distinct),
-    and 'delete'/'del_snap'/'cdf'/'purge' (row-level tombstone deletes +
-    time-travel around them + the incremental change feed across the
-    delete window + forced-merge materialization)."""
+def _segments_compact_arms(spark: SparkSession, sf_dir: str):
+    """ORDERED arm thunks of the segments_compact entry (the store
+    lifecycle is stateful: delete must precede cdf must precede purge).
+    Factored this way so bench.py can time each arm individually — a
+    single consolidated timing cell hid one-arm regressions from the 2x
+    gate — while q_segments_compact unions the same thunks for the
+    correctness oracle. Shared lifecycle state lives in ``st``."""
     import tempfile
 
     from iodf_spark.sources.segments import SegmentStore
 
-    store = _orders_store(spark, sf_dir, compact=True)
-    df = store.open(spark, defaults={"flag": 0})
-    compact_row = df.agg(
-        F.lit("compact").alias("src"),
-        F.lit(len(store.manifest())).cast("int").alias("n_segments"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
-    )
-    hstore = SegmentStore(tempfile.mkdtemp(prefix="iodf_have_"))
-    first = hstore.have_segments(
-        lambda: load_table(spark, sf_dir, "region"), order_keys=["r_regionkey"]
-    )
-    second = hstore.have_segments(
-        lambda: load_table(spark, sf_dir, "region"), order_keys=["r_regionkey"]
-    )
-    if first is None or second is not None:  # create-if-absent invariant
-        raise AssertionError("have_segments memoization broken")
-    have_row = hstore.open(spark).agg(
-        F.lit("have").alias("src"),
-        F.lit(len(hstore.manifest())).cast("int").alias("n_segments"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("row_id") * F.col("r_regionkey")).cast("long").alias("checksum"),
-    )
-    snap_entries = store.manifest_at(1)  # the pre-compact 3-segment snapshot
-    snap_row = store.open_at(spark, 1, defaults={"flag": 0}).agg(
-        F.lit("snapshot").alias("src"),
-        F.lit(len(snap_entries)).cast("int").alias("n_segments"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
-    )
-    # 'pruned': zone-map segment pruning over the same 3-segment snapshot —
-    # footer min/max stats prove only the 'P' segment can hold
-    # o_orderstatus='P', so the read plans 1 of 3 segments (asserted
-    # in-process; the oracle attests the surviving rows + global row_ids)
-    prune_pred = [("o_orderstatus", "P", "P")]
-    kept = store.pruned_entries(prune_pred, at_version=1)
-    if len(kept) != 1:
-        raise AssertionError(
-            f"zone maps failed to prune: {len(kept)} of {len(snap_entries)} "
-            "segments survived an o_orderstatus='P' range"
-        )
-    pruned_row = (
-        store.open_pruned(spark, prune_pred, defaults={"flag": 0}, at_version=1)
-        .filter(F.col("o_orderstatus") == "P")
-        .agg(
-            F.lit("pruned").alias("src"),
-            F.lit(len(kept)).cast("int").alias("n_segments"),
+    st: dict[str, object] = {}
+
+    def arm_compact() -> DataFrame:
+        # writeMergedDf (Dfs.scala:222-228): compaction rewrites 3 segments
+        # as 1; order-preserving concat keeps every (row_id, row) binding —
+        # checked via a content checksum plus the segment count
+        store = _orders_store(spark, sf_dir, compact=True)
+        st["store"] = store
+        return store.open(spark, defaults={"flag": 0}).agg(
+            F.lit("compact").alias("src"),
+            F.lit(len(store.manifest())).cast("int").alias("n_segments"),
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
         )
-    )
-    # 'tiered': size-tiered compaction (the LSM policy) — 4 same-tier
-    # region segments merge into ONE in a single adjacent-run rewrite;
-    # content + global row_ids must survive (oracle re-derives the
-    # checksum over 4 concatenated copies)
-    tstore = SegmentStore(tempfile.mkdtemp(prefix="iodf_tiered_"))
-    for _ in range(4):
-        tstore.write_segment(
-            load_table(spark, sf_dir, "region"),
-            order_keys=["r_regionkey"],
-            sketch_cols=["r_regionkey"],
-        )
-    tstore.compact_tiered(spark, fanout=2)
-    if len(tstore.manifest()) != 1:
-        raise AssertionError("tiered compaction left more than one segment")
-    tiered_row = tstore.open(spark).agg(
-        F.lit("tiered").alias("src"),
-        F.lit(len(tstore.manifest())).cast("int").alias("n_segments"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("row_id") * F.col("r_regionkey")).cast("long").alias("checksum"),
-    )
-    # 'sketch': store-level distinct count from manifest HLL sketches only
-    # (union-merged through the tiered compaction above — no data scan);
-    # HLL is exact at this cardinality, so the oracle checks the value
-    est = tstore.approx_distinct(spark, "r_regionkey")
-    sketch_row = tstore.open(spark).agg(
-        F.lit("sketch").alias("src"),
-        F.lit(len(tstore.manifest())).cast("int").alias("n_segments"),
-        F.lit(est).cast("long").alias("n_rows"),
-        F.countDistinct("r_regionkey").cast("long").alias("checksum"),
-    )
-    # 'delete' / 'del_snap' / 'purge': row-level deletes (takedown /
-    # right-to-be-forgotten — absent from the reference's append-only
-    # model, SURVEY.md §1.4; design = Lucene liveDocs, the reference's own
-    # index lineage). delete: tombstone every o_orderpriority='1-URGENT'
-    # row via ONE id-list write, no segment rewrite — open() hides them
-    # while survivors keep their ORIGINAL global row_ids (id-weighted
-    # checksum attests). del_snap: the pre-delete version still reads all
-    # rows (tombstones live in the versioned manifest, not the files).
-    # purge: the forced merge — live rows rewritten as one segment with a
-    # dense renumbered id space preserving survivor order.
-    import shutil
 
-    base3 = _orders_store(spark, sf_dir, compact=False)
-    dpath = tempfile.mkdtemp(prefix="iodf_segs_d_")
-    shutil.rmtree(dpath)
-    shutil.copytree(base3.path, dpath)
-    dstore = SegmentStore(dpath)
-    pre_delete_v = dstore.versions()[-1]
-    t = dstore.delete_where(spark, "o_orderpriority = '1-URGENT'")
-    live = dstore.open(spark, defaults={"flag": 0})
-    if dstore.live_rows() != dstore.total_rows() - t["n"]:
-        raise AssertionError("tombstone accounting drifted")
-    delete_row = live.agg(
-        F.lit("delete").alias("src"),
-        F.lit(len(dstore.manifest())).cast("int").alias("n_segments"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
-    )
-    del_snap_row = dstore.open_at(spark, pre_delete_v, defaults={"flag": 0}).agg(
-        F.lit("del_snap").alias("src"),
-        F.lit(3).cast("int").alias("n_segments"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
-    )
-    # 'cdf': incremental change feed across the delete window — a consumer
-    # at the pre-delete snapshot catches up by reading ONLY the tombstoned
-    # ids (no inserts happened in the window, no corpus rescan); checksum =
-    # the id-sum of exactly the deleted rows
-    cdf_row = dstore.read_changes(spark, pre_delete_v).agg(
-        F.lit("cdf").alias("src"),
-        F.lit(3).cast("int").alias("n_segments"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("row_id").cast("long").alias("checksum"),
-    )
-    dstore.purge(spark)
-    if dstore.manifest_doc()["tombstones"] or dstore.live_rows() != dstore.total_rows():
-        raise AssertionError("purge left tombstones behind")
-    purge_row = dstore.open(spark, defaults={"flag": 0}).agg(
-        F.lit("purge").alias("src"),
-        F.lit(len(dstore.manifest())).cast("int").alias("n_segments"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
-    )
-    return (
-        compact_row.unionByName(have_row)
-        .unionByName(snap_row)
-        .unionByName(pruned_row)
-        .unionByName(tiered_row)
-        .unionByName(sketch_row)
-        .unionByName(delete_row)
-        .unionByName(del_snap_row)
-        .unionByName(cdf_row)
-        .unionByName(purge_row)
-    )
+    def arm_have() -> DataFrame:
+        # S7 haveIndexedDf (Dfs.scala:546-554): create-if-absent — the
+        # first call builds and writes, the second is a no-op
+        hstore = SegmentStore(tempfile.mkdtemp(prefix="iodf_have_"))
+        first = hstore.have_segments(
+            lambda: load_table(spark, sf_dir, "region"), order_keys=["r_regionkey"]
+        )
+        second = hstore.have_segments(
+            lambda: load_table(spark, sf_dir, "region"), order_keys=["r_regionkey"]
+        )
+        if first is None or second is not None:  # create-if-absent invariant
+            raise AssertionError("have_segments memoization broken")
+        return hstore.open(spark).agg(
+            F.lit("have").alias("src"),
+            F.lit(len(hstore.manifest())).cast("int").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("row_id") * F.col("r_regionkey")).cast("long").alias("checksum"),
+        )
+
+    def arm_snapshot() -> DataFrame:
+        # time-travel read of manifest version 1 (the PRE-compact
+        # 3-segment store — segment files are immutable, so the old
+        # manifest against them IS the old store); its checksum must equal
+        # the compact row's: snapshot isolation + compaction invariance
+        # through one oracle
+        store = st["store"]
+        snap_entries = store.manifest_at(1)
+        return store.open_at(spark, 1, defaults={"flag": 0}).agg(
+            F.lit("snapshot").alias("src"),
+            F.lit(len(snap_entries)).cast("int").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
+        )
+
+    def arm_pruned() -> DataFrame:
+        # zone-map segment pruning over the 3-segment snapshot — footer
+        # min/max stats prove only the 'P' segment can hold
+        # o_orderstatus='P', so the read plans 1 of 3 segments
+        store = st["store"]
+        prune_pred = [("o_orderstatus", "P", "P")]
+        kept = store.pruned_entries(prune_pred, at_version=1)
+        if len(kept) != 1:
+            raise AssertionError(
+                f"zone maps failed to prune: {len(kept)} of "
+                f"{len(store.manifest_at(1))} segments survived"
+            )
+        return (
+            store.open_pruned(spark, prune_pred, defaults={"flag": 0}, at_version=1)
+            .filter(F.col("o_orderstatus") == "P")
+            .agg(
+                F.lit("pruned").alias("src"),
+                F.lit(len(kept)).cast("int").alias("n_segments"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
+            )
+        )
+
+    def arm_tiered() -> DataFrame:
+        # size-tiered compaction (the LSM policy): 4 same-tier region
+        # segments merge into ONE adjacent-run rewrite; content + global
+        # row_ids survive (oracle re-derives over 4 concatenated copies)
+        tstore = SegmentStore(tempfile.mkdtemp(prefix="iodf_tiered_"))
+        for _ in range(4):
+            tstore.write_segment(
+                load_table(spark, sf_dir, "region"),
+                order_keys=["r_regionkey"],
+                sketch_cols=["r_regionkey"],
+            )
+        tstore.compact_tiered(spark, fanout=2)
+        if len(tstore.manifest()) != 1:
+            raise AssertionError("tiered compaction left more than one segment")
+        st["tstore"] = tstore
+        return tstore.open(spark).agg(
+            F.lit("tiered").alias("src"),
+            F.lit(len(tstore.manifest())).cast("int").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("row_id") * F.col("r_regionkey")).cast("long").alias("checksum"),
+        )
+
+    def arm_sketch() -> DataFrame:
+        # store-level distinct count from manifest HLL sketches only
+        # (union-merged through the tiered compaction above — no data
+        # scan); HLL is exact at this cardinality
+        tstore = st["tstore"]
+        est = tstore.approx_distinct(spark, "r_regionkey")
+        return tstore.open(spark).agg(
+            F.lit("sketch").alias("src"),
+            F.lit(len(tstore.manifest())).cast("int").alias("n_segments"),
+            F.lit(est).cast("long").alias("n_rows"),
+            F.countDistinct("r_regionkey").cast("long").alias("checksum"),
+        )
+
+    def arm_delete() -> DataFrame:
+        # row-level deletes (takedown / right-to-be-forgotten — absent
+        # from the reference's append-only model, SURVEY.md §1.4; design =
+        # Lucene liveDocs): tombstone every o_orderpriority='1-URGENT' row
+        # via ONE id-list write, no segment rewrite — open() hides them
+        # while survivors keep their ORIGINAL global row_ids
+        import shutil
+
+        base3 = _orders_store(spark, sf_dir, compact=False)
+        dpath = tempfile.mkdtemp(prefix="iodf_segs_d_")
+        shutil.rmtree(dpath)
+        shutil.copytree(base3.path, dpath)
+        dstore = SegmentStore(dpath)
+        st["dstore"] = dstore
+        st["pre_delete_v"] = dstore.versions()[-1]
+        t = dstore.delete_where(spark, "o_orderpriority = '1-URGENT'")
+        if dstore.live_rows() != dstore.total_rows() - t["n"]:
+            raise AssertionError("tombstone accounting drifted")
+        return dstore.open(spark, defaults={"flag": 0}).agg(
+            F.lit("delete").alias("src"),
+            F.lit(len(dstore.manifest())).cast("int").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
+        )
+
+    def arm_del_snap() -> DataFrame:
+        # the pre-delete version still reads all rows (tombstones live in
+        # the versioned manifest, not the segment files)
+        dstore = st["dstore"]
+        return dstore.open_at(spark, st["pre_delete_v"], defaults={"flag": 0}).agg(
+            F.lit("del_snap").alias("src"),
+            F.lit(3).cast("int").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
+        )
+
+    def arm_cdf() -> DataFrame:
+        # incremental change feed across the delete window — a consumer at
+        # the pre-delete snapshot catches up by reading ONLY the
+        # tombstoned ids (no corpus rescan); checksum = deleted-id sum
+        dstore = st["dstore"]
+        return dstore.read_changes(spark, st["pre_delete_v"]).agg(
+            F.lit("cdf").alias("src"),
+            F.lit(3).cast("int").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("row_id").cast("long").alias("checksum"),
+        )
+
+    def arm_cdf_stream() -> DataFrame:
+        # the STREAMING consumer of the same feed (streaming/ingest.
+        # stream_changes — the read twin of ST4's micro-batch ingest): a
+        # durable-cursor catch-up loop that advances from the pre-delete
+        # snapshot to the latest version and hands the delta to the sink;
+        # its delta must equal the batch 'cdf' arm's. The purge arm below
+        # additionally asserts the loop's clean full-refresh signal.
+        from iodf_spark.streaming.ingest import _write_cdf_cursor, stream_changes
+
+        dstore = st["dstore"]
+        ck = dstore.path + "/_cdf_consumer"
+        # simulate a consumer that had processed through the pre-delete
+        # version (epoch 0: no purge has happened yet)
+        _write_cdf_cursor(ck, st["pre_delete_v"], 0)
+        st["cdf_ckpt"] = ck
+        got: dict[str, DataFrame] = {}
+
+        def sink(delta: DataFrame, from_v: int, to_v: int) -> None:
+            got["delta"] = delta
+
+        windows = stream_changes(spark, dstore, ck, sink, defaults={"flag": 0})
+        latest = dstore.versions()[-1]
+        if windows != [(st["pre_delete_v"], latest)]:
+            raise AssertionError(f"unexpected catch-up windows: {windows}")
+        return got["delta"].agg(
+            F.lit("cdf_stream").alias("src"),
+            F.lit(3).cast("int").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("row_id").cast("long").alias("checksum"),
+        )
+
+    def arm_store_point() -> DataFrame:
+        # store-level planner, point predicate WITH a tombstone present
+        # (SegmentStore.smart_filter: manifest zone maps + blooms prune,
+        # then stored selectivity routes probe-vs-scan — the store-level
+        # rendition of IndexedDf.scala:71-96 composed with MultiDf.scala:
+        # 82-104 segment routing). '2-HIGH' is ~20% of keys: under the 0.5
+        # threshold it must take the INDEX path across all 3 segments.
+        dstore = st["dstore"]
+        rows, plan = dstore.smart_filter(
+            spark, "o_orderpriority", "2-HIGH", threshold=0.5,
+            defaults={"flag": 0},
+        )
+        if plan["path"] != "index" or plan["survivors"] != 3:
+            raise AssertionError(f"unexpected store_point plan: {plan}")
+        return rows.agg(
+            F.lit("store_point").alias("src"),
+            F.lit(plan["survivors"]).cast("int").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
+        )
+
+    def arm_store_all() -> DataFrame:
+        # conjunctive store planning: the o_orderstatus='P' range prunes
+        # to 1 of 3 segments via zone maps BEFORE any scan; o_orderstatus
+        # is not index-covered, so the residual plan is a pushed-down scan
+        # over the single survivor (routed dict asserted)
+        dstore = st["dstore"]
+        rows, plan = dstore.smart_filter_all(
+            spark,
+            [("o_orderstatus", "P", "P"), ("o_orderpriority", "2-HIGH")],
+            defaults={"flag": 0},
+        )
+        if plan["survivors"] != 1 or plan["routed"]["index"]:
+            raise AssertionError(f"unexpected store_all plan: {plan}")
+        return rows.agg(
+            F.lit("store_all").alias("src"),
+            F.lit(plan["survivors"]).cast("int").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
+        )
+
+    def arm_store_any() -> DataFrame:
+        # disjunctive store planning: an OR of an indexed key and an
+        # unindexed range keeps every segment and falls back to ONE
+        # OR-filter scan — tombstoned rows must stay hidden on this path
+        # too (the oracle subtracts the deleted 1-URGENT rows)
+        dstore = st["dstore"]
+        rows, plan = dstore.smart_filter_any(
+            spark,
+            [("o_orderpriority", "5-LOW"), ("o_orderstatus", "P", "P")],
+            defaults={"flag": 0},
+        )
+        if plan["path"] != "scan" or plan["survivors"] != 3:
+            raise AssertionError(f"unexpected store_any plan: {plan}")
+        return rows.agg(
+            F.lit("store_any").alias("src"),
+            F.lit(plan["survivors"]).cast("int").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
+        )
+
+    def arm_purge() -> DataFrame:
+        # the forced merge — live rows rewritten as one segment with a
+        # dense renumbered id space preserving survivor order. The
+        # change-feed consumer's next tick must see the renumber epoch
+        # bump and raise the clean full-refresh signal.
+        from iodf_spark.streaming.ingest import FullRefreshRequired, stream_changes
+
+        dstore = st["dstore"]
+        dstore.purge(spark)
+        if dstore.manifest_doc()["tombstones"] or dstore.live_rows() != dstore.total_rows():
+            raise AssertionError("purge left tombstones behind")
+        try:
+            stream_changes(spark, dstore, st["cdf_ckpt"], lambda *a: None)
+            raise AssertionError("stream_changes missed the purge epoch bump")
+        except FullRefreshRequired:
+            pass
+        return dstore.open(spark, defaults={"flag": 0}).agg(
+            F.lit("purge").alias("src"),
+            F.lit(len(dstore.manifest())).cast("int").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
+        )
+
+    return [
+        ("compact", arm_compact),
+        ("have", arm_have),
+        ("snapshot", arm_snapshot),
+        ("pruned", arm_pruned),
+        ("tiered", arm_tiered),
+        ("sketch", arm_sketch),
+        ("delete", arm_delete),
+        ("del_snap", arm_del_snap),
+        ("cdf", arm_cdf),
+        ("cdf_stream", arm_cdf_stream),
+        ("store_point", arm_store_point),
+        ("store_all", arm_store_all),
+        ("store_any", arm_store_any),
+        ("purge", arm_purge),
+    ]
+
+
+def q_segments_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """writeMergedDf (Dfs.scala:222-228) + S7 haveIndexedDf
+    (Dfs.scala:546-554) + the store lifecycle in one attested entry
+    (50-entry attestation cap): see _segments_compact_arms for the per-arm
+    stories — compact / have / snapshot / pruned / tiered / sketch /
+    delete / del_snap / cdf / cdf_stream (streaming change-feed consumer)
+    / store_point / store_all / store_any (store-level planner over a
+    tombstoned store, chosen path asserted in-process) / purge."""
+    out = None
+    for _name, thunk in _segments_compact_arms(spark, sf_dir):
+        df = thunk()
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def q_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1889,6 +2122,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_sessionize": q_stream_sessionize,
         "stream_ingest_segments": q_stream_ingest_segments,
+    }
+
+
+def bench_arms() -> dict:
+    """Per-arm bench instrumentation for the CONSOLIDATED timing cells:
+    each factory returns ORDERED (arm_name, thunk) pairs whose union is
+    the corresponding queries() entry. bench.py times every thunk's
+    materialization individually and reports them as an ``arms`` sub-dict
+    of the bench JSON, so the 2x regression gate can see a one-arm
+    slowdown that a 14-arm consolidated cell total would absorb. Order
+    matters (the segments_compact lifecycle mutates shared store state:
+    delete before cdf before purge); correctness is unaffected — the
+    driver's oracle still runs the unioned queries() entry."""
+    return {
+        "segments_compact": _segments_compact_arms,
+        "ann_topk": _ann_topk_arms,
+        "index_probe_rows": _index_probe_arms,
     }
 
 
@@ -2382,6 +2632,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_rows,
                    sum(row_id)::BIGINT AS checksum
             FROM {SEG_RID} WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT 'cdf_stream' AS src, 3::INT AS n_segments,
+                   count(*)::BIGINT AS n_rows,
+                   sum(row_id)::BIGINT AS checksum
+            FROM {SEG_RID} WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT 'store_point' AS src, 3::INT AS n_segments,
+                   count(*)::BIGINT AS n_rows,
+                   sum(row_id * o_orderkey)::BIGINT AS checksum
+            FROM {SEG_RID} WHERE o_orderpriority = '2-HIGH'
+            UNION ALL
+            SELECT 'store_all' AS src, 1::INT AS n_segments,
+                   count(*)::BIGINT AS n_rows,
+                   sum(row_id * o_orderkey)::BIGINT AS checksum
+            FROM {SEG_RID}
+            WHERE o_orderstatus = 'P' AND o_orderpriority = '2-HIGH'
+            UNION ALL
+            SELECT 'store_any' AS src, 3::INT AS n_segments,
+                   count(*)::BIGINT AS n_rows,
+                   sum(row_id * o_orderkey)::BIGINT AS checksum
+            FROM {SEG_RID}
+            WHERE (o_orderpriority = '5-LOW' OR o_orderstatus = 'P')
+              AND o_orderpriority <> '1-URGENT'
             UNION ALL
             SELECT 'purge' AS src, 1::INT AS n_segments,
                    count(*)::BIGINT AS n_rows,

@@ -38,7 +38,14 @@ def main():
     spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
 
     timings: dict[str, float] = {}
+    arm_timings: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
+    # consolidated cells (segments_compact: 14 lifecycle arms, ann_topk: 6
+    # ANN variants, index_probe_rows: 9 planner arms) are timed PER ARM —
+    # a single cell total absorbs a one-arm regression that the 2x gate
+    # should trip on. The cell's own timing becomes the sum of its arms
+    # for that sweep (the arms partition the cell's work).
+    arm_specs = getattr(entrymod, "bench_arms", dict)()
 
     # Per-query isolation: one failing query must not zero out the whole
     # round's bench evidence (round 3 shipped rc=1/no-data because a single
@@ -70,6 +77,23 @@ def main():
             errors["index_build"] = f"{type(e).__name__}: {e}"[:500]
 
         for name, fn in entrymod.queries().items():
+            if name in arm_specs:
+                try:
+                    cell = 0.0
+                    sweep_arms: dict[str, float] = {}
+                    for arm, thunk in arm_specs[name](spark, sf_dir):
+                        t0 = time.perf_counter()
+                        thunk().count()
+                        dt = time.perf_counter() - t0
+                        sweep_arms[arm] = dt
+                        cell += dt
+                    rec = arm_timings.setdefault(name, {})
+                    for arm, dt in sweep_arms.items():
+                        rec[arm] = min(rec.get(arm, dt), dt)
+                    timings[name] = min(timings.get(name, cell), cell)
+                except Exception as e:  # noqa: BLE001
+                    errors[name] = f"{type(e).__name__}: {e}"[:500]
+                continue
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
@@ -86,6 +110,10 @@ def main():
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
+        "arms": {
+            q: {a: round(v, 3) for a, v in arms.items()}
+            for q, arms in arm_timings.items()
+        },
         "sf": sf,
         "rows_lineitem": n,
         # epoch seconds: snapshots copied from this line carry their own
@@ -94,14 +122,20 @@ def main():
     }
     if errors:
         out["errors"] = errors
-    gate = regression_gate(timings, errors, sf)
+    gate = regression_gate(timings, errors, sf, arms=arm_timings)
     if gate is not None:
         out["baseline_snapshot"], out["regressions"] = gate
     print(json.dumps(out))
 
 
 def regression_gate(
-    timings: dict, errors: dict, sf: float, factor: float = 2.0, min_sec: float = 1.0
+    timings: dict,
+    errors: dict,
+    sf: float,
+    factor: float = 2.0,
+    min_sec: float = 1.0,
+    arms: dict | None = None,
+    arm_min_sec: float = 0.5,
 ):
     """Self-reporting perf-regression gate (the reference fails its perf
     suite when an op exceeds 2x its recorded prior time,
@@ -110,7 +144,13 @@ def regression_gate(
     verdict in the bench line itself, so a regressed round is self-evident
     from BENCH_r{N}.json alone. Sub-min_sec old timings are skipped (fixed
     per-job overhead dominates them; jitter is not signal). Never raises —
-    the gate must not become a new way to lose the round's bench evidence."""
+    the gate must not become a new way to lose the round's bench evidence.
+
+    ``arms`` extends the same comparison one level down: consolidated
+    cells report per-arm sub-timings, and a one-arm slowdown (which the
+    cell total absorbs — one of segments_compact's 14 arms going 5x moves
+    the cell total <40%) trips the gate as 'cell.arm: ...'. Arms use a
+    lower min_sec floor since each is a fraction of its cell."""
     snap_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "bench_snapshots")
     try:
         # newest = embedded 'taken_at' (epoch seconds, optional), falling
@@ -138,6 +178,16 @@ def regression_gate(
             for name, t_old in snap["queries"].items()
             if name in errors
         ]
+        for qname, old_arms in (snap.get("arms") or {}).items():
+            cur_arms = (arms or {}).get(qname, {})
+            regressions += [
+                f"{qname}.{arm}: {t_old:.2f}s -> {cur_arms[arm]:.2f}s "
+                f"({cur_arms[arm] / t_old:.1f}x)"
+                for arm, t_old in old_arms.items()
+                if arm in cur_arms
+                and t_old >= arm_min_sec
+                and cur_arms[arm] > t_old * factor
+            ]
         return fname, regressions
     except Exception:  # noqa: BLE001 — gate is advisory, never fatal
         return None

@@ -390,6 +390,151 @@ def stream_ingest_segments(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+class FullRefreshRequired(RuntimeError):
+    """The change-feed window crosses a purge (the store's renumber epoch
+    changed) or the consumer's cursor version was vacuumed: no incremental
+    delta exists. Recover by re-seeding from a full snapshot
+    (:func:`seed_changes`) and resuming the incremental loop."""
+
+
+def _cdf_cursor_path(checkpoint_dir: str) -> str:
+    import os
+
+    return os.path.join(checkpoint_dir, "_cdf_cursor.json")
+
+
+def read_cdf_cursor(checkpoint_dir: str) -> dict | None:
+    """The consumer's durable position: {"version": v, "renumber_epoch": e}
+    (None before the first seed). Tiny driver-side JSON — the read twin of
+    the writer's _ingest_app_id marker, living inside the checkpoint dir so
+    the two lifetimes are fused."""
+    import json
+    import os
+
+    p = _cdf_cursor_path(checkpoint_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _write_cdf_cursor(checkpoint_dir: str, version: int, epoch: int) -> None:
+    import json
+    import os
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    tmp = _cdf_cursor_path(checkpoint_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": int(version), "renumber_epoch": int(epoch)}, fh)
+    os.replace(tmp, _cdf_cursor_path(checkpoint_dir))
+
+
+def seed_changes(
+    spark: SparkSession,
+    store: SegmentStore,
+    checkpoint_dir: str,
+    process=None,
+    defaults: dict | None = None,
+) -> int:
+    """Bootstrap (and purge-recovery) path of the change-feed consumer:
+    read the latest snapshot IN FULL — tagged '_change_type'='insert' like
+    any other delta, so downstream code has one shape — hand it to
+    ``process(df, 0, version)``, and pin the cursor at (version, epoch).
+    Returns the seeded version. This is the 'full refresh' the incremental
+    loop demands whenever a purge renumbered the row space."""
+    doc, v = store.manifest_doc_versioned()
+    snap = (
+        store.open_at(spark, v, defaults)
+        if v
+        else store.open(spark, defaults)
+    ).withColumn("_change_type", F.lit("insert"))
+    if process is not None:
+        process(snap, 0, v)
+    _write_cdf_cursor(checkpoint_dir, v, doc["renumber_epoch"])
+    return v
+
+
+def stream_changes(
+    spark: SparkSession,
+    store: SegmentStore,
+    checkpoint_dir: str,
+    process,
+    defaults: dict | None = None,
+    batch_versions: int | None = None,
+) -> list[tuple[int, int]]:
+    """Incremental change-feed consumer — the READ twin of
+    stream_ingest_segments (same store, opposite direction): a catch-up
+    loop over ``SegmentStore.read_changes`` that advances a durable cursor
+    from its checkpointed version to the latest retained snapshot, feeding
+    each delta (insert rows + tombstoned row_ids, Delta-CDF shape) to
+    ``process(delta_df, from_version, to_version)``. Call it on a schedule
+    (or from a foreachBatch maintenance tick): each call does only the
+    outstanding manifest math + delta scans — never a corpus rescan —
+    which is what keeps a downstream pipeline at 100 TB paying for the
+    day's appends, not the corpus.
+
+    Delivery is AT-LEAST-ONCE: the cursor advances only AFTER ``process``
+    returns, so a crash between the two replays the same window on restart
+    — pair it with an idempotent sink (e.g. stream_ingest_segments'
+    batch_key pattern keyed on (from, to)) for exactly-once.
+
+    ``batch_versions`` = None coalesces all outstanding versions into ONE
+    delta (fewest jobs — read_changes handles multi-version windows by
+    construction); an int k steps the cursor at most k retained versions
+    per ``process`` call (bounded batch sizes for a sink with ingest
+    limits). Returns the list of (from, to) windows processed.
+
+    A PURGE between calls renumbers the row space; the loop detects it
+    via the manifest renumber epoch (plus read_changes' own guard) and
+    raises :class:`FullRefreshRequired` — a clean signal to re-seed via
+    :func:`seed_changes`, mirroring Delta CDF's behavior when a version
+    with a rewritten table layout enters the window."""
+    cur = read_cdf_cursor(checkpoint_dir)
+    if cur is None:
+        raise FullRefreshRequired(
+            f"no change-feed cursor under {checkpoint_dir}: seed the "
+            "consumer first (seed_changes)"
+        )
+    doc, latest = store.manifest_doc_versioned()
+    if doc["renumber_epoch"] != cur["renumber_epoch"]:
+        raise FullRefreshRequired(
+            f"store {store.path} was purged (renumber epoch "
+            f"{cur['renumber_epoch']} -> {doc['renumber_epoch']}): the "
+            "cursor's row_ids name different rows now — re-seed via "
+            "seed_changes"
+        )
+    if latest <= cur["version"]:
+        return []  # caught up
+    vs = store.versions()
+    if cur["version"] not in vs:
+        raise FullRefreshRequired(
+            f"cursor version {cur['version']} is no longer retained "
+            f"(vacuumed; have {vs}): no delta can be computed — re-seed "
+            "via seed_changes"
+        )
+    after = [v for v in vs if v > cur["version"]]
+    if batch_versions is None:
+        steps = [latest]
+    else:
+        steps = after[max(batch_versions, 1) - 1 :: max(batch_versions, 1)]
+        if not steps or steps[-1] != latest:
+            steps.append(latest)
+    windows: list[tuple[int, int]] = []
+    frm = cur["version"]
+    for to_v in steps:
+        try:
+            delta = store.read_changes(spark, frm, to_v, defaults)
+        except ValueError as e:  # read_changes' own purge guard (backstop)
+            raise FullRefreshRequired(str(e)) from None
+        process(delta, frm, to_v)
+        _write_cdf_cursor(
+            checkpoint_dir, to_v, store.manifest_doc_at(to_v)["renumber_epoch"]
+        )
+        windows.append((frm, to_v))
+        frm = to_v
+    return windows
+
+
 # --------------------------------------------------------------------------
 # Incremental corpus-wide near-duplicate discovery
 

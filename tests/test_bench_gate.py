@@ -106,3 +106,77 @@ def test_bench_compare_consolidation_ledger():
                     {"value": 1.0, "sf": 0.1, "queries": {"q1": 1.0}})
     assert rc2 == 1
     assert "ann_lsh: consolidated into ann_topk, but ann_topk is ALSO missing" in out2
+
+
+def test_gate_trips_on_single_arm_slowdown(tmp_path, monkeypatch):
+    """A one-arm regression inside a consolidated cell must trip the gate
+    even when the CELL total stays under the 2x threshold — the exact
+    blindness per-arm sub-timings exist to cure."""
+    import json
+
+    snap_dir = tmp_path / "tools" / "bench_snapshots"
+    snap_dir.mkdir(parents=True)
+    snap = {
+        "sf": 0.1,
+        "queries": {"segments_compact": 10.0},
+        "arms": {"segments_compact": {"compact": 1.0, "purge": 1.0, "cdf": 8.0}},
+    }
+    (snap_dir / "snap.json").write_text(json.dumps(snap))
+    monkeypatch.setattr(bench.os.path, "dirname", lambda p: str(tmp_path))
+    # cell 10.0 -> 14.0 (1.4x: under the gate) but 'purge' went 1.0 -> 5.0
+    got = bench.regression_gate(
+        {"segments_compact": 14.0},
+        {},
+        0.1,
+        arms={"segments_compact": {"compact": 1.0, "purge": 5.0, "cdf": 8.0}},
+    )
+    assert got is not None
+    _, regs = got
+    assert regs == ["segments_compact.purge: 1.00s -> 5.00s (5.0x)"]
+    # sub-floor arms are jitter, not signal: 0.2s -> 0.45s stays silent
+    got2 = bench.regression_gate(
+        {"segments_compact": 10.0},
+        {},
+        0.1,
+        arms={"segments_compact": {"compact": 1.0, "purge": 1.0, "cdf": 8.0,
+                                   "tiny": 0.45}},
+    )
+    assert got2 is not None and got2[1] == []
+
+
+def test_bench_compare_arm_grain():
+    """bench_compare gates per-arm sub-timings the same way."""
+    import json
+    import subprocess
+    import sys
+    import tempfile
+
+    old = {
+        "value": 10.0, "sf": 0.1, "queries": {"ann_topk": 10.0},
+        "arms": {"ann_topk": {"brute": 5.0, "ivf4": 1.0}},
+    }
+    new = {
+        "value": 11.0, "sf": 0.1, "queries": {"ann_topk": 11.0},
+        "arms": {"ann_topk": {"brute": 5.0, "ivf4": 6.0}},
+    }
+
+    def run(o, n):
+        with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f1, \
+             tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f2:
+            json.dump(o, f1); json.dump(n, f2)
+        p = subprocess.run(
+            [sys.executable, "/root/repo/tools/bench_compare.py", f1.name, f2.name],
+            capture_output=True, text=True,
+        )
+        return p.returncode, p.stdout
+
+    rc, out = run(old, new)
+    assert rc == 1
+    assert "ann_topk.ivf4: 1.00s -> 6.00s" in out
+    # same totals, healthy arms -> clean
+    new_ok = {
+        "value": 11.0, "sf": 0.1, "queries": {"ann_topk": 11.0},
+        "arms": {"ann_topk": {"brute": 5.5, "ivf4": 1.2}},
+    }
+    rc2, _ = run(old, new_ok)
+    assert rc2 == 0

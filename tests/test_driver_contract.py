@@ -49,10 +49,36 @@ def test_segments_compact_arm_inventory_is_stable():
 
     arms = [
         "compact", "have", "snapshot", "pruned", "tiered", "sketch",
-        "delete", "del_snap", "cdf", "purge",
+        "delete", "del_snap", "cdf", "cdf_stream",
+        "store_point", "store_all", "store_any", "purge",
     ]
-    src = inspect.getsource(entrymod.q_segments_compact)
+    src = inspect.getsource(entrymod._segments_compact_arms)
     osql = entrymod.oracle_sql()["segments_compact"]
     for arm in arms:
         assert f'"{arm}"' in src or f"'{arm}'" in src, f"arm {arm} gone from query"
         assert f"'{arm}'" in osql, f"arm {arm} gone from oracle"
+    # the bench arm factory must expose exactly these arms, in lifecycle
+    # order (delete before cdf before purge — the thunks share state)
+    assert [a for a, _ in _arm_names("segments_compact")] == arms
+
+
+def _arm_names(qname):
+    """(name, thunk) pairs from the bench_arms factory WITHOUT running
+    the thunks (no SparkSession in this pure-contract test)."""
+    factory = entrymod.bench_arms()[qname]
+    return factory(None, "/nonexistent")
+
+
+def test_bench_arm_factories_cover_their_query_variants():
+    """Every consolidated bench cell's arm list stays in sync with its
+    query's tagged union — a renamed/dropped arm must fail here, not
+    silently vanish from the bench sub-timings. Factories are
+    side-effect-free (lazy table/index access), so enumerating arm names
+    needs no SparkSession."""
+    assert [a for a, _ in _arm_names("ann_topk")] == [
+        "brute", "lsh_single", "lsh_multi", "ivf4", "ivf64", "ivf4_store",
+    ]
+    assert [a for a, _ in _arm_names("index_probe_rows")] == [
+        "probe", "auto_index", "auto_scan", "auto_multi", "auto_any",
+        "auto_any_range", "seek0", "mid", "tail",
+    ]

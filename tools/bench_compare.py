@@ -90,6 +90,12 @@ def main() -> int:
     ap.add_argument("new")
     ap.add_argument("--factor", type=float, default=2.0)
     ap.add_argument("--min-sec", type=float, default=1.0)
+    ap.add_argument(
+        "--arm-min-sec",
+        type=float,
+        default=0.5,
+        help="min old per-arm time to compare (arms are cell fractions)",
+    )
     args = ap.parse_args()
 
     old, new = load(args.old), load(args.new)
@@ -131,6 +137,24 @@ def main() -> int:
                 f"{name}: {t_base:.2f}s -> {newq[name]:.2f}s "
                 f"({newq[name] / t_base:.1f}x, threshold {args.factor}x){suffix}"
             )
+
+    # per-arm comparison inside consolidated cells: the cell total absorbs
+    # a one-arm slowdown (1 of segments_compact's 14 arms going 5x moves
+    # the cell <40%), so arms are gated at their own grain when both runs
+    # carry the arms sub-dict
+    old_arms, new_arms = old.get("arms") or {}, new.get("arms") or {}
+    for qname, oarms in old_arms.items():
+        narms = new_arms.get(qname) or {}
+        for arm, t_old in oarms.items():
+            if (
+                arm in narms
+                and t_old >= args.arm_min_sec
+                and narms[arm] > t_old * args.factor
+            ):
+                problems.append(
+                    f"{qname}.{arm}: {t_old:.2f}s -> {narms[arm]:.2f}s "
+                    f"({narms[arm] / t_old:.1f}x, threshold {args.factor}x)"
+                )
 
     tot_old, tot_new = old.get("value"), new.get("value")
     print(
