@@ -94,7 +94,32 @@ DRIVING_TABLE = {
     "ann_topk": "embeddings",
     "segments_compact": "orders",
     "sequence_pack": "documents",
+    # round-7 ladder extensions: the two streaming families (the largest
+    # previously-unladdered bench cells) and the store-level planner reads
+    "stream_stream_join": "events",
+    "stream_ingest_segments": "events",
+    "store_smart_filter": "orders",
 }
+
+
+def _tombstoned_orders_store(entrymod, spark, sf_dir):
+    """UNTIMED fixture for the store_smart_filter family: clone the
+    3-segment indexed orders store and tombstone the 1-URGENT rows, so the
+    timed reads exercise every planner layer (zone maps + tombstone
+    anti-join + stored-selectivity routing) the way the attested
+    segments_compact arms do."""
+    import shutil
+    import tempfile
+
+    from iodf_spark.sources.segments import SegmentStore
+
+    base = entrymod._orders_store(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="iodf_ladder_store_")
+    shutil.rmtree(path)
+    shutil.copytree(base.path, path)
+    s = SegmentStore(path)
+    s.delete_where(spark, "o_orderpriority = '1-URGENT'")
+    return s
 
 
 def sf_ladder():
@@ -111,6 +136,31 @@ def sf_ladder():
         if fam == "index_build":
             t0 = time.perf_counter()
             _, n = entrymod._lineitem_index(spark, sf_dir)
+            return time.perf_counter() - t0
+        if fam == "store_smart_filter":
+            # store build + tombstone are the fixture (untimed); the timed
+            # cost is the three planner READS — point (index-routed),
+            # conjunctive (zone-pruned scan), disjunctive (OR scan) — which
+            # is what actually scales with a growing store
+            store = _tombstoned_orders_store(entrymod, spark, sf_dir)
+            t0 = time.perf_counter()
+            r, _ = store.smart_filter(
+                spark, "o_orderpriority", "2-HIGH", threshold=0.5,
+                defaults={"flag": 0},
+            )
+            r.count()
+            r, _ = store.smart_filter_all(
+                spark,
+                [("o_orderstatus", "P", "P"), ("o_orderpriority", "2-HIGH")],
+                defaults={"flag": 0},
+            )
+            r.count()
+            r, _ = store.smart_filter_any(
+                spark,
+                [("o_orderpriority", "5-LOW"), ("o_orderstatus", "P", "P")],
+                defaults={"flag": 0},
+            )
+            r.count()
             return time.perf_counter() - t0
         t0 = time.perf_counter()
         qs[fam](spark, sf_dir).count()
