@@ -1698,6 +1698,34 @@ def _segments_compact_arms(spark: SparkSession, sf_dir: str):
             F.sum("row_id").cast("long").alias("checksum"),
         )
 
+    def arm_mirror() -> DataFrame:
+        # store-to-store incremental replication (the CDC apply side,
+        # streaming/ingest.mirror_changes): a fresh mirror seeds from the
+        # PRE-delete snapshot, then one catch-up window applies the delete
+        # delta — tombstones only, no inserts, no corpus rescan. The
+        # mirror's live content must equal the source's (checksummed over
+        # the preserved _src_row_id), landing in exactly 1 segment +
+        # tombstones.
+        from iodf_spark.streaming.ingest import mirror_changes
+
+        dstore = st["dstore"]
+        mdst = SegmentStore(tempfile.mkdtemp(prefix="iodf_mirror_"))
+        windows = mirror_changes(
+            spark, dstore, mdst, dstore.path + "/_mirror_ck",
+            defaults={"flag": 0}, seed_at_version=st["pre_delete_v"],
+        )
+        latest = dstore.versions()[-1]
+        if windows != [(0, st["pre_delete_v"]), (st["pre_delete_v"], latest)]:
+            raise AssertionError(f"unexpected mirror windows: {windows}")
+        if mdst.live_rows() != dstore.live_rows():
+            raise AssertionError("mirror live-row accounting diverged")
+        return mdst.open(spark).agg(
+            F.lit("mirror").alias("src"),
+            F.lit(len(mdst.manifest())).cast("int").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("_src_row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
+        )
+
     def arm_store_point() -> DataFrame:
         # store-level planner, point predicate WITH a tombstone present
         # (SegmentStore.smart_filter: manifest zone maps + blooms prune,
@@ -1793,6 +1821,7 @@ def _segments_compact_arms(spark: SparkSession, sf_dir: str):
         ("del_snap", arm_del_snap),
         ("cdf", arm_cdf),
         ("cdf_stream", arm_cdf_stream),
+        ("mirror", arm_mirror),
         ("store_point", arm_store_point),
         ("store_all", arm_store_all),
         ("store_any", arm_store_any),
@@ -1806,6 +1835,7 @@ def q_segments_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (50-entry attestation cap): see _segments_compact_arms for the per-arm
     stories — compact / have / snapshot / pruned / tiered / sketch /
     delete / del_snap / cdf / cdf_stream (streaming change-feed consumer)
+    / mirror (store-to-store incremental replication over the feed)
     / store_point / store_all / store_any (store-level planner over a
     tombstoned store, chosen path asserted in-process) / purge."""
     out = None
@@ -2637,6 +2667,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_rows,
                    sum(row_id)::BIGINT AS checksum
             FROM {SEG_RID} WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT 'mirror' AS src, 1::INT AS n_segments,
+                   count(*)::BIGINT AS n_rows,
+                   sum(row_id * o_orderkey)::BIGINT AS checksum
+            FROM {SEG_RID} WHERE o_orderpriority <> '1-URGENT'
             UNION ALL
             SELECT 'store_point' AS src, 3::INT AS n_segments,
                    count(*)::BIGINT AS n_rows,

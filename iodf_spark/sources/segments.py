@@ -1439,16 +1439,43 @@ class SegmentStore:
         raises ManifestConflictError ("re-run delete_where") instead of
         republishing stale ids (which would silently hide the WRONG rows
         while the rows the caller asked to delete stay live)."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        return self._delete(
+            spark, lambda live: live.filter(pred).select("row_id")
+        )
+
+    def delete_rows(
+        self, spark: SparkSession, ids: DataFrame, on: str = "row_id"
+    ) -> dict:
+        """Tombstone the live rows whose ``on`` column matches ``ids``
+        (a one-column DataFrame of keys) — the SET-driven twin of
+        delete_where, for callers whose delete list is itself a DataFrame
+        (a change-feed delta's tombstoned ids, an external takedown list):
+        a driver-side IN-list predicate would collect the set and cap its
+        size; the semi join streams it. Naturally idempotent — a replay
+        finds the rows already dead and publishes nothing (n == 0) —
+        which is what the change-feed mirror's at-least-once delivery
+        leans on. Same OCC/purge-race contract as delete_where."""
+        key = ids.columns[0]
+        keyed = ids.select(F.col(key).alias(on)).distinct()
+        return self._delete(
+            spark,
+            lambda live: live.join(keyed, on, "left_semi").select("row_id"),
+        )
+
+    def _delete(self, spark: SparkSession, ids_of) -> dict:
+        """Shared tombstone-commit loop: ``ids_of(live_df) -> row_id df``
+        computes the victim set against the CURRENT live view (see
+        delete_where for the full concurrency contract)."""
         doc, base_v = self.manifest_doc_versioned()
         epoch = doc["renumber_epoch"]
         live = self._apply_tombstones(
             spark, self._open_entries(spark, doc["segments"]), doc["tombstones"]
         )
-        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         del_id = self._claim_dir("del", len(doc["tombstones"]))
         fname = f"del-{del_id:05d}"
         fpath = os.path.join(self.path, fname)
-        live.filter(pred).select("row_id").write.mode("overwrite").parquet(fpath)
+        ids_of(live).write.mode("overwrite").parquet(fpath)
         # exact count from the Parquet footers just written — driver-side
         # metadata, zero extra Spark jobs (the write already produced them)
         n = _parquet_dir_rows(fpath)

@@ -435,14 +435,20 @@ def seed_changes(
     checkpoint_dir: str,
     process=None,
     defaults: dict | None = None,
+    at_version: int | None = None,
 ) -> int:
     """Bootstrap (and purge-recovery) path of the change-feed consumer:
     read the latest snapshot IN FULL — tagged '_change_type'='insert' like
     any other delta, so downstream code has one shape — hand it to
     ``process(df, 0, version)``, and pin the cursor at (version, epoch).
     Returns the seeded version. This is the 'full refresh' the incremental
-    loop demands whenever a purge renumbered the row space."""
-    doc, v = store.manifest_doc_versioned()
+    loop demands whenever a purge renumbered the row space.
+    ``at_version`` seeds from a retained historical snapshot instead (a
+    consumer backfilling from a known-good point before catching up)."""
+    if at_version is not None:
+        doc, v = store.manifest_doc_at(at_version), at_version
+    else:
+        doc, v = store.manifest_doc_versioned()
     snap = (
         store.open_at(spark, v, defaults)
         if v
@@ -533,6 +539,60 @@ def stream_changes(
         windows.append((frm, to_v))
         frm = to_v
     return windows
+
+
+def mirror_changes(
+    spark: SparkSession,
+    src: SegmentStore,
+    dst: SegmentStore,
+    checkpoint_dir: str,
+    defaults: dict | None = None,
+    seed_at_version: int | None = None,
+) -> list[tuple[int, int]]:
+    """Incremental store-to-store replication over the change feed — the
+    CDC 'apply' side completing the stream_changes story: a derived table
+    (a filtered copy, a different-region replica, a downstream feature
+    store) stays in sync by paying for the DELTA, never the corpus.
+
+    Per catch-up window: insert rows are appended to ``dst`` as one
+    segment (the source's global row_id is preserved as the data column
+    ``_src_row_id`` — dst has its own row space), and tombstoned source
+    ids are applied with ``dst.delete_rows(..., on='_src_row_id')``.
+    First call (no cursor) seeds dst with the full source snapshot
+    through the same apply path.
+
+    Delivery/exactly-once: stream_changes is at-least-once; both halves
+    of the apply are idempotent under replay — inserts carry
+    batch_key='mirror-{from}-{to}' (the store's idempotent-append
+    ledger), and delete_rows finds already-dead rows and publishes
+    nothing — so every interleaving of crash and restart converges to
+    exactly one applied delta (ST4's exactly-once argument, on the read
+    side). A source PURGE raises FullRefreshRequired: rebuild the mirror
+    from a fresh seed (the mirror cannot express a renumbering in place).
+
+    Returns the processed (from, to) windows, seed included as (0, v)."""
+
+    def apply(delta: DataFrame, frm: int, to: int) -> None:
+        ins = delta.filter(F.col("_change_type") == "insert").drop("_change_type")
+        dels = delta.filter(F.col("_change_type") == "delete").select("row_id")
+        if not ins.isEmpty():
+            dst.write_segment(
+                ins.withColumnRenamed("row_id", "_src_row_id"),
+                order_keys=["_src_row_id"],
+                batch_key=f"mirror-{frm}-{to}",
+            )
+        if not dels.isEmpty():
+            dst.delete_rows(spark, dels, on="_src_row_id")
+
+    if read_cdf_cursor(checkpoint_dir) is None:
+        v = seed_changes(
+            spark, src, checkpoint_dir, apply, defaults,
+            at_version=seed_at_version,
+        )
+        windows = [(0, v)]
+    else:
+        windows = []
+    return windows + stream_changes(spark, src, checkpoint_dir, apply, defaults)
 
 
 # --------------------------------------------------------------------------

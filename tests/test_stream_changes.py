@@ -149,3 +149,106 @@ def test_unseeded_and_vacuumed_cursor_raise(spark, store, ckpt):
     store.vacuum(keep_last=1)  # drops the cursor's version file
     with pytest.raises(FullRefreshRequired, match="vacuumed"):
         stream_changes(spark, store, ckpt, sink)
+
+
+# -- store-to-store mirror (CDC apply side) ---------------------------------
+
+
+def _mirror_fixture(tmp_path, name):
+    return (
+        SegmentStore(str(tmp_path / f"{name}_dst")),
+        str(tmp_path / f"{name}_ckpt"),
+    )
+
+
+def _live_pairs(spark, store, src_id_col="row_id"):
+    return sorted(
+        (r[src_id_col], r["k"]) for r in store.open(spark).collect()
+    )
+
+
+def test_mirror_tracks_appends_and_deletes(spark, store, tmp_path):
+    from iodf_spark.streaming.ingest import mirror_changes
+
+    dst, ckpt = _mirror_fixture(tmp_path, "m1")
+    store.write_segment(_df(spark, 0, 30), order_keys=["k"])  # v1
+    # first call seeds the full snapshot, then reports caught-up
+    windows = mirror_changes(spark, store, dst, ckpt)
+    assert windows == [(0, 1)]
+    assert _live_pairs(spark, dst, "_src_row_id") == _live_pairs(spark, store)
+    # interleave appends + a delete; one catch-up applies the whole delta
+    store.write_segment(_df(spark, 30, 50), order_keys=["k"])  # v2
+    store.delete_where(spark, "k < 5")  # v3
+    assert mirror_changes(spark, store, dst, ckpt) == [(1, 3)]
+    assert _live_pairs(spark, dst, "_src_row_id") == _live_pairs(spark, store)
+    # the mirror paid for the delta: its second segment holds ONLY the 20
+    # appended rows, and the delete arrived as tombstones, not a rewrite
+    assert [e["n_rows"] for e in dst.manifest()] == [30, 20]
+    assert dst.live_rows() == store.live_rows() == 45
+    # caught up -> no-op
+    assert mirror_changes(spark, store, dst, ckpt) == []
+
+
+def test_mirror_replay_is_exactly_once(spark, store, tmp_path):
+    """Crash AFTER the insert append but BEFORE the cursor write: the
+    replayed window must not duplicate the segment (batch_key ledger) nor
+    re-delete (dead rows stay dead) — at-least-once delivery + idempotent
+    apply = exactly-once mirror state."""
+    from iodf_spark.streaming.ingest import mirror_changes, read_cdf_cursor
+
+    dst, ckpt = _mirror_fixture(tmp_path, "m2")
+    store.write_segment(_df(spark, 0, 10), order_keys=["k"])  # v1
+    mirror_changes(spark, store, dst, ckpt)
+    store.write_segment(_df(spark, 10, 20), order_keys=["k"])  # v2
+    # delete PRE-window rows so the delta carries visible delete events
+    # (an insert-and-delete inside one window is omitted by read_changes)
+    store.delete_where(spark, "k < 5")  # v3
+    # simulate the crash: apply the window once with the cursor write
+    # suppressed, then run the normal loop (which replays the same window)
+    import iodf_spark.streaming.ingest as ing
+
+    real_write = ing._write_cdf_cursor
+    try:
+        ing._write_cdf_cursor = lambda *a, **k: None
+        mirror_changes(spark, store, dst, ckpt)
+    finally:
+        ing._write_cdf_cursor = real_write
+    assert read_cdf_cursor(ckpt)["version"] == 1  # crash before cursor
+    assert mirror_changes(spark, store, dst, ckpt) == [(1, 3)]  # replay
+    assert [e["n_rows"] for e in dst.manifest()] == [10, 10]  # no dup segment
+    assert dst.live_rows() == store.live_rows() == 15
+    assert _live_pairs(spark, dst, "_src_row_id") == _live_pairs(spark, store)
+
+
+def test_mirror_purge_demands_full_refresh(spark, store, tmp_path):
+    from iodf_spark.streaming.ingest import mirror_changes
+
+    dst, ckpt = _mirror_fixture(tmp_path, "m3")
+    store.write_segment(_df(spark, 0, 20), order_keys=["k"])  # v1
+    mirror_changes(spark, store, dst, ckpt)
+    store.delete_where(spark, "k < 4")  # v2
+    store.purge(spark)  # v3
+    with pytest.raises(FullRefreshRequired):
+        mirror_changes(spark, store, dst, ckpt)
+    # recovery: fresh mirror from the renumbered store
+    dst2, ckpt2 = _mirror_fixture(tmp_path, "m3b")
+    mirror_changes(spark, store, dst2, ckpt2)
+    assert _live_pairs(spark, dst2, "_src_row_id") == _live_pairs(spark, store)
+
+
+def test_mirror_seed_from_historical_version(spark, store, tmp_path):
+    """seed_at_version backfills the mirror from a retained snapshot and
+    the catch-up loop then replays the forward windows — the mirror state
+    must converge to the live store either way."""
+    from iodf_spark.streaming.ingest import mirror_changes
+
+    dst, ckpt = _mirror_fixture(tmp_path, "m4")
+    store.write_segment(_df(spark, 0, 10), order_keys=["k"])  # v1
+    store.write_segment(_df(spark, 10, 25), order_keys=["k"])  # v2
+    store.delete_where(spark, "k IN (3, 12)")  # v3
+    windows = mirror_changes(spark, store, dst, ckpt, seed_at_version=1)
+    assert windows == [(0, 1), (1, 3)]
+    assert _live_pairs(spark, dst, "_src_row_id") == _live_pairs(spark, store)
+    # k=12 was appended AND deleted inside the catch-up window, so the
+    # delta omits it (the consumer never saw it): 14 inserts, 1 delete
+    assert [e["n_rows"] for e in dst.manifest()] == [10, 14]
