@@ -469,7 +469,7 @@ class SegmentStore:
         if vs:
             return self.manifest_doc_at(vs[-1]), vs[-1]
         if not os.path.exists(self._manifest_path):
-            return {"segments": [], "tombstones": []}, 0
+            return self._as_doc([]), 0
         with open(self._manifest_path) as fh:
             return self._as_doc(json.load(fh)), 0
 
@@ -583,6 +583,10 @@ class SegmentStore:
             "n_deleted": sum(t["n"] for t in doc["tombstones"]),
             "live_rows": sum(e["n_rows"] for e in entries)
             - sum(t["n"] for t in doc["tombstones"]),
+            # how many times the row space has been renumbered (purges):
+            # consumers holding row_ids compare this against the epoch
+            # they read at (see delete_where / read_changes / stream_changes)
+            "renumber_epoch": doc["renumber_epoch"],
             "versions": self.versions(),
             "indexed_segments": sum(1 for e in entries if e.get("indexed")),
             "sketched_columns": sorted(
@@ -622,6 +626,7 @@ class SegmentStore:
                     "n_segments": len(entries),
                     "n_rows": rows,
                     "n_deleted": sum(t["n"] for t in doc["tombstones"]),
+                    "renumber_epoch": doc["renumber_epoch"],
                     "rows_delta": rows - prev_rows,
                     "segments_delta": len(entries) - prev_segs,
                 }
