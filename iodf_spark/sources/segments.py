@@ -660,8 +660,10 @@ class SegmentStore:
         consumer has seen are never opened), and deletes are the id-list
         files added to the tombstone set. Compaction windows are
         transparent (row ids invariant); a PURGE renumbers the row space,
-        which no delta can express — detected via the monotone tombstone-
-        set/total-rows invariants and raised as "full refresh needed"."""
+        which no delta can express — detected via the manifest renumber
+        epoch (the legacy tombstone-set/total-rows heuristics remain as a
+        backstop for pre-epoch manifests) and raised as "full refresh
+        needed"."""
         to_v = to_version if to_version is not None else self.versions()[-1]
         from_doc = self.manifest_doc_at(from_version)
         to_doc = self.manifest_doc_at(to_v)

@@ -24,6 +24,7 @@ from iodf_spark.sources.segments import SegmentStore
 OPS = st.one_of(
     st.tuples(st.just("append"), st.integers(1, 25)),
     st.tuples(st.just("delete_mod"), st.integers(2, 5)),
+    st.tuples(st.just("delete_ids"), st.integers(1, 8)),
     st.tuples(st.just("compact"), st.just(None)),
     st.tuples(st.just("tiered"), st.integers(2, 3)),
     st.tuples(st.just("purge"), st.just(None)),
@@ -42,6 +43,7 @@ def test_store_matches_model_after_every_op(spark, tmp_path_factory, ops):
     store = SegmentStore(str(tmp_path_factory.mktemp("model") / "s"))
     model = []  # [(k, live)] in row_id order; purge drops dead entries
     next_k = 0
+    epoch = 0  # expected renumber epoch: bumped only by an effective purge
 
     for op, arg in ops:
         if op == "append":
@@ -56,11 +58,24 @@ def test_store_matches_model_after_every_op(spark, tmp_path_factory, ops):
                 continue
             store.delete_where(spark, f"k % {arg} = 0")
             model = [(k, live and k % arg != 0) for k, live in model]
+        elif op == "delete_ids":
+            if not model:
+                continue
+            # the SET-driven twin: first `arg` live keys via delete_rows
+            victims = [k for k, live in model if live][:arg]
+            store.delete_rows(
+                spark,
+                spark.createDataFrame([(k,) for k in victims] or [(-1,)], "k long"),
+                on="k",
+            )
+            model = [(k, live and k not in victims) for k, live in model]
         elif op == "compact":
             store.compact(spark)  # ids invariant, tombstones carried
         elif op == "tiered":
             store.compact_tiered(spark, fanout=arg)
         elif op == "purge":
+            if any(not live for _, live in model):
+                epoch += 1  # an effective purge renumbers; a no-op doesn't
             store.purge(spark)
             model = [(k, True) for k, live in model if live]
         elif op == "vacuum":
@@ -85,3 +100,4 @@ def test_store_matches_model_after_every_op(spark, tmp_path_factory, ops):
         d = store.describe()
         assert d["live_rows"] == len(want)
         assert d["n_rows"] == len(model)
+        assert d["renumber_epoch"] == epoch

@@ -194,3 +194,23 @@ def test_planner_reads_manifest_exactly_once(spark, store, monkeypatch):
     rows, path = store.smart_filter_any(spark, [("tag", "t3"), ("uid", "u42")])
     assert calls["doc"] == 1
     assert rows.count() > 0
+
+
+def test_pruned_segments_never_reach_the_physical_scan(spark, store):
+    """The zone-map prune must remove segments from the PHYSICAL plan, not
+    just post-filter them: the planned input files of a pruned conjunctive
+    read may include only the surviving segment's data files (plus
+    tombstone id-lists) — a plan that lists a pruned segment's files would
+    re-read 100 TB to discard it."""
+    # k is segment-ordered (0-499 / 500-999 / 1000-1499): a k-range prunes
+    rows, plan = store.smart_filter_all(spark, [("k", 0, 400), ("tag", "t3")])
+    assert plan["survivors"] == 1
+    seg_dirs = {
+        f"seg-{e['segment_id']:05d}" for e in store.manifest()
+    }
+    survivor = f"seg-{store.manifest()[0]['segment_id']:05d}"
+    for f in rows.inputFiles():
+        hit = {d for d in seg_dirs if f"/{d}/data/" in f}
+        assert hit <= {survivor}, f"pruned segment file in plan: {f}"
+    # sanity: the survivor IS planned (the scan reads something)
+    assert any(f"/{survivor}/data/" in f for f in rows.inputFiles())
