@@ -407,3 +407,47 @@ def test_ivf_append_equals_one_shot_build(spark, tmp_path):
         emb, "vec_id", "embedding", full_path, [0, 1, 2], n_centroids=4, n_probe=2
     )
     assert sorted(map(tuple, q_inc.collect())) == sorted(map(tuple, q_full.collect()))
+
+
+def test_tombstone_anti_join_broadcasts_small_dead_set(spark, tmp_path):
+    """A takedown's read-side anti join must BROADCAST the (small) dead-id
+    set — a shuffled anti join would re-partition the 100 TB corpus to
+    subtract a few thousand ids. The shuffled path is reserved for dead
+    sets past the broadcast budget (threshold in _apply_tombstones)."""
+    from iodf_spark.sources.segments import SegmentStore
+
+    store = SegmentStore(str(tmp_path / "s"))
+    store.write_segment(
+        spark.createDataFrame([(i,) for i in range(500)], "k long"),
+        order_keys=["k"],
+    )
+    store.delete_where(spark, "k % 7 = 0")
+    plan = plan_of(store.open(spark))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_store_planner_index_path_semi_joins_posting_ids(spark, tmp_path):
+    """smart_filter's index route: the data side is row_id-semi-joined
+    against posting ids (LeftSemi), never filtered by a Python-side id
+    collection; the pushed scan route keeps the predicate in the Parquet
+    scan's PushedFilters."""
+    from iodf_spark.operators.index import IndexConf
+    from iodf_spark.sources.segments import SegmentStore
+
+    store = SegmentStore(str(tmp_path / "s2"), bucket_size=1024)
+    store.write_segment(
+        spark.createDataFrame(
+            [(i, f"t{i % 50}") for i in range(2000)], "k long, tag string"
+        ),
+        order_keys=["k"],
+        index_conf=IndexConf(include=["tag"]),
+    )
+    rows, plan_report = store.smart_filter(spark, "tag", "t3", threshold=0.5)
+    assert plan_report["path"] == "index"
+    plan = plan_of(rows)
+    assert "LeftSemi" in plan
+    rows_scan, report_scan = store.smart_filter(spark, "tag", "t3", threshold=0.001)
+    assert report_scan["path"] == "scan"
+    scan_plan = plan_of(rows_scan)
+    assert "PushedFilters" in scan_plan and "t3" in scan_plan
