@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from iodf_spark.functions import texthash as TH
+from iodf_spark.session import fan_out
 
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BAND_ROWS = 4
@@ -73,9 +74,15 @@ def _gram_stream(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame
     gram-based operator hashes identically by construction."""
     from pyspark.sql.window import Window
 
-    tok = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.expr(TH.tokens(text_col, "spark"))).alias("_pos", "_t"),
+    # fan_out before tokenization: split/posexplode/hash are narrow and
+    # would otherwise run on the scan's (single, for local one-row-group
+    # files) splits until the window's _id shuffle; no-op on real inputs
+    base = fan_out(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    )
+    tok = base.select(
+        "_id",
+        F.posexplode(F.expr(TH.tokens("_txt", "spark"))).alias("_pos", "_t"),
     ).withColumn("_h", F.expr(TH.text_hash("_t", "spark")))
     w = Window.partitionBy("_id").orderBy("_pos")
     acc = f"cast({TH.SEED} as bigint)"
@@ -449,9 +456,10 @@ def simhash_pairs(
     array folds per row; bit b is set iff 2*count_of_set_bit >= n_tokens —
     algebraically identical to the reference sum(+1/-1) >= 0 criterion."""
     toks = (
-        df.withColumn("_th", F.expr(TH.token_hashes(text_col, "spark")))
+        fan_out(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")))
+        .withColumn("_th", F.expr(TH.token_hashes("_txt", "spark")))
         .filter(F.size("_th") > 0)
-        .select(F.col(id_col).alias("_id"), "_th")
+        .select("_id", "_th")
     )
     ex = toks.select("_id", F.explode("_th").alias("_x"))
     bit_aggs = [
@@ -838,11 +846,13 @@ _POS_ENC = 2_147_483_648  # 2^31 > texthash.MOD: (pos, line_hash) packs into one
 
 def _line_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(_id, _pos, _lh) for every NON-EMPTY (after trim) line of every doc.
-    One narrow pass: split + posexplode + polynomial hash, all codegen."""
+    One narrow pass: split + posexplode + polynomial hash, all codegen —
+    fanned out first so single-split local inputs use every core."""
     return (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+        fan_out(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")))
+        .select(
+            "_id",
+            F.posexplode(F.split(F.col("_txt"), "\n")).alias("_pos", "_line"),
         )
         # regex trim, not trim(): trim strips only 0x20 in both engines, but
         # boilerplate matching must be whitespace-run-insensitive at the ends
@@ -987,9 +997,10 @@ def _line_rows_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Like _line_rows but keeps the trimmed line text (for clean-corpus
     materialization)."""
     return (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+        fan_out(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")))
+        .select(
+            "_id",
+            F.posexplode(F.split(F.col("_txt"), "\n")).alias("_pos", "_line"),
         )
         .withColumn("_lt", F.regexp_replace("_line", f"^{TH.WS_CLASS}+|{TH.WS_CLASS}+$", ""))
         .filter(F.col("_lt") != "")

@@ -49,6 +49,7 @@ from iodf_spark.plans.rowset import (
     _assemble_words,
     _n_words,
 )
+from iodf_spark.session import fan_out
 
 # type ranks for the cross-type key order (IoTypes.scala:104-123)
 KIND_BOOL, KIND_NUM, KIND_STR = 0, 1, 2
@@ -169,6 +170,15 @@ def build_index(
     per-group."""
     conf = conf or IndexConf()
     gks = list(group_keys or [])
+    # fan_out before the per-column analyze/explode melt: tokenization is
+    # narrow, and a single-split local input would run the whole analyzer
+    # battery on one core until the posting groupBy's shuffle (no-op on
+    # properly split inputs). PRUNED first — only row_id + the indexed
+    # columns travel through the rebalance, never the full table width.
+    # row_id is already assigned upstream, so repartitioning cannot change
+    # any posting.
+    needed = dict.fromkeys([*gks, "row_id", *conf.columns(df)])
+    df = fan_out(df.select(*needed))
     melted = []
     for col in conf.columns(df):
         if col in gks:

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from iodf_spark.functions.texthash import MOD, MULT, SEED
+from iodf_spark.session import fan_out
 
 
 def _dot(a: str, b: str, dialect: str, dim: int | None = None) -> str:
@@ -191,9 +192,9 @@ def cosine_pairs(
     are int64 (any summation order), normalization float64 as in the oracle.
     """
     nb = int(n_blocks) if n_blocks is not None else _auto_blocks(df, vec_col, dim)
-    q = df.select(
-        F.col(id_col).alias("id"),
-        F.expr(quant_expr(vec_col, "spark")).alias("qv"),
+    q = fan_out(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))).select(
+        "id",
+        F.expr(quant_expr("_v", "spark")).alias("qv"),
         F.lit(0).alias("_bkt"),
     )
     return _blocked_pair_scores(q, nb, threshold)
@@ -341,10 +342,10 @@ def lsh_candidate_pairs(
     candidate. The grid splits every bucket into memory-bounded cells
     scored by int64 matmul — bit-equal to the oracle's per-pair folds."""
     dim = dim or _infer_dim(df, vec_col)
-    q = df.select(
-        F.col(id_col).alias("id"),
-        F.expr(quant_expr(vec_col, "spark")).alias("qv"),
-        F.expr(lsh_bucket_expr(vec_col, n_planes, "spark", dim)).alias("_bkt"),
+    q = fan_out(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))).select(
+        "id",
+        F.expr(quant_expr("_v", "spark")).alias("qv"),
+        F.expr(lsh_bucket_expr("_v", n_planes, "spark", dim)).alias("_bkt"),
     )
     return _blocked_pair_scores(q, _auto_blocks(df, vec_col, dim), threshold)
 
@@ -390,11 +391,13 @@ def ann_brute_force(
         F.col(vec_col).alias("_qv"),
         F.expr(norm_expr(vec_col, "spark", dim)).alias("_qn"),
     )
-    c = df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        F.expr(norm_expr(vec_col, "spark", dim)).alias("_cn"),
-    )
+    # corpus side: fan_out BEFORE the norm/dot projections — single-row-group
+    # local files scan as one split, serializing the vector kernels onto one
+    # core (no-op on properly split inputs); queries keep their pushable
+    # isin filter on the raw scan
+    c = fan_out(
+        df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    ).withColumn("_cn", F.expr(norm_expr("_cv", "spark", dim)))
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
@@ -479,11 +482,14 @@ def _ivf_assign(
     (ivf_append assigns against a store's FROZEN centroids)."""
     if cent is None:
         cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim)
-    corpus = df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        F.expr(norm_expr(vec_col, "spark", dim)).alias("_cvn"),
-    )
+    # fan_out BEFORE the norm projection and the centroid-fold expansion:
+    # a single-row-group local file scans as ONE split, so the whole
+    # n_centroids x dim dot workload would run on one core (no-op on
+    # properly split inputs); the centroid subquery keeps its pushable
+    # id < n_centroids filter on the raw scan
+    corpus = fan_out(
+        df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    ).withColumn("_cvn", F.expr(norm_expr("_cv", "spark", dim)))
     # the argmax aggregates SCALARS ONLY: any variable-size payload (the
     # vector) in a max/max_by buffer demotes the agg to SortAggregate and
     # sorts the whole n_centroids-fold expansion WITH its arrays (measured
@@ -560,7 +566,10 @@ def ivf_build_store(
     probe reads n_probe/n_centroids of the data at the FILE level
     (PartitionFilters prune before any IO; asserted by plan test)."""
     dim = dim or _infer_dim(df, vec_col)
-    _ivf_assign(df, id_col, vec_col, n_centroids, dim).write.mode(
+    # cluster by cell before the partitioned write: each inverted list lands
+    # in one task's output (<= 1 file per cell), instead of every assign
+    # partition fragmenting every cell directory
+    _ivf_assign(df, id_col, vec_col, n_centroids, dim).repartition("cid").write.mode(
         "overwrite"
     ).partitionBy("cid").parquet(path)
 
@@ -694,21 +703,28 @@ def ann_lsh(
     no extra corpus passes)."""
     dim = dim or _infer_dim(df, vec_col)
     bucket = F.expr(lsh_bucket_expr(vec_col, n_planes, "spark", dim))
-    with_b = df.withColumn("_bkt", bucket).withColumn(
-        "_n", F.expr(norm_expr(vec_col, "spark", dim))
-    )
-    q = with_b.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
-        F.col("_n").alias("_qn"), "_bkt",
+    q = (
+        df.filter(F.col(id_col).isin(query_ids))
+        .withColumn("_bkt", bucket)
+        .withColumn("_n", F.expr(norm_expr(vec_col, "spark", dim)))
+        .select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+            F.col("_n").alias("_qn"), "_bkt",
+        )
     )
     if multi_probe:
         probes = F.array(
             F.col("_bkt"), *[F.expr(f"_bkt ^ {1 << j}") for j in range(n_planes)]
         )
         q = q.select("query_id", "_qv", "_qn", F.explode(probes).alias("_bkt"))
-    c = with_b.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-        F.col("_n").alias("_cn"), "_bkt",
+    # corpus hashed once, but AFTER a fan_out: bucket bits + norm are
+    # n_planes x dim unrolled terms per row — single-split local inputs
+    # would compute them all on one core (no-op on split inputs)
+    c = (
+        fan_out(df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")))
+        .withColumn("_bkt", F.expr(lsh_bucket_expr("_cv", n_planes, "spark", dim)))
+        .withColumn("_cn", F.expr(norm_expr("_cv", "spark", dim)))
+        .select("neighbor_id", "_cv", "_cn", "_bkt")
     )
     scored = (
         F.broadcast(q)

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from iodf_spark.functions import texthash as TH
+from iodf_spark.session import fan_out
 
 # whitespace is excluded via the shared LITERAL char set (texthash.WS_CHARS)
 # — a bare \s here would make \x0B count as punctuation in DuckDB (RE2)
@@ -120,7 +121,12 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     stopword ratios, composite quality score, predicted language,
     64-bit-range fingerprint of the normalized text."""
     exprs = _exprs(text_col, "spark")
-    toks = df.withColumn("_tok", F.expr(TH.tokens(text_col, "spark")))
+    # fan_out ahead of the metric battery: the tokenizer + regex exprs are
+    # one narrow pass, and on single-split local inputs they'd run on one
+    # core until the final sort's shuffle (no-op on split inputs)
+    toks = fan_out(df.select(F.col(id_col), F.col(text_col))).withColumn(
+        "_tok", F.expr(TH.tokens(text_col, "spark"))
+    )
     return toks.select(
         F.col(id_col), *[F.expr(v).alias(k) for k, v in exprs.items()]
     ).orderBy(id_col)
@@ -197,7 +203,7 @@ def token_surprisal(
     = total corpus tokens, so probabilities are exact rationals and the
     only float steps are log2 + the mean (rounded to 6, the engine's
     float-agg comparison grain). Docs with no tokens get NULL."""
-    tok = df.select(
+    tok = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.expr(TH.tokens(text_col, "spark"))).alias("_t"),
     )
@@ -306,7 +312,7 @@ def text_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Bigrams are hashes of adjacent token pairs — multiplicity preserved —
     via the shared texthash formulas, so the oracle is exact."""
     exprs = _rep_exprs("spark")
-    prepped = df.withColumn(
+    prepped = fan_out(df.select(F.col(id_col), F.col(text_col))).withColumn(
         "_tok", F.expr(TH.tokens(text_col, "spark"))
     ).withColumn(
         "_th", F.expr(TH.token_hashes(text_col, "spark"))
@@ -397,10 +403,11 @@ def _pii_exprs(text: str, dialect: str) -> dict[str, str]:
 
 def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document PII hit counts (emails / phone numbers / IPv4
-    addresses) and a clean verdict — a pure narrow regex map, pushdown- and
-    codegen-friendly, no shuffle at any scale."""
+    addresses) and a clean verdict — a narrow regex map, pushdown- and
+    codegen-friendly; fanned out first so the (expensive) regex battery
+    uses every core on single-split local inputs (no-op otherwise)."""
     exprs = _pii_exprs(text_col, "spark")
-    return df.select(
+    return fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), *[F.expr(v).alias(k) for k, v in exprs.items()]
     )
 
