@@ -918,13 +918,19 @@ class SegmentStore:
             # must scan, not probe, a predicate on an uncovered column
             # (its f there is 0 — "no postings", not "no rows")
             entry["indexed_cols"] = sorted(index_conf.columns(df))
+        # metadata aggregations (sketches, blooms) read the files JUST
+        # WRITTEN, not the in-flight plan: the written scan is columnar —
+        # only the sketched/bloomed columns are read (ReadSchema pruning)
+        # — and re-planning the stamped checkpoint+join+window pipeline
+        # per aggregation measured ~2-3x the cost of the tiny-file scan
+        written = spark.read.parquet(os.path.join(seg_path, "data"))
         if sketch_cols:
             # per-column Datasketches HLL, base64 in the manifest (~2 KB
             # each): store-level distinct counts become a metadata union,
             # never a data scan. One agg job covers every sketched column.
             import base64
 
-            row = df.agg(
+            row = written.agg(
                 *[F.hll_sketch_agg(c).alias(c) for c in sketch_cols]
             ).collect()[0]
             entry["sketches"] = {
@@ -947,7 +953,7 @@ class SegmentStore:
             k = bloom_k if bloom_k is not None else _bloom_geometry(n_rows)[1]
             blooms, dropped = {}, []
             for c in bloom_cols:
-                bits, fill = _bloom_build(df, c, m, k)
+                bits, fill = _bloom_build(written, c, m, k)
                 if fill > _BLOOM_MAX_FILL:
                     dropped.append(c)
                     continue

@@ -170,8 +170,15 @@ def with_row_id(df: DataFrame, order_keys: list[str], return_count: bool = False
     row_number() over (order by keys) - 1, oracle-reproducible, while
     every stage stays parallel — the same plan works on 1000 executors.
     """
-    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    part = df.repartitionByRange(n_parts, *[F.col(k) for k in order_keys])
+    # NO explicit partition count: a pinned N disables AQE's shuffle
+    # sizing, so a 5-row write pays N tasks in EVERY downstream job over
+    # the stamped plan (and writes N files); letting AQE size the range
+    # shuffle coalesces tiny inputs to one partition and still splits
+    # large ones by advisory size. Coalescing merges ADJACENT range
+    # partitions only, so the cross-partition key order — and therefore
+    # every row_id — is unchanged; the offsets math below reads the
+    # ACTUAL partition ids either way.
+    part = df.repartitionByRange(*[F.col(k) for k in order_keys])
     stamped = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=False)
     offset_df, acc = broadcast_offsets(stamped, F.lit(1))
     w = Window.partitionBy("_pid").orderBy(*[F.col(k) for k in order_keys])
