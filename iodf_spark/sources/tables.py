@@ -170,15 +170,17 @@ def with_row_id(df: DataFrame, order_keys: list[str], return_count: bool = False
     row_number() over (order by keys) - 1, oracle-reproducible, while
     every stage stays parallel — the same plan works on 1000 executors.
     """
-    # NO explicit partition count: a pinned N disables AQE's shuffle
-    # sizing, so a 5-row write pays N tasks in EVERY downstream job over
-    # the stamped plan (and writes N files); letting AQE size the range
-    # shuffle coalesces tiny inputs to one partition and still splits
-    # large ones by advisory size. Coalescing merges ADJACENT range
-    # partitions only, so the cross-partition key order — and therefore
-    # every row_id — is unchanged; the offsets math below reads the
-    # ACTUAL partition ids either way.
-    part = df.repartitionByRange(*[F.col(k) for k in order_keys])
+    # Global orderBy, NOT repartitionByRange(N): the sort's REQUIRED
+    # range distribution is something AQE must preserve — it may only
+    # coalesce ADJACENT partitions (cross-partition key order, and
+    # therefore every row_id, unchanged) and sizes the shuffle itself
+    # (a 5-row write collapses to one partition instead of paying N
+    # tasks in every downstream job over the stamped plan and writing N
+    # near-empty files; a large write still splits by advisory size).
+    # A bare unpinned repartitionByRange is NOT safe here: AQE's local
+    # shuffle reader may regroup map outputs per map task — measured
+    # 3368/6005 wrong row ids (pinned by test_fan_out.py).
+    part = df.orderBy(*[F.col(k) for k in order_keys])
     stamped = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=False)
     offset_df, acc = broadcast_offsets(stamped, F.lit(1))
     w = Window.partitionBy("_pid").orderBy(*[F.col(k) for k in order_keys])
