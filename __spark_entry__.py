@@ -1384,6 +1384,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     preceding 30 minutes, drained with availableNow. Equal to the batch
     interval join, which is what the oracle checks."""
     from iodf_spark.streaming.ingest import (
+        bounded_state_partitions,
         run_to_memory,
         stream_events,
         stream_stream_join,
@@ -1394,7 +1395,13 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_stream_join(
         stream_events(spark, sf_dir), "purchase", "click"
     )
-    return run_to_memory(joined, name).orderBy("left_id", "right_id")
+    # state partitions sized to the bounded source's bytes, not core count
+    # (32 one-commit-per-batch state stores on a 2 MB drain measured 4 s
+    # of pure overhead; a 100 TB source hits the parallelism clamp)
+    return run_to_memory(
+        joined, name,
+        shuffle_partitions=bounded_state_partitions(spark, f"{sf_dir}/events.parquet"),
+    ).orderBy("left_id", "right_id")
 
 
 def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1404,6 +1411,7 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the availableNow trigger into a memory sink. Semantically equal to the
     batch join+aggregation, which is what the oracle checks."""
     from iodf_spark.streaming.ingest import (
+        bounded_state_partitions,
         run_to_memory,
         stream_enriched_counts,
         stream_events,
@@ -1420,9 +1428,10 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = stream_enriched_counts(
         stream_events(spark, sf_dir), dim, "user_id", "c_custkey", "n_name"
     )
-    return run_to_memory(agg, name, output_mode="complete").orderBy(
-        "hour_start", "n_name"
-    )
+    return run_to_memory(
+        agg, name, output_mode="complete",
+        shuffle_partitions=bounded_state_partitions(spark, f"{sf_dir}/events.parquet"),
+    ).orderBy("hour_start", "n_name")
 
 
 # ---------------------------------------------------------------------------
@@ -1983,12 +1992,20 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 stateful streaming dedup: first event per (user, event_type)
     via dropDuplicates state; output counts per event_type (deterministic
     over the kept set regardless of arrival order)."""
-    from iodf_spark.streaming.ingest import run_to_memory, stream_dedup, stream_events
+    from iodf_spark.streaming.ingest import (
+        bounded_state_partitions,
+        run_to_memory,
+        stream_dedup,
+        stream_events,
+    )
 
     _STREAM_COUNTER[0] += 1
     name = f"stream_dedup_{_STREAM_COUNTER[0]}"
     kept = stream_dedup(stream_events(spark, sf_dir), ["user_id", "event_type"])
-    out = run_to_memory(kept, name, output_mode="append")
+    out = run_to_memory(
+        kept, name, output_mode="append",
+        shuffle_partitions=bounded_state_partitions(spark, f"{sf_dir}/events.parquet"),
+    )
     return (
         out.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_kept"))
@@ -2010,6 +2027,12 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     _STREAM_COUNTER[0] += 1
     name = f"stream_sessions_{_STREAM_COUNTER[0]}"
     out = stream_sessionize(stream_events(spark, sf_dir))
+    # NOT bounded_state_partitions: the per-group work here is an Arrow
+    # Python kernel (applyInPandasWithState), and Python-side parallelism
+    # tracks the partition count — shrinking state width to cut store
+    # commits measured 1.7 -> 3.1 s by serializing the pandas work onto
+    # two workers. JVM-stateful drains want minimal state width; Python-
+    # stateful ones want compute width.
     emitted = run_to_memory(out, name, output_mode="append")
     return finalize_sessions(emitted).orderBy("user_id", "session_id")
 

@@ -18,12 +18,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from iodf_spark.session import fan_out
+
 
 def profile(df: DataFrame, columns: list[str] | None = None, exact: bool = True) -> DataFrame:
     """Per-column stats: (col_name, n_nonnull, n_distinct, min_str,
     max_str), min/max rendered as canonical strings so one schema fits
     every column type."""
     cols = columns or df.columns
+    # fan_out the pruned projection: the exact-distinct EXPAND multiplies
+    # the scan C-fold BEFORE the partial agg, so a single-split local
+    # input would run the whole expansion on one core (no-op on properly
+    # split inputs)
+    df = fan_out(df.select(*cols))
     aggs = []
     for c in cols:
         nd = F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(F.col(c))
