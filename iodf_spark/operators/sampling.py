@@ -143,10 +143,13 @@ def token_budget_select(
 
     from iodf_spark.sources.tables import broadcast_offsets
 
-    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    # global orderBy, not repartitionByRange(N): the sort's REQUIRED range
+    # distribution is one AQE must preserve (adjacent-only coalescing — the
+    # prefix-sum order survives), while sizing the shuffle to the data
+    # instead of a pinned core count (see tables.with_row_id)
     stamped = (
-        df.repartitionByRange(n_parts, *order)
+        df.orderBy(*order)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
