@@ -282,13 +282,22 @@ def build_index(
 
 def write_index(index_df: DataFrame, path: str) -> None:
     """Persist partitioned by col_name (partition pruning for probes),
-    sorted within partitions by typed key (Parquet min/max row-group
-    skipping on value probes) — the Spark analog of the reference's sorted
-    colIds invariant (Dfs.scala:250)."""
+    globally ordered by (col_name, typed key, bucket) — the Spark analog
+    of the reference's sorted colIds invariant (Dfs.scala:250).
+
+    A global orderBy, not repartition("col_name")+sortWithinPartitions:
+    hash-clustering by column funnels EVERY posting of a column into ONE
+    task (a text index is one column — a single task sorting the whole
+    posting table), while the sort's required range distribution lets AQE
+    size the shuffle to the data. The result is stronger, not weaker:
+    each column's postings land as a run of key-disjoint sorted files, so
+    value probes still skip by Parquet min/max and the partition dirs
+    still prune by column."""
     (
-        index_df.repartition("col_name")
-        .sortWithinPartitions(
-            "value_kind", "value_bool", "value_long", "value_double", "value_str", "bucket"
+        index_df.orderBy(
+            "col_name",
+            "value_kind", "value_bool", "value_long", "value_double", "value_str",
+            "bucket",
         )
         .write.mode("overwrite")
         .partitionBy("col_name")

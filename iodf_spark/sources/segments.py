@@ -899,9 +899,12 @@ class SegmentStore:
             n_rows = df.sparkSession.read.parquet(os.path.join(seg_path, "data")).count()
         if index_conf is not None:
             ix = build_index(df, index_conf, bucket_size=self.bucket_size, n_rows=n_rows)
+            # global orderBy, not repartition("col_name"): hash-clustering
+            # funnels a column's whole posting table into one task; the
+            # required sort keeps files key-disjoint AND lets AQE size the
+            # shuffle (see operators/index.write_index)
             (
-                ix.repartition("col_name")
-                .sortWithinPartitions("value_kind", "value_str", "bucket")
+                ix.orderBy("col_name", "value_kind", "value_str", "bucket")
                 .write.mode("overwrite")
                 .option("compression", self.compression)
                 .partitionBy("col_name")
