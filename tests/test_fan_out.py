@@ -65,6 +65,26 @@ def test_with_row_id_ids_survive_aqe_partition_sizing(spark):
     assert keys == sorted(keys)
 
 
+def test_with_row_id_invariant_to_input_partitioning(spark):
+    """Stamping a pre-shuffled multi-partition input must yield the same
+    (id -> key) relation as stamping the raw scan: the required sort
+    normalizes whatever partitioning arrives."""
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).select(
+        "l_orderkey", "l_linenumber"
+    )
+    a, _ = with_row_id(li, ["l_orderkey", "l_linenumber"], return_count=True)
+    b, _ = with_row_id(
+        li.repartition(7, "l_linenumber"),
+        ["l_orderkey", "l_linenumber"],
+        return_count=True,
+    )
+    ka = [(r["l_orderkey"], r["l_linenumber"]) for r in a.orderBy("row_id").collect()]
+    kb = [(r["l_orderkey"], r["l_linenumber"]) for r in b.orderBy("row_id").collect()]
+    # tie runs may order arbitrarily within themselves, but the KEY at
+    # every global rank is identical
+    assert ka == kb
+
+
 def test_with_row_id_tiny_input_coalesces(spark):
     """A 5-row stamp must not fan 32 files/tasks downstream: AQE sizing
     collapses the range shuffle to one partition."""

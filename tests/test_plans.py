@@ -374,6 +374,16 @@ def test_ivf_store_prunes_cell_partitions_and_matches_inflight(spark, tmp_path):
     assert sorted(map(tuple, store_res.collect())) == sorted(
         map(tuple, inflight.collect())
     )
+    # file hygiene: the build clusters by cell before the partitioned
+    # write, so each inverted-list directory holds ONE data file — not a
+    # fragment per assign partition (fan_out would otherwise fan each
+    # cell dir 32-ways)
+    import glob
+    import os
+
+    for cell_dir in glob.glob(os.path.join(path, "cid=*")):
+        files = [f for f in os.listdir(cell_dir) if f.endswith(".parquet")]
+        assert len(files) == 1, (cell_dir, files)
 
 
 def test_ivf_append_equals_one_shot_build(spark, tmp_path):
