@@ -396,6 +396,10 @@ SAMPLE_RATES = {"en": 0.5, "de": 0.25, "unknown": 1.0}
 # text so both dialects parse the identical double)
 TEMP_TARGET_FRAC = "4e-1"
 CAP_K = 40  # per-source quota for the 'cap' sampling variant
+# target training mixture by char mass (DoReMi/Pile-style): weights are
+# SQL literal strings so both dialects parse the identical double; the
+# 16 unlisted sources are dropped (weight 0)
+MIX_WEIGHTS = {"src0": "4e-1", "src1": "3e-1", "src2": "2e-1", "src3": "1e-1"}
 TOKEN_BUDGET = 16_000  # token budget for quality_filter's cum_tokens/in_budget
 
 
@@ -814,7 +818,30 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_checksum",
         )
     )
-    return fixed.unionByName(temp).unionByName(capped).orderBy("variant", "cls")
+    # explicit target-mixture resampling by char MASS (DoReMi/Pile-style
+    # domain weights): the binding domain keeps everything, the rest are
+    # squeezed to match the target shares, unlisted sources drop out —
+    # same per-row hash decision, so the oracle selects the exact rows
+    from iodf_spark.operators.sampling import mixture_sample
+
+    mixed = (
+        mixture_sample(docs, "doc_id", "source", MIX_WEIGHTS, "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .select(
+            F.lit("mix").alias("variant"),
+            F.col("source").alias("cls"),
+            "n_kept",
+            "id_checksum",
+        )
+    )
+    return (
+        fixed.unionByName(temp).unionByName(capped).unionByName(mixed)
+        .orderBy("variant", "cls")
+    )
 
 
 def _pii_fixture_expr(dialect: str) -> str:
@@ -2597,6 +2624,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_kept, sum(doc_id)::BIGINT AS id_checksum
             FROM ({sampling.source_cap_oracle(
                 "documents", "doc_id", "source", CAP_K, select="doc_id, source",
+            )})
+            GROUP BY source
+            UNION ALL
+            SELECT 'mix' AS variant, source AS cls,
+                   count(*)::BIGINT AS n_kept, sum(doc_id)::BIGINT AS id_checksum
+            FROM ({sampling.mixture_sample_oracle(
+                "documents", "doc_id", "source", MIX_WEIGHTS, "n_chars",
+                select="doc_id, _d.source",
             )})
             GROUP BY source
             ORDER BY variant, cls

@@ -267,3 +267,80 @@ def temperature_sample_oracle(
         JOIN _thr ON _d.{class_col} = _thr._cls
         WHERE {_bucket_expr(key_col)} < _thr
     """
+
+
+# --------------------------------------------------------------------------
+# Target-mixture resampling (DoReMi/Pile-style domain weights)
+#
+# The other standard curation move: the desired TRAINING MIXTURE is given
+# explicitly — "40% web, 30% wiki, 20% code, 10% papers, by token mass" —
+# and the corpus must be downsampled to match it. Without upsampling, the
+# achievable total is capped by the BINDING domain (the one whose measured
+# mass falls shortest of its target share): T* = min_d mass_d / w_d; every
+# domain then keeps rate w_d * T* / mass_d (the binding domain keeps
+# everything, over-represented domains are squeezed). Domains with no
+# target weight are dropped. The per-row decision is the shared hash, so
+# the exact document set is engine-reproducible; the only cross-domain
+# float reduction is a MIN (order-independent), so no fold-order pinning
+# is needed — weights arrive as SQL literal strings parsed identically by
+# both dialects.
+#
+# Scale: one map-side-combined mass aggregate (|domains| rows), a 1-row
+# broadcast of T*, a |domains|-row broadcast of thresholds, then a narrow
+# filter — no full-data shuffle at any corpus size (same shape as
+# temperature_sample).
+
+MIX_THR_FMT = (
+    "cast(least({buckets}, floor((({w}) * _tstar / _m) * {buckets})) as bigint)"
+)
+
+
+def _weight_case(class_col: str, weights: dict[str, str]) -> str:
+    """Target-share CASE over SQL literal weight strings (e.g. '4e-1') —
+    identical text in both dialects; unlisted classes weigh 0 (dropped)."""
+    arms = " ".join(f"WHEN '{c}' THEN {w}" for c, w in sorted(weights.items()))
+    return f"(CASE {class_col} {arms} ELSE cast(0 as double) END)"
+
+
+def mixture_sample(
+    df: DataFrame, key_col: str, class_col: str, weights: dict[str, str],
+    mass_col: str,
+) -> DataFrame:
+    """Downsample so the kept corpus's ``mass_col`` mixture over
+    ``class_col`` matches the target ``weights`` (class -> SQL literal
+    share string), capped by the binding domain — no upsampling. Row
+    decisions are the shared deterministic hash on ``key_col``."""
+    wc = _weight_case(class_col, weights)
+    cls = df.groupBy(class_col).agg(
+        F.sum(F.col(mass_col)).cast("double").alias("_m")
+    )
+    folded = cls.agg(
+        F.min(F.expr(f"CASE WHEN ({wc}) > 0e0 THEN _m / ({wc}) END")).alias("_tstar")
+    )
+    thr = cls.crossJoin(F.broadcast(folded)).select(
+        F.col(class_col),
+        F.expr(MIX_THR_FMT.format(buckets=BUCKETS, w=wc)).alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(thr), class_col)
+        .filter(F.expr(_bucket_expr(key_col)) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def mixture_sample_oracle(
+    table: str, key_col: str, class_col: str, weights: dict[str, str],
+    mass_col: str, select: str = "*",
+) -> str:
+    wc = _weight_case(class_col, weights)
+    thr = MIX_THR_FMT.format(buckets=BUCKETS, w=wc)
+    return f"""
+        WITH _c AS (SELECT {class_col}, sum({mass_col})::DOUBLE AS _m
+                    FROM {table} GROUP BY 1),
+        _t AS (SELECT min(CASE WHEN ({wc}) > 0e0 THEN _m / ({wc}) END) AS _tstar
+               FROM _c),
+        _thr AS (SELECT {class_col} AS _cls, {thr} AS _thr FROM _c, _t)
+        SELECT {select} FROM {table} _d
+        JOIN _thr ON _d.{class_col} = _thr._cls
+        WHERE {_bucket_expr(key_col)} < _thr
+    """

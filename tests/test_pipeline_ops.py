@@ -578,6 +578,61 @@ def test_temperature_sample_rebalances(spark, sf_dir):
     assert ids1 == ids2
 
 
+def test_mixture_sample_hits_target_shares(spark):
+    from pyspark.sql import functions as F
+
+    from iodf_spark.operators import sampling as SA
+
+    # skewed synthetic corpus: masses far from the 50/30/20 target
+    rows = (
+        [(i, "web", 10) for i in range(4000)]        # mass 40000
+        + [(10_000 + i, "wiki", 10) for i in range(300)]   # mass 3000
+        + [(20_000 + i, "code", 10) for i in range(1000)]  # mass 10000
+        + [(30_000 + i, "junk", 10) for i in range(500)]   # unlisted
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "src", "mass"])
+    weights = {"web": "5e-1", "wiki": "3e-1", "code": "2e-1"}
+    kept = SA.mixture_sample(df, "doc_id", "src", weights, "mass")
+    got = {
+        r["src"]: r["m"]
+        for r in kept.groupBy("src").agg(F.sum("mass").alias("m")).collect()
+    }
+    # binding domain: wiki (3000/0.3 = 10000 = smallest) keeps EVERYTHING
+    assert got["wiki"] == 3000, got
+    # unlisted classes are dropped entirely
+    assert "junk" not in got, got
+    # achieved shares track the target (hash-rate slack ~ +-20% per class)
+    total = sum(got.values())
+    for cls, w in (("web", 0.5), ("wiki", 0.3), ("code", 0.2)):
+        assert abs(got[cls] / total - w) < 0.07, (cls, got, total)
+    # deterministic: a re-run selects the exact same rows
+    ids1 = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in SA.mixture_sample(df, "doc_id", "src", weights, "mass")
+        .select("doc_id")
+        .collect()
+    )
+    assert ids1 == ids2
+
+
+def test_mixture_sample_vs_oracle(spark, sf_dir, con):
+    from iodf_spark.operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"src0": "4e-1", "src1": "3e-1", "src2": "2e-1", "src3": "1e-1"}
+    _match(
+        SA.mixture_sample(docs, "doc_id", "source", weights, "n_chars").select(
+            "doc_id", "source"
+        ),
+        con,
+        SA.mixture_sample_oracle(
+            "documents", "doc_id", "source", weights, "n_chars",
+            select="doc_id, _d.source",
+        ),
+    )
+
+
 @pytest.mark.parametrize("frac", ["1e-1", "4e-1", "9e-1"])
 def test_temperature_sample_vs_oracle_params(spark, sf_dir, con, frac):
     from iodf_spark.operators import sampling as SA
