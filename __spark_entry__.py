@@ -1947,6 +1947,7 @@ def _doc_text_index(spark: SparkSession, sf_dir: str):
 TEXT_QUERY_TERMS = ["spark", "query", "vector"]
 TEXT_PHRASE = "stream table hash"  # 3-word phrase present in multiple docs
 TEXT_PREFIX = "sp"  # key-range probe: every token starting with this
+HYBRID_QUERY_VEC_ID = 7  # doc whose embedding drives the hybrid 'rrf' arm
 
 
 def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2001,7 +2002,21 @@ def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(0 as double)").alias("score"),
         )
     )
-    return probe_rows.unionByName(bm).unionByName(ph).unionByName(pre)
+    # 'rrf' rows: HYBRID retrieval — the BM25 lexical list fused with the
+    # embedding-cosine semantic list by reciprocal rank (rank-only fusion,
+    # so the incomparable raw scores never mix and both engines agree on
+    # every bit; operators/search.hybrid_rrf_topk)
+    from iodf_spark.operators.search import hybrid_rrf_topk
+
+    rrf = hybrid_rrf_topk(
+        docs, ix, "text", TEXT_QUERY_TERMS,
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        HYBRID_QUERY_VEC_ID, n, k=15, dim=EMB_DIM,
+    ).select(F.lit("rrf").alias("variant"), "row_id", "score")
+    return (
+        probe_rows.unionByName(bm).unionByName(ph).unionByName(pre)
+        .unionByName(rrf)
+    )
 
 
 def q_table_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2794,6 +2809,12 @@ def oracle_sql() -> dict[str, str]:
                 "row_id", "text",
                 "(SELECT row_number() OVER (ORDER BY doc_id) - 1 AS row_id, text FROM documents)",
                 TEXT_PHRASE)}) p
+            UNION ALL
+            SELECT 'rrf' AS variant, row_id, score
+            FROM ({search.hybrid_rrf_topk_oracle(
+                "documents", "doc_id", "text", TEXT_QUERY_TERMS,
+                "embeddings", "vec_id", "embedding", HYBRID_QUERY_VEC_ID,
+                k=15, dim=EMB_DIM)}) h
         """,
         "text_stats": f"""
             SELECT s.*, r.n_bigrams, r.top_token_frac, r.dup_bigram_frac,

@@ -249,3 +249,108 @@ def phrase_search_oracle(
     """.replace(
         "_th_tokens", TH.tokens(text_col, "duckdb")
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + embedding cosine, fused by reciprocal rank
+#
+# The modern two-tower search stack: a lexical ranked list (BM25 over the
+# inverted text index) and a semantic ranked list (cosine top-k over the
+# embedding column) are FUSED by reciprocal-rank: rrf(d) = sum over lists
+# of 1 / (K + rank_list(d)), K = 60 (the Cormack/Clarke/Buettcher
+# constant). RRF uses only the RANKS — never the incomparable raw scores —
+# which is what makes the fusion robust and, here, oracle-exact: ranks are
+# integers, 1/(K + r) and their two-term sum are fully-determined IEEE
+# ops, and both engines evaluate the identical expression text.
+#
+# Scale: each list is its own already-bounded top-pool operator (BM25 =
+# index-candidates + TakeOrdered; ANN = broadcast query against the
+# corpus, or the IVF store for big corpora); the fusion joins two
+# pool-sized frames — constant-size work regardless of corpus size.
+
+RRF_K = 60
+RRF_FMT = (
+    "(coalesce(1e0 / ({k} + _rb), 0e0) + coalesce(1e0 / ({k} + _ra), 0e0))"
+)
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    index_df: DataFrame,
+    text_col: str,
+    terms: list[str],
+    emb: DataFrame,
+    vec_id_col: str,
+    vec_col: str,
+    query_vec_id: int,
+    n_rows: int,
+    k: int = 15,
+    pool: int = 50,
+    dim: int | None = None,
+    bucket_size: int | None = None,
+) -> DataFrame:
+    """Top-k documents by reciprocal-rank fusion of the BM25 list for
+    ``terms`` and the cosine-ANN list for ``query_vec_id``'s embedding.
+    ``docs.row_id`` and ``emb.{vec_id_col}`` must share the id space (the
+    corpus row id). Documents appearing in only one list still score
+    (missing rank contributes 0). Returns (row_id, score), score DESC,
+    row_id tie-break; both pools are ``pool`` deep."""
+    from pyspark.sql.window import Window
+
+    from iodf_spark.operators.similarity import ann_brute_force
+
+    b = bm25_topk(
+        docs, index_df, text_col, terms, n_rows, k=pool, bucket_size=bucket_size
+    )
+    # the pool is `pool` rows — a single-task rank window over it is fine
+    wb = Window.orderBy(F.col("score").desc(), "row_id")
+    branks = b.select("row_id", F.row_number().over(wb).alias("_rb"))
+    aranks = ann_brute_force(
+        emb, vec_id_col, vec_col, [query_vec_id], k=pool, dim=dim
+    ).select(F.col("neighbor_id").alias("_aid"), F.col("rank").alias("_ra"))
+    fused = (
+        branks.join(aranks, branks["row_id"] == aranks["_aid"], "full_outer")
+        .select(
+            F.coalesce(branks["row_id"], aranks["_aid"]).alias("row_id"),
+            F.expr(RRF_FMT.format(k=RRF_K)).alias("_rrf"),
+        )
+    )
+    return (
+        fused.select("row_id", F.round("_rrf", 9).alias("score"))
+        .orderBy(F.col("score").desc(), "row_id")
+        .limit(k)
+    )
+
+
+def hybrid_rrf_topk_oracle(
+    table: str,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    emb_table: str,
+    vec_id_col: str,
+    vec_col: str,
+    query_vec_id: int,
+    k: int = 15,
+    pool: int = 50,
+    dim: int | None = None,
+) -> str:
+    from iodf_spark.operators.similarity import ann_brute_force_oracle
+
+    rrf = RRF_FMT.format(k=RRF_K)
+    return f"""
+        WITH _b AS (
+          SELECT row_id,
+                 row_number() OVER (ORDER BY score DESC, row_id) AS _rb
+          FROM ({bm25_topk_oracle(table, id_col, text_col, terms, k=pool)})),
+        _a AS (
+          SELECT neighbor_id AS _aid, rank AS _ra
+          FROM ({ann_brute_force_oracle(
+              vec_id_col, vec_col, emb_table, [query_vec_id], k=pool, dim=dim
+          )})),
+        _f AS (
+          SELECT coalesce(_b.row_id, _a._aid) AS row_id, {rrf} AS _rrf
+          FROM _b FULL OUTER JOIN _a ON _b.row_id = _a._aid)
+        SELECT row_id, round(_rrf, 9) AS score FROM _f
+        ORDER BY score DESC, row_id LIMIT {k}
+    """

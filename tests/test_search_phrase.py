@@ -219,3 +219,52 @@ def test_plan_stats_batch_matches_per_call_decisions(spark):
     assert sorted(r["row_id"] for r in d1.collect()) == sorted(
         r["row_id"] for r in d2.collect()
     )
+
+
+def test_hybrid_rrf_fuses_both_lists(spark):
+    """A doc ranked in BOTH lists must out-score a doc ranked in only one
+    at comparable rank; docs in one list still appear (missing-rank term
+    contributes 0); re-run is deterministic."""
+    from iodf_spark.operators import index as IX
+    from iodf_spark.operators.search import hybrid_rrf_topk
+
+    # corpus: doc 0 matches the query term AND is the nearest embedding;
+    # doc 1 only matches the term; doc 2 is only an embedding neighbor
+    docs = spark.createDataFrame(
+        [
+            (0, "spark engine spark"),
+            (1, "spark job"),
+            (2, "unrelated words here"),
+            (3, "other text entirely"),
+        ],
+        "row_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),      # orthogonal to the query
+            (2, [0.9, 0.1]),
+            (3, [1.0, 0.05]),     # the query vector's own row
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    ix = IX.build_index(
+        docs, IX.IndexConf(include=["text"], analyzers={"text": IX.text_analyzer}),
+        n_rows=4,
+    )
+    got = hybrid_rrf_topk(
+        docs, ix, "text", ["spark"], emb, "vec_id", "embedding",
+        query_vec_id=3, n_rows=4, k=4, dim=2,
+    ).collect()
+    order = [r["row_id"] for r in got]
+    scores = {r["row_id"]: r["score"] for r in got}
+    # doc 0: bm25 rank 1 + ann rank 1 -> in both lists, must lead
+    assert order[0] == 0, got
+    # one-list docs still present: 1 (bm25 only), 2 (ann only)
+    assert {1, 2} <= set(order), got
+    assert scores[0] > max(scores[1], scores[2]), got
+    again = hybrid_rrf_topk(
+        docs, ix, "text", ["spark"], emb, "vec_id", "embedding",
+        query_vec_id=3, n_rows=4, k=4, dim=2,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
