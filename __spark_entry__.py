@@ -1950,73 +1950,111 @@ TEXT_PREFIX = "sp"  # key-range probe: every token starting with this
 HYBRID_QUERY_VEC_ID = 7  # doc whose embedding drives the hybrid 'rrf' arm
 
 
+def _text_search_arms(spark: SparkSession, sf_dir: str):
+    """ORDERED arm thunks of text_search (bench times each retrieval
+    variant individually; q_text_search unions them for the oracle). The
+    text-index build is lazily memoized, so its one-time cost lands in
+    the first arm's timing."""
+    memo: dict[str, object] = {}
+
+    def ixn():
+        if "ixn" not in memo:
+            memo["ixn"] = _doc_text_index(spark, sf_dir)
+        return memo["ixn"]
+
+    def docs() -> DataFrame:
+        if "docs" not in memo:
+            memo["docs"] = _documents(spark, sf_dir)
+        return memo["docs"]
+
+    def arm_probe() -> DataFrame:
+        # one token's boolean posting set (IndexedDf.scala:71-85)
+        ix, n = ixn()
+        return (
+            idx.probe(ix, "text", "spark", n, encoding_hint="auto")
+            .to_rows()
+            .select(
+                F.lit("probe").alias("variant"),
+                "row_id",
+                F.expr("cast(0 as double)").alias("score"),
+            )
+        )
+
+    def arm_bm25() -> DataFrame:
+        # ranked BM25 top-15: document frequencies from the index key
+        # stats, candidates from the OR of the term posting sets,
+        # tf/length as codegen array expressions (rational-idf variant
+        # for cross-engine bit determinism)
+        from iodf_spark.operators.search import bm25_topk
+
+        ix, n = ixn()
+        return bm25_topk(docs(), ix, "text", TEXT_QUERY_TERMS, n, k=15).select(
+            F.lit("bm25").alias("variant"),
+            "row_id",
+            F.round("score", 9).alias("score"),
+        )
+
+    def arm_phrase() -> DataFrame:
+        # exact phrase search with NO positional index — a k-word phrase
+        # IS one k-gram, so its rolling hash probes the shared gram
+        # stream; a normalized-substring verify removes the collision tail
+        from iodf_spark.operators.search import phrase_search
+
+        return phrase_search(docs(), "row_id", "text", TEXT_PHRASE).select(
+            F.lit("phrase").alias("variant"),
+            "row_id",
+            F.expr("cast(0 as double)").alias("score"),
+        )
+
+    def arm_prefix() -> DataFrame:
+        # dynamic-arity key-range probe — every sorted index key starting
+        # with the prefix ORs its posting list in ONE aggregation stage
+        ix, n = ixn()
+        return (
+            idx.probe_prefix(ix, "text", TEXT_PREFIX, n)
+            .to_rows()
+            .select(
+                F.lit("prefix").alias("variant"),
+                "row_id",
+                F.expr("cast(0 as double)").alias("score"),
+            )
+        )
+
+    def arm_rrf() -> DataFrame:
+        # HYBRID retrieval — the BM25 lexical list fused with the
+        # embedding-cosine semantic list by reciprocal rank (rank-only
+        # fusion, so the incomparable raw scores never mix and both
+        # engines agree on every bit; operators/search.hybrid_rrf_topk)
+        from iodf_spark.operators.search import hybrid_rrf_topk
+
+        ix, n = ixn()
+        return hybrid_rrf_topk(
+            docs(), ix, "text", TEXT_QUERY_TERMS,
+            load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            HYBRID_QUERY_VEC_ID, n, k=15, dim=EMB_DIM,
+        ).select(F.lit("rrf").alias("variant"), "row_id", "score")
+
+    return [
+        ("probe", arm_probe),
+        ("bm25", arm_bm25),
+        ("phrase", arm_phrase),
+        ("prefix", arm_prefix),
+        ("rrf", arm_rrf),
+    ]
+
+
 def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I2/§2.12 analyzers + ranked retrieval in one attested entry (former
     index_text_tokens): the text column indexed with the whitespace
     tokenizer (the reference's test analyzer, DfTest.scala:69-70 — one
-    value fans out to N index tokens). 'probe' rows: one token's boolean
-    posting set (IndexedDf.scala:71-85). 'bm25' rows: ranked BM25 top-15
-    over three terms, with document frequencies from the index key stats,
-    candidates from the OR of the term posting sets, tf/length as codegen
-    array expressions — the ranked-retrieval layer the reference's boolean
-    index stops short of (operators/search.py; rational-idf variant for
-    cross-engine bit determinism)."""
-    from iodf_spark.operators.search import bm25_topk
-
-    ix, n = _doc_text_index(spark, sf_dir)
-    docs = _documents(spark, sf_dir)
-    probe_rows = (
-        idx.probe(ix, "text", "spark", n, encoding_hint="auto")
-        .to_rows()
-        .select(
-            F.lit("probe").alias("variant"),
-            "row_id",
-            F.expr("cast(0 as double)").alias("score"),
-        )
-    )
-    bm = bm25_topk(docs, ix, "text", TEXT_QUERY_TERMS, n, k=15).select(
-        F.lit("bm25").alias("variant"),
-        "row_id",
-        F.round("score", 9).alias("score"),
-    )
-    # 'phrase' rows: exact phrase search with NO positional index — a
-    # k-word phrase IS one k-gram, so its rolling hash probes the shared
-    # gram stream; a normalized-substring verify removes the collision
-    # tail (operators/search.phrase_search)
-    from iodf_spark.operators.search import phrase_search
-
-    ph = phrase_search(docs, "row_id", "text", TEXT_PHRASE).select(
-        F.lit("phrase").alias("variant"),
-        "row_id",
-        F.expr("cast(0 as double)").alias("score"),
-    )
-    # 'prefix' rows: dynamic-arity key-range probe — every sorted index key
-    # starting with the prefix ORs its posting list in ONE aggregation
-    # stage (union_posting_rows), however many keys match
-    pre = (
-        idx.probe_prefix(ix, "text", TEXT_PREFIX, n)
-        .to_rows()
-        .select(
-            F.lit("prefix").alias("variant"),
-            "row_id",
-            F.expr("cast(0 as double)").alias("score"),
-        )
-    )
-    # 'rrf' rows: HYBRID retrieval — the BM25 lexical list fused with the
-    # embedding-cosine semantic list by reciprocal rank (rank-only fusion,
-    # so the incomparable raw scores never mix and both engines agree on
-    # every bit; operators/search.hybrid_rrf_topk)
-    from iodf_spark.operators.search import hybrid_rrf_topk
-
-    rrf = hybrid_rrf_topk(
-        docs, ix, "text", TEXT_QUERY_TERMS,
-        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        HYBRID_QUERY_VEC_ID, n, k=15, dim=EMB_DIM,
-    ).select(F.lit("rrf").alias("variant"), "row_id", "score")
-    return (
-        probe_rows.unionByName(bm).unionByName(ph).unionByName(pre)
-        .unionByName(rrf)
-    )
+    value fans out to N index tokens), then five retrieval variants over
+    it — boolean probe, BM25 top-15, exact phrase, key-range prefix, and
+    hybrid BM25+ANN reciprocal-rank fusion (see _text_search_arms)."""
+    out = None
+    for _name, thunk in _text_search_arms(spark, sf_dir):
+        df = thunk()
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def q_table_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2234,6 +2272,7 @@ def bench_arms() -> dict:
         "segments_compact": _segments_compact_arms,
         "ann_topk": _ann_topk_arms,
         "index_probe_rows": _index_probe_arms,
+        "text_search": _text_search_arms,
     }
 
 
