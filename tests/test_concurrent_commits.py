@@ -246,6 +246,51 @@ def test_delete_where_racing_purge_raises_not_corrupts(spark, path):
     assert sorted(r["k"] for r in fresh.open(spark).collect()) == list(range(10, 30))
 
 
+def test_delete_where_racing_compact_retries_and_lands(spark, path):
+    """delete_where losing its OCC race to a concurrent COMPACTION must
+    retry and commit: global row_ids are invariant under compaction, so
+    the loser's computed id-list still names exactly the right rows in
+    the merged store (the append-vs-compact commute rule, extended to
+    tombstones). Contrast with the purge race, which renumbers and must
+    raise."""
+    store = SegmentStore(path)
+    store.write_segment(_df(spark, 0, 20), order_keys=["k"])
+    store.write_segment(_df(spark, 20, 40), order_keys=["k"])
+    victim = SegmentStore(path)
+
+    def competitor():
+        SegmentStore(path).compact(spark)  # 2 segments -> 1, ids unchanged
+
+    _inject_then_conflict(victim, competitor)
+    t = victim.delete_where(spark, "k < 5")
+    assert t["n"] == 5
+    fresh = SegmentStore(path)
+    assert len(fresh.manifest()) == 1  # the compaction won and survived
+    assert fresh.live_rows() == 35
+    assert sorted(r["k"] for r in fresh.open(spark).collect()) == list(range(5, 40))
+
+
+def test_delete_where_racing_append_retries_and_lands(spark, path):
+    """delete_where losing to a concurrent APPEND retries and commits: the
+    appended segment's rows get ids past the delete's computed id-list,
+    so the tombstones still hide exactly the requested rows and the new
+    rows stay fully live."""
+    store = SegmentStore(path)
+    store.write_segment(_df(spark, 0, 30), order_keys=["k"])
+    victim = SegmentStore(path)
+
+    def competitor():
+        SegmentStore(path).write_segment(_df(spark, 100, 120), order_keys=["k"])
+
+    _inject_then_conflict(victim, competitor)
+    t = victim.delete_where(spark, "k < 10")
+    assert t["n"] == 10
+    fresh = SegmentStore(path)
+    assert fresh.live_rows() == 40
+    got = sorted(r["k"] for r in fresh.open(spark).collect())
+    assert got == list(range(10, 30)) + list(range(100, 120))
+
+
 def test_purge_bumps_renumber_epoch_monotonically(spark, path):
     store = SegmentStore(path)
     store.write_segment(_df(spark, 0, 20), order_keys=["k"])
