@@ -1655,6 +1655,45 @@ def _segments_compact_arms(spark: SparkSession, sf_dir: str):
             F.countDistinct("r_regionkey").cast("long").alias("checksum"),
         )
 
+    def arm_zorder() -> DataFrame:
+        # OPTIMIZE ZORDER BY (the lakehouse layout rewrite, via this
+        # store's own primitives): a single-segment store over the
+        # synthetic (a, b) = (o_orderkey % 64, o_custkey % 64) grid is
+        # rewritten into 4 z-clustered segments — zone maps then prune on
+        # EITHER dimension, and ids renumber in z order (epoch bump, the
+        # purge contract). FIXED rebase bounds make the renumbering
+        # engine-reproducible: the oracle re-derives every new row_id
+        # from the same dual-dialect Morton formula.
+        zstore = SegmentStore(tempfile.mkdtemp(prefix="iodf_zorder_"))
+        zdf = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 64).alias("a"),
+            (F.col("o_custkey") % 64).alias("b"),
+        )
+        zstore.write_segment(zdf, order_keys=["o_orderkey"])
+        entries = zstore.optimize_zorder(
+            spark, ["a", "b"], bits=6, n_segments=4,
+            bounds={"a": (0, 63), "b": (0, 63)},
+        )
+        if len(entries) != 4 or zstore.manifest_doc()["renumber_epoch"] != 1:
+            raise AssertionError("zorder rewrite shape unexpected")
+        # the layout claim, asserted in-process: a top-quarter range on
+        # EITHER dimension must zone-map-prune at least one z-segment
+        # (pre-rewrite, the single ingest-order segment spans everything)
+        for c in ("a", "b"):
+            overlapping = [
+                e for e in zstore.manifest()
+                if not (int(e["stats"][c][1]) < 48 or int(e["stats"][c][0]) > 63)
+            ]
+            if len(overlapping) >= 4:
+                raise AssertionError(f"z layout failed to prune on {c}")
+        return zstore.open(spark).agg(
+            F.lit("zorder").alias("src"),
+            F.lit(4).cast("int").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
+        )
+
     def arm_delete() -> DataFrame:
         # row-level deletes (takedown / right-to-be-forgotten — absent
         # from the reference's append-only model, SURVEY.md §1.4; design =
@@ -1853,6 +1892,7 @@ def _segments_compact_arms(spark: SparkSession, sf_dir: str):
         ("pruned", arm_pruned),
         ("tiered", arm_tiered),
         ("sketch", arm_sketch),
+        ("zorder", arm_zorder),
         ("delete", arm_delete),
         ("del_snap", arm_del_snap),
         ("cdf", arm_cdf),
@@ -2278,6 +2318,15 @@ def bench_arms() -> dict:
 
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect-compatible ANSI SQL)
+
+
+def _zorder_arm_key() -> str:
+    """DuckDB twin of the zorder arm's Morton key: the same FIXED bounds
+    the engine passes to optimize_zorder (a, b in [0, 63], 6 bits), so
+    the oracle re-derives the renumbered row ids exactly."""
+    from iodf_spark.functions.zorder import zorder_key_expr
+
+    return zorder_key_expr(["a", "b"], [0, 0], [63, 63], "duckdb", bits=6)
 
 
 def _costats_oracle(counts_subquery: str, extra_cols: str = "") -> str:
@@ -2759,6 +2808,17 @@ def oracle_sql() -> dict[str, str]:
                          r_regionkey
                   FROM region) r
             CROSS JOIN (SELECT unnest(range(4)) AS c) c
+            UNION ALL
+            SELECT 'zorder' AS src, 4::INT AS n_segments,
+                   count(*)::BIGINT AS n_rows,
+                   sum(rid * o_orderkey)::BIGINT AS checksum
+            FROM (SELECT row_number() OVER (ORDER BY {_zorder_arm_key()},
+                                            old_rid) - 1 AS rid, o_orderkey
+                  FROM (SELECT row_number() OVER (ORDER BY o_orderkey) - 1
+                               AS old_rid,
+                               o_orderkey,
+                               o_orderkey % 64 AS a, o_custkey % 64 AS b
+                        FROM orders))
             UNION ALL
             SELECT 'delete' AS src, 3::INT AS n_segments,
                    count(*)::BIGINT AS n_rows,

@@ -45,3 +45,32 @@ def zorder_expr(cols: list[str], dialect: str, bits: int = DEFAULT_BITS) -> str:
                     f"((({c}::BIGINT >> {b}) & 1) << {b * k + i})"
                 )
     return "(" + " + ".join(terms) + ")"
+
+
+def zorder_key_expr(
+    cols: list[str],
+    mins: list[int],
+    spans: list[int],
+    dialect: str,
+    bits: int = DEFAULT_BITS,
+) -> str:
+    """Morton key over REBASED integer columns: each col is 0-based by its
+    literal ``min`` and right-shifted by its excess bits (so the
+    interleave sees the TOP ``bits`` bits of the column's actual span —
+    raw skewed values would waste the high bit positions). mins/spans are
+    Python ints (taken from manifest zone maps, zero Spark jobs), so the
+    embedded literals — and therefore every z-key — are identical in both
+    dialects."""
+    if len(cols) != len(mins) or len(cols) != len(spans):
+        raise ValueError("cols/mins/spans length mismatch")
+    rebased = []
+    for c, mn, span in zip(cols, mins, spans):
+        shift = max(0, int(span).bit_length() - bits)
+        if dialect == "spark":
+            base = f"(cast({c} as bigint) - {mn})"
+            e = f"shiftright({base}, {shift})" if shift else base
+        else:
+            base = f"({c}::BIGINT - {mn})"
+            e = f"({base} >> {shift})" if shift else base
+        rebased.append(f"({e})")
+    return zorder_expr(rebased, dialect, bits)

@@ -1633,6 +1633,152 @@ class SegmentStore:
         self.reconcile()
         return entry
 
+    def optimize_zorder(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        bits: int = 12,
+        n_segments: int | None = None,
+        index_conf: IndexConf | None = None,
+        defaults: dict[str, object] | None = None,
+        bounds: "dict[str, tuple[int, int]] | None" = None,
+    ) -> list[dict]:
+        """OPTIMIZE ZORDER BY — rewrite the store's LIVE rows clustered by
+        the Morton interleave of ``cols`` (integer columns), split into
+        ``n_segments`` segments of contiguous new row ids. Each segment's
+        zone-map envelope then covers a z-cluster, so range predicates on
+        ANY interleaved column prune segments via the existing
+        open_pruned/smart_filter* layers — multi-dimensional pruning with
+        zero new read-path code (the lakehouse OPTIMIZE ZORDER layout,
+        e.g. Delta's, expressed through this store's own primitives).
+
+        Column rebase bounds come from the MANIFEST zone maps (driver-side
+        metadata — no stats job; one fallback agg only for columns the
+        footers could not bound). Like ``purge`` this is a RENUMBERING
+        rewrite: tombstones are materialized away and the renumber epoch
+        bumps, so change-feed consumers get the clean FullRefreshRequired
+        signal and racing writers' stale id-lists are detected. A conflict
+        with ANY concurrent commit surfaces as ManifestConflictError
+        (re-run against the fresh store), never a partial layout.
+
+        Scale: one full rewrite of live rows — the same cost class as
+        purge/compact, scheduled at the same maintenance cadence; the sort
+        is a required range distribution (AQE-sized), and each segment
+        write is a row_id-range slice of the one stamped plan."""
+        from iodf_spark.functions.zorder import zorder_key_expr
+
+        if not cols:
+            raise ValueError("optimize_zorder needs at least one column")
+        doc, base_v = self.manifest_doc_versioned()
+        if not doc["segments"]:
+            return []
+        live = self._apply_tombstones(
+            spark,
+            self._open_entries(spark, doc["segments"], defaults),
+            doc["tombstones"],
+        )
+        # rebase bounds: caller-supplied domains win (a fixed, data-
+        # independent layout — also what makes the rewrite reproducible
+        # by an external engine); otherwise fold the per-segment zone
+        # maps driver-side; a column without footer stats in some segment
+        # falls back to ONE min/max agg over the live rows
+        mins: dict[str, int] = {}
+        maxs: dict[str, int] = {}
+        missing = []
+        for c in cols:
+            if bounds and c in bounds:
+                mins[c], maxs[c] = int(bounds[c][0]), int(bounds[c][1])
+                continue
+            stat_bounds = [e.get("stats", {}).get(c) for e in doc["segments"]]
+            if any(b is None for b in stat_bounds):
+                missing.append(c)
+                continue
+            mins[c] = min(int(b[0]) for b in stat_bounds)
+            maxs[c] = max(int(b[1]) for b in stat_bounds)
+        if missing:
+            row = live.agg(
+                *[F.min(c).alias(f"_lo_{c}") for c in missing],
+                *[F.max(c).alias(f"_hi_{c}") for c in missing],
+            ).collect()[0]
+            for c in missing:
+                if row[f"_lo_{c}"] is None:
+                    raise ValueError(f"optimize_zorder: column {c!r} is all-NULL")
+                mins[c] = int(row[f"_lo_{c}"])
+                maxs[c] = int(row[f"_hi_{c}"])
+        zkey = zorder_key_expr(
+            cols,
+            [mins[c] for c in cols],
+            [maxs[c] - mins[c] for c in cols],
+            "spark",
+            bits=bits,
+        )
+        # deterministic total order: z-key, then the PRE-rewrite id as the
+        # tie-break (z collisions keep their prior relative order)
+        stamped, n = with_row_id(
+            live.withColumnRenamed("row_id", "_zoldid").withColumn(
+                "_zkey", F.expr(zkey)
+            ),
+            ["_zkey", "_zoldid"],
+            return_count=True,
+        )
+        stamped = stamped.drop("_zkey", "_zoldid")
+        if n == 0:
+            return []
+        m = max(1, int(n_segments) if n_segments else len(doc["segments"]))
+        m = min(m, n)
+        size = -(-n // m)  # ceil
+        new_ids = [
+            self._claim_seg_id(
+                max((e["segment_id"] for e in doc["segments"]), default=-1) + 1 + k
+            )
+            for k in range(m)
+        ]
+        entries = []
+        try:
+            for k, sid in enumerate(new_ids):
+                lo, hi = k * size, min((k + 1) * size, n)
+                seg_df = stamped.filter(
+                    (F.col("row_id") >= lo) & (F.col("row_id") < hi)
+                ).withColumn("row_id", F.col("row_id") - F.lit(lo))
+                entry = self._write_segment_files(
+                    seg_df, sid, index_conf, n_rows=hi - lo
+                )
+                entry["row_id_offset"] = lo
+                entries.append(entry)
+            # carry every absorbed batch_key (same exactly-once contract
+            # as purge): replayed producers must still see their batches
+            keys: set[str] = set()
+            for e in doc["segments"]:
+                if e.get("batch_key") is not None:
+                    keys.add(e["batch_key"])
+                keys.update(e.get("batch_keys", ()))
+            if keys:
+                entries[0]["batch_keys"] = sorted(keys)
+            self._publish(
+                {
+                    "segments": entries,
+                    "tombstones": [],
+                    # a z-rewrite renumbers like purge: bump the epoch so
+                    # holders of pre-rewrite row_ids detect the change
+                    "renumber_epoch": doc["renumber_epoch"] + 1,
+                },
+                base_version=base_v,
+            )
+        except ManifestConflictError:
+            import shutil
+
+            for sid in new_ids:
+                shutil.rmtree(
+                    os.path.join(self.path, f"seg-{sid:05d}"), ignore_errors=True
+                )
+            raise ManifestConflictError(
+                f"optimize_zorder raced a concurrent commit in {self.path}: "
+                "the rewritten row space is stale — re-run against the "
+                "fresh store"
+            ) from None
+        self.reconcile()
+        return entries
+
     def _open_entries(
         self,
         spark: SparkSession,

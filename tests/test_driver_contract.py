@@ -49,7 +49,7 @@ def test_segments_compact_arm_inventory_is_stable():
 
     arms = [
         "compact", "have", "snapshot", "pruned", "tiered", "sketch",
-        "delete", "del_snap", "cdf", "cdf_stream", "mirror",
+        "zorder", "delete", "del_snap", "cdf", "cdf_stream", "mirror",
         "store_point", "store_all", "store_any", "purge",
     ]
     src = inspect.getsource(entrymod._segments_compact_arms)
