@@ -1665,10 +1665,17 @@ def _segments_compact_arms(spark: SparkSession, sf_dir: str):
         # engine-reproducible: the oracle re-derives every new row_id
         # from the same dual-dialect Morton formula.
         zstore = SegmentStore(tempfile.mkdtemp(prefix="iodf_zorder_"))
-        zdf = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey",
-            (F.col("o_orderkey") % 64).alias("a"),
-            (F.col("o_custkey") % 64).alias("b"),
+        # deterministic 1/8 subset: the arm attests the rewrite contract,
+        # not bulk throughput (the full-corpus cost class is purge's, and
+        # the sf-ladder covers scaling) — both engines filter identically
+        zdf = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.expr("o_orderkey % 8 = 0"))
+            .select(
+                "o_orderkey",
+                (F.col("o_orderkey") % 64).alias("a"),
+                (F.col("o_custkey") % 64).alias("b"),
+            )
         )
         zstore.write_segment(zdf, order_keys=["o_orderkey"])
         entries = zstore.optimize_zorder(
@@ -2818,7 +2825,7 @@ def oracle_sql() -> dict[str, str]:
                                AS old_rid,
                                o_orderkey,
                                o_orderkey % 64 AS a, o_custkey % 64 AS b
-                        FROM orders))
+                        FROM orders WHERE o_orderkey % 8 = 0))
             UNION ALL
             SELECT 'delete' AS src, 3::INT AS n_segments,
                    count(*)::BIGINT AS n_rows,

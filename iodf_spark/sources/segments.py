@@ -1734,17 +1734,65 @@ class SegmentStore:
             for k in range(m)
         ]
         entries = []
+        import uuid
+
+        tmp = os.path.join(self.path, f"_zorder_tmp_{uuid.uuid4().hex[:8]}")
         try:
+            # ONE partitioned write for every z-segment (not M filtered
+            # re-reads of the stamped plan): contiguous id blocks mean the
+            # segment-LOCAL id is just row_id mod size and the split id is
+            # row_id div size, so a single data pass lands each segment in
+            # its own partition directory, renamed into seg-*/data below
+            other = [c for c in stamped.columns if c != "row_id"]
+            prev_tst = spark.conf.get("spark.sql.parquet.outputTimestampType")
+            spark.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+            )
+            try:
+                (
+                    stamped.select(
+                        F.pmod(F.col("row_id"), F.lit(size)).alias("row_id"),
+                        *other,
+                        # integer div, not float `/`: float quotients lose
+                        # exactness past 2^53 row ids
+                        F.expr(f"cast(row_id div {size} as int)").alias("_seg"),
+                    )
+                    .write.mode("overwrite")
+                    .option("compression", self.compression)
+                    .partitionBy("_seg")
+                    .parquet(tmp)
+                )
+            finally:
+                spark.conf.set("spark.sql.parquet.outputTimestampType", prev_tst)
             for k, sid in enumerate(new_ids):
                 lo, hi = k * size, min((k + 1) * size, n)
-                seg_df = stamped.filter(
-                    (F.col("row_id") >= lo) & (F.col("row_id") < hi)
-                ).withColumn("row_id", F.col("row_id") - F.lit(lo))
-                entry = self._write_segment_files(
-                    seg_df, sid, index_conf, n_rows=hi - lo
-                )
+                seg_path = os.path.join(self.path, f"seg-{sid:05d}")
+                os.rename(os.path.join(tmp, f"_seg={k}"), os.path.join(seg_path, "data"))
+                entry = {
+                    "segment_id": sid,
+                    "n_rows": int(hi - lo),
+                    "indexed": index_conf is not None,
+                    "stats": _footer_stats(os.path.join(seg_path, "data")),
+                }
+                if index_conf is not None:
+                    seg_df = spark.read.parquet(os.path.join(seg_path, "data"))
+                    ix = build_index(
+                        seg_df, index_conf, bucket_size=self.bucket_size,
+                        n_rows=hi - lo,
+                    )
+                    (
+                        ix.orderBy("col_name", "value_kind", "value_str", "bucket")
+                        .write.mode("overwrite")
+                        .option("compression", self.compression)
+                        .partitionBy("col_name")
+                        .parquet(os.path.join(seg_path, "index"))
+                    )
+                    entry["indexed_cols"] = sorted(index_conf.columns(seg_df))
                 entry["row_id_offset"] = lo
                 entries.append(entry)
+            import shutil as _sh
+
+            _sh.rmtree(tmp, ignore_errors=True)
             # carry every absorbed batch_key (same exactly-once contract
             # as purge): replayed producers must still see their batches
             keys: set[str] = set()
@@ -1771,6 +1819,7 @@ class SegmentStore:
                 shutil.rmtree(
                     os.path.join(self.path, f"seg-{sid:05d}"), ignore_errors=True
                 )
+            shutil.rmtree(tmp, ignore_errors=True)
             raise ManifestConflictError(
                 f"optimize_zorder raced a concurrent commit in {self.path}: "
                 "the rewritten row space is stale — re-run against the "
