@@ -121,3 +121,22 @@ def test_zorder_conflict_raises_and_leaves_store_clean(spark, path):
     # the competitor's append survived; no stray z-segments referenced
     assert fresh.live_rows() == 64 + 4
     assert fresh.manifest_doc()["renumber_epoch"] == 0
+
+
+def test_zorder_rebuilds_stored_indexes(spark, path):
+    """optimize_zorder(index_conf=...) must leave every z-segment with a
+    usable stored index in the NEW id space: the store-level planner's
+    index route answers a point predicate with exactly the right rows."""
+    from iodf_spark.operators.index import IndexConf
+
+    store = SegmentStore(path)
+    df = _grid(spark, n=8)
+    store.write_segment(df, order_keys=["k"], index_conf=IndexConf(include=["a"]))
+    entries = store.optimize_zorder(
+        spark, ["a", "b"], bits=4, n_segments=2, index_conf=IndexConf(include=["a"]),
+    )
+    assert all(e["indexed"] and e["indexed_cols"] == ["a"] for e in entries)
+    rows, plan = store.smart_filter(spark, "a", 3, threshold=0.5)
+    assert plan["path"] == "index", plan
+    got = sorted(r["k"] for r in rows.collect())
+    assert got == sorted(r["k"] for r in df.filter("a = 3").collect())
