@@ -765,6 +765,13 @@ class SegmentStore:
             ):
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(name)
+            elif name.startswith("_zorder_tmp_") and aged(full):
+                # optimize_zorder's one-pass staging dir: cleaned on every
+                # exit path, so a survivor means a crash mid-rewrite —
+                # never referenced by any manifest, safe to sweep after
+                # the same grace window
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(name)
             elif name.endswith(".manifest.tmp") and aged(full):
                 # a crash between mkstemp and the atomic os.replace in
                 # _publish leaves the temp file forever; it is never

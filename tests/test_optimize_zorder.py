@@ -140,3 +140,18 @@ def test_zorder_rebuilds_stored_indexes(spark, path):
     assert plan["path"] == "index", plan
     got = sorted(r["k"] for r in rows.collect())
     assert got == sorted(r["k"] for r in df.filter("a = 3").collect())
+
+
+def test_reconcile_sweeps_crashed_zorder_staging(spark, path):
+    import os
+
+    store = SegmentStore(path)
+    store.write_segment(_grid(spark, n=4), order_keys=["k"])
+    crashed = os.path.join(path, "_zorder_tmp_deadbeef")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "part-0.parquet"), "wb") as fh:
+        fh.write(b"junk")
+    removed = store.reconcile(grace_seconds=0)
+    assert "_zorder_tmp_deadbeef" in removed
+    assert not os.path.exists(crashed)
+    assert store.live_rows() == 16  # committed data untouched
