@@ -1869,6 +1869,51 @@ def _segments_compact_arms(spark: SparkSession, sf_dir: str):
             F.sum(F.col("row_id") * F.col("o_orderkey")).cast("long").alias("checksum"),
         )
 
+    def arm_merge() -> DataFrame:
+        # MERGE INTO by key (SegmentStore.merge_by_key) — the lakehouse
+        # upsert the reference's append-only model lacks (SURVEY.md §1.4),
+        # composed from the store's delete + append primitives in ONE
+        # atomic commit: matched target rows are tombstoned (no segment
+        # rewrite) and the source lands as one fresh segment at the end of
+        # the row space. Source = every o_orderkey % 10 = 7 order with
+        # o_orderpriority rewritten to '9-MERGED' (updates) plus the
+        # % 20 = 13 orders under negated keys (inserts); survivors keep
+        # their original row_ids, so the checksum pins both the id
+        # stability and the updated values (merged rows weigh 3x).
+        import shutil
+
+        base3 = _orders_store(spark, sf_dir, compact=False)
+        mpath = tempfile.mkdtemp(prefix="iodf_segs_m_")
+        shutil.rmtree(mpath)
+        shutil.copytree(base3.path, mpath)
+        mstore = SegmentStore(mpath)
+        od = load_table(spark, sf_dir, "orders")
+        src = (
+            od.filter(F.col("o_orderkey") % 10 == 7)
+            .withColumn("o_orderpriority", F.lit("9-MERGED"))
+            .unionByName(
+                od.filter(F.col("o_orderkey") % 20 == 13).withColumn(
+                    "o_orderkey", -F.col("o_orderkey")
+                )
+            )
+        )
+        res = mstore.merge_by_key(
+            spark, src, on="o_orderkey", order_keys=["o_orderkey"]
+        )
+        if mstore.live_rows() != mstore.total_rows() - res["matched"]:
+            raise AssertionError("merge tombstone accounting drifted")
+        if len(mstore.manifest()) != 4:
+            raise AssertionError("merge should append exactly one segment")
+        return mstore.open(spark, defaults={"flag": 0}).agg(
+            F.lit("merge").alias("src"),
+            F.lit(len(mstore.manifest())).cast("int").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.col("row_id") * F.col("o_orderkey")
+                * F.when(F.col("o_orderpriority") == "9-MERGED", 3).otherwise(1)
+            ).cast("long").alias("checksum"),
+        )
+
     def arm_purge() -> DataFrame:
         # the forced merge — live rows rewritten as one segment with a
         # dense renumbered id space preserving survivor order. The
@@ -1908,6 +1953,7 @@ def _segments_compact_arms(spark: SparkSession, sf_dir: str):
         ("store_point", arm_store_point),
         ("store_all", arm_store_all),
         ("store_any", arm_store_any),
+        ("merge", arm_merge),
         ("purge", arm_purge),
     ]
 
@@ -1920,7 +1966,9 @@ def q_segments_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete / del_snap / cdf / cdf_stream (streaming change-feed consumer)
     / mirror (store-to-store incremental replication over the feed)
     / store_point / store_all / store_any (store-level planner over a
-    tombstoned store, chosen path asserted in-process) / purge."""
+    tombstoned store, chosen path asserted in-process) / merge (MERGE
+    INTO by key — atomic tombstone-matched + append-source upsert)
+    / purge."""
     out = None
     for _name, thunk in _segments_compact_arms(spark, sf_dir):
         df = thunk()
@@ -2869,6 +2917,27 @@ def oracle_sql() -> dict[str, str]:
             FROM {SEG_RID}
             WHERE (o_orderpriority = '5-LOW' OR o_orderstatus = 'P')
               AND o_orderpriority <> '1-URGENT'
+            UNION ALL
+            SELECT 'merge' AS src, 4::INT AS n_segments,
+                   count(*)::BIGINT AS n_rows,
+                   sum(row_id * o_orderkey
+                       * (CASE WHEN o_orderpriority = '9-MERGED'
+                               THEN 3 ELSE 1 END))::BIGINT AS checksum
+            FROM (
+              SELECT row_id, o_orderkey, o_orderpriority
+              FROM {SEG_RID} WHERE o_orderkey % 10 <> 7
+              UNION ALL
+              SELECT (SELECT count(*) FROM orders)
+                       + row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id,
+                     o_orderkey, o_orderpriority
+              FROM (
+                SELECT o_orderkey, '9-MERGED' AS o_orderpriority
+                FROM orders WHERE o_orderkey % 10 = 7
+                UNION ALL
+                SELECT -o_orderkey AS o_orderkey, o_orderpriority
+                FROM orders WHERE o_orderkey % 20 = 13
+              )
+            )
             UNION ALL
             SELECT 'purge' AS src, 1::INT AS n_segments,
                    count(*)::BIGINT AS n_rows,

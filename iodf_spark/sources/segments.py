@@ -1558,6 +1558,143 @@ class SegmentStore:
             f"{self.path}; giving up"
         )
 
+    def merge_by_key(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        on: str | list[str],
+        when_matched: str = "update",
+        insert: bool = True,
+        order_keys: list[str] | None = None,
+        index_conf: IndexConf | None = None,
+        sketch_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+    ) -> dict:
+        """MERGE INTO by key (Delta-style upsert), merge-on-read: ONE
+        atomic commit that tombstones the live target rows whose ``on``
+        key appears in ``source`` and appends the replacement/new rows as
+        one immutable segment — no target segment is ever rewritten, so a
+        100 TB upsert costs one id-list + one source-sized segment write
+        plus a manifest publish, and compaction/purge materialize it
+        later (the same liveDocs economics as delete_where). The
+        reference's append-only model has no row mutation at all
+        (SURVEY.md §1.4); this is its lakehouse extension, composed
+        entirely from the store's existing delete + append primitives.
+
+        ``when_matched``: ``'update'`` replaces matched target rows with
+        the source rows (classic upsert), ``'delete'`` removes them,
+        ``'ignore'`` keeps them (insert-only merge). ``insert`` controls
+        whether source rows with no matching target key are appended.
+        Source rows are appended as given — a key occurring twice in
+        ``source`` yields two live rows, as in SQL MERGE with multiple
+        not-matched inserts; dedupe upstream if that is not wanted.
+
+        Row-id contract: survivors keep their global row_ids; appended
+        rows get fresh ids at the end of the row space (ordered by
+        ``order_keys`` when given). The change feed therefore shows an
+        upsert as delete(old_id) + insert(new row) in one version — the
+        CDC pre/post-image shape consumers already handle.
+
+        Concurrency: SERIALIZABLE, abort-don't-retry. Appends and deletes
+        commute and their OCC loops retry, but a merge's read set is the
+        whole key column of the snapshot it planned against — ANY
+        intervening commit may have added or removed rows with matching
+        keys, so retrying against a fresh manifest would silently merge
+        against state the caller never saw. A lost race cleans its staged
+        files and raises ManifestConflictError ("re-run"); this is the
+        same first-writer-wins contract Delta enforces for MERGE at its
+        Serializable isolation level, and the renumber-epoch rule for
+        racing purges falls out for free (a purge is just another
+        intervening commit)."""
+        import shutil
+
+        if when_matched not in ("update", "delete", "ignore"):
+            raise ValueError(f"unknown when_matched mode: {when_matched!r}")
+        keys = [on] if isinstance(on, str) else list(on)
+        doc, base_v = self.manifest_doc_versioned()
+        live = self._apply_tombstones(
+            spark, self._open_entries(spark, doc["segments"]), doc["tombstones"]
+        )
+        # keys-only frames keep both joins narrow: the semi/anti sides
+        # carry (row_id, keys) / keys, never full rows; AQE broadcasts
+        # whichever side turns out small at runtime
+        src_keys = source.select(*keys).distinct()
+        staged: list[str] = []
+        tomb = None
+        if when_matched in ("update", "delete"):
+            victims = live.join(src_keys, keys, "left_semi").select("row_id")
+            del_id = self._claim_dir("del", len(doc["tombstones"]))
+            fname = f"del-{del_id:05d}"
+            fpath = os.path.join(self.path, fname)
+            victims.write.mode("overwrite").parquet(fpath)
+            n_dead = _parquet_dir_rows(fpath)
+            if n_dead == 0:
+                shutil.rmtree(fpath, ignore_errors=True)
+            else:
+                tomb = {"file": fname, "n": n_dead}
+                staged.append(fpath)
+        if when_matched == "update":
+            appended = (
+                source
+                if insert
+                else source.join(
+                    live.select(*keys).distinct(), keys, "left_semi"
+                )
+            )
+        elif insert:
+            appended = source.join(
+                live.select(*keys).distinct(), keys, "left_anti"
+            )
+        else:
+            appended = None
+        entry = None
+        if appended is not None and "row_id" in appended.columns:
+            # row_id is the store's reserved stamping column: ids carried
+            # in from a source read (another store, a change feed) are
+            # meaningless in THIS store's row space — re-stamp
+            appended = appended.drop("row_id")
+        if appended is not None:
+            seg_id = self._claim_seg_id(
+                max((e["segment_id"] for e in doc["segments"]), default=-1) + 1
+            )
+            seg_path = os.path.join(self.path, f"seg-{seg_id:05d}")
+            entry = self._write_segment_files(
+                appended, seg_id, index_conf, order_keys=order_keys,
+                sketch_cols=sketch_cols, bloom_cols=bloom_cols,
+            )
+            if entry["n_rows"] == 0:
+                shutil.rmtree(seg_path, ignore_errors=True)
+                entry = None
+            else:
+                entry["row_id_offset"] = sum(
+                    e["n_rows"] for e in doc["segments"]
+                )
+                staged.append(seg_path)
+        if tomb is None and entry is None:
+            return {"matched": 0, "appended": 0, "tombstone": None, "segment": None}
+        new_doc = dict(
+            doc,
+            segments=doc["segments"] + ([entry] if entry else []),
+            tombstones=doc["tombstones"] + ([tomb] if tomb else []),
+        )
+        try:
+            self._publish(new_doc, base_version=base_v)
+        except ManifestConflictError:
+            for p in staged:
+                shutil.rmtree(p, ignore_errors=True)
+            raise ManifestConflictError(
+                f"merge_by_key raced a concurrent commit in {self.path}: "
+                "the snapshot it merged against is stale (the racing writer "
+                "may have added or removed rows with matching keys) — "
+                "re-run merge_by_key against the fresh store"
+            ) from None
+        return {
+            "matched": tomb["n"] if tomb else 0,
+            "appended": entry["n_rows"] if entry else 0,
+            "tombstone": tomb,
+            "segment": entry,
+        }
+
     def live_rows(self) -> int:
         """Exact live row count from manifest metadata alone: physical
         rows minus tombstoned rows (tombstone sets are disjoint by
