@@ -153,17 +153,25 @@ def regression_gate(
     lower min_sec floor since each is a fraction of its cell."""
     snap_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "bench_snapshots")
     try:
-        # newest = embedded 'taken_at' (epoch seconds, optional), falling
-        # back to file mtime — filename sort is NOT recency ('...r5-mid'
-        # beats '...r5-end' lexicographically and would pin the gate to a
-        # stale mid-round baseline)
+        # newest = embedded 'taken_at' (epoch seconds), falling back to
+        # file mtime for legacy snapshots — filename sort is NOT recency
+        # ('...r5-mid' beats '...r5-end' lexicographically and would pin
+        # the gate to a stale mid-round baseline). The two key kinds are
+        # NOT comparable: a fresh git checkout stamps every file with
+        # checkout-time mtime, which outranks any honest historical
+        # taken_at and silently pins the gate to the OLDEST baselines —
+        # so any snapshot carrying taken_at beats every mtime-only one.
         candidates = []
         for fname in os.listdir(snap_dir):
             path = os.path.join(snap_dir, fname)
             with open(path) as fh:
                 snap = json.load(fh)
             if snap.get("sf") == sf and snap.get("queries"):
-                key = snap.get("taken_at") or os.path.getmtime(path)
+                key = (
+                    (1, snap["taken_at"])
+                    if "taken_at" in snap
+                    else (0, os.path.getmtime(path))
+                )
                 candidates.append((key, fname, snap))
         if not candidates:
             return None

@@ -1621,7 +1621,11 @@ class SegmentStore:
         src_keys = source.select(*keys).distinct()
         staged: list[str] = []
         tomb = None
-        if when_matched in ("update", "delete"):
+        # empty target (first batch of a streaming upsert): nothing can
+        # match — skip the key joins entirely (the empty store's open
+        # yields a row_id-only frame the key join couldn't resolve on)
+        empty_target = not doc["segments"]
+        if when_matched in ("update", "delete") and not empty_target:
             victims = live.join(src_keys, keys, "left_semi").select("row_id")
             del_id = self._claim_dir("del", len(doc["tombstones"]))
             fname = f"del-{del_id:05d}"
@@ -1633,7 +1637,9 @@ class SegmentStore:
             else:
                 tomb = {"file": fname, "n": n_dead}
                 staged.append(fpath)
-        if when_matched == "update":
+        if empty_target:
+            appended = source if insert else None
+        elif when_matched == "update":
             appended = (
                 source
                 if insert

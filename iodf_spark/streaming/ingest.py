@@ -421,6 +421,73 @@ def stream_ingest_segments(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def stream_upsert(
+    source: DataFrame,
+    store: SegmentStore,
+    on: str | list[str],
+    latest_by: str | None = None,
+    order_keys: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Streaming upsert sink: drain a keyed micro-batch stream into the
+    store through ``merge_by_key`` — the keyed-state twin of
+    stream_ingest_segments' append-only ingest, and the standard CDC
+    materialization shape (a Kafka compacted topic, a Debezium feed, a
+    crawler re-visiting documents: latest version per key wins).
+
+    Per micro-batch: optionally reduce to the LATEST row per key by
+    ``latest_by`` (CDC batch compaction — a key updated five times inside
+    one batch merges once; ties on ``latest_by`` keep one arbitrary
+    winner), then ONE atomic tombstone-matched + append-source commit.
+    At 100 TB the per-batch cost is a key semi-join plus a batch-sized
+    segment write — never a target rewrite.
+
+    Delivery: at-least-once batches × content-idempotent merges =
+    effectively-once LIVE CONTENT. A replayed batch (crash after commit,
+    before checkpoint advance) re-merges the same rows: the merge
+    tombstones the earlier replay's rows and appends identical content,
+    so the live table converges (row_ids and version count advance —
+    metadata churn, not data drift — and compaction reclaims it). This
+    is why the sink needs no batch_key ledger, unlike the append ingest,
+    where a replay would duplicate rows. A merge abort (concurrent
+    writer won the window) fails the batch; the restart replays it
+    against the fresh snapshot — same convergence."""
+    from pyspark.sql.window import Window
+
+    keys = [on] if isinstance(on, str) else list(on)
+    spark = source.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        src = batch_df
+        if latest_by is not None:
+            w = Window.partitionBy(*keys).orderBy(F.col(latest_by).desc())
+            src = (
+                src.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        store.merge_by_key(spark, src, on=keys, order_keys=order_keys)
+
+    ckpt = checkpoint_dir or store.path + "/_upsert_checkpoint"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(spark.sparkContext.defaultParallelism, 1)),
+    )
+    try:
+        q = (
+            source.writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 class FullRefreshRequired(RuntimeError):
     """The change-feed window crosses a purge (the store's renumber epoch
     changed) or the consumer's cursor version was vacuumed: no incremental

@@ -67,6 +67,33 @@ def test_gate_picks_newest_snapshot_by_mtime(tmp_path, monkeypatch):
     assert regs2 == []
 
 
+def test_gate_prefers_stamped_snapshot_over_fresh_checkout_mtime(
+    tmp_path, monkeypatch
+):
+    """A fresh git checkout stamps every file with checkout-time mtime, so
+    a legacy (taken_at-less) snapshot's mtime outranks ANY honest embedded
+    epoch — the gate must still pick the stamped snapshot, else it pins to
+    the oldest baseline in the dir after every clone."""
+    import json
+    import time
+
+    snap_dir = tmp_path / "tools" / "bench_snapshots"
+    snap_dir.mkdir(parents=True)
+    # stamped snapshot taken an hour ago...
+    stamped = {"sf": 0.1, "queries": {"q": 1.0}, "taken_at": time.time() - 3600}
+    (snap_dir / "new-stamped.json").write_text(json.dumps(stamped))
+    time.sleep(0.05)
+    # ...but the legacy snapshot's FILE is younger (the checkout effect)
+    legacy = {"sf": 0.1, "queries": {"q": 100.0}}
+    (snap_dir / "old-legacy.json").write_text(json.dumps(legacy))
+    monkeypatch.setattr(bench.os.path, "dirname", lambda p: str(tmp_path))
+    got = bench.regression_gate({"q": 3.0}, {}, 0.1)
+    assert got is not None
+    snap, regs = got
+    assert snap == "new-stamped.json"
+    assert regs and regs[0].startswith("q:")  # 3x vs the stamped 1.0s
+
+
 def test_bench_compare_consolidation_ledger():
     """An old query name missing from the new run is excused ONLY when its
     CONSOLIDATED absorber is present; a truly-dropped name (or a dropped

@@ -102,6 +102,17 @@ def test_when_matched_ignore_is_insert_only(spark, path):
     assert store.manifest_doc()["tombstones"] == []
 
 
+def test_merge_into_empty_store_inserts_everything(spark, path):
+    """First batch of a streaming upsert lands on a store with no
+    segments: nothing can match, every source row inserts."""
+    store = SegmentStore(path)
+    res = store.merge_by_key(
+        spark, _df(spark, [(1, 10), (2, 20)]), on="k", order_keys=["k"]
+    )
+    assert res["matched"] == 0 and res["appended"] == 2
+    assert _live(spark, store) == {(1, 10, 0), (2, 20, 1)}
+
+
 def test_noop_merge_publishes_nothing(spark, path):
     store = _target(spark, path)
     v_before = store.versions()[-1]
