@@ -495,7 +495,12 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     'shingle' = whole-set n-gram Jaccard (prefix-filtered AllPairs join);
     'winnow' = winnowing-fingerprint Jaccard (SIGMOD'03 rolling-hash
     fingerprints — the brief's document-fingerprinting operator), whose
-    ~2/(w+1)-compressed sketch keys the same inverted join topology."""
+    ~2/(w+1)-compressed sketch keys the same inverted join topology;
+    'capped' = the shingle detector with the hot-key cap ON (max_df=4 —
+    sf0.01's prefix-df tail reaches 7, so the star representation is
+    genuinely exercised, not dead-coded) — the 100 TB skew guard for
+    boilerplate grams, oracle-attested against the identically-capped
+    DuckDB twin."""
     from iodf_spark.operators.dedup import jaccard_pairs, winnow_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -505,7 +510,10 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     wn = winnow_pairs(docs, "doc_id", "text").select(
         F.lit("winnow").alias("variant"), "*"
     )
-    return sh.unionByName(wn)
+    cp = jaccard_pairs(docs, "doc_id", "text", max_df=4).select(
+        F.lit("capped").alias("variant"), "*"
+    )
+    return sh.unionByName(wn).unionByName(cp)
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,7 +522,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     discovered incrementally by micro-batch (each delivery banded + verified
     against the accumulated signature store only — no corpus re-scan). The
     two variants must be identical pair-for-pair; both check against one
-    oracle SQL."""
+    oracle SQL. 'capped' rows = batch LSH with the hot-bucket cap ON
+    (max_df=2 — sf0.01's largest band bucket holds 3 docs, so a bucket
+    actually takes the star path), the 100 TB guard against template
+    pages collapsing into one quadratic band bucket."""
     import tempfile
 
     from iodf_spark.operators.dedup import minhash_lsh_pairs
@@ -539,7 +550,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     spairs = read_neardup_pairs(spark, state).select(
         F.lit("stream").alias("variant"), "*"
     )
-    return batch.unionByName(spairs)
+    capped = minhash_lsh_pairs(docs, "doc_id", "text", max_df=2).select(
+        F.lit("capped").alias("variant"), "*"
+    )
+    return batch.unionByName(spairs).unionByName(capped)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2708,6 +2722,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'winnow' AS variant, * FROM
               ({dedup.winnow_pairs_oracle("doc_id", "text", "documents")})
+            UNION ALL
+            SELECT 'capped' AS variant, * FROM
+              ({dedup.jaccard_pairs_oracle("doc_id", "text", "documents", max_df=4)})
         """,
         "dedup_minhash": f"""
             SELECT 'batch' AS variant, * FROM
@@ -2715,6 +2732,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'stream' AS variant, * FROM
               ({dedup.minhash_lsh_pairs_oracle("doc_id", "text", "documents")})
+            UNION ALL
+            SELECT 'capped' AS variant, * FROM
+              ({dedup.minhash_lsh_pairs_oracle("doc_id", "text", "documents", max_df=2)})
         """,
         "dedup_simhash": dedup.simhash_pairs_oracle("doc_id", "text", "documents"),
         "dedup_clusters": dedup.dedup_clusters_best_oracle(

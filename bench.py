@@ -105,7 +105,7 @@ def main():
 
     errors = {k: v for k, v in errors.items() if k not in timings}
     total = sum(timings.values())
-    out = {
+    detail = {
         "metric": "bench_total",
         "value": round(total, 3),
         "unit": "sec",
@@ -116,16 +116,71 @@ def main():
         },
         "sf": sf,
         "rows_lineitem": n,
-        # epoch seconds: snapshots copied from this line carry their own
+        # epoch seconds: snapshots copied from this doc carry their own
         # recency key for regression_gate (mtime survives cp -p but not git)
         "taken_at": round(time.time(), 3),
     }
     if errors:
-        out["errors"] = errors
+        detail["errors"] = errors
     gate = regression_gate(timings, errors, sf, arms=arm_timings)
     if gate is not None:
-        out["baseline_snapshot"], out["regressions"] = gate
-    print(json.dumps(out))
+        detail["baseline_snapshot"], detail["regressions"] = gate
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "bench_last_run.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries the verdict
+    print(json.dumps(compact_line(detail), separators=(",", ":")))
+
+
+# the driver records only the LAST ~2000 bytes of bench stdout; round 7's
+# line (with 4 per-arm dicts folded in) outgrew that window and the driver
+# recorded parsed:null — the whole round's bench was machine-unreadable.
+# The final line must therefore stay comfortably under the window; the
+# arms-rich document lives in tools/bench_last_run.json (and is what gets
+# copied into tools/bench_snapshots/ as a committed baseline).
+LINE_BUDGET = 1800
+
+
+def compact_line(detail: dict, budget: int = LINE_BUDGET) -> dict:
+    """Shrink the bench document to a driver-parseable single line.
+
+    Keeps the contract fields (metric/value/unit/queries/sf) verbatim and
+    summarizes the rest: regressions become a count + first few names,
+    errors become a count + names. If the serialized form still exceeds
+    ``budget``, optional fields are dropped in increasing order of value
+    and query timings fall back to 2-decimal rounding. Never drops
+    ``queries`` — that is the per-query evidence the driver archives."""
+    out = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": detail["unit"],
+        "queries": detail["queries"],
+        "sf": detail["sf"],
+        "rows_lineitem": detail.get("rows_lineitem"),
+        "taken_at": detail.get("taken_at"),
+        "detail": "tools/bench_last_run.json",
+    }
+    if "baseline_snapshot" in detail:
+        out["baseline_snapshot"] = detail["baseline_snapshot"]
+        regs = detail.get("regressions") or []
+        out["n_regressions"] = len(regs)
+        if regs:
+            out["regressions"] = [r.split(":")[0] for r in regs[:8]]
+    if detail.get("errors"):
+        out["n_errors"] = len(detail["errors"])
+        out["error_queries"] = sorted(detail["errors"])[:8]
+    for drop in ("baseline_snapshot", "detail", "taken_at"):
+        if len(json.dumps(out, separators=(",", ":"))) <= budget:
+            break
+        out.pop(drop, None)
+    if len(json.dumps(out, separators=(",", ":"))) > budget:
+        out["queries"] = {k: round(v, 2) for k, v in out["queries"].items()}
+    return out
 
 
 def regression_gate(
@@ -167,9 +222,14 @@ def regression_gate(
             with open(path) as fh:
                 snap = json.load(fh)
             if snap.get("sf") == sf and snap.get("queries"):
+                # type-guard, not key-presence: a snapshot carrying
+                # "taken_at": null would yield key (1, None), and
+                # (1, None) vs (1, float) in max() raises TypeError,
+                # silently disabling the gate for the whole run
+                stamp = snap.get("taken_at")
                 key = (
-                    (1, snap["taken_at"])
-                    if "taken_at" in snap
+                    (1, stamp)
+                    if isinstance(stamp, (int, float)) and not isinstance(stamp, bool)
                     else (0, os.path.getmtime(path))
                 )
                 candidates.append((key, fname, snap))

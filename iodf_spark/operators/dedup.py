@@ -112,8 +112,75 @@ def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     )
 
 
+def capped_candidates(
+    ex: DataFrame, key_cols: list[str], max_df: int | None
+) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs from an inverted posting frame
+    (_id, *key_cols) — the shared candidate generator for the two
+    self-join dedup detectors, with an optional HOT-KEY CAP.
+
+    Without a cap, a key shared by m documents contributes m*(m-1)/2
+    candidate pairs: one corpus-wide boilerplate shingle or LSH band
+    bucket (every page sharing a site template collapses into one band
+    key) turns into a single quadratic join task that no amount of
+    cluster width can absorb — at 100 TB this is THE failure mode of
+    posting-list self-joins. ``max_df`` switches representation per key
+    (the adaptive density dispatch idea, reference utils/LBits.scala:
+    107-114 — a dense posting set is a different data structure, not a
+    bigger sparse one):
+
+    * cold keys (<= max_df member docs): exact all-pairs self-join, the
+      lossless path — unchanged semantics;
+    * hot keys (> max_df): STAR topology — every member pairs with the
+      key's min-id representative only, m-1 candidates instead of
+      m*(m-1)/2. This is the standard industrial LSH-bucket shape (each
+      bucket member links to one anchor; transitive clustering restores
+      the group).
+
+    Loss bound (documented, not silent): precision is UNAFFECTED — every
+    emitted candidate still passes exact verification downstream. Recall
+    loses only pairs (x, y) where NEITHER x nor y is the representative
+    AND every key x and y share is hot — any single shared cold key
+    (another band, a rarer shingle) still surfaces the pair; exact
+    verification of (rep, x) and (rep, y) may then cluster them via the
+    representative. Candidate output is bounded by
+    sum_cold(m^2) + sum_hot(m), and the hot side's skewed dimension join
+    (every posting of a hot key meets exactly one rep row) is linear and
+    AQE-splittable."""
+    import functools
+    import operator as op
+
+    def _all_pairs(side: DataFrame) -> DataFrame:
+        a, b = side.alias("a"), side.alias("b")
+        same_key = functools.reduce(
+            op.and_, [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
+        )
+        return a.join(b, same_key & (F.col("a._id") < F.col("b._id"))).select(
+            F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b")
+        )
+
+    if max_df is None:
+        return _all_pairs(ex).dropDuplicates(["doc_a", "doc_b"])
+    dfreq = ex.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_df"))
+    hot = dfreq.filter(F.col("_df") > max_df).select(*key_cols)
+    cold_pairs = _all_pairs(ex.join(hot, key_cols, "left_anti"))
+    hot_ex = ex.join(hot, key_cols, "left_semi")
+    reps = hot_ex.groupBy(*key_cols).agg(F.min("_id").alias("_rep"))
+    star = (
+        hot_ex.join(reps, key_cols)
+        .filter(F.col("_id") > F.col("_rep"))
+        .select(F.col("_rep").alias("doc_a"), F.col("_id").alias("doc_b"))
+    )
+    return cold_pairs.unionByName(star).dropDuplicates(["doc_a", "doc_b"])
+
+
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram-Jaccard near-duplicate pairs >= threshold.
 
@@ -124,7 +191,14 @@ def jaccard_pairs(
     pairs by orders of magnitude on hot shingles while staying LOSSLESS
     (the exact array_intersect verification restores precision; the prefix
     lemma guarantees recall). ceil(t*sz) is computed in exact integer
-    arithmetic so no float rounding can shorten a prefix."""
+    arithmetic so no float rounding can shorten a prefix.
+
+    ``max_df`` caps a prefix shingle's posting list before the self-join
+    (see :func:`capped_candidates`): corpus-wide boilerplate grams that
+    survive prefix filtering switch to star topology, bounding the join
+    at the cost of the documented recall loss (a pair is missed only if
+    EVERY shared prefix shingle is hot and neither side is a hot key's
+    representative). None = exact/lossless (the prefix lemma holds)."""
     from fractions import Fraction
 
     frac = Fraction(threshold).limit_denominator(1_000_000)
@@ -134,12 +208,7 @@ def jaccard_pairs(
         f"slice(_sh, 1, cast(_sz - (({tn} * _sz + {td - 1}) div {td}) + 1 as int))"
     )
     pref = docs.select("_id", F.explode(prefix).alias("_s"))
-    a, b = pref.alias("a"), pref.alias("b")
-    cands = (
-        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cands = capped_candidates(pref, ["_s"], max_df)
     da = docs.select(
         F.col("_id").alias("doc_a"), F.col("_sh").alias("_sha"), F.col("_sz").alias("_sza")
     )
@@ -160,10 +229,54 @@ def jaccard_pairs(
 
 
 def jaccard_pairs_oracle(
-    id_col: str, text_col: str, table: str, n: int = 3, threshold: float = 0.8
+    id_col: str,
+    text_col: str,
+    table: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> str:
     th = TH.token_hashes(text_col, "duckdb")
     sh = TH.shingle_hashes("_th", "duckdb", n)
+    if max_df is not None:
+        # capped twin: replicate candidate generation EXACTLY (prefix
+        # filter + hot-key star, mirroring capped_candidates) and verify
+        # by exact list intersection — same semantics, same answer
+        from fractions import Fraction
+
+        frac = Fraction(threshold).limit_denominator(1_000_000)
+        tn, td = frac.numerator, frac.denominator
+        return f"""
+        WITH hashed AS (
+          SELECT {id_col} AS _id, {sh} AS _sh
+          FROM (SELECT {id_col}, {th} AS _th FROM {table})),
+        sized AS (SELECT _id, _sh, len(_sh) AS _sz FROM hashed WHERE len(_sh) > 0),
+        pref AS (
+          SELECT _id, unnest(list_slice(
+            _sh, 1, _sz - (({tn} * _sz + {td - 1}) // {td}) + 1)) AS _s
+          FROM sized),
+        dfreq AS (SELECT _s, count(*) AS _df FROM pref GROUP BY 1),
+        hot AS (SELECT _s FROM dfreq WHERE _df > {max_df}),
+        cold AS (SELECT * FROM pref WHERE _s NOT IN (SELECT _s FROM hot)),
+        hotex AS (SELECT * FROM pref WHERE _s IN (SELECT _s FROM hot)),
+        reps AS (SELECT _s, min(_id) AS _rep FROM hotex GROUP BY 1),
+        cands AS (
+          SELECT DISTINCT a._id AS doc_a, b._id AS doc_b
+          FROM cold a JOIN cold b ON a._s = b._s AND a._id < b._id
+          UNION
+          SELECT DISTINCT r._rep AS doc_a, h._id AS doc_b
+          FROM hotex h JOIN reps r ON h._s = r._s WHERE h._id > r._rep),
+        verified AS (
+          SELECT doc_a, doc_b,
+                 len(list_intersect(sa._sh, sb._sh)) * 1e0
+                   / (sa._sz + sb._sz - len(list_intersect(sa._sh, sb._sh)))
+                   AS jaccard
+          FROM cands
+          JOIN sized sa ON sa._id = cands.doc_a
+          JOIN sized sb ON sb._id = cands.doc_b)
+        SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+        FROM verified WHERE jaccard >= {threshold}
+        """
     return f"""
         WITH hashed AS (
           SELECT {id_col} AS _id, {sh} AS _sh
@@ -320,6 +433,7 @@ def minhash_lsh_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_rows: int = DEFAULT_BAND_ROWS,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash signatures + LSH banding, then EXACT
     Jaccard verification of the candidates (so output = candidates that
@@ -329,20 +443,18 @@ def minhash_lsh_pairs(
     integer aggregates (identical values to a per-row array fold: min is
     order-independent) instead of interpreted higher-order lambdas; the
     band self-join carries only ids, with shingle arrays re-joined by id
-    for verification (small shuffles, no array payloads through the join)."""
+    for verification (small shuffles, no array payloads through the join).
+
+    ``max_df`` caps a band BUCKET's size before the self-join (see
+    :func:`capped_candidates`): a template shared by millions of pages
+    collapses them into one (band, key) bucket, whose all-pairs join is
+    quadratic in the template's popularity — with the cap, hot buckets
+    link members to a representative instead (star), and a missed pair
+    must have ALL of its colliding bands hot to be lost. None preserves
+    the original full-bucket behavior."""
     sized = _with_shingles(df, id_col, text_col, n).select("_id", "_sh").cache()
     banded = band_signatures(sized, num_hashes, band_rows)
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cands = capped_candidates(banded, ["band", "key"], max_df)
     return verify_jaccard(cands, sized, threshold)
 
 
@@ -404,6 +516,7 @@ def minhash_lsh_pairs_oracle(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_rows: int = DEFAULT_BAND_ROWS,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> str:
     th = TH.token_hashes(text_col, "duckdb")
     sh = TH.shingle_hashes("_th", "duckdb", n)
@@ -417,6 +530,41 @@ def minhash_lsh_pairs_oracle(
         + " AS key FROM sigs"
         for b in range(n_bands)
     )
+    if max_df is not None:
+        # capped twin of capped_candidates over (band, key) buckets:
+        # cold buckets all-pairs, hot buckets star to the min-id rep
+        return f"""
+        WITH hashed AS (
+          SELECT {id_col} AS _id, {sh} AS _sh
+          FROM (SELECT {id_col}, {th} AS _th FROM {table})),
+        sized AS (SELECT _id, _sh, len(_sh) AS _sz FROM hashed WHERE len(_sh) > 0),
+        sigs AS (SELECT _id, _sh, {sig_sel} FROM sized),
+        banded AS ({band_arms}),
+        bk AS (SELECT _id, band, key FROM banded),
+        dfreq AS (SELECT band, key, count(*) AS _df FROM bk GROUP BY 1, 2),
+        hot AS (SELECT band, key FROM dfreq WHERE _df > {max_df}),
+        cold AS (SELECT bk.* FROM bk ANTI JOIN hot USING (band, key)),
+        hotex AS (SELECT bk.* FROM bk SEMI JOIN hot USING (band, key)),
+        reps AS (SELECT band, key, min(_id) AS _rep FROM hotex GROUP BY 1, 2),
+        cands AS (
+          SELECT DISTINCT a._id AS doc_a, b._id AS doc_b
+          FROM cold a JOIN cold b
+            ON a.band = b.band AND a.key = b.key AND a._id < b._id
+          UNION
+          SELECT DISTINCT r._rep AS doc_a, h._id AS doc_b
+          FROM hotex h JOIN reps r ON h.band = r.band AND h.key = r.key
+          WHERE h._id > r._rep),
+        verified AS (
+          SELECT doc_a, doc_b,
+                 len(list_intersect(sa._sh, sb._sh)) * 1e0
+                   / (sa._sz + sb._sz - len(list_intersect(sa._sh, sb._sh)))
+                   AS jaccard
+          FROM cands
+          JOIN sized sa ON sa._id = cands.doc_a
+          JOIN sized sb ON sb._id = cands.doc_b)
+        SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+        FROM verified WHERE jaccard >= {threshold}
+        """
     return f"""
         WITH hashed AS (
           SELECT {id_col} AS _id, {sh} AS _sh

@@ -4,11 +4,13 @@ struct; decode / feature-extraction / resize / frame-sampling run as
 Arrow-batched Pandas UDFs over mapInPandas — the Spark-side plumbing
 (schemas, batch iteration, partitioning) is real and tested.
 
-The actual codecs are STUBBED: this container has no image/audio libraries,
-so `decode` uses a clearly-marked deterministic fake (byte-arithmetic) and
-raises NotImplementedError when a real codec is requested. Swap
-`_fake_decode_meta` for PIL/torchaudio/ffmpeg calls in production — the
-dataflow around it does not change.
+The default codecs are STUBBED: this container has no image/audio
+libraries, so `decode_metadata` uses a clearly-marked deterministic fake
+(byte-arithmetic). `decode_real` is the optional-dependency wiring: with
+PIL importable it decodes real image headers executor-side into the SAME
+output schema; without it, it raises NotImplementedError (or degrades to
+the fake explicitly via fallback_to_fake=True) — the dataflow around the
+codec does not change either way.
 
 Scale notes: mapInPandas streams Arrow record batches — no row-at-a-time
 serde; binary payloads never pass through Python object pickling. Batch
@@ -187,17 +189,69 @@ def resize(
     return df.select(id_col, payload_col).mapInPandas(do_resize, out_schema)
 
 
-def decode_real(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
-    """Real-codec decode path — requires an image library.
+def decode_real(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    fallback_to_fake: bool = False,
+) -> DataFrame:
+    """Real-codec metadata decode: PIL when importable, SCHEMA-IDENTICAL to
+    :func:`decode_metadata` — (id, n_bytes, width, height, channels) — so a
+    pipeline swaps the fake for the real codec without touching anything
+    downstream (the pluggable-serializer contract, reference
+    IoType.scala:61-81: one logical type, interchangeable codecs).
 
-    STUB: raises NotImplementedError in this environment (no PIL/cv2
-    installed); kept so the API surface is complete and the import-gate
-    pattern is explicit."""
+    With PIL importable, each Arrow batch decodes its payloads executor-side
+    (``PIL.Image.open`` on an in-memory buffer reads only the header for
+    size/bands — cheap even for large images); corrupt/undecodable payloads
+    yield NULL width/height/channels rather than failing the batch, because
+    at 100 TB a crawler corpus WILL contain truncated files and a poisoned
+    task would otherwise kill the stage.
+
+    Without PIL (this container): ``fallback_to_fake=True`` degrades to the
+    deterministic fake (same schema, attested by the multimodal_meta
+    oracle); the default raises NotImplementedError so nobody mistakes fake
+    metadata for real decode output."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
+        if fallback_to_fake:
+            return decode_metadata(df, id_col, payload_col)
         raise NotImplementedError(
             "real image decode needs PIL; this environment stubs it — use "
-            "decode_metadata (deterministic fake) instead"
+            "decode_metadata (deterministic fake) or fallback_to_fake=True"
         ) from e
-    raise NotImplementedError("real decode not wired in this build")
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())] + list(META_SCHEMA.fields)
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            n_bytes, widths, heights, channels = [], [], [], []
+            for p in pdf[payload_col]:
+                n_bytes.append(len(p))
+                try:
+                    with Image.open(io.BytesIO(p)) as im:
+                        widths.append(im.size[0])
+                        heights.append(im.size[1])
+                        channels.append(len(im.getbands()))
+                except Exception:  # noqa: BLE001 — corrupt payload -> NULLs
+                    widths.append(None)
+                    heights.append(None)
+                    channels.append(None)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "n_bytes": pd.array(n_bytes, dtype="Int64"),
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "channels": pd.array(channels, dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, out_schema)

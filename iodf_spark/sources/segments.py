@@ -1569,6 +1569,7 @@ class SegmentStore:
         index_conf: IndexConf | None = None,
         sketch_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        materialize_source: bool = True,
     ) -> dict:
         """MERGE INTO by key (Delta-style upsert), merge-on-read: ONE
         atomic commit that tombstones the live target rows whose ``on``
@@ -1611,6 +1612,22 @@ class SegmentStore:
         if when_matched not in ("update", "delete", "ignore"):
             raise ValueError(f"unknown when_matched mode: {when_matched!r}")
         keys = [on] if isinstance(on, str) else list(on)
+        if materialize_source:
+            # Evaluate ``source`` exactly ONCE. The merge runs two
+            # independent Spark jobs over it — the tombstone-victim
+            # semi-join and the appended-segment write — and a
+            # non-deterministic source plan (rand(), a re-read of mutable
+            # input, a non-deterministic UDF) could tombstone a key set
+            # inconsistent with the rows actually appended, committing
+            # duplicate or lost keys in one version. localCheckpoint
+            # truncates lineage, so the second job CANNOT recompute a
+            # different answer (a lost block fails the job instead of
+            # silently re-evaluating — the correct failure mode for a
+            # transactional write). Delta materializes the MERGE source
+            # for exactly this reason. Costs one eager pass over the
+            # source; callers with a provably deterministic, already-
+            # persisted source may pass materialize_source=False.
+            source = source.localCheckpoint(eager=True)
         doc, base_v = self.manifest_doc_versioned()
         live = self._apply_tombstones(
             spark, self._open_entries(spark, doc["segments"]), doc["tombstones"]

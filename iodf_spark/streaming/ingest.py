@@ -428,6 +428,7 @@ def stream_upsert(
     latest_by: str | None = None,
     order_keys: list[str] | None = None,
     checkpoint_dir: str | None = None,
+    guard_out_of_order: bool = True,
 ) -> None:
     """Streaming upsert sink: drain a keyed micro-batch stream into the
     store through ``merge_by_key`` — the keyed-state twin of
@@ -441,6 +442,23 @@ def stream_upsert(
     winner), then ONE atomic tombstone-matched + append-source commit.
     At 100 TB the per-batch cost is a key semi-join plus a batch-sized
     segment write — never a target rewrite.
+
+    Cross-batch ordering: 'latest per key wins' would only hold WITHIN a
+    batch if the merge blindly replaced matched rows — a later batch
+    carrying an out-of-order OLDER event (backfill, multi-partition
+    skew) would silently regress the key to a stale value, because
+    merge_by_key has no matched-condition. With ``guard_out_of_order``
+    (default, requires ``latest_by``) each batch therefore also compares
+    against the TARGET's current value: the store's live rows are
+    key-restricted to the batch's keys via a broadcast semi-join (the
+    batch key set is batch-sized, never target-sized), max-reduced to
+    one current ``latest_by`` per key, and source rows at-or-below that
+    value are dropped before the merge — stale events become no-ops
+    instead of regressions. Rows where ``latest_by`` is NULL never
+    replace an existing row (NULL fails the > comparison) but do insert
+    for brand-new keys. Pass guard_out_of_order=False only when the feed
+    is provably per-key ordered across batches (saves one key-join per
+    batch).
 
     Delivery: at-least-once batches × content-idempotent merges =
     effectively-once LIVE CONTENT. A replayed batch (crash after commit,
@@ -468,6 +486,27 @@ def stream_upsert(
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
+            if guard_out_of_order and store.manifest_doc()["segments"]:
+                # target-side matched-condition: current latest_by per key,
+                # restricted to this batch's keys (broadcast semi-join —
+                # the batch key set is small) so the target scan prunes
+                # to matching rows, never a full-table aggregate
+                cur = (
+                    store.open(spark)
+                    .join(F.broadcast(src.select(*keys).distinct()), keys, "left_semi")
+                    .groupBy(*keys)
+                    .agg(F.max(latest_by).alias("_cur_lb"))
+                )
+                src = (
+                    src.join(cur, keys, "left")
+                    .filter(
+                        F.col("_cur_lb").isNull()
+                        | (F.col(latest_by) > F.col("_cur_lb"))
+                    )
+                    .drop("_cur_lb")
+                )
+                if src.isEmpty():
+                    return  # every event in the batch was stale — no-op
         store.merge_by_key(spark, src, on=keys, order_keys=order_keys)
 
     ckpt = checkpoint_dir or store.path + "/_upsert_checkpoint"

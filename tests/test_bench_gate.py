@@ -207,3 +207,77 @@ def test_bench_compare_arm_grain():
     }
     rc2, _ = run(old, new_ok)
     assert rc2 == 0
+
+
+def test_gate_survives_null_taken_at(tmp_path, monkeypatch):
+    """A snapshot with "taken_at": null must not disable the gate: key
+    (1, None) vs (1, float) in max() raises TypeError, which the advisory
+    outer except swallows — the regression gate would silently go blind for
+    the whole run. Null/garbage stamps fall back to file mtime."""
+    import json
+    import time
+
+    snap_dir = tmp_path / "tools" / "bench_snapshots"
+    snap_dir.mkdir(parents=True)
+    (snap_dir / "null-stamp.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q": 50.0}, "taken_at": None})
+    )
+    (snap_dir / "str-stamp.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q": 60.0}, "taken_at": "yesterday"})
+    )
+    good = {"sf": 0.1, "queries": {"q": 1.0}, "taken_at": time.time()}
+    (snap_dir / "good.json").write_text(json.dumps(good))
+    monkeypatch.setattr(bench.os.path, "dirname", lambda p: str(tmp_path))
+    got = bench.regression_gate({"q": 3.0}, {}, 0.1)
+    assert got is not None
+    snap, regs = got
+    assert snap == "good.json"  # typed stamp beats mtime-keyed fallbacks
+    assert regs and regs[0].startswith("q:")
+
+
+def test_compact_line_fits_driver_window():
+    """The driver records only the last ~2000 bytes of bench stdout; round
+    7's arms-rich line outgrew that and BENCH_r07.json recorded parsed:null.
+    The compact line must stay under budget even with 60 queries, a pile of
+    regressions, and errors — and must never drop the queries dict."""
+    import json
+
+    detail = {
+        "metric": "bench_total",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": {f"query_name_{i:02d}": 1.234 for i in range(60)},
+        "arms": {f"cell{i}": {f"arm{j}": 0.5 for j in range(20)} for i in range(6)},
+        "sf": 0.1,
+        "rows_lineitem": 600000,
+        "taken_at": 1786774482.599,
+        "baseline_snapshot": "2026-08-15-r7-arms.json",
+        "regressions": [f"cell{i}.arm{i}: 1.00s -> 9.00s (9.0x)" for i in range(20)],
+        "errors": {f"query_name_{i:02d}": "Boom: " + "x" * 400 for i in range(10)},
+    }
+    line = json.dumps(bench.compact_line(detail), separators=(",", ":"))
+    assert len(line) <= bench.LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["metric"] == "bench_total"
+    assert len(parsed["queries"]) == 60
+    assert "arms" not in parsed  # arms live in tools/bench_last_run.json
+    assert parsed["n_regressions"] == 20
+    assert parsed["n_errors"] == 10
+
+
+def test_compact_line_keeps_contract_fields_when_small():
+    got = bench.compact_line(
+        {
+            "metric": "bench_total",
+            "value": 1.0,
+            "unit": "sec",
+            "queries": {"q1": 1.0},
+            "sf": 0.01,
+            "rows_lineitem": 60000,
+            "taken_at": 123.0,
+        }
+    )
+    assert got["queries"] == {"q1": 1.0}
+    assert got["sf"] == 0.01
+    assert got["taken_at"] == 123.0
+    assert got["detail"] == "tools/bench_last_run.json"

@@ -50,7 +50,7 @@ def test_segments_compact_arm_inventory_is_stable():
     arms = [
         "compact", "have", "snapshot", "pruned", "tiered", "sketch",
         "zorder", "delete", "del_snap", "cdf", "cdf_stream", "mirror",
-        "store_point", "store_all", "store_any", "purge",
+        "store_point", "store_all", "store_any", "merge", "purge",
     ]
     src = inspect.getsource(entrymod._segments_compact_arms)
     osql = entrymod.oracle_sql()["segments_compact"]
@@ -82,3 +82,18 @@ def test_bench_arm_factories_cover_their_query_variants():
         "probe", "auto_index", "auto_scan", "auto_multi", "auto_any",
         "auto_any_range", "seek0", "mid", "tail",
     ]
+
+
+def test_segments_compact_arm_budget():
+    """Pinned arm budget for the consolidated store-lifecycle cell
+    (round-7 VERDICT: 17 arms ≈ 20 s, 22% of the bench, 'still growing').
+    The 50-entry attestation cap forces consolidation INTO this cell, so
+    growth must stay deliberate: adding an arm past the budget requires
+    either retiring one (compaction-era arms that a newer arm subsumes)
+    or consciously raising this number WITH a bench-weight justification
+    in the commit. 18 = the current 17 + one slot of headroom."""
+    assert len(_arm_names("segments_compact")) <= 18, (
+        "segments_compact arm budget exceeded — retire an arm or raise "
+        "the budget with a bench-weight rationale (the cell is already "
+        "the most expensive in bench.py)"
+    )

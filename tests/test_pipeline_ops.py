@@ -84,8 +84,47 @@ def test_multimodal_plumbing(spark, sf_dir):
         assert [f["frame_idx"] for f in fs] == [0, 1, 2, 3]
         assert all(f["offset"] + f["length"] <= len(p) for f in fs)
 
-    with pytest.raises(NotImplementedError):
-        MM.decode_real(with_p, "doc_id")
+    # decode_real: optional-dependency wiring. Without PIL the default
+    # raises; the explicit fake fallback is SCHEMA-IDENTICAL to
+    # decode_metadata (the pluggable-codec contract, IoType.scala:61-81).
+    # With PIL present the real path decodes actual image bytes — see
+    # test_decode_real_with_pil below (skipped in this container).
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil:
+        with pytest.raises(NotImplementedError):
+            MM.decode_real(with_p, "doc_id")
+    fb = MM.decode_real(with_p, "doc_id", fallback_to_fake=True)
+    if not have_pil:
+        assert fb.schema == MM.decode_metadata(with_p, "doc_id").schema
+
+
+def test_decode_real_with_pil(spark):
+    """Golden test for the REAL codec path: a generated 1-px PNG decodes
+    to its true dimensions through the same mapInPandas plumbing, and a
+    corrupt payload yields NULL metadata instead of failing the batch.
+    Runs only where PIL is installed (skipped in this container)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL.Image import new as new_image
+
+    buf = io.BytesIO()
+    new_image("RGB", (7, 5)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in MM.decode_real(df, "doc_id").collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (7, 5, 3)
+    assert rows[1]["n_bytes"] == len(png)
+    assert rows[2]["width"] is None and rows[2]["channels"] is None
+    assert MM.decode_real(df, "doc_id").schema == MM.decode_metadata(df, "doc_id").schema
 
 
 def test_jaccard_prefix_filter_lossless_vs_bruteforce(spark):

@@ -97,3 +97,73 @@ def test_upsert_without_latest_by_merges_batch_as_given(spark, store, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
     assert _live(spark, store) == {(1, "a1", 10)}
+
+
+def test_out_of_order_backfill_does_not_regress(spark, store, tmp_path):
+    """A LATER batch carrying an OLDER event per key (backfill, partition
+    skew) must not regress the key: the guard compares each source row's
+    latest_by against the target's current value and drops stale rows
+    before the merge. New keys in the same stale batch still insert."""
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, v string, ts long"
+    _wave(spark, [(1, "new", 100), (2, "cur", 50)]).write.mode("append").parquet(src_dir)
+    stream_upsert(
+        spark.readStream.schema(schema).parquet(src_dir),
+        store, on="k", latest_by="ts", checkpoint_dir=ckpt,
+    )
+    v1 = store.versions()[-1]
+    # backfill batch: k=1 stale (ts 40 < 100), k=2 tie (ts 50, NOT newer),
+    # k=3 brand-new — only k=3 may land
+    _wave(spark, [(1, "stale", 40), (2, "tie", 50), (3, "ins", 10)]).write.mode(
+        "append"
+    ).parquet(src_dir)
+    stream_upsert(
+        spark.readStream.schema(schema).parquet(src_dir),
+        store, on="k", latest_by="ts", checkpoint_dir=ckpt,
+    )
+    assert _live(spark, store) == {(1, "new", 100), (2, "cur", 50), (3, "ins", 10)}
+    assert store.versions()[-1] == v1 + 1
+
+
+def test_fully_stale_batch_is_a_noop(spark, store, tmp_path):
+    """When every event in a batch is stale the sink commits NOTHING —
+    no tombstone, no empty segment, no version churn."""
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, v string, ts long"
+    _wave(spark, [(1, "a", 100)]).write.mode("append").parquet(src_dir)
+    stream_upsert(
+        spark.readStream.schema(schema).parquet(src_dir),
+        store, on="k", latest_by="ts", checkpoint_dir=ckpt,
+    )
+    v1 = store.versions()[-1]
+    _wave(spark, [(1, "old", 1)]).write.mode("append").parquet(src_dir)
+    stream_upsert(
+        spark.readStream.schema(schema).parquet(src_dir),
+        store, on="k", latest_by="ts", checkpoint_dir=ckpt,
+    )
+    assert _live(spark, store) == {(1, "a", 100)}
+    assert store.versions()[-1] == v1  # zero commits from the stale batch
+
+
+def test_guard_off_restores_blind_replace(spark, store, tmp_path):
+    """guard_out_of_order=False is the documented escape hatch for feeds
+    that are per-key ordered across batches: the merge replaces matched
+    rows unconditionally (the pre-guard behavior)."""
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, v string, ts long"
+    _wave(spark, [(1, "new", 100)]).write.mode("append").parquet(src_dir)
+    stream_upsert(
+        spark.readStream.schema(schema).parquet(src_dir),
+        store, on="k", latest_by="ts", checkpoint_dir=ckpt,
+        guard_out_of_order=False,
+    )
+    _wave(spark, [(1, "old", 1)]).write.mode("append").parquet(src_dir)
+    stream_upsert(
+        spark.readStream.schema(schema).parquet(src_dir),
+        store, on="k", latest_by="ts", checkpoint_dir=ckpt,
+        guard_out_of_order=False,
+    )
+    assert _live(spark, store) == {(1, "old", 1)}
