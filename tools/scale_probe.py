@@ -99,7 +99,29 @@ DRIVING_TABLE = {
     "stream_stream_join": "events",
     "stream_ingest_segments": "events",
     "store_smart_filter": "orders",
+    # round-8 ladder extensions: the three heaviest store maintenance ops
+    # (each is one or two full-store-or-source-sized rewrite jobs plus
+    # manifest math — the design claim is time ∝ rows rewritten)
+    "merge_by_key": "orders",
+    "optimize_zorder": "orders",
+    "mirror_changes": "orders",
 }
+
+
+def _cloned_orders_store(entrymod, spark, sf_dir):
+    """UNTIMED fixture: private clone of the 3-segment indexed orders
+    store (segment files are immutable — a directory copy IS a second
+    store), so a timed maintenance op never mutates the shared cache."""
+    import shutil
+    import tempfile
+
+    from iodf_spark.sources.segments import SegmentStore
+
+    base = entrymod._orders_store(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="iodf_ladder_clone_")
+    shutil.rmtree(path)
+    shutil.copytree(base.path, path)
+    return SegmentStore(path)
 
 
 def _tombstoned_orders_store(entrymod, spark, sf_dir):
@@ -122,7 +144,7 @@ def _tombstoned_orders_store(entrymod, spark, sf_dir):
     return s
 
 
-def sf_ladder():
+def sf_ladder(only: list[str] | None = None):
     import math
 
     import __spark_entry__ as entrymod
@@ -130,6 +152,9 @@ def sf_ladder():
     spark = get_spark("iodf_sf_ladder")
     spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
     qs = entrymod.queries()
+    families = {
+        f: t for f, t in DRIVING_TABLE.items() if not only or f in only
+    }
 
     def run(fam, sf_dir):
         entrymod._cache.clear()  # stores/indexes rebuilt: family cost, not reopen
@@ -162,17 +187,80 @@ def sf_ladder():
             )
             r.count()
             return time.perf_counter() - t0
+        if fam == "merge_by_key":
+            # fixture (untimed): private 3-segment store clone + the
+            # bench arm's source shape (10% updates, 5% inserts); timed:
+            # ONE atomic merge commit — source localCheckpoint, victim
+            # semi-join id-list, source-sized segment write, publish
+            store = _cloned_orders_store(entrymod, spark, sf_dir)
+            od = load_table(spark, sf_dir, "orders")
+            src = (
+                od.filter(F.col("o_orderkey") % 10 == 7)
+                .withColumn("o_orderpriority", F.lit("9-MERGED"))
+                .unionByName(
+                    od.filter(F.col("o_orderkey") % 20 == 13).withColumn(
+                        "o_orderkey", -F.col("o_orderkey")
+                    )
+                )
+            )
+            t0 = time.perf_counter()
+            store.merge_by_key(spark, src, on="o_orderkey",
+                               order_keys=["o_orderkey"])
+            return time.perf_counter() - t0
+        if fam == "optimize_zorder":
+            # fixture (untimed): single-segment store over the FULL orders
+            # grid projection (the attested arm uses a 1/8 subset — the
+            # ladder wants bulk rewrite scaling); timed: the z-clustered
+            # renumbering rewrite into 4 segments
+            import tempfile
+
+            from iodf_spark.sources.segments import SegmentStore
+
+            zstore = SegmentStore(tempfile.mkdtemp(prefix="iodf_ladder_z_"))
+            zdf = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                (F.col("o_orderkey") % 64).alias("a"),
+                (F.col("o_custkey") % 64).alias("b"),
+            )
+            zstore.write_segment(zdf, order_keys=["o_orderkey"])
+            t0 = time.perf_counter()
+            zstore.optimize_zorder(
+                spark, ["a", "b"], bits=6, n_segments=4,
+                bounds={"a": (0, 63), "b": (0, 63)},
+            )
+            return time.perf_counter() - t0
+        if fam == "mirror_changes":
+            # fixture (untimed): store clone + a delete commit so the feed
+            # has a seed window AND a tombstone-only delta window; timed:
+            # the full mirror (snapshot seed apply + delta apply) — the
+            # cost class is 'rows applied', and the seed dominates by
+            # construction, so time must scale with source rows
+            import tempfile
+
+            from iodf_spark.sources.segments import SegmentStore
+            from iodf_spark.streaming.ingest import mirror_changes
+
+            store = _cloned_orders_store(entrymod, spark, sf_dir)
+            pre_v = store.versions()[-1]
+            store.delete_where(spark, "o_orderpriority = '1-URGENT'")
+            dst = SegmentStore(tempfile.mkdtemp(prefix="iodf_ladder_m_"))
+            t0 = time.perf_counter()
+            mirror_changes(
+                spark, store, dst, store.path + "/_ladder_mirror_ck",
+                defaults={"flag": 0}, seed_at_version=pre_v,
+            )
+            return time.perf_counter() - t0
         t0 = time.perf_counter()
         qs[fam](spark, sf_dir).count()
         return time.perf_counter() - t0
 
     rows_of = {}
     for sf_dir in SF_DIRS:
-        for t in set(DRIVING_TABLE.values()):
+        for t in set(families.values()):
             rows_of[(sf_dir, t)] = spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     summary = []
-    for fam, table in DRIVING_TABLE.items():
+    for fam, table in families.items():
         run(fam, SF_DIRS[0])  # codegen/JIT warmup, untimed
         cells = []
         for sf_dir in SF_DIRS:
@@ -201,7 +289,8 @@ def sf_ladder():
 
 def main():
     if "--sf-ladder" in sys.argv:
-        sf_ladder()
+        only = [a for a in sys.argv[1:] if not a.startswith("-")]
+        sf_ladder(only or None)
         return
     max_k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
