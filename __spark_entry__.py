@@ -605,11 +605,33 @@ def _ivf_store_arm(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFram
     )
 
 
+def _ivfpq_store_arm(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+    """Build + probe the composed IVF-PQ store (ivfpq_build_store): codes
+    only, partitioned by cell — the probe prunes cell partitions at the
+    file level AND reads 4 small ints per row instead of 64 floats; the
+    rerank=50 second stage is the only float reader (Q*50 rows)."""
+    import tempfile
+
+    from iodf_spark.operators.similarity import ann_ivfpq_store, ivfpq_build_store
+
+    path = tempfile.mkdtemp(prefix="iodf_ivfpq_store_")
+    ivfpq_build_store(emb, "vec_id", "embedding", path, n_centroids=4, dim=EMB_DIM)
+    return ann_ivfpq_store(
+        emb, "vec_id", "embedding", path, ANN_QUERY_IDS,
+        n_centroids=4, n_probe=2, dim=EMB_DIM, rerank=50,
+    )
+
+
 def _ann_topk_arms(spark: SparkSession, sf_dir: str):
     """ORDERED arm thunks of the ann_topk entry (see q_ann_topk) — split
     out so bench.py can time each ANN variant individually (the single
     consolidated cell hid one-arm regressions from the 2x gate)."""
-    from iodf_spark.operators.similarity import ann_brute_force, ann_ivf, ann_lsh
+    from iodf_spark.operators.similarity import (
+        ann_brute_force,
+        ann_ivf,
+        ann_lsh,
+        ann_pq,
+    )
 
     memo: dict[str, DataFrame] = {}
 
@@ -671,6 +693,27 @@ def _ann_topk_arms(spark: SparkSession, sf_dir: str):
             "ivf4_store",
             lambda: tag("ivf4_store", _ivf_store_arm(spark, sf_dir, emb())),
         ),
+        (
+            "pq16",
+            lambda: tag(
+                "pq16",
+                ann_pq(emb(), "vec_id", "embedding", ANN_QUERY_IDS, dim=EMB_DIM),
+            ),
+        ),
+        (
+            "pq16_rr",
+            lambda: tag(
+                "pq16_rr",
+                ann_pq(
+                    emb(), "vec_id", "embedding", ANN_QUERY_IDS,
+                    dim=EMB_DIM, rerank=100,
+                ),
+            ),
+        ),
+        (
+            "ivfpq_rr",
+            lambda: tag("ivfpq_rr", _ivfpq_store_arm(spark, sf_dir, emb())),
+        ),
     ]
 
 
@@ -681,7 +724,16 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (corpus hashed once, query-side fan-out only), IVF at 4-centroid/
     2-probe and 64-centroid/8-probe geometries (max_by cell assignment —
     a narrow agg where a row_number window would sort a 64x expansion),
-    and the persisted IVF store with partition-pruned probes."""
+    the persisted IVF store with partition-pruned probes, and PQ/ADC
+    (pq16: 4 subspaces x 16 sample codewords — corpus encoded to 4 codes
+    per vector, queries rank by distance-table lookups; the
+    compressed-scan half of IVF-PQ, 64x less read per candidate than the
+    float corpus; pq16_rr adds the production second stage — the ADC pass
+    shortlists 100 candidates and only those Q*100 rows touch the float
+    corpus for an exact-cosine re-rank; ivfpq_rr composes BOTH prunes
+    through the materialized codes-only cell-partitioned store — a probe
+    reads n_probe/n_centroids of the files, each row 4 ints not 64
+    floats, then exact-reranks the Q*50 shortlist)."""
     out = None
     for _name, thunk in _ann_topk_arms(spark, sf_dir):
         df = thunk()
@@ -906,22 +958,42 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-bucketed candidate pairs, NO O(N^2) stage anywhere in its plan
     (grid-cell candidates within buckets, exact cosine verify, min-label
     components). ANN recall < 1 vs exact by design; buckets are
-    deterministic, so the oracle misses the same pairs."""
+    deterministic, so the oracle misses the same pairs. 'semdedup' is the
+    cluster-scoped alternative (Abbas et al. 2023): IVF cells bound the
+    quadratic, keep = no smaller-id same-cell row above the cosine
+    threshold — per-ball marking, not transitive closure."""
     from iodf_spark.operators.dedup import dedup_clusters
-    from iodf_spark.operators.similarity import cosine_pairs, lsh_candidate_pairs
+    from iodf_spark.operators.similarity import (
+        cosine_pairs,
+        lsh_candidate_pairs,
+        semdedup,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = None
-    for tag, pair_fn in [
-        ("ann", lambda: lsh_candidate_pairs(emb, "vec_id", "embedding", dim=EMB_DIM)),
-        ("exact", lambda: cosine_pairs(emb, "vec_id", "embedding", dim=EMB_DIM)),
-    ]:
+
+    def clusters_of(pair_fn):
         pairs = pair_fn().select(
             F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
         )
-        labeled = dedup_clusters(emb, "vec_id", "embedding", pairs=pairs).select(
-            F.lit(tag).alias("method"), "*"
-        )
+        return dedup_clusters(emb, "vec_id", "embedding", pairs=pairs)
+
+    out = None
+    for tag, thunk in [
+        (
+            "ann",
+            lambda: clusters_of(
+                lambda: lsh_candidate_pairs(emb, "vec_id", "embedding", dim=EMB_DIM)
+            ),
+        ),
+        (
+            "exact",
+            lambda: clusters_of(
+                lambda: cosine_pairs(emb, "vec_id", "embedding", dim=EMB_DIM)
+            ),
+        ),
+        ("semdedup", lambda: semdedup(emb, "vec_id", "embedding", dim=EMB_DIM)),
+    ]:
+        labeled = thunk().select(F.lit(tag).alias("method"), "*")
         out = labeled if out is None else out.unionByName(labeled)
     return out.orderBy("method", "doc_id")
 
@@ -2767,6 +2839,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'exact' AS method, id AS doc_id, min(r)::BIGINT AS cluster_id,
                    (id = min(r)) AS keep
             FROM reach GROUP BY id
+            UNION ALL
+            SELECT 'semdedup' AS method, doc_id, cluster_id, keep
+            FROM ({similarity.semdedup_oracle(
+                "vec_id", "embedding", "embeddings", dim=EMB_DIM)})
             ORDER BY method, doc_id
         """,
         "quality_filter": f"""
@@ -2842,6 +2918,20 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'ivf4_store' AS method, * FROM ({similarity.ann_ivf_oracle(
                 "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM
+            )})
+            UNION ALL
+            SELECT 'pq16' AS method, * FROM ({similarity.ann_pq_oracle(
+                "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM
+            )})
+            UNION ALL
+            SELECT 'pq16_rr' AS method, * FROM ({similarity.ann_pq_oracle(
+                "vec_id", "embedding", "embeddings", ANN_QUERY_IDS,
+                dim=EMB_DIM, rerank=100
+            )})
+            UNION ALL
+            SELECT 'ivfpq_rr' AS method, * FROM ({similarity.ann_ivfpq_oracle(
+                "vec_id", "embedding", "embeddings", ANN_QUERY_IDS,
+                n_centroids=4, n_probe=2, dim=EMB_DIM, rerank=50
             )})
         """,
         "segments_union": f"""

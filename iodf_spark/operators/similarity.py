@@ -778,3 +778,680 @@ def ann_lsh_oracle(
         SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
         FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
     """
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) ADC — the compressed-scan half of IVF-PQ
+
+
+def _pq_subspaces(df, id_col, vec_col, m_subspaces, sub_dim, out_id):
+    """(out_id, m, sub): one row per (vector, subspace), sub = the
+    subspace's slice of the vector. The m literals live inside an
+    exploded struct array (the band_structs pattern), so every slice is a
+    STATIC offset — whole-stage-codegen, no runtime-offset slicing."""
+    structs = [
+        F.struct(
+            F.lit(j).alias("m"),
+            F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim).alias("sub"),
+        )
+        for j in range(m_subspaces)
+    ]
+    return df.select(
+        F.col(id_col).alias(out_id), F.explode(F.array(*structs)).alias("s")
+    ).select(out_id, "s.m", "s.sub")
+
+
+def ann_pq(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 10,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    dim: int | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """PQ/ADC approximate top-k (Jégou et al., 'Product Quantization for
+    Nearest Neighbor Search', TPAMI'11 — the compressed-scan half of
+    IVF-PQ, the standard billion-scale ANN layout): each corpus vector is
+    ENCODED as m_subspaces one-byte codes (nearest codeword per subspace),
+    and queries rank candidates by the asymmetric distance computation —
+    exact query subvector against the RECONSTRUCTED corpus vector, read
+    from a per-query distance table instead of the float corpus.
+
+    Why this is the 100 TB shape: after one encoding pass, scans read
+    m_subspaces small ints per vector instead of dim floats (64x smaller
+    at dim=64/m=4 — the corpus' float embeddings never travel again), and
+    per-candidate scoring is m_subspaces table lookups + adds instead of
+    a dim-wide dot product. The codes table is the thing you store,
+    partition (by IVF cell, composing with ivf_build_store) and scan.
+
+    Determinism-by-construction, like the IVF family: codebooks are the
+    subvectors of the vectors with id < n_codes (a fixed 'training
+    sample' — k-means would converge data-dependently and be
+    un-attestable), code assignment breaks distance ties by smallest
+    code, all float sums are unrolled fixed-order doubles, so the DuckDB
+    oracle reproduces codes, ADC scores, and ranking bit-for-bit.
+
+    Output (query_id, rank, neighbor_id, cos): cos is the ADC
+    APPROXIMATION of cosine — query norm exact, candidate norm and dot
+    from the reconstruction. Candidates whose every subspace quantizes
+    identically tie exactly; ranking tie-breaks by neighbor_id.
+
+    ``rerank=C`` adds the production IVF-PQ second stage: the ADC pass
+    SHORTLISTS C candidates per query from the codes scan, and only
+    those Q*C rows touch the float corpus for an exact-cosine re-rank
+    (output cos is then exact). Final recall@k equals the ADC pass's
+    recall@C — C is a constant knob, so the float reads stay O(Q*C)
+    while the corpus grows."""
+    dim = dim or _infer_dim(df, vec_col)
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub_dim = dim // m_subspaces
+    cb = _pq_codebook(df, id_col, vec_col, m_subspaces, sub_dim, n_codes)
+    codes = _pq_encode(df, id_col, vec_col, m_subspaces, sub_dim, cb)
+    ranked = _pq_adc_rank(
+        codes, df, id_col, vec_col, query_ids, m_subspaces, sub_dim, dim, cb
+    )
+    if rerank is None:
+        return (
+            ranked.filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+            .orderBy("query_id", "rank")
+        )
+    return _pq_rerank(ranked, df, id_col, vec_col, query_ids, k, rerank, dim)
+
+
+def _pq_codebook(df, id_col, vec_col, m_subspaces, sub_dim, n_codes):
+    """(code, m, csub, _cn2): the deterministic sample codebooks — the
+    subvectors of the vectors with id < n_codes (see ann_pq's determinism
+    note), plus each codeword's squared norm."""
+    return _pq_subspaces(
+        df.filter(F.col(id_col) < n_codes), id_col, vec_col, m_subspaces, sub_dim, "code"
+    ).select(
+        "code",
+        "m",
+        F.col("sub").alias("csub"),
+        F.expr(_dot("sub", "sub", "spark", sub_dim)).alias("_cn2"),
+    )
+
+
+def _pq_encode(df, id_col, vec_col, m_subspaces, sub_dim, cb):
+    """(neighbor_id, code0..codeM-1): per (vector, subspace) the
+    argmin-distance codeword. The ||x_sub||^2 term is constant within the
+    argmin, so the compared quantity is ||c||^2 - 2<x,c>; min over
+    struct(_d, code) collapses map-side (partial agg) and tie-breaks by
+    smallest code."""
+    corpus_sub = _pq_subspaces(fan_out(df), id_col, vec_col, m_subspaces, sub_dim, "neighbor_id")
+    return (
+        corpus_sub.join(F.broadcast(cb), "m")
+        .withColumn(
+            "_d",
+            F.col("_cn2") - 2 * F.expr(_dot("sub", "csub", "spark", sub_dim)),
+        )
+        .groupBy("neighbor_id")
+        .agg(
+            *[
+                F.min(F.when(F.col("m") == j, F.struct("_d", "code"))).alias(f"_a{j}")
+                for j in range(m_subspaces)
+            ]
+        )
+        .select(
+            "neighbor_id",
+            *[F.col(f"_a{j}.code").alias(f"code{j}") for j in range(m_subspaces)],
+        )
+    )
+
+
+def _pq_adc_rank(
+    codes, df, id_col, vec_col, query_ids, m_subspaces, sub_dim, dim, cb
+):
+    """ADC-score a codes frame against the queries' distance tables and
+    rank per query. ``codes`` is (neighbor_id, code0..) or, when the IVF
+    store already joined probe cells, (query_id, neighbor_id, code0..) —
+    with query_id present every distance-table join is a per-query
+    equi-join; without it the first join fans the codes scan out per
+    query. Returns the full ranked frame (query_id, neighbor_id, cos,
+    rank) for the caller to cut at k or at the rerank shortlist depth."""
+    # per-query distance table: <q_sub, codeword> for every (m, code) —
+    # m_subspaces * n_codes rows per query, broadcast to the codes scan
+    q = df.filter(F.col(id_col).isin(query_ids))
+    qsub = _pq_subspaces(q, id_col, vec_col, m_subspaces, sub_dim, "query_id")
+    dt = qsub.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        "code",
+        F.expr(_dot("sub", "csub", "spark", sub_dim)).alias("_pdot"),
+        "_cn2",
+    )
+    qn = q.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(norm_expr(vec_col, "spark", dim)).alias("_qn"),
+    )
+
+    per_query = "query_id" in codes.columns
+    scored = codes
+    for j in range(m_subspaces):
+        dtj = dt.filter(F.col("m") == j).select(
+            "query_id",
+            F.col("code").alias(f"code{j}"),
+            F.col("_pdot").alias(f"_p{j}"),
+            F.col("_cn2").alias(f"_c{j}"),
+        )
+        on = ["query_id", f"code{j}"] if per_query or j > 0 else [f"code{j}"]
+        scored = scored.join(F.broadcast(dtj), on)
+
+    # fixed-order (left-assoc) sums keep engine and oracle bit-equal
+    adot = " + ".join(f"_p{j}" for j in range(m_subspaces))
+    rn2 = " + ".join(f"_c{j}" for j in range(m_subspaces))
+    scored = (
+        scored.join(F.broadcast(qn), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.expr(f"({adot}) / (_qn * sqrt({rn2}))"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w))
+
+
+def _pq_rerank(ranked, df, id_col, vec_col, query_ids, k, rerank, dim):
+    """The production IVF-PQ second stage: cut the ADC ranking at depth
+    ``rerank``, then exact-cosine re-rank ONLY that shortlist against the
+    float corpus — the single stage that reads float vectors, and it reads
+    Q*rerank of them."""
+    shortlist = ranked.filter(F.col("rank") <= rerank).select("query_id", "neighbor_id")
+    qv = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.expr(norm_expr(vec_col, "spark", dim)).alias("_qn"),
+    )
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.expr(norm_expr(vec_col, "spark", dim)).alias("_cvn"),
+    )
+    rr = (
+        F.broadcast(shortlist)
+        .join(c, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos", F.expr(f"({_dot('_qv', '_cv', 'spark', dim)}) / (_qn * _cvn)"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_pq_oracle(
+    id_col: str,
+    vec_col: str,
+    table: str,
+    query_ids: list[int],
+    k: int = 10,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    dim: int | None = None,
+    rerank: int | None = None,
+) -> str:
+    """DuckDB twin of ann_pq: same sample codebooks, same argmin
+    (row_number tie-broken by code), same fixed-order ADC sums, same
+    optional exact-cosine re-rank of the ADC shortlist."""
+    if dim is None or dim % m_subspaces:
+        raise ValueError("oracle needs an explicit dim divisible by m_subspaces")
+    sub_dim = dim // m_subspaces
+    ids = ", ".join(str(i) for i in query_ids)
+
+    def sub_arms(src_filter: str, out_id: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {id_col} AS {out_id}, {j} AS m, "
+            f"list_slice({vec_col}, {j * sub_dim + 1}, {(j + 1) * sub_dim}) AS sub "
+            f"FROM {table}{src_filter}"
+            for j in range(m_subspaces)
+        )
+    code_cols = ", ".join(
+        f"max(CASE WHEN m = {j} AND _rn = 1 THEN code END) AS code{j}"
+        for j in range(m_subspaces)
+    )
+    dt_joins = "\n          ".join(
+        (
+            f"JOIN dt d{j} ON d{j}.m = {j} AND d{j}.code = c.code{j}"
+            if j == 0
+            else f"JOIN dt d{j} ON d{j}.m = {j} AND d{j}.code = c.code{j} "
+            f"AND d{j}.query_id = d0.query_id"
+        )
+        for j in range(m_subspaces)
+    )
+    adot = " + ".join(f"d{j}._pdot" for j in range(m_subspaces))
+    rn2 = " + ".join(f"d{j}._cn2" for j in range(m_subspaces))
+    rr_ctes, final_src = "", "ranked"
+    if rerank is not None:
+        cos_rr = cosine_expr("qv._qv", "cv._cv", "duckdb", dim)
+        rr_ctes = f""",
+        shortlist AS (SELECT query_id, neighbor_id FROM ranked
+                      WHERE rank <= {rerank}),
+        qv AS (SELECT {id_col} AS query_id, {vec_col} AS _qv FROM {table}
+               WHERE {id_col} IN ({ids})),
+        cv AS (SELECT {id_col} AS neighbor_id, {vec_col} AS _cv FROM {table}),
+        rr AS (
+          SELECT s.query_id, s.neighbor_id, {cos_rr} AS cos
+          FROM shortlist s
+          JOIN cv ON cv.neighbor_id = s.neighbor_id
+          JOIN qv ON qv.query_id = s.query_id),
+        rranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id)::INT AS rank
+          FROM rr)"""
+        final_src = "rranked"
+    return f"""
+        WITH cb AS (
+          SELECT code, m, sub AS csub, {_dot("sub", "sub", "duckdb", sub_dim)} AS _cn2
+          FROM ({sub_arms(f" WHERE {id_col} < {n_codes}", "code")})),
+        nsub AS ({sub_arms("", "neighbor_id")}),
+        dists AS (
+          SELECT neighbor_id, n.m, code,
+                 _cn2 - 2 * {_dot("sub", "csub", "duckdb", sub_dim)} AS _d
+          FROM nsub n JOIN cb ON n.m = cb.m),
+        ranked_codes AS (
+          SELECT neighbor_id, m, code,
+                 row_number() OVER (PARTITION BY neighbor_id, m
+                                    ORDER BY _d, code) AS _rn
+          FROM dists),
+        codes AS (
+          SELECT neighbor_id, {code_cols} FROM ranked_codes GROUP BY neighbor_id),
+        qsub AS ({sub_arms(f" WHERE {id_col} IN ({ids})", "query_id")}),
+        dt AS (
+          SELECT query_id, q.m, code,
+                 {_dot("sub", "csub", "duckdb", sub_dim)} AS _pdot, _cn2
+          FROM qsub q JOIN cb ON q.m = cb.m),
+        qn AS (SELECT {id_col} AS query_id, {norm_expr(vec_col, "duckdb", dim)} AS _qn
+               FROM {table} WHERE {id_col} IN ({ids})),
+        scored AS (
+          SELECT d0.query_id, c.neighbor_id,
+                 ({adot}) / (_qn * sqrt({rn2})) AS cos
+          FROM codes c
+          {dt_joins}
+          JOIN qn ON qn.query_id = d0.query_id
+          WHERE d0.query_id <> c.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id)::INT AS rank
+          FROM scored){rr_ctes}
+        SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+        FROM {final_src} WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic dedup scoped to embedding clusters
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 64,
+    threshold: float = 0.45,
+    dim: int | None = None,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Semantic deduplication (Abbas et al. 2023, 'SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication'): cluster the
+    corpus in embedding space, then mark as duplicates only rows whose
+    cosine to an EARLIER row in the SAME cluster clears ``threshold`` —
+    the clusters bound the quadratic, which is the paper's entire scale
+    argument (k clusters cut pair work by ~k; cross-cluster near-dups are
+    missed by design, recall < 1 like every ANN family member).
+
+    Composition, not new machinery: cell assignment is `_ivf_assign`
+    (deterministic id-prefix centroids, max_by agg) and within-cell pair
+    scoring is `_blocked_pair_scores` with the cell as the bucket — so a
+    HOT cluster becomes many independent memory-bounded grid cells
+    (vectorized int64 matmul), never one giant join partition; skew in
+    cluster sizes cannot produce an unbounded task.
+
+    Keep rule, pinned deterministic where the paper keeps a random
+    exemplar: a row is kept iff NO same-cell row with a smaller id scores
+    >= threshold; a removed row's ``cluster_id`` is its smallest witness
+    (not transitively closed — 5~7 and 7~9 without 5~9 removes 9 with
+    witness 7 even though 7 is itself removed; that matches the paper's
+    per-ball marking, and `dedup_clusters` is the transitive alternative).
+
+    Output (doc_id, cluster_id, keep), oracle-exact: quantized int64 dots
+    (any summation order) + float64 normalization, same as cosine_pairs."""
+    dim = dim or _infer_dim(df, vec_col)
+    assigned = _ivf_assign(df, id_col, vec_col, n_centroids, dim)
+    q = assigned.select(
+        F.col("neighbor_id").alias("id"),
+        F.expr(quant_expr("_cv", "spark")).alias("qv"),
+        F.col("cid").alias("_bkt"),
+    )
+    nb = int(n_blocks) if n_blocks is not None else _auto_blocks(df, vec_col, dim)
+    pairs = _blocked_pair_scores(q, nb, threshold)
+    w = pairs.groupBy(F.col("id_b").alias("doc_id")).agg(F.min("id_a").alias("_w"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(w, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_w", "doc_id").alias("cluster_id"),
+            F.col("_w").isNull().alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def semdedup_oracle(
+    id_col: str,
+    vec_col: str,
+    table: str,
+    n_centroids: int = 64,
+    threshold: float = 0.45,
+    dim: int | None = None,
+) -> str:
+    """DuckDB twin of semdedup: same id-prefix centroids and max-cosine
+    cell assignment, same quantized within-cell pair scores, same
+    smallest-witness keep rule."""
+    if dim is None:
+        raise ValueError("oracle needs an explicit dim")
+    acos = cosine_expr("c._cv", "ct._ce", "duckdb", dim)
+    qa, qb = "a._q", "b._q"
+    dot = (
+        f"list_sum(list_transform(range(1, len({qa}) + 1), "
+        f"_i -> {qa}[_i] * {qb}[_i]))::DOUBLE"
+    )
+    nrm = "sqrt(list_sum(list_transform({v}, _x -> _x * _x))::DOUBLE)"
+    cos = f"({dot}) / ({nrm.format(v=qa)} * {nrm.format(v=qb)})"
+    return f"""
+        WITH cent AS (SELECT {id_col} AS cid, {vec_col} AS _ce FROM {table}
+                      WHERE {id_col} < {n_centroids}),
+        corpus AS (SELECT {id_col} AS _id, {vec_col} AS _cv FROM {table}),
+        ascore AS (
+          SELECT c._id, ct.cid, {acos} AS ccos
+          FROM corpus c CROSS JOIN cent ct),
+        assigned AS (
+          SELECT cid, _id FROM (
+            SELECT *, row_number() OVER (PARTITION BY _id
+                                         ORDER BY ccos DESC, cid) AS _r
+            FROM ascore) WHERE _r = 1),
+        qv AS (SELECT {id_col} AS _id,
+                      {quant_expr(vec_col, 'duckdb')} AS _q FROM {table}),
+        av AS (SELECT s.cid, q._id, q._q
+               FROM assigned s JOIN qv q ON q._id = s._id),
+        prs AS (
+          SELECT a._id AS id_a, b._id AS id_b
+          FROM av a JOIN av b ON a.cid = b.cid AND a._id < b._id
+          WHERE ({cos}) >= {threshold}),
+        w AS (SELECT id_b AS doc_id, min(id_a) AS _w FROM prs GROUP BY id_b)
+        SELECT e.{id_col} AS doc_id,
+               coalesce(w._w, e.{id_col}) AS cluster_id,
+               (w._w IS NULL) AS keep
+        FROM {table} e LEFT JOIN w ON w.doc_id = e.{id_col}
+        ORDER BY doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: the composed billion-scale layout — PQ codes stored inside the
+# cell-partitioned IVF store
+
+
+def ivfpq_build_store(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_centroids: int = 4,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    dim: int | None = None,
+) -> None:
+    """Materialize the IVF-PQ index (Jégou et al. TPAMI'11, the layout
+    behind every billion-scale ANN service): each corpus vector is
+    assigned to its nearest-centroid inverted list AND encoded to
+    m_subspaces one-byte PQ codes; the store holds ONLY
+    (neighbor_id, code0..codeM-1), partitioned by cell — no float vectors.
+
+    Why this is the 100 TB shape, compounding both prunes: a probe reads
+    n_probe/n_centroids of the data at the FILE level (PartitionFilters,
+    same as ivf_build_store) and each row it does read is m_subspaces
+    small ints instead of dim floats (64x narrower at dim=64/m=4). The
+    float corpus is touched only by the optional rerank stage, and only
+    for Q*C shortlisted rows. Centroids and codebooks are the
+    deterministic id-prefix samples of the corpus (see ann_pq/_ivf notes),
+    so the probe recovers both from the source table, not the store."""
+    dim = dim or _infer_dim(df, vec_col)
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub_dim = dim // m_subspaces
+    cb = _pq_codebook(df, id_col, vec_col, m_subspaces, sub_dim, n_codes)
+    codes = _pq_encode(df, id_col, vec_col, m_subspaces, sub_dim, cb)
+    cells = _ivf_assign(df, id_col, vec_col, n_centroids, dim).select(
+        "cid", "neighbor_id"
+    )
+    # cluster by cell before the partitioned write (one file per cell, not
+    # one fragment per assign partition per cell)
+    codes.join(cells, "neighbor_id").repartition("cid").write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(path)
+
+
+def ivfpq_append(
+    spark: SparkSession,
+    store_path: str,
+    new_df: DataFrame,
+    train_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 4,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    dim: int | None = None,
+) -> None:
+    """Incremental IVF-PQ maintenance: encode ONLY the new delivery
+    against the FROZEN codebooks and assign it against the FROZEN
+    centroids, then append to the cell partition directories — no
+    rebuild, no touch of existing codes. Row-identical to a one-shot
+    build over the union (same centroids -> same cells, same codebooks ->
+    same codes; tested append==rebuild).
+
+    ``train_df`` supplies the frozen samples (the rows with id <
+    max(n_centroids, n_codes) of the ORIGINAL corpus — the codes store
+    intentionally holds no float vectors to recover them from, unlike
+    ivf_append's store; the probe path already requires the same source
+    table for its codebooks, so this is no extra dependency)."""
+    dim = dim or _infer_dim(new_df, vec_col)
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub_dim = dim // m_subspaces
+    cb = _pq_codebook(train_df, id_col, vec_col, m_subspaces, sub_dim, n_codes)
+    cent = _ivf_centroids(train_df, id_col, vec_col, n_centroids, dim)
+    codes = _pq_encode(new_df, id_col, vec_col, m_subspaces, sub_dim, cb)
+    cells = _ivf_assign(
+        new_df, id_col, vec_col, n_centroids, dim, cent=cent
+    ).select("cid", "neighbor_id")
+    codes.join(cells, "neighbor_id").repartition("cid").write.mode(
+        "append"
+    ).partitionBy("cid").parquet(store_path)
+
+
+def ann_ivfpq_store(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    store_path: str,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 4,
+    n_probe: int = 2,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    dim: int | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """ANN over a materialized IVF-PQ store: query cells resolve first
+    (n_queries x n_probe cell ids, collected driver-side — tiny), the
+    codes scan carries a STATIC cid IN (...) predicate so non-probed cell
+    partitions are pruned before any IO, candidates ADC-score against the
+    broadcast per-query distance tables, and ``rerank=C`` exact-re-ranks
+    the Q*C shortlist against the float corpus (the only float reads).
+    Candidate sets are per-query by construction — the probed-cells join
+    stamps query_id onto the codes rows, so every distance-table join is
+    an equi-join on (query_id, code_j)."""
+    spark = df.sparkSession
+    dim = dim or _infer_dim(df, vec_col)
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub_dim = dim // m_subspaces
+    qcells = _ivf_query_cells(
+        df, id_col, vec_col, query_ids, n_centroids, n_probe, dim
+    )
+    probe_cells = sorted({r["cid"] for r in qcells.select("cid").collect()})
+    codes = spark.read.parquet(store_path).filter(
+        F.col("cid").isin([int(c) for c in probe_cells])
+    )
+    cand = codes.join(
+        F.broadcast(qcells.select("cid", "query_id")), "cid"
+    ).drop("cid")
+    cb = _pq_codebook(df, id_col, vec_col, m_subspaces, sub_dim, n_codes)
+    ranked = _pq_adc_rank(
+        cand, df, id_col, vec_col, query_ids, m_subspaces, sub_dim, dim, cb
+    )
+    if rerank is None:
+        return (
+            ranked.filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+            .orderBy("query_id", "rank")
+        )
+    return _pq_rerank(ranked, df, id_col, vec_col, query_ids, k, rerank, dim)
+
+
+def ann_ivfpq_oracle(
+    id_col: str,
+    vec_col: str,
+    table: str,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 4,
+    n_probe: int = 2,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    dim: int | None = None,
+    rerank: int | None = None,
+) -> str:
+    """DuckDB twin of ivfpq_build_store + ann_ivfpq_store: the IVF
+    oracle's assigned/qcells CTEs restrict the PQ oracle's candidate set
+    to the probed cells; same codebooks, argmin codes, fixed-order ADC
+    sums, and optional exact re-rank."""
+    if dim is None or dim % m_subspaces:
+        raise ValueError("oracle needs an explicit dim divisible by m_subspaces")
+    sub_dim = dim // m_subspaces
+    ids = ", ".join(str(i) for i in query_ids)
+    acos = cosine_expr("c._cv", "ct._ce", "duckdb", dim)
+    qccos = cosine_expr("q._qv", "ct._ce", "duckdb", dim)
+
+    def sub_arms(src_filter: str, out_id: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {id_col} AS {out_id}, {j} AS m, "
+            f"list_slice({vec_col}, {j * sub_dim + 1}, {(j + 1) * sub_dim}) AS sub "
+            f"FROM {table}{src_filter}"
+            for j in range(m_subspaces)
+        )
+    code_cols = ", ".join(
+        f"max(CASE WHEN m = {j} AND _rn = 1 THEN code END) AS code{j}"
+        for j in range(m_subspaces)
+    )
+    dt_joins = "\n          ".join(
+        f"JOIN dt d{j} ON d{j}.m = {j} AND d{j}.code = cand.code{j} "
+        f"AND d{j}.query_id = cand.query_id"
+        for j in range(m_subspaces)
+    )
+    adot = " + ".join(f"d{j}._pdot" for j in range(m_subspaces))
+    rn2 = " + ".join(f"d{j}._cn2" for j in range(m_subspaces))
+    rr_ctes, final_src = "", "ranked"
+    if rerank is not None:
+        cos_rr = cosine_expr("qv._qv", "cv._cv", "duckdb", dim)
+        rr_ctes = f""",
+        shortlist AS (SELECT query_id, neighbor_id FROM ranked
+                      WHERE rank <= {rerank}),
+        qv AS (SELECT {id_col} AS query_id, {vec_col} AS _qv FROM {table}
+               WHERE {id_col} IN ({ids})),
+        cv AS (SELECT {id_col} AS neighbor_id, {vec_col} AS _cv FROM {table}),
+        rr AS (
+          SELECT s.query_id, s.neighbor_id, {cos_rr} AS cos
+          FROM shortlist s
+          JOIN cv ON cv.neighbor_id = s.neighbor_id
+          JOIN qv ON qv.query_id = s.query_id),
+        rranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id)::INT AS rank
+          FROM rr)"""
+        final_src = "rranked"
+    return f"""
+        WITH cent AS (SELECT {id_col} AS cid, {vec_col} AS _ce FROM {table}
+                      WHERE {id_col} < {n_centroids}),
+        corpus AS (SELECT {id_col} AS neighbor_id, {vec_col} AS _cv FROM {table}),
+        ascore AS (
+          SELECT c.neighbor_id, ct.cid, {acos} AS ccos
+          FROM corpus c CROSS JOIN cent ct),
+        assigned AS (
+          SELECT cid, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY neighbor_id
+                                         ORDER BY ccos DESC, cid) AS _r
+            FROM ascore) WHERE _r = 1),
+        q AS (SELECT {id_col} AS query_id, {vec_col} AS _qv FROM {table}
+              WHERE {id_col} IN ({ids})),
+        qscore AS (
+          SELECT q.query_id, ct.cid, {qccos} AS ccos
+          FROM q CROSS JOIN cent ct),
+        qcells AS (
+          SELECT cid, query_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY ccos DESC, cid) AS _r
+            FROM qscore) WHERE _r <= {n_probe}),
+        cb AS (
+          SELECT code, m, sub AS csub, {_dot("sub", "sub", "duckdb", sub_dim)} AS _cn2
+          FROM ({sub_arms(f" WHERE {id_col} < {n_codes}", "code")})),
+        nsub AS ({sub_arms("", "neighbor_id")}),
+        dists AS (
+          SELECT neighbor_id, n.m, code,
+                 _cn2 - 2 * {_dot("sub", "csub", "duckdb", sub_dim)} AS _d
+          FROM nsub n JOIN cb ON n.m = cb.m),
+        ranked_codes AS (
+          SELECT neighbor_id, m, code,
+                 row_number() OVER (PARTITION BY neighbor_id, m
+                                    ORDER BY _d, code) AS _rn
+          FROM dists),
+        codes AS (
+          SELECT neighbor_id, {code_cols} FROM ranked_codes GROUP BY neighbor_id),
+        cand AS (
+          SELECT qc.query_id, co.* FROM codes co
+          JOIN assigned a ON a.neighbor_id = co.neighbor_id
+          JOIN qcells qc ON qc.cid = a.cid),
+        qsub AS ({sub_arms(f" WHERE {id_col} IN ({ids})", "query_id")}),
+        dt AS (
+          SELECT query_id, qs.m, code,
+                 {_dot("sub", "csub", "duckdb", sub_dim)} AS _pdot, _cn2
+          FROM qsub qs JOIN cb ON qs.m = cb.m),
+        qn AS (SELECT {id_col} AS query_id, {norm_expr(vec_col, "duckdb", dim)} AS _qn
+               FROM {table} WHERE {id_col} IN ({ids})),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 ({adot}) / (_qn * sqrt({rn2})) AS cos
+          FROM cand
+          {dt_joins}
+          JOIN qn ON qn.query_id = cand.query_id
+          WHERE cand.query_id <> cand.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id)::INT AS rank
+          FROM scored){rr_ctes}
+        SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+        FROM {final_src} WHERE rank <= {k} ORDER BY query_id, rank
+    """

@@ -419,6 +419,98 @@ def test_ivf_append_equals_one_shot_build(spark, tmp_path):
     assert sorted(map(tuple, q_inc.collect())) == sorted(map(tuple, q_full.collect()))
 
 
+def test_ivfpq_append_equals_one_shot_build(spark, tmp_path):
+    """Incremental IVF-PQ maintenance: build the codes store from the
+    first half of the corpus, ivfpq_append the second half against the
+    frozen samples — stored codes, cells, and probe results must be
+    identical to a one-shot build over the full corpus."""
+    from pyspark.sql import functions as F
+
+    from iodf_spark.operators.similarity import (
+        ann_ivfpq_store,
+        ivfpq_append,
+        ivfpq_build_store,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).collect()[0][0]
+    first, rest = emb.filter(F.col("vec_id") <= mid), emb.filter(F.col("vec_id") > mid)
+    inc_path, full_path = str(tmp_path / "pq_inc"), str(tmp_path / "pq_full")
+    ivfpq_build_store(first, "vec_id", "embedding", inc_path, n_centroids=4, dim=64)
+    ivfpq_append(
+        spark, inc_path, rest, emb, "vec_id", "embedding", n_centroids=4, dim=64
+    )
+    ivfpq_build_store(emb, "vec_id", "embedding", full_path, n_centroids=4, dim=64)
+    inc = sorted(map(tuple, spark.read.parquet(inc_path).collect()))
+    full = sorted(map(tuple, spark.read.parquet(full_path).collect()))
+    assert inc == full
+    q_inc = ann_ivfpq_store(
+        emb, "vec_id", "embedding", inc_path, [0, 1, 2],
+        n_centroids=4, n_probe=2, dim=64, rerank=50,
+    )
+    q_full = ann_ivfpq_store(
+        emb, "vec_id", "embedding", full_path, [0, 1, 2],
+        n_centroids=4, n_probe=2, dim=64, rerank=50,
+    )
+    assert sorted(map(tuple, q_inc.collect())) == sorted(map(tuple, q_full.collect()))
+
+
+def test_ivfpq_store_prunes_cells_and_scans_codes_only(spark, tmp_path):
+    """The composed IVF-PQ store compounds BOTH prunes: the probe's codes
+    scan must carry the static cid filter as PartitionFilters (file-level
+    pruning) AND its ReadSchema must be the codes columns only — the
+    store holds no float vectors, so the scan width is m_subspaces ints,
+    not dim floats. The rerank stage is the only float reader. Results
+    must be bit-identical to the DuckDB oracle (attested at sf0.01 by the
+    driver; pinned here at sf0.001 for the suite)."""
+    import duckdb
+
+    from iodf_spark.operators.similarity import (
+        ann_ivfpq_oracle,
+        ann_ivfpq_store,
+        ivfpq_build_store,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivfpq_store")
+    ivfpq_build_store(emb, "vec_id", "embedding", path, n_centroids=4, dim=64)
+    # store schema: codes only, no float vectors
+    store_cols = set(spark.read.parquet(path).columns)
+    assert store_cols == {"neighbor_id", "code0", "code1", "code2", "code3", "cid"}
+
+    res = ann_ivfpq_store(
+        emb, "vec_id", "embedding", path, [0, 1, 2],
+        n_centroids=4, n_probe=2, dim=64, rerank=50,
+    )
+    plan = plan_of(res)
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters", 1)[1][:400]
+    # the pruned store scan reads codes, never an embedding column (the
+    # scan is located by its PartitionFilters — the corpus scans have none)
+    store_scan = next(
+        seg for seg in plan.split("FileScan") if "PartitionFilters: [" in seg
+        and "cid" in seg.split("PartitionFilters", 1)[1][:200]
+    )
+    schema = store_scan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    assert "code0" in schema and "embedding" not in schema
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    exp = con.execute(
+        ann_ivfpq_oracle(
+            "vec_id", "embedding", "embeddings", [0, 1, 2],
+            n_centroids=4, n_probe=2, dim=64, rerank=50,
+        )
+    ).fetchall()
+    got = [
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos"]) for r in res.collect()
+    ]
+    assert got == [tuple(r) for r in exp]
+
+
 def test_tombstone_anti_join_broadcasts_small_dead_set(spark, tmp_path):
     """A takedown's read-side anti join must BROADCAST the (small) dead-id
     set — a shuffled anti join would re-partition the 100 TB corpus to

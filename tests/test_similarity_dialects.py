@@ -109,6 +109,7 @@ def test_ann_recall_floor_vs_brute_force(spark, sf_dir):
         ann_brute_force,
         ann_ivf,
         ann_lsh,
+        ann_pq,
     )
     from iodf_spark.sources.tables import load_table
 
@@ -125,6 +126,11 @@ def test_ann_recall_floor_vs_brute_force(spark, sf_dir):
     floors = {
         "lsh_multi": 0.5,
         "ivf64_p8": 0.5,
+        # ADC alone is coarse by design (4 subspaces x 16 sampled
+        # codewords on isotropic vectors) — the attested floor documents
+        # that; the rerank arm shows the production two-stage recall
+        "pq16": 0.2,
+        "pq16_rr100": 0.7,
     }
     approx = {
         "lsh_multi": ann_lsh(
@@ -133,6 +139,10 @@ def test_ann_recall_floor_vs_brute_force(spark, sf_dir):
         "ivf64_p8": ann_ivf(
             emb, "vec_id", "embedding", qids, n_centroids=64, n_probe=8, dim=64
         ),
+        "pq16": ann_pq(emb, "vec_id", "embedding", qids, dim=64),
+        "pq16_rr100": ann_pq(
+            emb, "vec_id", "embedding", qids, dim=64, rerank=100
+        ),
     }
     for name, df in approx.items():
         got = topk(df)
@@ -140,3 +150,53 @@ def test_ann_recall_floor_vs_brute_force(spark, sf_dir):
         total = sum(len(exact[q]) for q in qids)
         recall = hits / total
         assert recall >= floors[name], f"{name} recall@10 = {recall:.2f}"
+
+
+def test_semdedup_matches_oracle_and_catches_planted_dups(spark, sf_dir):
+    """SemDeDup parity + effectiveness: bit-equal to the DuckDB twin
+    (same cells, same quantized scores, same smallest-witness rule) AND
+    every exact near-dup pair whose members share a cell is caught — the
+    only tolerated misses are cross-cell pairs (the paper's documented
+    recall trade)."""
+    import duckdb
+
+    from iodf_spark.operators.similarity import (
+        cosine_pairs,
+        semdedup,
+        semdedup_oracle,
+    )
+    from iodf_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = [
+        (r["doc_id"], r["cluster_id"], r["keep"])
+        for r in semdedup(emb, "vec_id", "embedding", dim=64).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    exp = con.execute(
+        semdedup_oracle("vec_id", "embedding", "embeddings", dim=64)
+    ).fetchall()
+    assert got == [tuple(r) for r in exp]
+
+    # effectiveness: at the same threshold, a planted near-dup pair is
+    # removed unless the two landed in different cells
+    removed = {d for d, _, k in got if not k}
+    exact_pairs = [
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs(emb, "vec_id", "embedding", dim=64).collect()
+    ]
+    assert exact_pairs, "fixture should contain planted near-dups"
+    cells = {
+        r["neighbor_id"]: r["cid"]
+        for r in S._ivf_assign(emb, "vec_id", "embedding", 64, 64)
+        .select("cid", "neighbor_id")
+        .collect()
+    }
+    same_cell = [(a, b) for a, b in exact_pairs if cells[a] == cells[b]]
+    assert same_cell, "at least one planted pair should share a cell"
+    for a, b in same_cell:
+        assert b in removed or a in removed, (a, b)
