@@ -580,11 +580,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from iodf_spark.operators.similarity import cosine_pairs
+    """Exact cosine near-dup pairs, two corpora in one attested entry:
+    'vec' over the pre-embedded table, 'hashdoc' over vectors the engine
+    DERIVES from plain text by signed feature hashing (hash_embed,
+    Weinberger et al. ICML'09) — the text->vector bridge that runs the
+    whole vector stack on a table with no embedding column. dim=256 /
+    threshold=0.95 sits on the measured plateau that separates planted
+    near-dups (cos ~0.99) from template-shared vocabulary (cos <~0.9)."""
+    from iodf_spark.operators.similarity import cosine_pairs, hash_embed
 
-    return cosine_pairs(
+    vec = cosine_pairs(
         load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=EMB_DIM
+    ).select(F.lit("vec").alias("method"), "*")
+    hv = hash_embed(load_table(spark, sf_dir, "documents"), "doc_id", "text", dim=256)
+    hashdoc = cosine_pairs(hv, "doc_id", "vec", threshold=0.95, dim=256).select(
+        F.lit("hashdoc").alias("method"), "*"
     )
+    return vec.unionByName(hashdoc).orderBy("method", "id_a", "id_b")
 
 
 def _ivf_store_arm(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
@@ -2892,7 +2904,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "vocab_topk": textstats.vocab_topk_oracle("doc_id", "text", "documents"),
         "profile": profile_mod.profile_oracle("orders", ORDERS_PROFILE_COLS),
-        "embedding_pairs": similarity.cosine_pairs_oracle("vec_id", "embedding", "embeddings"),
+        "embedding_pairs": f"""
+            SELECT 'vec' AS method, * FROM ({similarity.cosine_pairs_oracle(
+                "vec_id", "embedding", "embeddings")})
+            UNION ALL
+            SELECT 'hashdoc' AS method, * FROM ({similarity.cosine_pairs_oracle(
+                "doc_id", "vec",
+                f"({similarity.hash_embed_oracle('doc_id', 'text', 'documents', dim=256)})",
+                threshold=0.95)})
+            ORDER BY method, id_a, id_b
+        """,
         "ann_topk": f"""
             SELECT 'brute' AS method, * FROM ({similarity.ann_brute_force_oracle(
                 "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM

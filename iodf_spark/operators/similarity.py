@@ -1087,6 +1087,82 @@ def ann_pq_oracle(
 
 
 # --------------------------------------------------------------------------
+# Hashed-TF document embeddings: the text -> vector bridge
+
+
+def hash_embed(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 64
+) -> DataFrame:
+    """Deterministic signed feature-hashing embedding (Weinberger et al.
+    ICML'09, the 'hashing trick'): each whitespace token hashes to one of
+    ``dim`` buckets with a ±1 sign from the hash's next bit, and the
+    document vector is the per-bucket signed token count — so the ENTIRE
+    vector stack (cosine_pairs, ann_*, semdedup) runs on a plain text
+    table with no model in the loop. Near-duplicate documents share
+    almost all tokens, so their hashed vectors are near-parallel; sign
+    hashing keeps unrelated documents near-orthogonal in expectation.
+
+    One-pass at any scale: explode to (id, token_hash), then ONE groupBy
+    with dim conditional sums (map-side combine collapses each document's
+    tokens inside the scan partition — the shuffle carries dim ints per
+    document, never tokens). Token hashing reuses the dialect-pinned
+    polynomial (functions/texthash.py), so the DuckDB twin reproduces
+    vectors exactly; documents with no tokens embed as the zero vector.
+
+    Returns (id_col, vec: array<double> length dim)."""
+    from iodf_spark.functions import texthash as TH
+
+    ex = df.select(
+        F.col(id_col),
+        F.explode_outer(F.expr(TH.token_hashes(text_col, "spark"))).alias("_h"),
+    )
+    sums = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("_h") % dim == i,
+                    F.expr(f"1 - 2 * ((_h div {dim}) % 2)"),
+                )
+            ).alias(f"_v{i}")
+            for i in range(dim)
+        ]
+    )
+    return sums.select(
+        id_col,
+        F.array(
+            *[
+                F.coalesce(F.col(f"_v{i}"), F.lit(0)).cast("double")
+                for i in range(dim)
+            ]
+        ).alias("vec"),
+    )
+
+
+def hash_embed_oracle(
+    id_col: str, text_col: str, table: str, dim: int = 64
+) -> str:
+    """DuckDB twin of hash_embed: same token hashes, same bucket/sign
+    arithmetic (hashes are non-negative, so %/integer-div agree across
+    engines), same zero vector for token-less documents."""
+    from iodf_spark.functions import texthash as TH
+
+    sums = ", ".join(
+        f"sum(CASE WHEN _h % {dim} = {i} "
+        f"THEN 1 - 2 * (((_h // {dim}))::BIGINT % 2) END) AS _v{i}"
+        for i in range(dim)
+    )
+    vec = ", ".join(f"coalesce(_v{i}, 0)::DOUBLE" for i in range(dim))
+    return f"""
+        WITH tok AS (
+          SELECT {id_col}, unnest({TH.token_hashes(text_col, 'duckdb')}) AS _h
+          FROM {table}),
+        agg AS (SELECT {id_col}, {sums} FROM tok GROUP BY {id_col})
+        SELECT t.{id_col}, list_value({vec}) AS vec
+        FROM {table} t LEFT JOIN agg USING ({id_col})
+    """
+
+
+# --------------------------------------------------------------------------
 # SemDeDup: semantic dedup scoped to embedding clusters
 
 

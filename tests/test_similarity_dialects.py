@@ -200,3 +200,37 @@ def test_semdedup_matches_oracle_and_catches_planted_dups(spark, sf_dir):
     assert same_cell, "at least one planted pair should share a cell"
     for a, b in same_cell:
         assert b in removed or a in removed, (a, b)
+
+
+def test_hash_embed_dialects_and_edge_docs(spark):
+    """hash_embed parity on adversarial documents — empty string,
+    whitespace-only, single token, repeated token, unicode — and the
+    pinned zero-vector for token-less docs (explode_outer on the Spark
+    side, LEFT JOIN on the DuckDB side; an inner join would DROP empty
+    documents instead of embedding them)."""
+    import pandas as pd
+
+    from iodf_spark.operators.similarity import hash_embed, hash_embed_oracle
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": ["", "   ", "one", "tok tok tok", "a b c d e", "naïve café"],
+        }
+    )
+    sdf = spark.createDataFrame(docs)
+    got = {
+        r["doc_id"]: list(r["vec"])
+        for r in hash_embed(sdf, "doc_id", "text", dim=8).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", docs)
+    exp = {
+        r[0]: list(r[1])
+        for r in con.execute(
+            hash_embed_oracle("doc_id", "text", "docs", dim=8)
+        ).fetchall()
+    }
+    assert got == exp
+    assert got[0] == [0.0] * 8 and got[1] == [0.0] * 8  # token-less -> zero
+    assert sum(abs(v) for v in got[3]) == 3.0  # 3 copies of one token, one bucket
