@@ -270,7 +270,22 @@ def _blocked_pair_scores(q: DataFrame, nb: int, threshold: float) -> DataFrame:
         B = np.array(b["qv"].tolist(), dtype=np.int64)
         an = np.sqrt((A * A).sum(axis=1).astype(np.float64))
         bn = np.sqrt((B * B).sum(axis=1).astype(np.float64))
-        C = (A @ B.T) / (an[:, None] * bn[None, :])
+        # int64 matmul has no BLAS kernel (numpy falls back to a scalar
+        # loop — measured 10 s vs ~0.5 s on a 5K x 5K x 256 cell). When
+        # every possible dot is < 2^53, float64 products AND every partial
+        # sum are exact integers regardless of summation order, so the
+        # BLAS path is bit-identical to the int64 one — check the bound,
+        # don't assume it (unnormalized count vectors can exceed it).
+        bound = (
+            float(A.shape[1])
+            * max(1.0, float(np.abs(A).max(initial=0)))
+            * max(1.0, float(np.abs(B).max(initial=0)))
+        )
+        if bound < 2.0**53:
+            dots = A.astype(np.float64) @ B.T.astype(np.float64)
+        else:
+            dots = A @ B.T
+        C = dots / (an[:, None] * bn[None, :])
         if diagonal:
             # same rows on both sides: emit each pair once, ordered
             mask = (C >= threshold) & (aid[:, None] < bid[None, :])
@@ -1102,12 +1117,20 @@ def hash_embed(
     almost all tokens, so their hashed vectors are near-parallel; sign
     hashing keeps unrelated documents near-orthogonal in expectation.
 
-    One-pass at any scale: explode to (id, token_hash), then ONE groupBy
-    with dim conditional sums (map-side combine collapses each document's
-    tokens inside the scan partition — the shuffle carries dim ints per
-    document, never tokens). Token hashing reuses the dialect-pinned
+    One-pass at any scale: explode to (id, token_hash), groupBy
+    (id, bucket) summing signs — a NARROW two-column agg with map-side
+    combine (a dim-wide conditional-sum agg evaluates dim whens per token
+    row: measured 5.7 s vs ~1 s at 5M tokens x dim 256) — then scatter
+    the <=dim (bucket, sum) entries per document into the array via one
+    map lookup per slot. The shuffle carries at most dim ints per
+    document, never tokens. Token hashing reuses the dialect-pinned
     polynomial (functions/texthash.py), so the DuckDB twin reproduces
     vectors exactly; documents with no tokens embed as the zero vector.
+
+    Output vectors are L2-NORMALIZED (zero vector stays zero): cosine is
+    scale-invariant, and unit-scale components keep downstream quantized
+    kernels inside their exact float64 fast path (raw counts can push
+    dim * max|a| * max|b| past 2^53, forcing the slow exact-int route).
 
     Returns (id_col, vec: array<double> length dim)."""
     from iodf_spark.functions import texthash as TH
@@ -1116,25 +1139,34 @@ def hash_embed(
         F.col(id_col),
         F.explode_outer(F.expr(TH.token_hashes(text_col, "spark"))).alias("_h"),
     )
-    sums = ex.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(
-                    F.col("_h") % dim == i,
-                    F.expr(f"1 - 2 * ((_h div {dim}) % 2)"),
-                )
-            ).alias(f"_v{i}")
-            for i in range(dim)
-        ]
+    b = (
+        ex.withColumn("_b", F.col("_h") % dim)
+        .withColumn("_s", F.expr(f"1 - 2 * ((_h div {dim}) % 2)"))
+        .groupBy(id_col, "_b")
+        .agg(F.sum("_s").alias("_v"))
     )
-    return sums.select(
-        id_col,
-        F.array(
-            *[
-                F.coalesce(F.col(f"_v{i}"), F.lit(0)).cast("double")
-                for i in range(dim)
-            ]
-        ).alias("vec"),
+    m = b.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.when(F.col("_b").isNotNull(), F.struct("_b", "_v"))
+            )
+        ).alias("_m")
+    )
+    raw = F.expr(
+        f"transform(sequence(0, {dim - 1}), "
+        f"_i -> cast(coalesce(element_at(_m, cast(_i as bigint)), 0) as double))"
+    )
+    return (
+        m.select(id_col, raw.alias("_raw"))
+        .select(
+            id_col,
+            "_raw",
+            F.expr(f"sqrt({_dot('_raw', '_raw', 'spark', dim)})").alias("_n"),
+        )
+        .select(
+            id_col,
+            F.expr("transform(_raw, _x -> if(_n = 0d, 0d, _x / _n))").alias("vec"),
+        )
     )
 
 
@@ -1143,7 +1175,9 @@ def hash_embed_oracle(
 ) -> str:
     """DuckDB twin of hash_embed: same token hashes, same bucket/sign
     arithmetic (hashes are non-negative, so %/integer-div agree across
-    engines), same zero vector for token-less documents."""
+    engines), same zero vector for token-less documents, same fixed-order
+    L2 normalization (raw components are exact integers in both engines,
+    so the normalized doubles are bit-equal)."""
     from iodf_spark.functions import texthash as TH
 
     sums = ", ".join(
@@ -1152,13 +1186,24 @@ def hash_embed_oracle(
         for i in range(dim)
     )
     vec = ", ".join(f"coalesce(_v{i}, 0)::DOUBLE" for i in range(dim))
+    # list_sum, not the unrolled fixed-order dot: raw components are exact
+    # integers, so the sum of squares is exact in ANY order (and the
+    # unrolled form's 256-deep nesting exceeds DuckDB's binder recursion
+    # cap); the Spark side may therefore also sum in any order
+    nrm = "sqrt(list_sum(list_transform(_raw, _x -> _x * _x))::DOUBLE)"
     return f"""
         WITH tok AS (
           SELECT {id_col}, unnest({TH.token_hashes(text_col, 'duckdb')}) AS _h
           FROM {table}),
-        agg AS (SELECT {id_col}, {sums} FROM tok GROUP BY {id_col})
-        SELECT t.{id_col}, list_value({vec}) AS vec
-        FROM {table} t LEFT JOIN agg USING ({id_col})
+        agg AS (SELECT {id_col}, {sums} FROM tok GROUP BY {id_col}),
+        raw AS (
+          SELECT t.{id_col}, list_value({vec}) AS _raw
+          FROM {table} t LEFT JOIN agg USING ({id_col})),
+        nrmed AS (SELECT {id_col}, _raw, {nrm} AS _n FROM raw)
+        SELECT {id_col},
+               list_transform(_raw,
+                 _x -> CASE WHEN _n = 0 THEN 0::DOUBLE ELSE _x / _n END) AS vec
+        FROM nrmed
     """
 
 

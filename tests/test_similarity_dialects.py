@@ -233,4 +233,6 @@ def test_hash_embed_dialects_and_edge_docs(spark):
     }
     assert got == exp
     assert got[0] == [0.0] * 8 and got[1] == [0.0] * 8  # token-less -> zero
-    assert sum(abs(v) for v in got[3]) == 3.0  # 3 copies of one token, one bucket
+    # 3 copies of one token land in one bucket; L2-normalized -> a unit
+    # one-hot (sign from the hash's next bit)
+    assert sorted(abs(v) for v in got[3]) == [0.0] * 7 + [1.0]
