@@ -396,15 +396,17 @@ def ann_brute_force(
     query_ids: list[int],
     k: int = 10,
     dim: int | None = None,
+    query_vecs: dict[int, list[float]] | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k per query vector (queries drawn from the corpus by
-    id). Query side is broadcast; ranking is a per-query window top-k with
+    """Exact cosine top-k per query vector (queries drawn from the corpus
+    by id, or EXTERNAL vectors via ``query_vecs`` — see _query_frame).
+    Query side is broadcast; ranking is a per-query window top-k with
     deterministic tie-break."""
     dim = dim or _infer_dim(df, vec_col)
-    q = df.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.expr(norm_expr(vec_col, "spark", dim)).alias("_qn"),
+    q = _query_frame(df, id_col, vec_col, query_ids, query_vecs).select(
+        "query_id",
+        "_qv",
+        F.expr(norm_expr("_qv", "spark", dim)).alias("_qn"),
     )
     # corpus side: fan_out BEFORE the norm/dot projections — single-row-group
     # local files scan as one split, serializing the vector kernels onto one
@@ -427,15 +429,37 @@ def ann_brute_force(
     )
 
 
+def _qsrc_sql(
+    id_col: str,
+    vec_col: str,
+    table: str,
+    query_ids: list[int],
+    query_vecs: dict[int, list[float]] | None = None,
+) -> str:
+    """SQL for the query side: corpus rows by id, or a VALUES list of
+    EXTERNAL vectors (full-precision repr literals parse to the identical
+    float64 in both engines)."""
+    if query_vecs is None:
+        ids = ", ".join(str(i) for i in query_ids)
+        return (
+            f"SELECT {id_col} AS query_id, {vec_col} AS _qv FROM {table} "
+            f"WHERE {id_col} IN ({ids})"
+        )
+    rows = ", ".join(
+        f"({int(k)}, [{', '.join(repr(float(x)) for x in v)}]::DOUBLE[])"
+        for k, v in sorted(query_vecs.items())
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS _q(query_id, _qv)"
+
+
 def ann_brute_force_oracle(
     id_col: str, vec_col: str, table: str, query_ids: list[int], k: int = 10,
     dim: int | None = None,
+    query_vecs: dict[int, list[float]] | None = None,
 ) -> str:
-    ids = ", ".join(str(i) for i in query_ids)
     cos = cosine_expr("q._qv", "c._cv", "duckdb", dim)
     return f"""
-        WITH q AS (SELECT {id_col} AS query_id, {vec_col} AS _qv FROM {table}
-                   WHERE {id_col} IN ({ids})),
+        WITH q AS ({_qsrc_sql(id_col, vec_col, table, query_ids, query_vecs)}),
         c AS (SELECT {id_col} AS neighbor_id, {vec_col} AS _cv FROM {table}),
         scored AS (
           SELECT q.query_id, c.neighbor_id, {cos} AS cos
@@ -526,6 +550,30 @@ def _ivf_assign(
     )
 
 
+def _query_frame(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    query_vecs: dict[int, list[float]] | None = None,
+) -> DataFrame:
+    """(query_id, _qv): the query side — corpus rows selected by id, or
+    EXTERNAL literal vectors (``query_vecs``: id -> vector, ids chosen by
+    the caller and never matched against the corpus). External queries are
+    the production shape — a user queries an ANN store with a fresh
+    embedding, not a corpus row id."""
+    if query_vecs is None:
+        return df.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        )
+    rows = [
+        (int(k), [float(x) for x in v]) for k, v in sorted(query_vecs.items())
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, schema="query_id bigint, _qv array<double>"
+    )
+
+
 def _ivf_query_cells(
     df: DataFrame,
     id_col: str,
@@ -534,13 +582,14 @@ def _ivf_query_cells(
     n_centroids: int,
     n_probe: int,
     dim: int,
+    query_vecs: dict[int, list[float]] | None = None,
 ) -> DataFrame:
     """(cid, query_id, _qv, _qn): the n_probe nearest cells per query."""
     cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim)
-    q = df.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.expr(norm_expr(vec_col, "spark", dim)).alias("_qn"),
+    q = _query_frame(df, id_col, vec_col, query_ids, query_vecs).select(
+        "query_id",
+        "_qv",
+        F.expr(norm_expr("_qv", "spark", dim)).alias("_qn"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cid"))
     return (
@@ -920,7 +969,8 @@ def _pq_encode(df, id_col, vec_col, m_subspaces, sub_dim, cb):
 
 
 def _pq_adc_rank(
-    codes, df, id_col, vec_col, query_ids, m_subspaces, sub_dim, dim, cb
+    codes, df, id_col, vec_col, query_ids, m_subspaces, sub_dim, dim, cb,
+    query_vecs=None,
 ):
     """ADC-score a codes frame against the queries' distance tables and
     rank per query. ``codes`` is (neighbor_id, code0..) or, when the IVF
@@ -931,8 +981,8 @@ def _pq_adc_rank(
     rank) for the caller to cut at k or at the rerank shortlist depth."""
     # per-query distance table: <q_sub, codeword> for every (m, code) —
     # m_subspaces * n_codes rows per query, broadcast to the codes scan
-    q = df.filter(F.col(id_col).isin(query_ids))
-    qsub = _pq_subspaces(q, id_col, vec_col, m_subspaces, sub_dim, "query_id")
+    q = _query_frame(df, id_col, vec_col, query_ids, query_vecs)
+    qsub = _pq_subspaces(q, "query_id", "_qv", m_subspaces, sub_dim, "query_id")
     dt = qsub.join(F.broadcast(cb), "m").select(
         "query_id",
         "m",
@@ -941,8 +991,8 @@ def _pq_adc_rank(
         "_cn2",
     )
     qn = q.select(
-        F.col(id_col).alias("query_id"),
-        F.expr(norm_expr(vec_col, "spark", dim)).alias("_qn"),
+        "query_id",
+        F.expr(norm_expr("_qv", "spark", dim)).alias("_qn"),
     )
 
     per_query = "query_id" in codes.columns
@@ -969,16 +1019,17 @@ def _pq_adc_rank(
     return scored.withColumn("rank", F.row_number().over(w))
 
 
-def _pq_rerank(ranked, df, id_col, vec_col, query_ids, k, rerank, dim):
+def _pq_rerank(ranked, df, id_col, vec_col, query_ids, k, rerank, dim,
+               query_vecs=None):
     """The production IVF-PQ second stage: cut the ADC ranking at depth
     ``rerank``, then exact-cosine re-rank ONLY that shortlist against the
     float corpus — the single stage that reads float vectors, and it reads
     Q*rerank of them."""
     shortlist = ranked.filter(F.col("rank") <= rerank).select("query_id", "neighbor_id")
-    qv = df.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.expr(norm_expr(vec_col, "spark", dim)).alias("_qn"),
+    qv = _query_frame(df, id_col, vec_col, query_ids, query_vecs).select(
+        "query_id",
+        "_qv",
+        F.expr(norm_expr("_qv", "spark", dim)).alias("_qn"),
     )
     c = df.select(
         F.col(id_col).alias("neighbor_id"),
@@ -1413,6 +1464,7 @@ def ann_ivfpq_store(
     n_codes: int = 16,
     dim: int | None = None,
     rerank: int | None = None,
+    query_vecs: dict[int, list[float]] | None = None,
 ) -> DataFrame:
     """ANN over a materialized IVF-PQ store: query cells resolve first
     (n_queries x n_probe cell ids, collected driver-side — tiny), the
@@ -1422,14 +1474,19 @@ def ann_ivfpq_store(
     the Q*C shortlist against the float corpus (the only float reads).
     Candidate sets are per-query by construction — the probed-cells join
     stamps query_id onto the codes rows, so every distance-table join is
-    an equi-join on (query_id, code_j)."""
+    an equi-join on (query_id, code_j).
+
+    ``query_vecs`` (id -> vector) queries with EXTERNAL vectors instead of
+    corpus row ids — the production serving shape; caller-chosen ids are
+    never matched against the corpus, so no self-exclusion applies."""
     spark = df.sparkSession
     dim = dim or _infer_dim(df, vec_col)
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
     sub_dim = dim // m_subspaces
     qcells = _ivf_query_cells(
-        df, id_col, vec_col, query_ids, n_centroids, n_probe, dim
+        df, id_col, vec_col, query_ids, n_centroids, n_probe, dim,
+        query_vecs=query_vecs,
     )
     probe_cells = sorted({r["cid"] for r in qcells.select("cid").collect()})
     codes = spark.read.parquet(store_path).filter(
@@ -1440,7 +1497,8 @@ def ann_ivfpq_store(
     ).drop("cid")
     cb = _pq_codebook(df, id_col, vec_col, m_subspaces, sub_dim, n_codes)
     ranked = _pq_adc_rank(
-        cand, df, id_col, vec_col, query_ids, m_subspaces, sub_dim, dim, cb
+        cand, df, id_col, vec_col, query_ids, m_subspaces, sub_dim, dim, cb,
+        query_vecs=query_vecs,
     )
     if rerank is None:
         return (
@@ -1448,7 +1506,10 @@ def ann_ivfpq_store(
             .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
             .orderBy("query_id", "rank")
         )
-    return _pq_rerank(ranked, df, id_col, vec_col, query_ids, k, rerank, dim)
+    return _pq_rerank(
+        ranked, df, id_col, vec_col, query_ids, k, rerank, dim,
+        query_vecs=query_vecs,
+    )
 
 
 def ann_ivfpq_oracle(
@@ -1463,15 +1524,16 @@ def ann_ivfpq_oracle(
     n_codes: int = 16,
     dim: int | None = None,
     rerank: int | None = None,
+    query_vecs: dict[int, list[float]] | None = None,
 ) -> str:
     """DuckDB twin of ivfpq_build_store + ann_ivfpq_store: the IVF
     oracle's assigned/qcells CTEs restrict the PQ oracle's candidate set
     to the probed cells; same codebooks, argmin codes, fixed-order ADC
-    sums, and optional exact re-rank."""
+    sums, optional exact re-rank, and (with ``query_vecs``) the same
+    external query VALUES the engine sees."""
     if dim is None or dim % m_subspaces:
         raise ValueError("oracle needs an explicit dim divisible by m_subspaces")
     sub_dim = dim // m_subspaces
-    ids = ", ".join(str(i) for i in query_ids)
     acos = cosine_expr("c._cv", "ct._ce", "duckdb", dim)
     qccos = cosine_expr("q._qv", "ct._ce", "duckdb", dim)
 
@@ -1480,6 +1542,16 @@ def ann_ivfpq_oracle(
             f"SELECT {id_col} AS {out_id}, {j} AS m, "
             f"list_slice({vec_col}, {j * sub_dim + 1}, {(j + 1) * sub_dim}) AS sub "
             f"FROM {table}{src_filter}"
+            for j in range(m_subspaces)
+        )
+
+    def qsub_arms() -> str:
+        # query-side subspace slices come from qsrc (corpus filter OR the
+        # external VALUES), never from the table directly
+        return " UNION ALL ".join(
+            f"SELECT query_id, {j} AS m, "
+            f"list_slice(_qv, {j * sub_dim + 1}, {(j + 1) * sub_dim}) AS sub "
+            f"FROM qsrc"
             for j in range(m_subspaces)
         )
     code_cols = ", ".join(
@@ -1499,8 +1571,7 @@ def ann_ivfpq_oracle(
         rr_ctes = f""",
         shortlist AS (SELECT query_id, neighbor_id FROM ranked
                       WHERE rank <= {rerank}),
-        qv AS (SELECT {id_col} AS query_id, {vec_col} AS _qv FROM {table}
-               WHERE {id_col} IN ({ids})),
+        qv AS (SELECT query_id, _qv FROM qsrc),
         cv AS (SELECT {id_col} AS neighbor_id, {vec_col} AS _cv FROM {table}),
         rr AS (
           SELECT s.query_id, s.neighbor_id, {cos_rr} AS cos
@@ -1525,8 +1596,8 @@ def ann_ivfpq_oracle(
             SELECT *, row_number() OVER (PARTITION BY neighbor_id
                                          ORDER BY ccos DESC, cid) AS _r
             FROM ascore) WHERE _r = 1),
-        q AS (SELECT {id_col} AS query_id, {vec_col} AS _qv FROM {table}
-              WHERE {id_col} IN ({ids})),
+        qsrc AS ({_qsrc_sql(id_col, vec_col, table, query_ids, query_vecs)}),
+        q AS (SELECT query_id, _qv FROM qsrc),
         qscore AS (
           SELECT q.query_id, ct.cid, {qccos} AS ccos
           FROM q CROSS JOIN cent ct),
@@ -1554,13 +1625,13 @@ def ann_ivfpq_oracle(
           SELECT qc.query_id, co.* FROM codes co
           JOIN assigned a ON a.neighbor_id = co.neighbor_id
           JOIN qcells qc ON qc.cid = a.cid),
-        qsub AS ({sub_arms(f" WHERE {id_col} IN ({ids})", "query_id")}),
+        qsub AS ({qsub_arms()}),
         dt AS (
           SELECT query_id, qs.m, code,
                  {_dot("sub", "csub", "duckdb", sub_dim)} AS _pdot, _cn2
           FROM qsub qs JOIN cb ON qs.m = cb.m),
-        qn AS (SELECT {id_col} AS query_id, {norm_expr(vec_col, "duckdb", dim)} AS _qn
-               FROM {table} WHERE {id_col} IN ({ids})),
+        qn AS (SELECT query_id, {norm_expr("_qv", "duckdb", dim)} AS _qn
+               FROM qsrc),
         scored AS (
           SELECT cand.query_id, cand.neighbor_id,
                  ({adot}) / (_qn * sqrt({rn2})) AS cos
