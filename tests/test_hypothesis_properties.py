@@ -510,3 +510,161 @@ def test_index_merge_parity_at_bucket_boundaries(
             assert idx.f(ix_after, "tag", t) == f_before[t]
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.data(),
+)
+def test_ivfpq_store_model_based(spark, data, tmp_path_factory):
+    """Model-based check of the composed IVF-PQ store against an
+    independent numpy model (assignment argmax with lowest-cid ties,
+    codebook argmin with smallest-code ties, probed-cell candidate sets,
+    exact-integer ADC scoring, rank ties by neighbor_id) — plus
+    append==rebuild on a random split and the external-query path on the
+    same store. INTEGER vector components make every dot and norm-square
+    an exact int, so model and engine produce bit-equal float64 scores
+    and ties break identically (no epsilon anywhere)."""
+    import math
+    import shutil
+
+    import numpy as np
+
+    from iodf_spark.operators.similarity import (
+        ann_ivfpq_store,
+        ivfpq_append,
+        ivfpq_build_store,
+    )
+
+    DIM, M, N_CODES, N_CENT, N_PROBE, K = 8, 2, 4, 3, 2, 5
+    sub = DIM // M
+    n = data.draw(st.integers(8, 28), label="n")
+    vec_strat = st.lists(
+        st.integers(-4, 4), min_size=DIM, max_size=DIM
+    ).filter(lambda v: any(x != 0 for x in v))
+    vecs = {i: data.draw(vec_strat, label=f"v{i}") for i in range(n)}
+    qids = sorted(data.draw(
+        st.sets(st.integers(0, n - 1), min_size=1, max_size=3), label="qids"
+    ))
+    ext = {-1: [float(x) for x in data.draw(vec_strat, label="ext")]}
+
+    def model(queries, exclude_self):
+        V = {i: np.array(v, dtype=np.int64) for i, v in vecs.items()}
+        nrm = {i: math.sqrt(float((V[i] * V[i]).sum())) for i in V}
+
+        def ccos(x, xn, cid):
+            c = V[cid]
+            return float(x @ c) / (xn * nrm[cid])
+
+        cell = {}
+        for i in V:
+            best = max(
+                range(N_CENT), key=lambda cid: (ccos(V[i], nrm[i], cid), -cid)
+            )
+            cell[i] = best
+        codes = {}
+        for i in V:
+            cs = []
+            for j in range(M):
+                x = V[i][j * sub:(j + 1) * sub]
+                best = min(
+                    range(N_CODES),
+                    key=lambda c: (
+                        float(
+                            (V[c][j * sub:(j + 1) * sub] ** 2).sum()
+                            - 2 * (x @ V[c][j * sub:(j + 1) * sub])
+                        ),
+                        c,
+                    ),
+                )
+                cs.append(best)
+            codes[i] = cs
+        out = []
+        for qid, qv in queries:
+            q = np.array(qv, dtype=np.float64)
+            qn = math.sqrt(float((q * q).sum()))
+            probed = sorted(
+                range(N_CENT),
+                key=lambda cid: (-float(q @ V[cid]) / (qn * nrm[cid]), cid),
+            )[:N_PROBE]
+            scored = []
+            for i in V:
+                if cell[i] not in probed or (exclude_self and i == qid):
+                    continue
+                adot = sum(
+                    float(
+                        q[j * sub:(j + 1) * sub]
+                        @ V[codes[i][j]][j * sub:(j + 1) * sub]
+                    )
+                    for j in range(M)
+                )
+                rn2 = sum(
+                    float((V[codes[i][j]][j * sub:(j + 1) * sub] ** 2).sum())
+                    for j in range(M)
+                )
+                scored.append((i, adot / (qn * math.sqrt(rn2))))
+            scored.sort(key=lambda t: (-t[1], t[0]))
+            out += [
+                (qid, r + 1, i, round(c, 6))
+                for r, (i, c) in enumerate(scored[:K])
+            ]
+        return out
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())],
+        schema="vec_id bigint, embedding array<double>",
+    )
+    base = tmp_path_factory.mktemp("ivfpq_prop")
+    full_path = str(base / "full")
+    ivfpq_build_store(
+        emb, "vec_id", "embedding", full_path,
+        n_centroids=N_CENT, m_subspaces=M, n_codes=N_CODES, dim=DIM,
+    )
+
+    def run(**kw):
+        got = ann_ivfpq_store(
+            emb, "vec_id", "embedding", full_path, qids,
+            k=K, n_centroids=N_CENT, n_probe=N_PROBE,
+            m_subspaces=M, n_codes=N_CODES, dim=DIM, **kw,
+        ).collect()
+        return [
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cos"]) for r in got
+        ]
+
+    # Python round (banker's) vs Spark round (half-up) cannot diverge
+    # here: a tie needs the double to be EXACTLY d.dddddd5 in decimal,
+    # and 5e-7 has no finite binary representation
+    want = model([(q, vecs[q]) for q in qids], exclude_self=True)
+    assert run() == want
+    # external query vectors: same store, no self-exclusion
+    want_ext = model(sorted(ext.items()), exclude_self=False)
+    got_ext = ann_ivfpq_store(
+        emb, "vec_id", "embedding", full_path, [],
+        k=K, n_centroids=N_CENT, n_probe=N_PROBE,
+        m_subspaces=M, n_codes=N_CODES, dim=DIM, query_vecs=ext,
+    ).collect()
+    assert [
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos"]) for r in got_ext
+    ] == want_ext
+    # append == rebuild: split anywhere past the frozen samples
+    split = data.draw(st.integers(max(N_CENT, N_CODES), n - 1), label="split")
+    inc_path = str(base / "inc")
+    from pyspark.sql import functions as F
+
+    ivfpq_build_store(
+        emb.filter(F.col("vec_id") < split), "vec_id", "embedding", inc_path,
+        n_centroids=N_CENT, m_subspaces=M, n_codes=N_CODES, dim=DIM,
+    )
+    ivfpq_append(
+        spark, inc_path, emb.filter(F.col("vec_id") >= split), emb,
+        "vec_id", "embedding",
+        n_centroids=N_CENT, m_subspaces=M, n_codes=N_CODES, dim=DIM,
+    )
+    inc = sorted(map(tuple, spark.read.parquet(inc_path).collect()))
+    full = sorted(map(tuple, spark.read.parquet(full_path).collect()))
+    assert inc == full
+    shutil.rmtree(str(base), ignore_errors=True)
