@@ -83,6 +83,19 @@ def test_bench_arm_factories_cover_their_query_variants():
         "probe", "auto_index", "auto_scan", "auto_multi", "auto_any",
         "auto_any_range", "seek0", "mid", "tail",
     ]
+    # round-8 additions: the multi-variant pipeline cells (every round one
+    # grew an arm and false-tripped the cell-level gate)
+    assert [a for a, _ in _arm_names("dedup_exact")] == ["doc", "line", "clean"]
+    assert [a for a, _ in _arm_names("dedup_jaccard")] == [
+        "shingle", "winnow", "capped",
+    ]
+    assert [a for a, _ in _arm_names("dedup_minhash")] == [
+        "batch", "stream", "capped",
+    ]
+    assert [a for a, _ in _arm_names("embedding_pairs")] == ["vec", "hashdoc"]
+    assert [a for a, _ in _arm_names("embedding_clusters")] == [
+        "ann", "exact", "semdedup",
+    ]
 
 
 def test_segments_compact_arm_budget():
