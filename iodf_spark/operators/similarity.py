@@ -1270,14 +1270,16 @@ def semdedup(
     threshold: float = 0.45,
     dim: int | None = None,
     n_blocks: int | None = None,
+    keep_by: str | None = None,
 ) -> DataFrame:
     """Semantic deduplication (Abbas et al. 2023, 'SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication'): cluster the
     corpus in embedding space, then mark as duplicates only rows whose
-    cosine to an EARLIER row in the SAME cluster clears ``threshold`` —
-    the clusters bound the quadratic, which is the paper's entire scale
-    argument (k clusters cut pair work by ~k; cross-cluster near-dups are
-    missed by design, recall < 1 like every ANN family member).
+    cosine to a HIGHER-PRIORITY row in the SAME cluster clears
+    ``threshold`` — the clusters bound the quadratic, which is the
+    paper's entire scale argument (k clusters cut pair work by ~k;
+    cross-cluster near-dups are missed by design, recall < 1 like every
+    ANN family member).
 
     Composition, not new machinery: cell assignment is `_ivf_assign`
     (deterministic id-prefix centroids, max_by agg) and within-cell pair
@@ -1287,11 +1289,14 @@ def semdedup(
     cluster sizes cannot produce an unbounded task.
 
     Keep rule, pinned deterministic where the paper keeps a random
-    exemplar: a row is kept iff NO same-cell row with a smaller id scores
-    >= threshold; a removed row's ``cluster_id`` is its smallest witness
-    (not transitively closed — 5~7 and 7~9 without 5~9 removes 9 with
-    witness 7 even though 7 is itself removed; that matches the paper's
-    per-ball marking, and `dedup_clusters` is the transitive alternative).
+    exemplar: priority is smallest-id by default, or the ``keep_by``
+    column (higher wins, ties break to the smaller id — the quality-argmax
+    survivor policy, mirroring dedup_clusters' best_id). A row is kept iff
+    NO same-cell above-threshold row outranks it; a removed row's
+    ``cluster_id`` is its strongest witness (not transitively closed —
+    5~7 and 7~9 without 5~9 removes 9 with witness 7 even though 7 is
+    itself removed; that matches the paper's per-ball marking, and
+    `dedup_clusters` is the transitive alternative).
 
     Output (doc_id, cluster_id, keep), oracle-exact: quantized int64 dots
     (any summation order) + float64 normalization, same as cosine_pairs."""
@@ -1304,7 +1309,43 @@ def semdedup(
     )
     nb = int(n_blocks) if n_blocks is not None else _auto_blocks(df, vec_col, dim)
     pairs = _blocked_pair_scores(q, nb, threshold)
-    w = pairs.groupBy(F.col("id_b").alias("doc_id")).agg(F.min("id_a").alias("_w"))
+    if keep_by is None:
+        w = pairs.groupBy(F.col("id_b").alias("doc_id")).agg(
+            F.min("id_a").alias("_w")
+        )
+    else:
+        pr = df.select(F.col(id_col).alias("_pid"), F.col(keep_by).alias("_p"))
+        scored = (
+            pairs.join(
+                pr.select(
+                    F.col("_pid").alias("id_a"), F.col("_p").alias("_pa")
+                ),
+                "id_a",
+            ).join(
+                pr.select(
+                    F.col("_pid").alias("id_b"), F.col("_p").alias("_pb")
+                ),
+                "id_b",
+            )
+        )
+        # orient each pair: the out-ranked side loses to the other (pairs
+        # carry id_a < id_b, so on equal priority id_a wins); the loser's
+        # witness is its STRONGEST beater (max priority, then min id)
+        b_wins = F.col("_pb") > F.col("_pa")
+        edges = scored.select(
+            F.when(b_wins, F.col("id_b")).otherwise(F.col("id_a")).alias("_win"),
+            F.when(b_wins, F.col("id_a")).otherwise(F.col("id_b")).alias("_lose"),
+            F.when(b_wins, F.col("_pb")).otherwise(F.col("_pa")).alias("_wp"),
+        )
+        w = (
+            edges.groupBy(F.col("_lose").alias("doc_id"))
+            .agg(
+                F.max(
+                    F.struct(F.col("_wp"), (-F.col("_win")).alias("_nw"))
+                ).alias("_b")
+            )
+            .select("doc_id", (-F.col("_b._nw")).alias("_w"))
+        )
     return (
         df.select(F.col(id_col).alias("doc_id"))
         .join(w, "doc_id", "left")
@@ -1324,10 +1365,11 @@ def semdedup_oracle(
     n_centroids: int = 64,
     threshold: float = 0.45,
     dim: int | None = None,
+    keep_by: str | None = None,
 ) -> str:
     """DuckDB twin of semdedup: same id-prefix centroids and max-cosine
     cell assignment, same quantized within-cell pair scores, same
-    smallest-witness keep rule."""
+    smallest-witness (or keep_by strongest-witness) keep rule."""
     if dim is None:
         raise ValueError("oracle needs an explicit dim")
     acos = cosine_expr("c._cv", "ct._ce", "duckdb", dim)
@@ -1338,6 +1380,22 @@ def semdedup_oracle(
     )
     nrm = "sqrt(list_sum(list_transform({v}, _x -> _x * _x))::DOUBLE)"
     cos = f"({dot}) / ({nrm.format(v=qa)} * {nrm.format(v=qb)})"
+    if keep_by is None:
+        w_ctes = "w AS (SELECT id_b AS doc_id, min(id_a) AS _w FROM prs GROUP BY id_b)"
+    else:
+        w_ctes = f"""pr AS (SELECT {id_col} AS _pid, {keep_by} AS _p FROM {table}),
+        edges AS (
+          SELECT CASE WHEN pb._p > pa._p THEN id_b ELSE id_a END AS _win,
+                 CASE WHEN pb._p > pa._p THEN id_a ELSE id_b END AS _lose,
+                 CASE WHEN pb._p > pa._p THEN pb._p ELSE pa._p END AS _wp
+          FROM prs
+          JOIN pr pa ON pa._pid = prs.id_a
+          JOIN pr pb ON pb._pid = prs.id_b),
+        w AS (
+          SELECT _lose AS doc_id, _win AS _w FROM (
+            SELECT *, row_number() OVER (PARTITION BY _lose
+                                         ORDER BY _wp DESC, _win) AS _r
+            FROM edges) WHERE _r = 1)"""
     return f"""
         WITH cent AS (SELECT {id_col} AS cid, {vec_col} AS _ce FROM {table}
                       WHERE {id_col} < {n_centroids}),
@@ -1358,7 +1416,7 @@ def semdedup_oracle(
           SELECT a._id AS id_a, b._id AS id_b
           FROM av a JOIN av b ON a.cid = b.cid AND a._id < b._id
           WHERE ({cos}) >= {threshold}),
-        w AS (SELECT id_b AS doc_id, min(id_a) AS _w FROM prs GROUP BY id_b)
+        {w_ctes}
         SELECT e.{id_col} AS doc_id,
                coalesce(w._w, e.{id_col}) AS cluster_id,
                (w._w IS NULL) AS keep

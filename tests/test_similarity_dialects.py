@@ -236,3 +236,48 @@ def test_hash_embed_dialects_and_edge_docs(spark):
     # 3 copies of one token land in one bucket; L2-normalized -> a unit
     # one-hot (sign from the hash's next bit)
     assert sorted(abs(v) for v in got[3]) == [0.0] * 7 + [1.0]
+
+
+def test_semdedup_keep_by_priority(spark, sf_dir):
+    """SemDeDup quality-keep: with keep_by, the survivor of a near-dup
+    ball is the highest-priority member (ties to the smaller id), and a
+    removed row's cluster_id is its strongest witness. Parity with the
+    oracle twin is exact; priority vec_id % 7 inverts many default
+    (smallest-id) outcomes, proving the policy actually engages."""
+    from pyspark.sql import functions as F
+
+    from iodf_spark.operators.similarity import semdedup, semdedup_oracle
+    from iodf_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "prio", (F.col("vec_id") % 7).cast("double")
+    )
+    got = [
+        (r["doc_id"], r["cluster_id"], r["keep"])
+        for r in semdedup(
+            emb, "vec_id", "embedding", dim=64, keep_by="prio"
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embp AS SELECT *, (vec_id % 7)::DOUBLE AS prio FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    exp = con.execute(
+        semdedup_oracle("vec_id", "embedding", "embp", dim=64, keep_by="prio")
+    ).fetchall()
+    assert got == [tuple(r) for r in exp]
+
+    # the policy engages: default keeps the smaller id of each planted
+    # pair; priority must flip at least one survivor
+    default = {
+        r["doc_id"]: r["keep"]
+        for r in semdedup(emb, "vec_id", "embedding", dim=64).collect()
+    }
+    by_prio = {d: k for d, _, k in got}
+    assert default != by_prio
+    # every removed row's witness outranks it under (prio, -id)
+    prio = {r["vec_id"]: r["vec_id"] % 7 for r in emb.collect()}
+    for d, w, k in got:
+        if not k:
+            assert (prio[w], -w) > (prio[d], -d), (d, w)
