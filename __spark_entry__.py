@@ -761,6 +761,28 @@ def _ivfpq_store_arm(spark: SparkSession, sf_dir: str, emb: DataFrame, memo: dic
     )
 
 
+def _ivfpq_res_arm(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+    """Residual IVF-PQ (IVFADC proper, Jégou TPAMI'11 §III): the store
+    encodes x - centroid(x); probing adds the per-(query, cell) centroid
+    dot and the per-(cell, code) cross terms — three broadcast lookup
+    tables, candidate rows still cid + 4 codes. On tight real-world
+    clusters residuals are much smaller than x, buying ADC accuracy at
+    identical store bytes (on this isotropic fixture the gain is noisy —
+    the arm attests the layout and the exact scoring math)."""
+    import tempfile
+
+    from iodf_spark.operators.similarity import ann_ivfpq_store, ivfpq_build_store
+
+    path = tempfile.mkdtemp(prefix="iodf_ivfpq_res_")
+    ivfpq_build_store(
+        emb, "vec_id", "embedding", path, n_centroids=4, dim=EMB_DIM, residual=True
+    )
+    return ann_ivfpq_store(
+        emb, "vec_id", "embedding", path, ANN_QUERY_IDS,
+        n_centroids=4, n_probe=2, dim=EMB_DIM, rerank=50, residual=True,
+    )
+
+
 def _extq_arm(spark: SparkSession, sf_dir: str, emb: DataFrame, memo: dict) -> DataFrame:
     """Query the SAME IVF-PQ store with external vectors (query_vecs) —
     the production serving path end-to-end: literal query frame, frozen
@@ -872,6 +894,10 @@ def _ann_topk_arms(spark: SparkSession, sf_dir: str):
             "extq",
             lambda: tag("extq", _extq_arm(spark, sf_dir, emb(), memo)),
         ),
+        (
+            "ivfpq_res",
+            lambda: tag("ivfpq_res", _ivfpq_res_arm(spark, sf_dir, emb())),
+        ),
     ]
 
 
@@ -893,10 +919,19 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads n_probe/n_centroids of the files, each row 4 ints not 64
     floats, then exact-reranks the Q*50 shortlist; extq queries the SAME
     store with EXTERNAL vectors — the serving shape — via a literal query
-    frame the oracle reproduces as full-precision VALUES)."""
+    frame the oracle reproduces as full-precision VALUES; ivfpq_res is
+    IVFADC proper — the store encodes residuals to the assigned centroid,
+    probing adds broadcast centroid-dot and cross-term tables)."""
     out = None
     for _name, thunk in _ann_topk_arms(spark, sf_dir):
-        df = thunk()
+        # localCheckpoint per arm: each arm materializes its ~30-row
+        # result and RELEASES its plan (broadcast relations, codegen)
+        # before the next arm runs — the unioned cell's memory need is
+        # max-over-arms, not sum. Eleven ANN arms as one lazy union OOMed
+        # the driver's vanilla 1g session at stage ~280 (every arm's
+        # broadcasts pinned simultaneously); checkpointed, the same union
+        # is eleven tiny scans.
+        df = thunk().localCheckpoint()
         out = df if out is None else out.unionByName(df)
     return out.orderBy("method", "query_id", "rank")
 
@@ -3095,6 +3130,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'brute' AS method, * FROM ({similarity.ann_brute_force_oracle(
                 "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM
             )})
+
             UNION ALL
             SELECT 'lsh_single' AS method, * FROM ({similarity.ann_lsh_oracle(
                 "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM
@@ -3136,6 +3172,12 @@ def oracle_sql() -> dict[str, str]:
                 "vec_id", "embedding", "embeddings", [],
                 n_centroids=4, n_probe=2, dim=EMB_DIM, rerank=50,
                 query_vecs=_extq_vecs()
+            )})
+            UNION ALL
+            SELECT 'ivfpq_res' AS method, * FROM ({similarity.ann_ivfpq_oracle(
+                "vec_id", "embedding", "embeddings", ANN_QUERY_IDS,
+                n_centroids=4, n_probe=2, dim=EMB_DIM, rerank=50,
+                residual=True
             )})
         """,
         "segments_union": f"""

@@ -1439,6 +1439,7 @@ def ivfpq_build_store(
     m_subspaces: int = 4,
     n_codes: int = 16,
     dim: int | None = None,
+    residual: bool = False,
 ) -> None:
     """Materialize the IVF-PQ index (Jégou et al. TPAMI'11, the layout
     behind every billion-scale ANN service): each corpus vector is
@@ -1453,21 +1454,47 @@ def ivfpq_build_store(
     float corpus is touched only by the optional rerank stage, and only
     for Q*C shortlisted rows. Centroids and codebooks are the
     deterministic id-prefix samples of the corpus (see ann_pq/_ivf notes),
-    so the probe recovers both from the source table, not the store."""
+    so the probe recovers both from the source table, not the store.
+
+    ``residual=True`` is the paper's actual IVFADC: vectors are encoded
+    as residuals to their ASSIGNED centroid (x - c), which are much
+    smaller in magnitude than x, so the same code budget quantizes finer
+    — measurably better ADC recall at identical store bytes. The
+    codebooks become the residuals of the id-prefix sample vectors
+    (w.r.t. their own cells), still recoverable from the source table."""
     dim = dim or _infer_dim(df, vec_col)
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
     sub_dim = dim // m_subspaces
-    cb = _pq_codebook(df, id_col, vec_col, m_subspaces, sub_dim, n_codes)
-    codes = _pq_encode(df, id_col, vec_col, m_subspaces, sub_dim, cb)
-    cells = _ivf_assign(df, id_col, vec_col, n_centroids, dim).select(
-        "cid", "neighbor_id"
-    )
+    if residual:
+        cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim)
+        res = _ivf_residuals(df, id_col, vec_col, n_centroids, dim, cent)
+        cb = _pq_codebook(res, "neighbor_id", "_rv", m_subspaces, sub_dim, n_codes)
+        codes = _pq_encode(res, "neighbor_id", "_rv", m_subspaces, sub_dim, cb)
+        cells = res.select("cid", "neighbor_id")
+    else:
+        cb = _pq_codebook(df, id_col, vec_col, m_subspaces, sub_dim, n_codes)
+        codes = _pq_encode(df, id_col, vec_col, m_subspaces, sub_dim, cb)
+        cells = _ivf_assign(df, id_col, vec_col, n_centroids, dim).select(
+            "cid", "neighbor_id"
+        )
     # cluster by cell before the partitioned write (one file per cell, not
     # one fragment per assign partition per cell)
     codes.join(cells, "neighbor_id").repartition("cid").write.mode(
         "overwrite"
     ).partitionBy("cid").parquet(path)
+
+
+def _ivf_residuals(df, id_col, vec_col, n_centroids, dim, cent):
+    """(cid, neighbor_id, _rv): each corpus vector's residual to its
+    assigned centroid — the thing IVFADC quantizes. zip_with keeps the
+    subtraction elementwise-exact in both engines."""
+    assigned = _ivf_assign(df, id_col, vec_col, n_centroids, dim, cent=cent)
+    return assigned.join(F.broadcast(cent), "cid").select(
+        "cid",
+        "neighbor_id",
+        F.expr("zip_with(_cv, _ce, (x, c) -> x - c)").alias("_rv"),
+    )
 
 
 def ivfpq_append(
@@ -1481,13 +1508,15 @@ def ivfpq_append(
     m_subspaces: int = 4,
     n_codes: int = 16,
     dim: int | None = None,
+    residual: bool = False,
 ) -> None:
     """Incremental IVF-PQ maintenance: encode ONLY the new delivery
     against the FROZEN codebooks and assign it against the FROZEN
     centroids, then append to the cell partition directories — no
     rebuild, no touch of existing codes. Row-identical to a one-shot
     build over the union (same centroids -> same cells, same codebooks ->
-    same codes; tested append==rebuild).
+    same codes; tested append==rebuild). ``residual`` must match the
+    store's build flag.
 
     ``train_df`` supplies the frozen samples (the rows with id <
     max(n_centroids, n_codes) of the ORIGINAL corpus — the codes store
@@ -1498,12 +1527,19 @@ def ivfpq_append(
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
     sub_dim = dim // m_subspaces
-    cb = _pq_codebook(train_df, id_col, vec_col, m_subspaces, sub_dim, n_codes)
     cent = _ivf_centroids(train_df, id_col, vec_col, n_centroids, dim)
-    codes = _pq_encode(new_df, id_col, vec_col, m_subspaces, sub_dim, cb)
-    cells = _ivf_assign(
-        new_df, id_col, vec_col, n_centroids, dim, cent=cent
-    ).select("cid", "neighbor_id")
+    if residual:
+        res_train = _ivf_residuals(train_df, id_col, vec_col, n_centroids, dim, cent)
+        cb = _pq_codebook(res_train, "neighbor_id", "_rv", m_subspaces, sub_dim, n_codes)
+        res_new = _ivf_residuals(new_df, id_col, vec_col, n_centroids, dim, cent)
+        codes = _pq_encode(res_new, "neighbor_id", "_rv", m_subspaces, sub_dim, cb)
+        cells = res_new.select("cid", "neighbor_id")
+    else:
+        cb = _pq_codebook(train_df, id_col, vec_col, m_subspaces, sub_dim, n_codes)
+        codes = _pq_encode(new_df, id_col, vec_col, m_subspaces, sub_dim, cb)
+        cells = _ivf_assign(
+            new_df, id_col, vec_col, n_centroids, dim, cent=cent
+        ).select("cid", "neighbor_id")
     codes.join(cells, "neighbor_id").repartition("cid").write.mode(
         "append"
     ).partitionBy("cid").parquet(store_path)
@@ -1523,6 +1559,7 @@ def ann_ivfpq_store(
     dim: int | None = None,
     rerank: int | None = None,
     query_vecs: dict[int, list[float]] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """ANN over a materialized IVF-PQ store: query cells resolve first
     (n_queries x n_probe cell ids, collected driver-side — tiny), the
@@ -1536,7 +1573,14 @@ def ann_ivfpq_store(
 
     ``query_vecs`` (id -> vector) queries with EXTERNAL vectors instead of
     corpus row ids — the production serving shape; caller-chosen ids are
-    never matched against the corpus, so no self-exclusion applies."""
+    never matched against the corpus, so no self-exclusion applies.
+
+    ``residual=True`` probes a residual-encoded store (IVFADC): the
+    reconstruction is cent_c + r-hat, so scoring needs THREE broadcast
+    lookup tables instead of one — per-(query, cell) centroid dots, the
+    per-(query, m, code) residual distance table, and the per-(cell, m,
+    code) centroid-residual cross terms — all tiny, all join-keyed; the
+    scanned candidate row is still just cid + m codes."""
     spark = df.sparkSession
     dim = dim or _infer_dim(df, vec_col)
     if dim % m_subspaces:
@@ -1550,14 +1594,20 @@ def ann_ivfpq_store(
     codes = spark.read.parquet(store_path).filter(
         F.col("cid").isin([int(c) for c in probe_cells])
     )
-    cand = codes.join(
-        F.broadcast(qcells.select("cid", "query_id")), "cid"
-    ).drop("cid")
-    cb = _pq_codebook(df, id_col, vec_col, m_subspaces, sub_dim, n_codes)
-    ranked = _pq_adc_rank(
-        cand, df, id_col, vec_col, query_ids, m_subspaces, sub_dim, dim, cb,
-        query_vecs=query_vecs,
-    )
+    if residual:
+        ranked = _ivfpq_residual_rank(
+            df, id_col, vec_col, codes, qcells,
+            n_centroids, m_subspaces, sub_dim, dim, n_codes,
+        )
+    else:
+        cand = codes.join(
+            F.broadcast(qcells.select("cid", "query_id")), "cid"
+        ).drop("cid")
+        cb = _pq_codebook(df, id_col, vec_col, m_subspaces, sub_dim, n_codes)
+        ranked = _pq_adc_rank(
+            cand, df, id_col, vec_col, query_ids, m_subspaces, sub_dim, dim, cb,
+            query_vecs=query_vecs,
+        )
     if rerank is None:
         return (
             ranked.filter(F.col("rank") <= k)
@@ -1568,6 +1618,79 @@ def ann_ivfpq_store(
         ranked, df, id_col, vec_col, query_ids, k, rerank, dim,
         query_vecs=query_vecs,
     )
+
+
+def _ivfpq_residual_rank(
+    df, id_col, vec_col, codes, qcells,
+    n_centroids, m_subspaces, sub_dim, dim, n_codes,
+):
+    """Rank residual-encoded candidates by the IVFADC cosine
+    approximation: reconstruction = cent_c + r-hat, so
+
+      cos = (<q,cent_c> + sum_j <q_j, cw_j>)
+            / (qn * sqrt(||cent_c||^2 + 2*sum_j <cent_c_j, cw_j>
+                          + sum_j ||cw_j||^2))
+
+    Every non-exact term reads from a broadcast table keyed by the
+    candidate's (cid, code_j) or the query's (query_id, code_j); sums are
+    fixed-order so the DuckDB twin is bit-equal."""
+    cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim)
+    res = _ivf_residuals(df, id_col, vec_col, n_centroids, dim, cent)
+    cb = _pq_codebook(res, "neighbor_id", "_rv", m_subspaces, sub_dim, n_codes)
+
+    # per-(query, cell) centroid dot + cell norm^2 (dot(ce,ce), NOT
+    # _cen^2 — sqrt then square is a different double)
+    qc = qcells.join(F.broadcast(cent), "cid").select(
+        "query_id",
+        "cid",
+        F.expr(_dot("_qv", "_ce", "spark", dim)).alias("_qc"),
+        F.expr(_dot("_ce", "_ce", "spark", dim)).alias("_ccn2"),
+        "_qn",
+    )
+    # per-(query, m, code) residual distance table
+    qsub = _pq_subspaces(
+        qcells.select("query_id", "_qv").distinct(), "query_id", "_qv",
+        m_subspaces, sub_dim, "query_id",
+    )
+    dt = qsub.join(F.broadcast(cb), "m").select(
+        "query_id", "m", "code",
+        F.expr(_dot("sub", "csub", "spark", sub_dim)).alias("_pdot"),
+    )
+    # per-(cell, m, code) centroid x codeword cross terms (+ codeword
+    # self-norms riding along)
+    csub = _pq_subspaces(cent, "cid", "_ce", m_subspaces, sub_dim, "cid")
+    cc = csub.join(F.broadcast(cb), "m").select(
+        "cid", "m", "code",
+        F.expr(_dot("sub", "csub", "spark", sub_dim)).alias("_cc"),
+        "_cn2",
+    )
+
+    scored = codes.join(F.broadcast(qcells.select("cid", "query_id")), "cid")
+    for j in range(m_subspaces):
+        dtj = dt.filter(F.col("m") == j).select(
+            "query_id", F.col("code").alias(f"code{j}"),
+            F.col("_pdot").alias(f"_p{j}"),
+        )
+        ccj = cc.filter(F.col("m") == j).select(
+            "cid", F.col("code").alias(f"code{j}"),
+            F.col("_cc").alias(f"_x{j}"), F.col("_cn2").alias(f"_c{j}"),
+        )
+        scored = scored.join(F.broadcast(dtj), ["query_id", f"code{j}"]).join(
+            F.broadcast(ccj), ["cid", f"code{j}"]
+        )
+    adot = " + ".join(["_qc"] + [f"_p{j}" for j in range(m_subspaces)])
+    cross = " + ".join(f"_x{j}" for j in range(m_subspaces))
+    rn2 = " + ".join(f"_c{j}" for j in range(m_subspaces))
+    scored = (
+        scored.join(F.broadcast(qc), ["query_id", "cid"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            F.expr(f"({adot}) / (_qn * sqrt(_ccn2 + 2 * ({cross}) + ({rn2})))"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w))
 
 
 def ann_ivfpq_oracle(
@@ -1583,35 +1706,35 @@ def ann_ivfpq_oracle(
     dim: int | None = None,
     rerank: int | None = None,
     query_vecs: dict[int, list[float]] | None = None,
+    residual: bool = False,
 ) -> str:
     """DuckDB twin of ivfpq_build_store + ann_ivfpq_store: the IVF
     oracle's assigned/qcells CTEs restrict the PQ oracle's candidate set
     to the probed cells; same codebooks, argmin codes, fixed-order ADC
     sums, optional exact re-rank, and (with ``query_vecs``) the same
-    external query VALUES the engine sees."""
+    external query VALUES the engine sees. ``residual`` mirrors the
+    IVFADC scoring (centroid dot + residual table + cross terms)."""
     if dim is None or dim % m_subspaces:
         raise ValueError("oracle needs an explicit dim divisible by m_subspaces")
     sub_dim = dim // m_subspaces
     acos = cosine_expr("c._cv", "ct._ce", "duckdb", dim)
     qccos = cosine_expr("q._qv", "ct._ce", "duckdb", dim)
 
-    def sub_arms(src_filter: str, out_id: str) -> str:
+    def sub_arms_src(src: str, idc: str, vecc: str, out_id: str) -> str:
         return " UNION ALL ".join(
-            f"SELECT {id_col} AS {out_id}, {j} AS m, "
-            f"list_slice({vec_col}, {j * sub_dim + 1}, {(j + 1) * sub_dim}) AS sub "
-            f"FROM {table}{src_filter}"
+            f"SELECT {idc} AS {out_id}, {j} AS m, "
+            f"list_slice({vecc}, {j * sub_dim + 1}, {(j + 1) * sub_dim}) AS sub "
+            f"FROM {src}"
             for j in range(m_subspaces)
         )
+
+    def sub_arms(src_filter: str, out_id: str) -> str:
+        return sub_arms_src(f"{table}{src_filter}", id_col, vec_col, out_id)
 
     def qsub_arms() -> str:
         # query-side subspace slices come from qsrc (corpus filter OR the
         # external VALUES), never from the table directly
-        return " UNION ALL ".join(
-            f"SELECT query_id, {j} AS m, "
-            f"list_slice(_qv, {j * sub_dim + 1}, {(j + 1) * sub_dim}) AS sub "
-            f"FROM qsrc"
-            for j in range(m_subspaces)
-        )
+        return sub_arms_src("qsrc", "query_id", "_qv", "query_id")
     code_cols = ", ".join(
         f"max(CASE WHEN m = {j} AND _rn = 1 THEN code END) AS code{j}"
         for j in range(m_subspaces)
@@ -1642,7 +1765,7 @@ def ann_ivfpq_oracle(
                                     ORDER BY cos DESC, neighbor_id)::INT AS rank
           FROM rr)"""
         final_src = "rranked"
-    return f"""
+    shared_head = f"""
         WITH cent AS (SELECT {id_col} AS cid, {vec_col} AS _ce FROM {table}
                       WHERE {id_col} < {n_centroids}),
         corpus AS (SELECT {id_col} AS neighbor_id, {vec_col} AS _cv FROM {table}),
@@ -1663,11 +1786,17 @@ def ann_ivfpq_oracle(
           SELECT cid, query_id FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id
                                          ORDER BY ccos DESC, cid) AS _r
-            FROM qscore) WHERE _r <= {n_probe}),
-        cb AS (
-          SELECT code, m, sub AS csub, {_dot("sub", "sub", "duckdb", sub_dim)} AS _cn2
-          FROM ({sub_arms(f" WHERE {id_col} < {n_codes}", "code")})),
-        nsub AS ({sub_arms("", "neighbor_id")}),
+            FROM qscore) WHERE _r <= {n_probe}),"""
+    shared_tail = f"""
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id)::INT AS rank
+          FROM scored){rr_ctes}
+        SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+        FROM {final_src} WHERE rank <= {k} ORDER BY query_id, rank
+    """
+    codes_ctes = f"""
         dists AS (
           SELECT neighbor_id, n.m, code,
                  _cn2 - 2 * {_dot("sub", "csub", "duckdb", sub_dim)} AS _d
@@ -1680,10 +1809,16 @@ def ann_ivfpq_oracle(
         codes AS (
           SELECT neighbor_id, {code_cols} FROM ranked_codes GROUP BY neighbor_id),
         cand AS (
-          SELECT qc.query_id, co.* FROM codes co
+          SELECT qc.query_id, a.cid, co.* FROM codes co
           JOIN assigned a ON a.neighbor_id = co.neighbor_id
           JOIN qcells qc ON qc.cid = a.cid),
-        qsub AS ({qsub_arms()}),
+        qsub AS ({qsub_arms()}),"""
+    if not residual:
+        return f"""{shared_head}
+        cb AS (
+          SELECT code, m, sub AS csub, {_dot("sub", "sub", "duckdb", sub_dim)} AS _cn2
+          FROM ({sub_arms(f" WHERE {id_col} < {n_codes}", "code")})),
+        nsub AS ({sub_arms("", "neighbor_id")}),{codes_ctes}
         dt AS (
           SELECT query_id, qs.m, code,
                  {_dot("sub", "csub", "duckdb", sub_dim)} AS _pdot, _cn2
@@ -1696,12 +1831,53 @@ def ann_ivfpq_oracle(
           FROM cand
           {dt_joins}
           JOIN qn ON qn.query_id = cand.query_id
-          WHERE cand.query_id <> cand.neighbor_id),
-        ranked AS (
-          SELECT query_id, neighbor_id, cos,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY cos DESC, neighbor_id)::INT AS rank
-          FROM scored){rr_ctes}
-        SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
-        FROM {final_src} WHERE rank <= {k} ORDER BY query_id, rank
-    """
+          WHERE cand.query_id <> cand.neighbor_id),{shared_tail}"""
+    # residual (IVFADC): codebooks over residuals, scoring adds the
+    # per-(query, cell) centroid dot and the per-(cell, m, code) cross
+    # terms — same fixed-order sums as the engine
+    rvec = f"list_transform(range(1, {dim} + 1), _i -> c._cv[_i] - ct._ce[_i])"
+    cc_joins = "\n          ".join(
+        f"JOIN cc x{j} ON x{j}.m = {j} AND x{j}.code = cand.code{j} "
+        f"AND x{j}.cid = cand.cid"
+        for j in range(m_subspaces)
+    )
+    radot = " + ".join(["qc._qc"] + [f"d{j}._pdot" for j in range(m_subspaces)])
+    rcross = " + ".join(f"x{j}._cc" for j in range(m_subspaces))
+    rrn2 = " + ".join(f"x{j}._cn2" for j in range(m_subspaces))
+    return f"""{shared_head}
+        res AS (
+          SELECT a.cid, a.neighbor_id, {rvec} AS _rv
+          FROM assigned a
+          JOIN corpus c ON c.neighbor_id = a.neighbor_id
+          JOIN cent ct ON ct.cid = a.cid),
+        cb AS (
+          SELECT code, m, sub AS csub, {_dot("sub", "sub", "duckdb", sub_dim)} AS _cn2
+          FROM ({sub_arms_src(
+              f"res WHERE neighbor_id < {n_codes}", "neighbor_id", "_rv", "code"
+          )})),
+        nsub AS ({sub_arms_src("res", "neighbor_id", "_rv", "neighbor_id")}),{codes_ctes}
+        dt AS (
+          SELECT query_id, qs.m, code,
+                 {_dot("sub", "csub", "duckdb", sub_dim)} AS _pdot
+          FROM qsub qs JOIN cb ON qs.m = cb.m),
+        qc AS (
+          SELECT qc0.query_id, qc0.cid,
+                 {_dot("q._qv", "ct._ce", "duckdb", dim)} AS _qc,
+                 {_dot("ct._ce", "ct._ce", "duckdb", dim)} AS _ccn2,
+                 {norm_expr("q._qv", "duckdb", dim)} AS _qn
+          FROM qcells qc0
+          JOIN q ON q.query_id = qc0.query_id
+          JOIN cent ct ON ct.cid = qc0.cid),
+        csub AS ({sub_arms_src("cent", "cid", "_ce", "cid")}),
+        cc AS (
+          SELECT cid, cs.m, code,
+                 {_dot("sub", "csub", "duckdb", sub_dim)} AS _cc, _cn2
+          FROM csub cs JOIN cb ON cs.m = cb.m),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 ({radot}) / (qc._qn * sqrt(qc._ccn2 + 2 * ({rcross}) + ({rrn2}))) AS cos
+          FROM cand
+          {dt_joins}
+          {cc_joins}
+          JOIN qc ON qc.query_id = cand.query_id AND qc.cid = cand.cid
+          WHERE cand.query_id <> cand.neighbor_id),{shared_tail}"""

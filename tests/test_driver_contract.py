@@ -77,7 +77,7 @@ def test_bench_arm_factories_cover_their_query_variants():
     needs no SparkSession."""
     assert [a for a, _ in _arm_names("ann_topk")] == [
         "brute", "lsh_single", "lsh_multi", "ivf4", "ivf64", "ivf4_store",
-        "pq16", "pq16_rr", "ivfpq_rr", "extq",
+        "pq16", "pq16_rr", "ivfpq_rr", "extq", "ivfpq_res",
     ]
     assert [a for a, _ in _arm_names("index_probe_rows")] == [
         "probe", "auto_index", "auto_scan", "auto_multi", "auto_any",

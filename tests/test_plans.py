@@ -455,6 +455,65 @@ def test_ivfpq_append_equals_one_shot_build(spark, tmp_path):
     assert sorted(map(tuple, q_inc.collect())) == sorted(map(tuple, q_full.collect()))
 
 
+def test_ivfpq_residual_parity_and_append(spark, tmp_path):
+    """Residual IVF-PQ (IVFADC): the residual-encoded store's probe is
+    bit-equal to its DuckDB twin (centroid dot + residual distance table
+    + cross terms, fixed-order sums), its store is still codes-only, and
+    residual append == residual rebuild."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from iodf_spark.operators.similarity import (
+        ann_ivfpq_oracle,
+        ann_ivfpq_store,
+        ivfpq_append,
+        ivfpq_build_store,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "rpq")
+    ivfpq_build_store(
+        emb, "vec_id", "embedding", path, n_centroids=4, dim=64, residual=True
+    )
+    assert set(spark.read.parquet(path).columns) == {
+        "neighbor_id", "code0", "code1", "code2", "code3", "cid"
+    }
+    got = [
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos"])
+        for r in ann_ivfpq_store(
+            emb, "vec_id", "embedding", path, [0, 1, 2],
+            n_centroids=4, n_probe=2, dim=64, rerank=50, residual=True,
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    exp = con.execute(
+        ann_ivfpq_oracle(
+            "vec_id", "embedding", "embeddings", [0, 1, 2],
+            n_centroids=4, n_probe=2, dim=64, rerank=50, residual=True,
+        )
+    ).fetchall()
+    assert got == [tuple(r) for r in exp]
+
+    mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).collect()[0][0]
+    inc_path = str(tmp_path / "rpq_inc")
+    ivfpq_build_store(
+        emb.filter(F.col("vec_id") <= mid), "vec_id", "embedding", inc_path,
+        n_centroids=4, dim=64, residual=True,
+    )
+    ivfpq_append(
+        spark, inc_path, emb.filter(F.col("vec_id") > mid), emb,
+        "vec_id", "embedding", n_centroids=4, dim=64, residual=True,
+    )
+    inc = sorted(map(tuple, spark.read.parquet(inc_path).collect()))
+    full = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert inc == full
+
+
 def test_ivfpq_store_prunes_cells_and_scans_codes_only(spark, tmp_path):
     """The composed IVF-PQ store compounds BOTH prunes: the probe's codes
     scan must carry the static cid filter as PartitionFilters (file-level
