@@ -983,13 +983,16 @@ def _pq_adc_rank(
     # m_subspaces * n_codes rows per query, broadcast to the codes scan
     q = _query_frame(df, id_col, vec_col, query_ids, query_vecs)
     qsub = _pq_subspaces(q, "query_id", "_qv", m_subspaces, sub_dim, "query_id")
+    # localCheckpoint: the m per-subspace broadcast builds would each
+    # re-run the qsub+codebook chain as its own job (see
+    # _ivfpq_residual_rank); the table is Q * m * n_codes rows
     dt = qsub.join(F.broadcast(cb), "m").select(
         "query_id",
         "m",
         "code",
         F.expr(_dot("sub", "csub", "spark", sub_dim)).alias("_pdot"),
         "_cn2",
-    )
+    ).localCheckpoint()
     qn = q.select(
         "query_id",
         F.expr(norm_expr("_qv", "spark", dim)).alias("_qn"),
@@ -1469,7 +1472,14 @@ def ivfpq_build_store(
     if residual:
         cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim)
         res = _ivf_residuals(df, id_col, vec_col, n_centroids, dim, cent)
-        cb = _pq_codebook(res, "neighbor_id", "_rv", m_subspaces, sub_dim, n_codes)
+        # sample-only residual chain for the codebook (see
+        # _ivfpq_residual_rank — full-corpus assign for n_codes rows is
+        # pure waste; residuals depend only on the vector + centroids)
+        res_s = _ivf_residuals(
+            df.filter(F.col(id_col) < n_codes), id_col, vec_col,
+            n_centroids, dim, cent,
+        )
+        cb = _pq_codebook(res_s, "neighbor_id", "_rv", m_subspaces, sub_dim, n_codes)
         codes = _pq_encode(res, "neighbor_id", "_rv", m_subspaces, sub_dim, cb)
         cells = res.select("cid", "neighbor_id")
     else:
@@ -1529,7 +1539,10 @@ def ivfpq_append(
     sub_dim = dim // m_subspaces
     cent = _ivf_centroids(train_df, id_col, vec_col, n_centroids, dim)
     if residual:
-        res_train = _ivf_residuals(train_df, id_col, vec_col, n_centroids, dim, cent)
+        res_train = _ivf_residuals(
+            train_df.filter(F.col(id_col) < n_codes), id_col, vec_col,
+            n_centroids, dim, cent,
+        )
         cb = _pq_codebook(res_train, "neighbor_id", "_rv", m_subspaces, sub_dim, n_codes)
         res_new = _ivf_residuals(new_df, id_col, vec_col, n_centroids, dim, cent)
         codes = _pq_encode(res_new, "neighbor_id", "_rv", m_subspaces, sub_dim, cb)
@@ -1586,10 +1599,13 @@ def ann_ivfpq_store(
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
     sub_dim = dim // m_subspaces
+    # localCheckpoint before the collect: the qcells window chain feeds
+    # the probe-cell collect AND the candidate join AND (residual) the
+    # centroid-dot table — one evaluation instead of three
     qcells = _ivf_query_cells(
         df, id_col, vec_col, query_ids, n_centroids, n_probe, dim,
         query_vecs=query_vecs,
-    )
+    ).localCheckpoint()
     probe_cells = sorted({r["cid"] for r in qcells.select("cid").collect()})
     codes = spark.read.parquet(store_path).filter(
         F.col("cid").isin([int(c) for c in probe_cells])
@@ -1635,9 +1651,25 @@ def _ivfpq_residual_rank(
     candidate's (cid, code_j) or the query's (query_id, code_j); sums are
     fixed-order so the DuckDB twin is bit-equal."""
     cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim)
-    res = _ivf_residuals(df, id_col, vec_col, n_centroids, dim, cent)
-    cb = _pq_codebook(res, "neighbor_id", "_rv", m_subspaces, sub_dim, n_codes)
+    # codebooks need ONLY the sample vectors' residuals: filter the corpus
+    # BEFORE the assign chain (residual of a vector depends on itself +
+    # centroids alone) — assigning the whole corpus just to keep n_codes
+    # rows cost ~6 s of the probe at sf0.1
+    res_s = _ivf_residuals(
+        df.filter(F.col(id_col) < n_codes), id_col, vec_col, n_centroids, dim, cent
+    )
+    # checkpointed: the dt AND cc builds below both consume cb — without
+    # it each re-runs the sample assign chain
+    cb = _pq_codebook(
+        res_s, "neighbor_id", "_rv", m_subspaces, sub_dim, n_codes
+    ).localCheckpoint()
 
+    # The three lookup tables are TINY (Q*P, Q*m*n_codes, cells*m*n_codes
+    # rows) but their PLANS are multi-stage chains (codebook assign, query
+    # dedup); each of the 9 downstream broadcast builds would re-run its
+    # chain as a separate job — measured ~5 s of pure job-count floor at
+    # sf0.1. localCheckpoint materializes each table once; the broadcast
+    # builds become trivial scans.
     # per-(query, cell) centroid dot + cell norm^2 (dot(ce,ce), NOT
     # _cen^2 — sqrt then square is a different double)
     qc = qcells.join(F.broadcast(cent), "cid").select(
@@ -1646,7 +1678,7 @@ def _ivfpq_residual_rank(
         F.expr(_dot("_qv", "_ce", "spark", dim)).alias("_qc"),
         F.expr(_dot("_ce", "_ce", "spark", dim)).alias("_ccn2"),
         "_qn",
-    )
+    ).localCheckpoint()
     # per-(query, m, code) residual distance table
     qsub = _pq_subspaces(
         qcells.select("query_id", "_qv").distinct(), "query_id", "_qv",
@@ -1655,7 +1687,7 @@ def _ivfpq_residual_rank(
     dt = qsub.join(F.broadcast(cb), "m").select(
         "query_id", "m", "code",
         F.expr(_dot("sub", "csub", "spark", sub_dim)).alias("_pdot"),
-    )
+    ).localCheckpoint()
     # per-(cell, m, code) centroid x codeword cross terms (+ codeword
     # self-norms riding along)
     csub = _pq_subspaces(cent, "cid", "_ce", m_subspaces, sub_dim, "cid")
@@ -1663,7 +1695,7 @@ def _ivfpq_residual_rank(
         "cid", "m", "code",
         F.expr(_dot("sub", "csub", "spark", sub_dim)).alias("_cc"),
         "_cn2",
-    )
+    ).localCheckpoint()
 
     scored = codes.join(F.broadcast(qcells.select("cid", "query_id")), "cid")
     for j in range(m_subspaces):
