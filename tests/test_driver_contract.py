@@ -111,3 +111,20 @@ def test_segments_compact_arm_budget():
         "the budget with a bench-weight rationale (the cell is already "
         "the most expensive in bench.py)"
     )
+
+
+def test_ann_topk_arm_budget():
+    """Pinned arm budget for the consolidated ANN cell — at 11 arms /
+    ~29 s it is now the most expensive bench cell (the segments_compact
+    lesson, round-7 VERDICT). Growth past the budget requires retiring a
+    subsumed arm or raising this number with a bench-weight rationale.
+    12 = the current 11 + one slot of headroom. Note the cell ALSO has a
+    hard external ceiling: every arm's plan is localCheckpointed inside
+    q_ann_topk because the driver's vanilla 1g session OOMs on the lazy
+    11-arm union (see q_ann_topk) — arms are cheap to run but NOT free to
+    stack."""
+    assert len(_arm_names("ann_topk")) <= 12, (
+        "ann_topk arm budget exceeded — retire a subsumed arm (the "
+        "ivf4/lsh_single retirement analysis in round 8 is the template) "
+        "or raise the budget with a bench-weight rationale"
+    )
