@@ -180,6 +180,18 @@ def compact_line(detail: dict, budget: int = LINE_BUDGET) -> dict:
         out.pop(drop, None)
     if len(json.dumps(out, separators=(",", ":"))) > budget:
         out["queries"] = {k: round(v, 2) for k, v in out["queries"].items()}
+    # the rounding fallback is not guaranteed to fit either (enough query
+    # entries outgrow any per-entry shrink) — re-check and, as the provable
+    # last resort, keep only the slowest-N timings with an explicit marker
+    # so the line can never reproduce the round-7 parsed:null failure
+    while len(json.dumps(out, separators=(",", ":"))) > budget and out["queries"]:
+        kept = sorted(out["queries"].items(), key=lambda kv: -kv[1])
+        kept = kept[: max(len(kept) - 5, 0)]
+        dropped = len(out["queries"]) - len(kept)
+        out["queries"] = dict(sorted(kept))
+        out["n_queries_dropped"] = out.get("n_queries_dropped", 0) + dropped
+        if not kept:
+            break
     return out
 
 

@@ -146,7 +146,19 @@ def capped_candidates(
     representative. Candidate output is bounded by
     sum_cold(m^2) + sum_hot(m), and the hot side's skewed dimension join
     (every posting of a hot key meets exactly one rep row) is linear and
-    AQE-splittable."""
+    AQE-splittable.
+
+    PRECONDITION: ``ex`` must be per-doc-distinct — at most ONE row per
+    (_id, *key_cols) combination. The hot/cold classification counts
+    posting ROWS per key (count(1)) as a proxy for member DOCS; duplicate
+    (_id, key) rows would inflate the frequency and silently reclassify
+    keys against this contract (the all-pairs output would still be
+    correct — pairs are deduped — but the cap boundary would shift).
+    Both callers satisfy this structurally: jaccard prefixes explode a
+    sorted DISTINCT shingle array, and MinHash bands emit one row per
+    (doc, band). A defensive dropDuplicates here would add a full
+    posting-table shuffle on every call to pay for a caller bug —
+    documented instead."""
     import functools
     import operator as op
 

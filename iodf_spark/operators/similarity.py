@@ -429,6 +429,29 @@ def ann_brute_force(
     )
 
 
+def _check_query_vecs(query_vecs: dict | None) -> None:
+    """Validate caller-supplied external query vectors at the entry point:
+    an empty dict would emit an invalid empty VALUES list in the oracle
+    SQL, and a NaN/inf component yields literal `nan`/`inf` tokens DuckDB
+    cannot parse (and the two engines would diverge on NaN ordering even
+    if it did) — fail fast with a clear error instead."""
+    import math as _math
+
+    if query_vecs is None:
+        return
+    if not query_vecs:
+        raise ValueError("query_vecs must be a non-empty dict of id -> vector")
+    for k, v in query_vecs.items():
+        if not v:
+            raise ValueError(f"query_vecs[{k!r}] is empty")
+        for x in v:
+            if not _math.isfinite(float(x)):
+                raise ValueError(
+                    f"query_vecs[{k!r}] contains a non-finite component "
+                    f"({x!r}); all components must be finite floats"
+                )
+
+
 def _qsrc_sql(
     id_col: str,
     vec_col: str,
@@ -439,6 +462,7 @@ def _qsrc_sql(
     """SQL for the query side: corpus rows by id, or a VALUES list of
     EXTERNAL vectors (full-precision repr literals parse to the identical
     float64 in both engines)."""
+    _check_query_vecs(query_vecs)
     if query_vecs is None:
         ids = ", ".join(str(i) for i in query_ids)
         return (
@@ -562,6 +586,7 @@ def _query_frame(
     the caller and never matched against the corpus). External queries are
     the production shape — a user queries an ANN store with a fresh
     embedding, not a corpus row id."""
+    _check_query_vecs(query_vecs)
     if query_vecs is None:
         return df.filter(F.col(id_col).isin(query_ids)).select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")

@@ -428,7 +428,7 @@ def stream_upsert(
     latest_by: str | None = None,
     order_keys: list[str] | None = None,
     checkpoint_dir: str | None = None,
-    guard_out_of_order: bool = True,
+    guard_out_of_order: bool | None = None,
 ) -> None:
     """Streaming upsert sink: drain a keyed micro-batch stream into the
     store through ``merge_by_key`` — the keyed-state twin of
@@ -456,7 +456,12 @@ def stream_upsert(
     value are dropped before the merge — stale events become no-ops
     instead of regressions. Rows where ``latest_by`` is NULL never
     replace an existing row (NULL fails the > comparison) but do insert
-    for brand-new keys. Pass guard_out_of_order=False only when the feed
+    for brand-new keys. ``guard_out_of_order=None`` (the default) means
+    "guard iff ``latest_by`` is set" — the guard needs a version column
+    to compare, so without ``latest_by`` there is nothing to guard on and
+    the merge is blind-replace by design. Passing ``True`` explicitly
+    WITHOUT ``latest_by`` raises ValueError rather than silently running
+    unguarded. Pass guard_out_of_order=False only when the feed
     is provably per-key ordered across batches (saves one key-join per
     batch).
 
@@ -473,6 +478,14 @@ def stream_upsert(
     from pyspark.sql.window import Window
 
     keys = [on] if isinstance(on, str) else list(on)
+    if guard_out_of_order and latest_by is None:
+        raise ValueError(
+            "guard_out_of_order=True requires latest_by: the out-of-order "
+            "guard compares each source row's latest_by against the "
+            "target's current value; without a version column the merge "
+            "is blind-replace and cannot be guarded"
+        )
+    guard = latest_by is not None if guard_out_of_order is None else guard_out_of_order
     spark = source.sparkSession
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -486,7 +499,7 @@ def stream_upsert(
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-            if guard_out_of_order and store.manifest_doc()["segments"]:
+            if guard and store.manifest_doc()["segments"]:
                 # target-side matched-condition: current latest_by per key,
                 # restricted to this batch's keys (broadcast semi-join —
                 # the batch key set is small) so the target scan prunes

@@ -281,3 +281,33 @@ def test_compact_line_keeps_contract_fields_when_small():
     assert got["sf"] == 0.01
     assert got["taken_at"] == 123.0
     assert got["detail"] == "tools/bench_last_run.json"
+
+
+def test_compact_line_provably_under_budget_with_many_queries():
+    # round-8 ADVICE: the 2-decimal rounding fallback was not re-checked
+    # against the budget — with enough entries the line could outgrow the
+    # driver's ~2000-byte stdout window again. The last-resort path must
+    # truncate to the slowest queries WITH an explicit marker.
+    import json as _json
+
+    detail = {
+        "metric": "bench_total", "value": 1.0, "unit": "sec", "sf": 0.1,
+        "queries": {f"very_long_query_name_{i:04d}": i / 1000 for i in range(400)},
+    }
+    out = bench.compact_line(detail)
+    line = _json.dumps(out, separators=(",", ":"))
+    assert len(line) <= bench.LINE_BUDGET
+    assert out["n_queries_dropped"] > 0
+    # the kept entries are the slowest ones
+    kept_vals = sorted(out["queries"].values())
+    assert min(kept_vals) >= 0.2
+
+
+def test_compact_line_small_dict_untouched():
+    detail = {
+        "metric": "bench_total", "value": 1.0, "unit": "sec", "sf": 0.1,
+        "queries": {"q1": 0.123456, "q2": 0.5},
+    }
+    out = bench.compact_line(detail)
+    assert out["queries"] == {"q1": 0.123456, "q2": 0.5}
+    assert "n_queries_dropped" not in out

@@ -281,3 +281,22 @@ def test_semdedup_keep_by_priority(spark, sf_dir):
     for d, w, k in got:
         if not k:
             assert (prio[w], -w) > (prio[d], -d), (d, w)
+
+
+def test_query_vecs_validated_at_entry():
+    """round-8 ADVICE: NaN/inf components or an empty dict used to emit
+    unparseable VALUES SQL downstream; the entry points now reject them."""
+    import math
+    import pytest as _pytest
+    from iodf_spark.operators.similarity import _check_query_vecs
+
+    _check_query_vecs(None)
+    _check_query_vecs({900: [0.1, 0.2]})
+    with _pytest.raises(ValueError, match="non-empty"):
+        _check_query_vecs({})
+    with _pytest.raises(ValueError, match="empty"):
+        _check_query_vecs({900: []})
+    with _pytest.raises(ValueError, match="non-finite"):
+        _check_query_vecs({900: [0.1, float("nan")]})
+    with _pytest.raises(ValueError, match="non-finite"):
+        _check_query_vecs({900: [math.inf, 0.1]})

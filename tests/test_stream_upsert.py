@@ -167,3 +167,15 @@ def test_guard_off_restores_blind_replace(spark, store, tmp_path):
         guard_out_of_order=False,
     )
     assert _live(spark, store) == {(1, "old", 1)}
+
+
+def test_guard_requested_without_latest_by_raises():
+    """round-8 ADVICE: guard_out_of_order=True used to be a silent no-op
+    when latest_by is None (the guard block was nested inside the
+    latest_by branch). Explicit True without a version column must fail
+    fast, not run unguarded."""
+    import pytest as _pytest
+    from iodf_spark.streaming.ingest import stream_upsert
+
+    with _pytest.raises(ValueError, match="requires latest_by"):
+        stream_upsert(None, None, on="doc_id", guard_out_of_order=True)
