@@ -736,7 +736,13 @@ def _extq_vecs() -> dict[int, list[float]]:
 def _ivfpq_store_path(spark: SparkSession, emb: DataFrame, memo: dict) -> str:
     """Memoized build of the composed IVF-PQ codes store — shared by the
     ivfpq_rr and extq arms so the ORDERED bench attributes the build to
-    ivfpq_rr and times extq as a pure serving probe."""
+    ivfpq_rr and times extq as a pure serving probe. (Round 9 measured
+    the obvious-looking consolidation — ONE residual store for all three
+    ivfpq arms — and it LOST ~2 s/sweep: residual PROBING adds five
+    broadcast-table jobs per probe, so upgrading the two rerank arms to
+    residual scoring cost more than the saved ~3.5 s build. The split
+    kept: plain store shared here, the residual build lives only in the
+    one arm that attests residual scoring.)"""
     if "ivfpq_path" not in memo:
         import tempfile
 
@@ -765,10 +771,12 @@ def _ivfpq_res_arm(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFram
     """Residual IVF-PQ (IVFADC proper, Jégou TPAMI'11 §III): the store
     encodes x - centroid(x); probing adds the per-(query, cell) centroid
     dot and the per-(cell, code) cross terms — three broadcast lookup
-    tables, candidate rows still cid + 4 codes. On tight real-world
-    clusters residuals are much smaller than x, buying ADC accuracy at
-    identical store bytes (on this isotropic fixture the gain is noisy —
-    the arm attests the layout and the exact scoring math)."""
+    tables, candidate rows still cid + 4 codes. Ranked in the compressed
+    domain ONLY (no rerank — round 9 dropped it: the rerank stage is
+    attested by pq16_rr/ivfpq_rr, while the rerank-free ranking is the
+    first-stage-retriever shape whose candidates never touch the float
+    corpus, and the pure-ADC ordering is exactly what the recall-floor
+    pytests gate)."""
     import tempfile
 
     from iodf_spark.operators.similarity import ann_ivfpq_store, ivfpq_build_store
@@ -779,7 +787,7 @@ def _ivfpq_res_arm(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFram
     )
     return ann_ivfpq_store(
         emb, "vec_id", "embedding", path, ANN_QUERY_IDS,
-        n_centroids=4, n_probe=2, dim=EMB_DIM, rerank=50, residual=True,
+        n_centroids=4, n_probe=2, dim=EMB_DIM, residual=True,
     )
 
 
@@ -795,6 +803,100 @@ def _extq_arm(spark: SparkSession, sf_dir: str, emb: DataFrame, memo: dict) -> D
         emb, "vec_id", "embedding", _ivfpq_store_path(spark, emb, memo),
         [], n_centroids=4, n_probe=2, dim=EMB_DIM, rerank=50,
         query_vecs=_extq_vecs(),
+    )
+
+
+ANN_LIFE_DELETED = [210, 211, 310]  # all >= the training prefix (4/16)
+
+# the lifecycle oracle's corpus: embeddings minus the taken-down ids —
+# deleted ids sit OUTSIDE the id-prefix training rows, so centroids (and
+# therefore cell assignment) are identical before and after the takedown
+# and one filtered-IVF query oracles all three lifecycle stages
+_ANN_LIVE_TABLE = (
+    "(SELECT vec_id, embedding FROM embeddings WHERE vec_id NOT IN "
+    f"({', '.join(str(i) for i in ANN_LIFE_DELETED)}))"
+)
+
+
+def _ann_lifecycle_stage(spark: SparkSession, emb_fn, memo: dict, stage: int) -> str:
+    """Advance the SHARED delete-propagation fixture to ``stage`` and
+    return the ANN store path. The fixture is the round-9 headline: a
+    SegmentStore corpus with an IVF store maintained off its CHANGE FEED
+    (ann_maintenance) — takedowns must stop surfacing from probes at
+    every lifecycle stage. Stages (monotonic; arms run in order and each
+    arm advances as far as it needs, so a standalone run self-bootstraps):
+
+    1. corpus delete_where -> ann_store_sync: the tombstoned row_ids are
+       resolved to vector ids (touched segments only) and pushed onto the
+       store's deletion list — probes anti-join it, NO cell rewrite;
+    2. ann_compact_deletes: only the cells the list names are rewritten
+       (dynamic partition overwrite) and the list clears — deleted ids
+       are now physically gone;
+    3. corpus PURGE: the renumber epoch bumps, ann_store_sync must raise
+       FullRefreshRequired (an incremental delta cannot express a
+       renumbering — asserted here, not just in pytest), and the
+       prescribed recovery (ann_store_seed) rebuilds the store.
+
+    All three stages must probe IDENTICALLY: the oracle is one IVF query
+    over the corpus WITHOUT the deleted ids, three times."""
+    from iodf_spark.operators.ann_maintenance import (
+        FullRefreshRequired,
+        ann_compact_deletes,
+        ann_store_seed,
+        ann_store_sync,
+    )
+    from iodf_spark.sources.segments import SegmentStore
+
+    if "life" not in memo:
+        import tempfile
+
+        corpus = SegmentStore(tempfile.mkdtemp(prefix="iodf_ann_corpus_"))
+        # no order_keys: the parquet source is already vec_id-ordered and
+        # the fixture needs no sorted-invariant — skip the sort
+        corpus.write_segment(emb_fn())
+        path = tempfile.mkdtemp(prefix="iodf_ann_life_")
+        ann_store_seed(spark, corpus, path, "vec_id", "embedding", dim=EMB_DIM)
+        memo["life"] = {"corpus": corpus, "path": path, "stage": 0}
+    st = memo["life"]
+    if stage >= 1 and st["stage"] < 1:
+        st["corpus"].delete_where(
+            spark, F.col("vec_id").isin(ANN_LIFE_DELETED)
+        )
+        ann_store_sync(
+            spark, st["corpus"], st["path"], "vec_id", "embedding", dim=EMB_DIM
+        )
+        st["stage"] = 1
+    if stage >= 2 and st["stage"] < 2:
+        ann_compact_deletes(spark, st["path"])
+        st["stage"] = 2
+    if stage >= 3 and st["stage"] < 3:
+        st["corpus"].purge(spark)
+        try:
+            ann_store_sync(
+                spark, st["corpus"], st["path"], "vec_id", "embedding",
+                dim=EMB_DIM,
+            )
+        except FullRefreshRequired:
+            pass  # the REQUIRED signal: a purge admits no incremental delta
+        else:
+            raise RuntimeError(
+                "ann_store_sync silently crossed a corpus purge — the "
+                "renumber-epoch guard is broken"
+            )
+        ann_store_seed(
+            spark, st["corpus"], st["path"], "vec_id", "embedding", dim=EMB_DIM
+        )
+        st["stage"] = 3
+    return st["path"]
+
+
+def _ann_lifecycle_arm(spark: SparkSession, emb_fn, memo: dict, stage: int) -> DataFrame:
+    from iodf_spark.operators.similarity import ann_ivf_store
+
+    path = _ann_lifecycle_stage(spark, emb_fn, memo, stage)
+    return ann_ivf_store(
+        emb_fn(), "vec_id", "embedding", path, ANN_QUERY_IDS,
+        n_centroids=4, n_probe=2, dim=EMB_DIM,
     )
 
 
@@ -849,12 +951,10 @@ def _ann_topk_arms(spark: SparkSession, sf_dir: str):
                 ),
             ),
         ),
-        (
-            "ivf4",
-            lambda: tag(
-                "ivf4", ann_ivf(emb(), "vec_id", "embedding", ANN_QUERY_IDS, dim=EMB_DIM)
-            ),
-        ),
+        # 'ivf4' retired: bit-identical to ivf4_store's probe (same
+        # geometry, same float ops — pinned by test_plans.py::
+        # test_ivf_store_prunes_cell_partitions_and_matches_inflight);
+        # the in-flight operator stays covered by ivf64 and the pytest.
         (
             "ivf64",
             lambda: tag(
@@ -869,13 +969,9 @@ def _ann_topk_arms(spark: SparkSession, sf_dir: str):
             "ivf4_store",
             lambda: tag("ivf4_store", _ivf_store_arm(spark, sf_dir, emb())),
         ),
-        (
-            "pq16",
-            lambda: tag(
-                "pq16",
-                ann_pq(emb(), "vec_id", "embedding", ANN_QUERY_IDS, dim=EMB_DIM),
-            ),
-        ),
+        # 'pq16' retired (round-8 verdict #4): subsumed by pq16_rr (same
+        # ADC stage + rerank); raw-ADC coverage stays in the pq parity
+        # pytests (test_plans.py) and in the rerank-free ivfpq_res arm.
         (
             "pq16_rr",
             lambda: tag(
@@ -898,6 +994,23 @@ def _ann_topk_arms(spark: SparkSession, sf_dir: str):
             "ivfpq_res",
             lambda: tag("ivfpq_res", _ivfpq_res_arm(spark, sf_dir, emb())),
         ),
+        # delete-propagation lifecycle (round-9 headline, see
+        # _ann_lifecycle_stage): the same probe must exclude taken-down
+        # ids via the deletion list (del_sync), after the cell rewrite
+        # (del_compact), and after a purge + full refresh (rebuilt) —
+        # three identical oracle rows by construction.
+        (
+            "del_sync",
+            lambda: tag("del_sync", _ann_lifecycle_arm(spark, emb, memo, 1)),
+        ),
+        (
+            "del_compact",
+            lambda: tag("del_compact", _ann_lifecycle_arm(spark, emb, memo, 2)),
+        ),
+        (
+            "rebuilt",
+            lambda: tag("rebuilt", _ann_lifecycle_arm(spark, emb, memo, 3)),
+        ),
     ]
 
 
@@ -905,23 +1018,25 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole ANN family in one attested entry (former ann_topk +
     ann_lsh/_mp + ann_ivf/_64 — the 50-entry attestation cap): exact brute
     force as the recall baseline, LSH single- and Hamming-1 multi-probe
-    (corpus hashed once, query-side fan-out only), IVF at 4-centroid/
-    2-probe and 64-centroid/8-probe geometries (max_by cell assignment —
-    a narrow agg where a row_number window would sort a 64x expansion),
-    the persisted IVF store with partition-pruned probes, and PQ/ADC
-    (pq16: 4 subspaces x 16 sample codewords — corpus encoded to 4 codes
-    per vector, queries rank by distance-table lookups; the
-    compressed-scan half of IVF-PQ, 64x less read per candidate than the
-    float corpus; pq16_rr adds the production second stage — the ADC pass
-    shortlists 100 candidates and only those Q*100 rows touch the float
-    corpus for an exact-cosine re-rank; ivfpq_rr composes BOTH prunes
-    through the materialized codes-only cell-partitioned store — a probe
-    reads n_probe/n_centroids of the files, each row 4 ints not 64
-    floats, then exact-reranks the Q*50 shortlist; extq queries the SAME
-    store with EXTERNAL vectors — the serving shape — via a literal query
-    frame the oracle reproduces as full-precision VALUES; ivfpq_res is
-    IVFADC proper — the store encodes residuals to the assigned centroid,
-    probing adds broadcast centroid-dot and cross-term tables)."""
+    (corpus hashed once, query-side fan-out only), IVF at the 64-centroid/
+    8-probe geometry in-flight (max_by cell assignment — a narrow agg
+    where a row_number window would sort a 64x expansion) and the
+    4-centroid geometry served from the persisted partition-pruned store
+    (ivf4_store — bit-identical to the retired in-flight ivf4 arm, pinned
+    by pytest), and PQ/ADC (pq16_rr: 4 subspaces x 16 sample codewords —
+    corpus encoded to 4 codes per vector, ADC shortlists 100 candidates
+    and only those Q*100 rows touch the float corpus for an exact-cosine
+    re-rank; the raw-ADC pq16 arm is retired into the pq parity pytests).
+    ivfpq_rr composes BOTH prunes through the materialized codes-only
+    cell-partitioned store — a probe reads n_probe/n_centroids of the
+    files, each row 4 ints not 64 floats, then exact-reranks the Q*50
+    shortlist; extq queries the SAME store with EXTERNAL vectors — the
+    serving shape — via a literal query frame the oracle reproduces as
+    full-precision VALUES; ivfpq_res is IVFADC proper (residual-encoded
+    store) ranked in the compressed domain only — the
+    first-stage-retriever shape whose candidates never touch the float
+    corpus. The del_sync/del_compact/rebuilt arms attest the round-9
+    delete-propagation lifecycle (see _ann_lifecycle_stage)."""
     out = None
     for _name, thunk in _ann_topk_arms(spark, sf_dir):
         # localCheckpoint per arm: each arm materializes its ~30-row
@@ -3141,20 +3256,12 @@ def oracle_sql() -> dict[str, str]:
                 multi_probe=True, dim=EMB_DIM,
             )})
             UNION ALL
-            SELECT 'ivf4' AS method, * FROM ({similarity.ann_ivf_oracle(
-                "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM
-            )})
-            UNION ALL
             SELECT 'ivf64' AS method, * FROM ({similarity.ann_ivf_oracle(
                 "vec_id", "embedding", "embeddings", ANN_QUERY_IDS,
                 n_centroids=64, n_probe=8, dim=EMB_DIM,
             )})
             UNION ALL
             SELECT 'ivf4_store' AS method, * FROM ({similarity.ann_ivf_oracle(
-                "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM
-            )})
-            UNION ALL
-            SELECT 'pq16' AS method, * FROM ({similarity.ann_pq_oracle(
                 "vec_id", "embedding", "embeddings", ANN_QUERY_IDS, dim=EMB_DIM
             )})
             UNION ALL
@@ -3176,8 +3283,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'ivfpq_res' AS method, * FROM ({similarity.ann_ivfpq_oracle(
                 "vec_id", "embedding", "embeddings", ANN_QUERY_IDS,
-                n_centroids=4, n_probe=2, dim=EMB_DIM, rerank=50,
+                n_centroids=4, n_probe=2, dim=EMB_DIM,
                 residual=True
+            )})
+            -- delete-propagation lifecycle: all three stages must equal
+            -- ONE IVF probe over the corpus minus the taken-down ids
+            -- (deletion-list anti-join == compacted rewrite == rebuild)
+            UNION ALL
+            SELECT 'del_sync' AS method, * FROM ({similarity.ann_ivf_oracle(
+                "vec_id", "embedding", _ANN_LIVE_TABLE, ANN_QUERY_IDS, dim=EMB_DIM
+            )})
+            UNION ALL
+            SELECT 'del_compact' AS method, * FROM ({similarity.ann_ivf_oracle(
+                "vec_id", "embedding", _ANN_LIVE_TABLE, ANN_QUERY_IDS, dim=EMB_DIM
+            )})
+            UNION ALL
+            SELECT 'rebuilt' AS method, * FROM ({similarity.ann_ivf_oracle(
+                "vec_id", "embedding", _ANN_LIVE_TABLE, ANN_QUERY_IDS, dim=EMB_DIM
             )})
         """,
         "segments_union": f"""

@@ -1,0 +1,430 @@
+"""Maintenance of materialized ANN stores under a LIVE corpus — delete
+propagation, compaction, reinstatement, and change-feed sync.
+
+Round-8 gap this closes: ``ivf_build_store``/``ivfpq_build_store`` produce
+cid-partitioned parquet indexes and ``*_append`` grows them, but the
+corpus they index has takedown (``SegmentStore.delete_where``), purge and
+a change feed (``read_changes``/``stream_changes``) — and the stores were
+append-only, so a deleted document kept surfacing from probes until a
+full rebuild. Reference parity: the reference maintains derived merged
+indexes alongside the store and rewrites them on segment lifecycle events
+(merged-index maintenance, reference io/Dfs.scala:476-487); Spark-first,
+the same contract decomposes into Lucene's liveDocs model applied to the
+index artifact itself:
+
+* **Deletion list** (``<store>/_deletes/``): takedowns append a tiny
+  (neighbor_id, cid) parquet — an O(deleted) metadata write, never a cell
+  rewrite. Probes anti-join it (pruned to the probed cells, broadcast) —
+  a deleted row stops surfacing IMMEDIATELY, at the cost of one
+  broadcast-sized join against a bounded list.
+* **Compaction** (:func:`ann_compact_deletes`): once the list has real
+  mass, rewrite ONLY the cells it names (dynamic partition overwrite —
+  PartitionFilters bound the IO to touched cells) and clear the list.
+* **Sync** (:func:`ann_store_sync`): the standing consumer — composes the
+  corpus store's change feed with the two primitives above: insert rows
+  are encoded/assigned against the store's FROZEN training artifacts and
+  appended; tombstoned row_ids are resolved to vector ids (scanning only
+  the corpus segments whose row-range intersects the tombstones) and
+  appended to the deletion list. A corpus PURGE renumbers the row space;
+  the cursor machinery (streaming/ingest.py) detects the epoch bump and
+  raises FullRefreshRequired — re-seed via :func:`ann_store_seed`.
+
+Why the store keeps its plain cid-partitioned parquet layout (instead of
+becoming a SegmentStore itself): the probe path's two plan-pinned
+properties — file-level PartitionFilters on cid and codes-only ReadSchema
+— come straight from the layout; the maintenance surface above adds the
+lifecycle semantics without widening a byte of the serving row.
+
+Underscore-prefixed subdirs (``_deletes``, ``_centroids``,
+``_maintenance``) are invisible to Spark's parquet discovery, so every
+existing reader of ``spark.read.parquet(store_path)`` sees exactly the
+codes it always saw.
+
+Concurrency contract: SINGLE MAINTAINER. The corpus store has OCC for its
+writers; the ANN artifact assumes one maintenance process (the standard
+shape for derived indexes — one compactor per index). Serving probes are
+safe concurrent with maintenance appends (parquet readers list files at
+plan time); compaction is the one rewrite and should run in the
+maintainer's thread.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.segments import SegmentStore
+from ..streaming.ingest import (
+    FullRefreshRequired,  # noqa: F401  (re-exported: the sync's recovery signal)
+    stream_changes,
+    _write_cdf_cursor,
+)
+
+DELETES_DIR = "_deletes"
+CENTROIDS_DIR = "_centroids"
+MAINT_DIR = "_maintenance"
+
+# above this many pending deletes the probe-side anti-join list stops
+# being broadcast-cheap — callers should compact. ann_store_sync applies
+# it automatically after each window batch.
+AUTO_COMPACT_THRESHOLD = 100_000
+
+
+def _deletes_path(store_path: str) -> str:
+    return os.path.join(store_path, DELETES_DIR)
+
+
+def read_ann_deletes(spark: SparkSession, store_path: str) -> DataFrame | None:
+    """The pending deletion list as (neighbor_id, cid), or None when the
+    store has no pending deletes. cid rides along so both consumers stay
+    pruned: probes keep only the rows of the cells they probe, and
+    compaction rewrites only the named cells."""
+    p = _deletes_path(store_path)
+    if not os.path.isdir(p) or not any(
+        f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs
+    ):
+        return None
+    return spark.read.parquet(p).select("neighbor_id", "cid")
+
+
+def ann_apply_deletes(
+    spark: SparkSession, store_path: str, ids: DataFrame
+) -> int:
+    """Record takedowns against the store: resolve each id's cell with ONE
+    narrow (neighbor_id, cid) scan of the codes store — cid is needed so
+    later probes/compactions stay partition-pruned — and append the
+    (neighbor_id, cid) rows to the deletion list. O(deleted) output; the
+    resolving scan reads two int columns, never the codes. Idempotent
+    under replay: ids already on the list are anti-joined away, so a
+    re-applied window appends nothing; ids absent from the store resolve
+    to no rows. Returns the number of list rows written."""
+    key = ids.columns[0]
+    dels = (
+        spark.read.parquet(store_path)
+        .select("neighbor_id", F.col("cid").cast("int").alias("cid"))
+        .join(
+            F.broadcast(ids.select(F.col(key).alias("neighbor_id")).distinct()),
+            "neighbor_id",
+            "left_semi",
+        )
+        # one id can appear in several cells only after a torn replay
+        # duplicated an append — keep every (id, cell) so compaction
+        # cleans all copies
+        .distinct()
+    )
+    existing = read_ann_deletes(spark, store_path)
+    if existing is not None:
+        dels = dels.join(
+            F.broadcast(existing.select("neighbor_id")), "neighbor_id", "left_anti"
+        )
+    n = dels.count()
+    if n:
+        dels.coalesce(1).write.mode("append").parquet(_deletes_path(store_path))
+    return n
+
+
+def live_codes(
+    spark: SparkSession, store_path: str, cells: list[int] | None = None
+) -> DataFrame:
+    """The store's LIVE rows: the (optionally cell-pruned) codes scan
+    minus the deletion list. This is the one read-path hook — both probe
+    functions route their store scan through it. The anti-join list is
+    pre-filtered to the probed cells (delete rows for unprobed cells
+    can't match anything) and broadcast: plan shape stays
+    `Scan(PartitionFilters) -> BroadcastHashJoin(LeftAnti)`, preserving
+    the codes-only ReadSchema and file-level pruning the plan tests pin."""
+    df = spark.read.parquet(store_path)
+    if cells is not None:
+        df = df.filter(F.col("cid").isin([int(c) for c in cells]))
+    dels = read_ann_deletes(spark, store_path)
+    if dels is None:
+        return df
+    if cells is not None:
+        dels = dels.filter(F.col("cid").isin([int(c) for c in cells]))
+    return df.join(
+        F.broadcast(dels.select("neighbor_id")), "neighbor_id", "left_anti"
+    )
+
+
+def ann_compact_deletes(spark: SparkSession, store_path: str) -> list[int]:
+    """Materialize pending deletes: rewrite ONLY the cells named by the
+    deletion list (dynamic partition overwrite — untouched cells keep
+    their files byte-identical), dropping deleted ids, then clear the
+    list. The rewrite also dropDuplicates on neighbor_id within the
+    rewritten cells, healing any torn-replay duplicate appends (the one
+    at-least-once window ann_store_sync documents). Returns the rewritten
+    cell ids."""
+    dels = read_ann_deletes(spark, store_path)
+    if dels is None:
+        return []
+    cells = sorted(r["cid"] for r in dels.select("cid").distinct().collect())
+    if cells:
+        df = spark.read.parquet(store_path).filter(
+            F.col("cid").isin([int(c) for c in cells])
+        )
+        cols = [c for c in df.columns if c != "cid"]
+        kept = (
+            df.join(
+                F.broadcast(dels.select("neighbor_id")), "neighbor_id", "left_anti"
+            )
+            .dropDuplicates(["neighbor_id"])
+            .select(*cols, F.col("cid").cast("int").alias("cid"))
+            .repartition("cid")
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            kept.write.mode("overwrite").partitionBy("cid").parquet(store_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _clear_deletes(store_path)
+    return [int(c) for c in cells]
+
+
+def _clear_deletes(store_path: str) -> None:
+    import shutil
+
+    p = _deletes_path(store_path)
+    if os.path.isdir(p):
+        shutil.rmtree(p)
+
+
+def ann_reinstate(spark: SparkSession, store_path: str, ids: DataFrame) -> int:
+    """Make room for a RE-INSERT of previously-deleted ids (a document
+    taken down and later republished: the change feed delivers it as a
+    fresh insert while its id still sits on the deletion list). Two
+    rewrites, both bounded by the ids' cells: drop the ids' stale code
+    rows from their cells (they encode the OLD vector) and rewrite the
+    deletion list without them. After this, the normal append path adds
+    the new codes and probes see exactly the republished version. Rare
+    path by construction — republish-after-takedown — so per-cell rewrite
+    cost is acceptable; returns the number of reinstated ids."""
+    dels = read_ann_deletes(spark, store_path)
+    if dels is None:
+        return 0
+    key = ids.columns[0]
+    idset = ids.select(F.col(key).alias("neighbor_id")).distinct()
+    hit = dels.join(F.broadcast(idset), "neighbor_id", "left_semi").cache()
+    n = hit.select("neighbor_id").distinct().count()
+    if not n:
+        hit.unpersist()
+        return 0
+    cells = sorted(r["cid"] for r in hit.select("cid").distinct().collect())
+    df = spark.read.parquet(store_path).filter(
+        F.col("cid").isin([int(c) for c in cells])
+    )
+    cols = [c for c in df.columns if c != "cid"]
+    kept = (
+        df.join(F.broadcast(hit.select("neighbor_id")), "neighbor_id", "left_anti")
+        .select(*cols, F.col("cid").cast("int").alias("cid"))
+        .repartition("cid")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        kept.write.mode("overwrite").partitionBy("cid").parquet(store_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    remaining = dels.join(F.broadcast(idset), "neighbor_id", "left_anti").cache()
+    n_rem = remaining.count()
+    _clear_deletes(store_path)
+    if n_rem:
+        remaining.coalesce(1).write.mode("overwrite").parquet(
+            _deletes_path(store_path)
+        )
+    remaining.unpersist()
+    hit.unpersist()
+    return n
+
+
+def write_centroid_sidecar(cent: DataFrame, store_path: str) -> None:
+    """Freeze the store's training artifact (cid, _ce, _cen) next to the
+    codes. Without this, appends recovered centroids from corpus-member
+    rows (id < n_centroids) — which a takedown of a training row, once
+    compacted, would silently change, drifting every later append's cell
+    assignment. The sidecar makes the index artifact self-contained, the
+    way real ANN services persist their trained quantizers with the
+    index (faiss index files carry their codebooks)."""
+    cent.select("cid", "_ce", "_cen").coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(store_path, CENTROIDS_DIR)
+    )
+
+
+def read_centroid_sidecar(spark: SparkSession, store_path: str) -> DataFrame | None:
+    p = os.path.join(store_path, CENTROIDS_DIR)
+    if not os.path.isdir(p):
+        return None
+    return spark.read.parquet(p).select("cid", "_ce", "_cen")
+
+
+def _maint_dir(store_path: str) -> str:
+    return os.path.join(store_path, MAINT_DIR)
+
+
+def _resolve_deleted_ids(
+    spark: SparkSession,
+    corpus_store: SegmentStore,
+    at_version: int,
+    dels: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Map tombstoned global row_ids (change-feed delete rows carry no
+    data columns) back to vector ids by reading the PRE-DELETE snapshot —
+    but only the segments whose row-range intersects the tombstones:
+    entry ranges are manifest math (driver-side, manifest-sized), so the
+    scan is bounded by the segments the takedown actually touched, never
+    the corpus. Two delta-sized jobs + a touched-segment column scan."""
+    entries = corpus_store.manifest_at(at_version)
+    ranges = spark.createDataFrame(
+        [
+            (i, e["row_id_offset"], e["row_id_offset"] + e["n_rows"])
+            for i, e in enumerate(entries)
+        ],
+        "idx int, lo long, hi long",
+    )
+    touched = sorted(
+        r["idx"]
+        for r in dels.join(
+            F.broadcast(ranges),
+            (F.col("row_id") >= F.col("lo")) & (F.col("row_id") < F.col("hi")),
+        )
+        .select("idx")
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return dels.select(F.lit(None).cast("long").alias(id_col)).limit(0)
+    opened = corpus_store._open_entries(spark, [entries[i] for i in touched])
+    return opened.join(
+        F.broadcast(dels.select("row_id")), "row_id", "left_semi"
+    ).select(id_col)
+
+
+def _store_ids(spark: SparkSession, store_path: str) -> DataFrame:
+    """All ids physically in the store — one column-pruned scan of the
+    8-byte id column (used to make insert-apply idempotent under replay)."""
+    return spark.read.parquet(store_path).select("neighbor_id")
+
+
+def ann_store_seed(
+    spark: SparkSession,
+    corpus_store: SegmentStore,
+    store_path: str,
+    id_col: str,
+    vec_col: str,
+    kind: str = "ivf",
+    n_centroids: int = 4,
+    dim: int | None = None,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    residual: bool = False,
+) -> int:
+    """Full (re)build of the ANN artifact from the corpus store's LATEST
+    snapshot, pinning the change-feed cursor at (version, epoch) — the
+    bootstrap AND the purge-recovery path (the 'full refresh' that
+    FullRefreshRequired demands). Also freezes the centroid sidecar so
+    later appends never depend on training rows surviving in the corpus.
+    Returns the seeded corpus version."""
+    from .similarity import (
+        _infer_dim,
+        _ivf_centroids,
+        ivf_build_store,
+        ivfpq_build_store,
+    )
+
+    doc, v = corpus_store.manifest_doc_versioned()
+    snap = corpus_store.open(spark)
+    dim = dim or _infer_dim(snap, vec_col)
+    _clear_deletes(store_path)
+    if kind == "ivf":
+        ivf_build_store(snap, id_col, vec_col, store_path, n_centroids, dim)
+    elif kind == "ivfpq":
+        ivfpq_build_store(
+            snap, id_col, vec_col, store_path, n_centroids,
+            m_subspaces, n_codes, dim, residual,
+        )
+    else:
+        raise ValueError(f"unknown ANN store kind {kind!r}")
+    write_centroid_sidecar(
+        _ivf_centroids(snap, id_col, vec_col, n_centroids, dim), store_path
+    )
+    _write_cdf_cursor(_maint_dir(store_path), v, doc["renumber_epoch"])
+    return v
+
+
+def ann_store_sync(
+    spark: SparkSession,
+    corpus_store: SegmentStore,
+    store_path: str,
+    id_col: str,
+    vec_col: str,
+    kind: str = "ivf",
+    n_centroids: int = 4,
+    dim: int | None = None,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    residual: bool = False,
+    auto_compact_threshold: int = AUTO_COMPACT_THRESHOLD,
+) -> list[tuple[int, int]]:
+    """Catch the ANN artifact up to the corpus store's latest snapshot by
+    consuming the change feed (stream_changes + the durable cursor under
+    ``<store>/_maintenance``): per window, re-inserted ids are reinstated
+    (:func:`ann_reinstate`), genuinely-new insert rows are
+    assigned/encoded against the FROZEN training artifacts and appended
+    (``ivf_append``/``ivfpq_append`` — delta-sized work), and tombstoned
+    row_ids are resolved to ids (:func:`_resolve_deleted_ids`, touched
+    segments only) and pushed onto the deletion list. A corpus purge
+    raises :class:`FullRefreshRequired` (epoch bump) — recover with
+    :func:`ann_store_seed`.
+
+    Delivery: stream_changes is at-least-once (cursor advances after the
+    apply). Replays converge: delete-apply is a set-append probes read as
+    a set, and insert-apply anti-joins the delivery against the store's
+    existing ids first, so a replayed window appends nothing. The one
+    torn window — a crash mid-parquet-append leaving a partial delivery —
+    can briefly duplicate rows of one window; ann_compact_deletes
+    dropDuplicates the touched cells, and the next compaction heals it.
+
+    When the pending deletion list exceeds ``auto_compact_threshold``
+    rows after catch-up, compaction runs inline — keeping the probe-side
+    anti-join broadcast-sized is part of the serving contract, not an
+    operator's memory."""
+    from .similarity import ivf_append, ivfpq_append
+
+    def apply(delta: DataFrame, frm: int, to: int) -> None:
+        ins = delta.filter(F.col("_change_type") == "insert").drop("_change_type")
+        dels = delta.filter(F.col("_change_type") == "delete").select("row_id")
+        if not dels.isEmpty():
+            gone = _resolve_deleted_ids(spark, corpus_store, frm, dels, id_col)
+            ann_apply_deletes(spark, store_path, gone)
+        if not ins.isEmpty():
+            ann_reinstate(spark, store_path, ins.select(id_col))
+            fresh = ins.join(
+                _store_ids(spark, store_path),
+                ins[id_col] == F.col("neighbor_id"),
+                "left_anti",
+            )
+            if not fresh.isEmpty():
+                if kind == "ivf":
+                    ivf_append(
+                        spark, store_path, fresh, id_col, vec_col,
+                        n_centroids, dim,
+                        cent=read_centroid_sidecar(spark, store_path),
+                    )
+                else:
+                    ivfpq_append(
+                        spark, store_path, fresh, corpus_store.open(spark),
+                        id_col, vec_col, n_centroids, m_subspaces, n_codes,
+                        dim, residual,
+                    )
+
+    windows = stream_changes(
+        spark, corpus_store, _maint_dir(store_path), apply
+    )
+    dl = read_ann_deletes(spark, store_path)
+    if dl is not None and dl.count() > auto_compact_threshold:
+        ann_compact_deletes(spark, store_path)
+    return windows

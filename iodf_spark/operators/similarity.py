@@ -671,6 +671,7 @@ def ivf_append(
     vec_col: str,
     n_centroids: int = 4,
     dim: int | None = None,
+    cent: DataFrame | None = None,
 ) -> None:
     """Incremental IVF maintenance — the growing-corpus path: assign ONLY
     the new vectors against the store's FROZEN centroids and append them to
@@ -678,15 +679,20 @@ def ivf_append(
     inverted lists; the delivery's cost is one broadcast-assign over the
     new rows plus an append write. Result is row-identical to a one-shot
     build over the union (same centroids -> same cells; probes prune the
-    same partitions). Centroids are recovered from the store itself: the
-    centroid vectors are corpus members with id < n_centroids, each stored
-    in its own cell at build time."""
-    store = spark.read.parquet(store_path)
-    cent = store.filter(F.col("neighbor_id") < n_centroids).select(
-        F.col("neighbor_id").cast("int").alias("cid"),
-        F.col("_cv").alias("_ce"),
-        F.col("_cvn").alias("_cen"),
-    )
+    same partitions). ``cent`` supplies the frozen centroids explicitly
+    (the centroid SIDECAR a maintained store carries — see
+    ann_maintenance.write_centroid_sidecar: recovery from in-store member
+    rows breaks once a takedown of a training row is compacted away);
+    None falls back to the legacy recovery — the centroid vectors are
+    corpus members with id < n_centroids, each stored in its own cell at
+    build time."""
+    if cent is None:
+        store = spark.read.parquet(store_path)
+        cent = store.filter(F.col("neighbor_id") < n_centroids).select(
+            F.col("neighbor_id").cast("int").alias("cid"),
+            F.col("_cv").alias("_ce"),
+            F.col("_cvn").alias("_cen"),
+        )
     dim = dim or _infer_dim(new_df, vec_col)
     _ivf_assign(new_df, id_col, vec_col, n_centroids, dim, cent=cent).write.mode(
         "append"
@@ -716,9 +722,12 @@ def ann_ivf_store(
         df, id_col, vec_col, query_ids, n_centroids, n_probe, dim
     )
     probe_cells = sorted({r["cid"] for r in qcells.select("cid").collect()})
-    assigned = spark.read.parquet(store_path).filter(
-        F.col("cid").isin([int(c) for c in probe_cells])
-    )
+    # delete-aware scan: anti-join the store's pending-deletion list
+    # (pruned to the probed cells, broadcast) so takedowns stop surfacing
+    # immediately — see ann_maintenance for the lifecycle
+    from .ann_maintenance import live_codes
+
+    assigned = live_codes(spark, store_path, cells=probe_cells)
     return _ivf_score(qcells, assigned, k, dim)
 
 
@@ -1632,9 +1641,13 @@ def ann_ivfpq_store(
         query_vecs=query_vecs,
     ).localCheckpoint()
     probe_cells = sorted({r["cid"] for r in qcells.select("cid").collect()})
-    codes = spark.read.parquet(store_path).filter(
-        F.col("cid").isin([int(c) for c in probe_cells])
-    )
+    # delete-aware: a maintained store carries a pending-deletion list
+    # (ann_maintenance) — live_codes anti-joins it, pruned to the probed
+    # cells, so a taken-down document stops surfacing the moment its
+    # delete is applied, compaction or not
+    from .ann_maintenance import live_codes
+
+    codes = live_codes(spark, store_path, cells=probe_cells)
     if residual:
         ranked = _ivfpq_residual_rank(
             df, id_col, vec_col, codes, qcells,

@@ -1,0 +1,247 @@
+"""Delete propagation into materialized ANN stores (ann_maintenance):
+probed stores must never return a taken-down corpus row across the full
+lifecycle delete -> compact -> reinsert -> purge -> rebuild, and the
+change-feed cursor must surface a purge as FullRefreshRequired (the
+renumber-epoch interplay). Reference parity: merged-index maintenance on
+segment lifecycle events, reference io/Dfs.scala:476-487."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iodf_spark.operators.ann_maintenance import (
+    ann_apply_deletes,
+    ann_compact_deletes,
+    ann_reinstate,
+    ann_store_seed,
+    ann_store_sync,
+    read_ann_deletes,
+    read_centroid_sidecar,
+    FullRefreshRequired,
+)
+from iodf_spark.operators.similarity import ann_ivf, ann_ivf_store, ann_ivfpq_store
+from iodf_spark.sources.segments import SegmentStore
+
+DIM = 64
+QUERIES = [200, 300, 400]
+DELETED = [201, 202, 301]  # all >= n_centroids/n_codes: training rows survive
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+    )
+
+
+@pytest.fixture()
+def corpus(spark, emb, tmp_path):
+    store = SegmentStore(str(tmp_path / "corpus"))
+    store.write_segment(emb.filter(F.col("vec_id") < 450), order_keys=["vec_id"])
+    return store
+
+
+def _probe(spark, emb, path, query_ids=QUERIES, k=5):
+    return {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_ivf_store(
+            emb, "vec_id", "embedding", path, query_ids, k=k, dim=DIM
+        ).collect()
+    }
+
+
+def test_lifecycle_never_returns_deleted(spark, emb, corpus, tmp_path):
+    """delete -> sync -> compact -> purge -> sync(raises) -> reseed: the
+    probed store excludes taken-down ids at EVERY stage, and each stage's
+    results equal a fresh IVF over the filtered corpus (same frozen
+    centroids — deleted ids are outside the training prefix)."""
+    path = str(tmp_path / "ivf")
+    ann_store_seed(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+
+    live = corpus.open(spark).filter(~F.col("vec_id").isin(DELETED))
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_ivf(live, "vec_id", "embedding", QUERIES, k=5, dim=DIM).collect()
+    }
+
+    # stage 1: corpus takedown -> sync -> deletion-list path
+    corpus.delete_where(spark, F.col("vec_id").isin(DELETED))
+    windows = ann_store_sync(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    assert windows, "sync must consume the delete window"
+    got = _probe(spark, emb, path)
+    assert set(got.values()).isdisjoint(DELETED)
+    assert got == want
+    assert read_ann_deletes(spark, path) is not None  # list path, no rewrite yet
+
+    # stage 2: compaction materializes the deletes into the touched cells
+    cells = ann_compact_deletes(spark, path)
+    assert cells
+    assert read_ann_deletes(spark, path) is None
+    physical = {
+        r["neighbor_id"]
+        for r in spark.read.parquet(path).select("neighbor_id").collect()
+    }
+    assert physical.isdisjoint(DELETED)
+    assert _probe(spark, emb, path) == want
+
+    # stage 3: corpus compaction is row_id-invariant -> sync is a no-op
+    corpus.compact(spark)
+    ann_store_sync(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    assert _probe(spark, emb, path) == want
+
+    # stage 4: PURGE renumbers the row space -> the cursor's epoch is
+    # stale -> sync must refuse incrementally and demand a full refresh
+    corpus.purge(spark)
+    with pytest.raises(FullRefreshRequired):
+        ann_store_sync(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+
+    # stage 5: re-seed (the prescribed recovery) -> identical results
+    ann_store_seed(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    assert _probe(spark, emb, path) == want
+
+
+def test_sync_appends_inserts_and_is_idempotent(spark, emb, corpus, tmp_path):
+    path = str(tmp_path / "ivf")
+    ann_store_seed(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    # corpus grows: rows 450..499 arrive as a new segment
+    corpus.write_segment(
+        emb.filter(F.col("vec_id") >= 450), order_keys=["vec_id"]
+    )
+    assert ann_store_sync(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    # appended rows are probeable and results equal a full-corpus IVF
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_ivf(
+            corpus.open(spark), "vec_id", "embedding", QUERIES, k=5, dim=DIM
+        ).collect()
+    }
+    assert _probe(spark, emb, path) == want
+    # replay: caught-up sync does nothing; store row count stable
+    n0 = spark.read.parquet(path).count()
+    assert ann_store_sync(spark, corpus, path, "vec_id", "embedding", dim=DIM) == []
+    assert spark.read.parquet(path).count() == n0
+
+
+def test_reinsert_after_takedown(spark, emb, corpus, tmp_path):
+    """A republished document (delete then insert of the same vec_id with
+    a NEW vector) must surface with the new content — the deletion-list
+    entry is reinstated, the stale codes dropped, the new codes appended."""
+    path = str(tmp_path / "ivf")
+    ann_store_seed(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    victim = 210
+    corpus.delete_where(spark, F.col("vec_id") == victim)
+    ann_store_sync(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    assert victim not in set(_probe(spark, emb, path, k=20).values())
+    # republish: same id, a different vector (vec_id 480's embedding)
+    newvec = emb.filter(F.col("vec_id") == 480).select(
+        F.lit(victim).cast("long").alias("vec_id"), "embedding"
+    )
+    corpus.write_segment(newvec, order_keys=["vec_id"])
+    ann_store_sync(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    # the id is live again, once, with the NEW vector's codes
+    rows = (
+        spark.read.parquet(path)
+        .filter(F.col("neighbor_id") == victim)
+        .collect()
+    )
+    assert len(rows) == 1
+    assert read_ann_deletes(spark, path) is None or (
+        read_ann_deletes(spark, path)
+        .filter(F.col("neighbor_id") == victim)
+        .count()
+        == 0
+    )
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_ivf(
+            corpus.open(spark), "vec_id", "embedding", QUERIES, k=5, dim=DIM
+        ).collect()
+    }
+    assert _probe(spark, emb, path) == want
+
+
+def test_apply_deletes_is_replay_safe(spark, emb, tmp_path):
+    from iodf_spark.operators.similarity import ivf_build_store
+
+    path = str(tmp_path / "ivf")
+    ivf_build_store(emb, "vec_id", "embedding", path, n_centroids=4, dim=DIM)
+    ids = spark.createDataFrame([(i,) for i in DELETED], "vec_id long")
+    assert ann_apply_deletes(spark, path, ids) == len(DELETED)
+    p1 = _probe(spark, emb, path)
+    ann_apply_deletes(spark, path, ids)  # replayed window
+    assert _probe(spark, emb, path) == p1
+    # reinstate clears both the list and the stale codes
+    assert ann_reinstate(spark, path, ids) == len(DELETED)
+    assert read_ann_deletes(spark, path) is None
+    assert (
+        spark.read.parquet(path)
+        .filter(F.col("neighbor_id").isin(DELETED))
+        .count()
+        == 0
+    )
+
+
+def test_centroid_sidecar_survives_training_row_takedown(
+    spark, emb, corpus, tmp_path
+):
+    """Deleting a training-prefix row must not drift later appends: the
+    sidecar freezes the build-time centroids, so an append after the
+    takedown still assigns against the ORIGINAL cells (legacy in-store
+    recovery would lose centroid 2 once its member row is compacted)."""
+    path = str(tmp_path / "ivf")
+    ann_store_seed(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    side = read_centroid_sidecar(spark, path)
+    assert side is not None and side.count() == 4
+    corpus.delete_where(spark, F.col("vec_id") == 2)  # centroid member
+    ann_store_sync(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    ann_compact_deletes(spark, path)  # centroid 2's member row physically gone
+    # an append after the takedown still lands rows in all 4 original cells
+    corpus.write_segment(
+        emb.filter(F.col("vec_id") >= 450), order_keys=["vec_id"]
+    )
+    ann_store_sync(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    side2 = read_centroid_sidecar(spark, path)
+    assert {r["cid"] for r in side2.select("cid").collect()} == {0, 1, 2, 3}
+    # and the store's appended rows match a fresh build with the SAME
+    # frozen centroids (cells recovered from the sidecar, not members)
+    new_ids = {
+        r["neighbor_id"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("neighbor_id") >= 450)
+        .select("neighbor_id")
+        .collect()
+    }
+    assert len(new_ids) == 50
+
+
+def test_ivfpq_store_is_delete_aware(spark, emb, corpus, tmp_path):
+    path = str(tmp_path / "ivfpq")
+    ann_store_seed(
+        spark, corpus, path, "vec_id", "embedding", kind="ivfpq", dim=DIM
+    )
+    corpus.delete_where(spark, F.col("vec_id").isin(DELETED))
+    ann_store_sync(
+        spark, corpus, path, "vec_id", "embedding", kind="ivfpq", dim=DIM
+    )
+
+    def probe():
+        return {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ann_ivfpq_store(
+                emb, "vec_id", "embedding", path, QUERIES, k=5, dim=DIM,
+                rerank=20,
+            ).collect()
+        }
+
+    got = probe()
+    assert set(got.values()).isdisjoint(DELETED)
+    ann_compact_deletes(spark, path)
+    assert probe() == got
+    physical = {
+        r["neighbor_id"]
+        for r in spark.read.parquet(path).select("neighbor_id").collect()
+    }
+    assert physical.isdisjoint(DELETED)

@@ -75,9 +75,13 @@ def test_bench_arm_factories_cover_their_query_variants():
     silently vanish from the bench sub-timings. Factories are
     side-effect-free (lazy table/index access), so enumerating arm names
     needs no SparkSession."""
+    # round 9: ivf4/pq16 retired (bit-identical to ivf4_store / subsumed
+    # by pq16_rr, both pytest-pinned); del_sync/del_compact/rebuilt added
+    # (the delete-propagation lifecycle — ordered, thunks share state)
     assert [a for a, _ in _arm_names("ann_topk")] == [
-        "brute", "lsh_single", "lsh_multi", "ivf4", "ivf64", "ivf4_store",
-        "pq16", "pq16_rr", "ivfpq_rr", "extq", "ivfpq_res",
+        "brute", "lsh_single", "lsh_multi", "ivf64", "ivf4_store",
+        "pq16_rr", "ivfpq_rr", "extq", "ivfpq_res",
+        "del_sync", "del_compact", "rebuilt",
     ]
     assert [a for a, _ in _arm_names("index_probe_rows")] == [
         "probe", "auto_index", "auto_scan", "auto_multi", "auto_any",
@@ -114,17 +118,22 @@ def test_segments_compact_arm_budget():
 
 
 def test_ann_topk_arm_budget():
-    """Pinned arm budget for the consolidated ANN cell — at 11 arms /
-    ~29 s it is now the most expensive bench cell (the segments_compact
-    lesson, round-7 VERDICT). Growth past the budget requires retiring a
+    """Pinned arm budget for the consolidated ANN cell — the most
+    expensive bench cell (the segments_compact lesson, round-7 VERDICT).
+    Round 9 spent the budget deliberately: ivf4 and pq16 retired
+    (bit-identical / subsumed — pytest parity pins keep their coverage),
+    and the three delete-propagation lifecycle arms added
+    (del_sync/del_compact/rebuilt — a SegmentStore corpus, its change
+    feed, and an IVF store maintained off it; ~15 s of genuinely new
+    attested lifecycle work, the same weight class as segments_compact's
+    17 lifecycle arms). Growth past the budget requires retiring a
     subsumed arm or raising this number with a bench-weight rationale.
-    12 = the current 11 + one slot of headroom. Note the cell ALSO has a
-    hard external ceiling: every arm's plan is localCheckpointed inside
-    q_ann_topk because the driver's vanilla 1g session OOMs on the lazy
-    11-arm union (see q_ann_topk) — arms are cheap to run but NOT free to
-    stack."""
+    Note the cell ALSO has a hard external ceiling: every arm's plan is
+    localCheckpointed inside q_ann_topk because the driver's vanilla 1g
+    session OOMs on the lazy many-arm union (see q_ann_topk) — arms are
+    cheap to run but NOT free to stack."""
     assert len(_arm_names("ann_topk")) <= 12, (
         "ann_topk arm budget exceeded — retire a subsumed arm (the "
-        "ivf4/lsh_single retirement analysis in round 8 is the template) "
+        "ivf4/pq16 retirement analysis in round 9 is the template) "
         "or raise the budget with a bench-weight rationale"
     )
