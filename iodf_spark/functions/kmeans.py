@@ -1,0 +1,113 @@
+"""Deterministic fixed-iteration Lloyd's k-means — the quantizer trainer
+behind trained IVF centroids and PQ codebooks (round-8 verdict #2: replace
+id-prefix sampling with trained quantizers).
+
+Runs DRIVER-SIDE on a bounded sample, which is the production shape at
+100 TB (faiss trains its coarse quantizer and PQ codebooks on a sampled
+slice, never the corpus): training cost is O(sample x k x iters),
+independent of corpus size, and the trained centroids broadcast as
+literals into the distributed assign/encode stages.
+
+Determinism is the load-bearing property: the SAME function on the SAME
+sample must produce bit-identical float64 centroids wherever it runs,
+because the Spark query and the DuckDB oracle twin both embed the output
+as full-precision literals. Everything is therefore fixed-order:
+
+* init = farthest-first traversal (Gonzalez '85) — no RNG: centroid 0 is
+  sample[0]; each next centroid is the sample point maximizing min
+  distance to the chosen set, ties broken by lowest index;
+* assignment iterates points in index order; nearest centroid, ties to
+  the LOWEST centroid id (the same tie rule as the distributed
+  _ivf_assign / _pq_encode argmins);
+* update = arithmetic mean of members in index order; a cluster that
+  loses all members keeps its previous centroid (no re-seeding RNG);
+* a fixed iteration count (no data-dependent convergence test — early
+  exit on a float comparison could diverge between environments).
+
+Metrics: 'cos' (spherical k-means — assignment by max cosine, means
+taken over L2-normalized points; the IVF coarse-quantizer metric) and
+'l2' (classic Lloyd's; the per-subspace PQ codebook metric, matching
+_pq_encode's argmin ||x-c||^2).
+"""
+
+from __future__ import annotations
+
+
+def lloyd_kmeans(
+    sample: list[list[float]],
+    k: int,
+    iters: int = 10,
+    metric: str = "cos",
+) -> list[list[float]]:
+    """Train ``k`` centroids on ``sample`` (a driver-side list of float
+    vectors, caller-fixed order). Returns k centroids as float64 lists.
+    Raises if the sample has fewer than k points."""
+    import numpy as np
+
+    if metric not in ("cos", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
+    X = np.asarray(sample, dtype=np.float64)
+    if X.ndim != 2 or len(X) < k:
+        raise ValueError(f"need a 2-D sample with >= {k} points, got {X.shape}")
+    P = X
+    if metric == "cos":
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        if not (norms > 0).all():
+            raise ValueError("zero vector in training sample (cos metric)")
+        P = X / norms
+
+    # farthest-first init (deterministic; ties -> lowest index via argmax)
+    def dist_to(c):
+        if metric == "cos":
+            return 1.0 - P @ c
+        d = P - c
+        return (d * d).sum(axis=1)
+
+    cents = [P[0].copy()]
+    dmin = dist_to(cents[0])
+    for _ in range(k - 1):
+        nxt = int(np.argmax(dmin))
+        cents.append(P[nxt].copy())
+        dmin = np.minimum(dmin, dist_to(cents[-1]))
+    C = np.stack(cents)
+
+    for _ in range(iters):
+        if metric == "cos":
+            # max cosine == max dot on normalized points; ties -> lowest
+            # centroid id (argmax returns the first maximum)
+            A = np.argmax(P @ C.T, axis=1)
+        else:
+            d2 = ((P[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            A = np.argmin(d2, axis=1)
+        for j in range(k):
+            members = P[A == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return [[float(x) for x in row] for row in C]
+
+
+def train_ivf_centroids(
+    sample: list[list[float]], k: int, iters: int = 10
+) -> list[list[float]]:
+    """Spherical k-means for the IVF coarse quantizer (assignment metric
+    is cosine — see _ivf_assign)."""
+    return lloyd_kmeans(sample, k, iters=iters, metric="cos")
+
+
+def train_pq_codebooks(
+    sample: list[list[float]],
+    m_subspaces: int,
+    n_codes: int,
+    iters: int = 10,
+) -> list[list[list[float]]]:
+    """Per-subspace L2 Lloyd's for PQ codebooks (encode metric is argmin
+    ||x_sub - c||^2 — see _pq_encode). Returns [m][n_codes][sub_dim]."""
+    dim = len(sample[0])
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub = dim // m_subspaces
+    out = []
+    for j in range(m_subspaces):
+        subsample = [v[j * sub : (j + 1) * sub] for v in sample]
+        out.append(lloyd_kmeans(subsample, n_codes, iters=iters, metric="l2"))
+    return out

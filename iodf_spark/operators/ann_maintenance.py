@@ -321,13 +321,17 @@ def ann_store_seed(
     m_subspaces: int = 4,
     n_codes: int = 16,
     residual: bool = False,
+    cent_vecs: list[list[float]] | None = None,
 ) -> int:
     """Full (re)build of the ANN artifact from the corpus store's LATEST
     snapshot, pinning the change-feed cursor at (version, epoch) — the
     bootstrap AND the purge-recovery path (the 'full refresh' that
     FullRefreshRequired demands). Also freezes the centroid sidecar so
     later appends never depend on training rows surviving in the corpus.
-    Returns the seeded corpus version."""
+    ``cent_vecs`` freezes TRAINED centroids (functions/kmeans — the
+    driver-side deterministic Lloyd's) into the build AND the sidecar, so
+    the whole store lifecycle (appends, probes, compactions) runs on the
+    trained quantizer. Returns the seeded corpus version."""
     from .similarity import (
         _infer_dim,
         _ivf_centroids,
@@ -340,8 +344,16 @@ def ann_store_seed(
     dim = dim or _infer_dim(snap, vec_col)
     _clear_deletes(store_path)
     if kind == "ivf":
-        ivf_build_store(snap, id_col, vec_col, store_path, n_centroids, dim)
+        ivf_build_store(
+            snap, id_col, vec_col, store_path, n_centroids, dim, cent_vecs
+        )
     elif kind == "ivfpq":
+        if cent_vecs is not None:
+            raise ValueError(
+                "trained centroids for the ivfpq store are not wired yet — "
+                "ivfpq_build_store derives its residual chain from the "
+                "id-prefix sample"
+            )
         ivfpq_build_store(
             snap, id_col, vec_col, store_path, n_centroids,
             m_subspaces, n_codes, dim, residual,
@@ -349,7 +361,8 @@ def ann_store_seed(
     else:
         raise ValueError(f"unknown ANN store kind {kind!r}")
     write_centroid_sidecar(
-        _ivf_centroids(snap, id_col, vec_col, n_centroids, dim), store_path
+        _ivf_centroids(snap, id_col, vec_col, n_centroids, dim, cent_vecs),
+        store_path,
     )
     _write_cdf_cursor(_maint_dir(store_path), v, doc["renumber_epoch"])
     return v

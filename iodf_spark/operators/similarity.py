@@ -507,23 +507,45 @@ def ann_ivf(
     n_centroids: int = 4,
     n_probe: int = 2,
     dim: int | None = None,
+    cent_vecs: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: the corpus is partitioned into inverted lists by
     nearest centroid; queries probe only the `n_probe` nearest lists.
     Centroids are deterministic (the vectors with id < n_centroids — a
-    fixed 'training sample'), so assignment and results are
+    fixed 'training sample' — or TRAINED literals via ``cent_vecs``, the
+    driver-side Lloyd's output), so assignment and results are
     oracle-checkable. Scale path: centroids are tiny and broadcast both
     times; the corpus is scanned once to assign cells (narrow after the
     broadcast join) and candidate generation touches only probed cells —
     at 100 TB the assigned corpus is written partitioned by cell so probes
     prune to n_probe/n_centroids of the data."""
     dim = dim or _infer_dim(df, vec_col)
-    assigned = _ivf_assign(df, id_col, vec_col, n_centroids, dim)
-    qcells = _ivf_query_cells(df, id_col, vec_col, query_ids, n_centroids, n_probe, dim)
+    cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim, cent_vecs)
+    assigned = _ivf_assign(df, id_col, vec_col, n_centroids, dim, cent=cent)
+    qcells = _ivf_query_cells(
+        df, id_col, vec_col, query_ids, n_centroids, n_probe, dim, cent=cent
+    )
     return _ivf_score(qcells, assigned, k, dim)
 
 
-def _ivf_centroids(df: DataFrame, id_col: str, vec_col: str, n_centroids: int, dim: int):
+def _ivf_centroids(
+    df: DataFrame, id_col: str, vec_col: str, n_centroids: int, dim: int,
+    cent_vecs: list[list[float]] | None = None,
+):
+    """(cid, _ce, _cen): the coarse quantizer. Default = the deterministic
+    id-prefix sample (vectors with id < n_centroids). ``cent_vecs``
+    substitutes TRAINED centroids (functions/kmeans.lloyd_kmeans output —
+    driver-side deterministic Lloyd's): they enter as full-precision
+    float64 literals, the norm is computed by the same unrolled expression
+    in both engines, so the oracle twin stays bit-equal."""
+    if cent_vecs is not None:
+        lit = df.sparkSession.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(cent_vecs)],
+            schema="cid int, _ce array<double>",
+        )
+        return lit.select(
+            "cid", "_ce", F.expr(norm_expr("_ce", "spark", dim)).alias("_cen")
+        )
     return df.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("_ce"),
@@ -608,9 +630,13 @@ def _ivf_query_cells(
     n_probe: int,
     dim: int,
     query_vecs: dict[int, list[float]] | None = None,
+    cent: DataFrame | None = None,
 ) -> DataFrame:
-    """(cid, query_id, _qv, _qn): the n_probe nearest cells per query."""
-    cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim)
+    """(cid, query_id, _qv, _qn): the n_probe nearest cells per query.
+    ``cent`` overrides the centroid frame (trained literals or a store's
+    frozen sidecar)."""
+    if cent is None:
+        cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim)
     q = _query_frame(df, id_col, vec_col, query_ids, query_vecs).select(
         "query_id",
         "_qv",
@@ -649,18 +675,22 @@ def ivf_build_store(
     path: str,
     n_centroids: int = 4,
     dim: int | None = None,
+    cent_vecs: list[list[float]] | None = None,
 ) -> None:
     """Materialize the IVF index as a cell-PARTITIONED parquet store — the
     100 TB layout: each inverted list is its own partition directory, so a
     probe reads n_probe/n_centroids of the data at the FILE level
-    (PartitionFilters prune before any IO; asserted by plan test)."""
+    (PartitionFilters prune before any IO; asserted by plan test).
+    ``cent_vecs`` builds the store around TRAINED centroids (driver-side
+    Lloyd's literals) instead of the id-prefix sample."""
     dim = dim or _infer_dim(df, vec_col)
+    cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim, cent_vecs)
     # cluster by cell before the partitioned write: each inverted list lands
     # in one task's output (<= 1 file per cell), instead of every assign
     # partition fragmenting every cell directory
-    _ivf_assign(df, id_col, vec_col, n_centroids, dim).repartition("cid").write.mode(
-        "overwrite"
-    ).partitionBy("cid").parquet(path)
+    _ivf_assign(
+        df, id_col, vec_col, n_centroids, dim, cent=cent
+    ).repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(path)
 
 
 def ivf_append(
@@ -718,8 +748,15 @@ def ann_ivf_store(
     the same values; parquet round-trips doubles exactly)."""
     spark = df.sparkSession
     dim = dim or _infer_dim(df, vec_col)
+    # query cells resolve against the store's frozen centroid SIDECAR when
+    # one exists (a maintained store — the sidecar survives takedowns of
+    # training-prefix rows; see ann_maintenance.write_centroid_sidecar),
+    # falling back to the source-derived id-prefix sample
+    from .ann_maintenance import read_centroid_sidecar
+
     qcells = _ivf_query_cells(
-        df, id_col, vec_col, query_ids, n_centroids, n_probe, dim
+        df, id_col, vec_col, query_ids, n_centroids, n_probe, dim,
+        cent=read_centroid_sidecar(spark, store_path),
     )
     probe_cells = sorted({r["cid"] for r in qcells.select("cid").collect()})
     # delete-aware scan: anti-join the store's pending-deletion list
@@ -731,6 +768,29 @@ def ann_ivf_store(
     return _ivf_score(qcells, assigned, k, dim)
 
 
+def _cent_sql(
+    id_col: str,
+    vec_col: str,
+    table: str,
+    n_centroids: int,
+    cent_vecs: list[list[float]] | None = None,
+) -> str:
+    """SQL for the coarse quantizer: the id-prefix sample, or TRAINED
+    centroids as full-precision VALUES literals (the repr of the same
+    float64s the Spark side feeds createDataFrame — bit-equal by
+    construction)."""
+    if cent_vecs is None:
+        return (
+            f"SELECT {id_col} AS cid, {vec_col} AS _ce FROM {table} "
+            f"WHERE {id_col} < {n_centroids}"
+        )
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in v)}]::DOUBLE[])"
+        for i, v in enumerate(cent_vecs)
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS _c(cid, _ce)"
+
+
 def ann_ivf_oracle(
     id_col: str,
     vec_col: str,
@@ -740,14 +800,14 @@ def ann_ivf_oracle(
     n_centroids: int = 4,
     n_probe: int = 2,
     dim: int | None = None,
+    cent_vecs: list[list[float]] | None = None,
 ) -> str:
     ids = ", ".join(str(i) for i in query_ids)
     acos = cosine_expr("c._cv", "ct._ce", "duckdb", dim)
     qccos = cosine_expr("q._qv", "ct._ce", "duckdb", dim)
     cos = cosine_expr("qc._qv", "a._cv", "duckdb", dim)
     return f"""
-        WITH cent AS (SELECT {id_col} AS cid, {vec_col} AS _ce FROM {table}
-                      WHERE {id_col} < {n_centroids}),
+        WITH cent AS ({_cent_sql(id_col, vec_col, table, n_centroids, cent_vecs)}),
         corpus AS (SELECT {id_col} AS neighbor_id, {vec_col} AS _cv FROM {table}),
         ascore AS (
           SELECT c.neighbor_id, c._cv, ct.cid, {acos} AS ccos
@@ -909,6 +969,7 @@ def ann_pq(
     n_codes: int = 16,
     dim: int | None = None,
     rerank: int | None = None,
+    codebook_vecs: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """PQ/ADC approximate top-k (Jégou et al., 'Product Quantization for
     Nearest Neighbor Search', TPAMI'11 — the compressed-scan half of
@@ -947,7 +1008,9 @@ def ann_pq(
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
     sub_dim = dim // m_subspaces
-    cb = _pq_codebook(df, id_col, vec_col, m_subspaces, sub_dim, n_codes)
+    cb = _pq_codebook(
+        df, id_col, vec_col, m_subspaces, sub_dim, n_codes, codebook_vecs
+    )
     codes = _pq_encode(df, id_col, vec_col, m_subspaces, sub_dim, cb)
     ranked = _pq_adc_rank(
         codes, df, id_col, vec_col, query_ids, m_subspaces, sub_dim, dim, cb
@@ -961,10 +1024,28 @@ def ann_pq(
     return _pq_rerank(ranked, df, id_col, vec_col, query_ids, k, rerank, dim)
 
 
-def _pq_codebook(df, id_col, vec_col, m_subspaces, sub_dim, n_codes):
+def _pq_codebook(df, id_col, vec_col, m_subspaces, sub_dim, n_codes,
+                 codebook_vecs=None):
     """(code, m, csub, _cn2): the deterministic sample codebooks — the
     subvectors of the vectors with id < n_codes (see ann_pq's determinism
-    note), plus each codeword's squared norm."""
+    note), plus each codeword's squared norm. ``codebook_vecs``
+    ([m][n_codes][sub_dim], functions/kmeans.train_pq_codebooks output)
+    substitutes TRAINED codewords as float64 literals; _cn2 is computed
+    by the same unrolled expression either way so the oracle twin stays
+    bit-equal."""
+    if codebook_vecs is not None:
+        rows = [
+            (c, m, [float(x) for x in cw])
+            for m, words in enumerate(codebook_vecs)
+            for c, cw in enumerate(words)
+        ]
+        lit = df.sparkSession.createDataFrame(
+            rows, schema="code int, m int, csub array<double>"
+        )
+        return lit.select(
+            "code", "m", "csub",
+            F.expr(_dot("csub", "csub", "spark", sub_dim)).alias("_cn2"),
+        )
     return _pq_subspaces(
         df.filter(F.col(id_col) < n_codes), id_col, vec_col, m_subspaces, sub_dim, "code"
     ).select(
@@ -1098,10 +1179,12 @@ def ann_pq_oracle(
     n_codes: int = 16,
     dim: int | None = None,
     rerank: int | None = None,
+    codebook_vecs: list[list[list[float]]] | None = None,
 ) -> str:
-    """DuckDB twin of ann_pq: same sample codebooks, same argmin
-    (row_number tie-broken by code), same fixed-order ADC sums, same
-    optional exact-cosine re-rank of the ADC shortlist."""
+    """DuckDB twin of ann_pq: same sample codebooks (or the same TRAINED
+    codeword literals), same argmin (row_number tie-broken by code), same
+    fixed-order ADC sums, same optional exact-cosine re-rank of the ADC
+    shortlist."""
     if dim is None or dim % m_subspaces:
         raise ValueError("oracle needs an explicit dim divisible by m_subspaces")
     sub_dim = dim // m_subspaces
@@ -1149,10 +1232,25 @@ def ann_pq_oracle(
                                     ORDER BY cos DESC, neighbor_id)::INT AS rank
           FROM rr)"""
         final_src = "rranked"
+    if codebook_vecs is None:
+        cb_src = (
+            f"SELECT code, m, sub AS csub, "
+            f"{_dot('sub', 'sub', 'duckdb', sub_dim)} AS _cn2 "
+            f"FROM ({sub_arms(f' WHERE {id_col} < {n_codes}', 'code')})"
+        )
+    else:
+        rows = ", ".join(
+            f"({c}, {m}, [{', '.join(repr(float(x)) for x in cw)}]::DOUBLE[])"
+            for m, words in enumerate(codebook_vecs)
+            for c, cw in enumerate(words)
+        )
+        cb_src = (
+            f"SELECT code, m, csub, "
+            f"{_dot('csub', 'csub', 'duckdb', sub_dim)} AS _cn2 "
+            f"FROM (VALUES {rows}) AS _cb(code, m, csub)"
+        )
     return f"""
-        WITH cb AS (
-          SELECT code, m, sub AS csub, {_dot("sub", "sub", "duckdb", sub_dim)} AS _cn2
-          FROM ({sub_arms(f" WHERE {id_col} < {n_codes}", "code")})),
+        WITH cb AS ({cb_src}),
         nsub AS ({sub_arms("", "neighbor_id")}),
         dists AS (
           SELECT neighbor_id, n.m, code,
@@ -1308,6 +1406,7 @@ def semdedup(
     dim: int | None = None,
     n_blocks: int | None = None,
     keep_by: str | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Semantic deduplication (Abbas et al. 2023, 'SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication'): cluster the
@@ -1335,10 +1434,48 @@ def semdedup(
     itself removed; that matches the paper's per-ball marking, and
     `dedup_clusters` is the transitive alternative).
 
+    ``n_probe`` (round-9 verdict #5) recovers most cross-cell near-dups:
+    each row enters its top-n_probe cells for PAIR GENERATION (the
+    corpus-side mirror of the IVF probe knob), so a boundary pair is
+    found whenever ANY probed cell is shared. Pair work grows ~n_probe^2
+    per cell in the worst case but stays cluster-bounded; the found-pair
+    set is MONOTONE in n_probe (probe-1 cells are a subset of probe-2
+    cells), so recall can only improve — property-tested. Duplicate
+    pairs from multiply-shared cells are absorbed by the witness
+    aggregations (min/argmax are idempotent), never double-counted.
+
     Output (doc_id, cluster_id, keep), oracle-exact: quantized int64 dots
     (any summation order) + float64 normalization, same as cosine_pairs."""
     dim = dim or _infer_dim(df, vec_col)
-    assigned = _ivf_assign(df, id_col, vec_col, n_centroids, dim)
+    if n_probe <= 1:
+        assigned = _ivf_assign(df, id_col, vec_col, n_centroids, dim)
+    else:
+        # top-n_probe cells per row: score on SCALARS only (the _ivf_assign
+        # lesson — arrays in the expansion sort kill the stage), rank with
+        # a window, re-attach the vector by one corpus-sized join
+        cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim)
+        corpus = fan_out(
+            df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+        ).withColumn("_cvn", F.expr(norm_expr("_cv", "spark", dim)))
+        scored = (
+            corpus.crossJoin(F.broadcast(cent))
+            .withColumn(
+                "ccos", F.expr(f"({_dot('_cv', '_ce', 'spark', dim)}) / (_cvn * _cen)")
+            )
+            .select("neighbor_id", "cid", "ccos")
+        )
+        wp = Window.partitionBy("neighbor_id").orderBy(
+            F.col("ccos").desc(), F.col("cid")
+        )
+        top = (
+            scored.withColumn("_r", F.row_number().over(wp))
+            .filter(F.col("_r") <= n_probe)
+            .select("cid", "neighbor_id")
+        )
+        assigned = top.join(
+            df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+            "neighbor_id",
+        )
     q = assigned.select(
         F.col("neighbor_id").alias("id"),
         F.expr(quant_expr("_cv", "spark")).alias("qv"),
@@ -1403,10 +1540,13 @@ def semdedup_oracle(
     threshold: float = 0.45,
     dim: int | None = None,
     keep_by: str | None = None,
+    n_probe: int = 1,
 ) -> str:
     """DuckDB twin of semdedup: same id-prefix centroids and max-cosine
-    cell assignment, same quantized within-cell pair scores, same
-    smallest-witness (or keep_by strongest-witness) keep rule."""
+    (top-n_probe) cell assignment, same quantized within-cell pair
+    scores, same smallest-witness (or keep_by strongest-witness) keep
+    rule. Multi-probe duplicate pairs are absorbed by the same
+    idempotent witness aggregates as the Spark side."""
     if dim is None:
         raise ValueError("oracle needs an explicit dim")
     acos = cosine_expr("c._cv", "ct._ce", "duckdb", dim)
@@ -1444,7 +1584,7 @@ def semdedup_oracle(
           SELECT cid, _id FROM (
             SELECT *, row_number() OVER (PARTITION BY _id
                                          ORDER BY ccos DESC, cid) AS _r
-            FROM ascore) WHERE _r = 1),
+            FROM ascore) WHERE _r <= {n_probe}),
         qv AS (SELECT {id_col} AS _id,
                       {quant_expr(vec_col, 'duckdb')} AS _q FROM {table}),
         av AS (SELECT s.cid, q._id, q._q

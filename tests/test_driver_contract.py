@@ -79,8 +79,8 @@ def test_bench_arm_factories_cover_their_query_variants():
     # by pq16_rr, both pytest-pinned); del_sync/del_compact/rebuilt added
     # (the delete-propagation lifecycle — ordered, thunks share state)
     assert [a for a, _ in _arm_names("ann_topk")] == [
-        "brute", "lsh_single", "lsh_multi", "ivf64", "ivf4_store",
-        "pq16_rr", "ivfpq_rr", "extq", "ivfpq_res",
+        "brute", "lsh_single", "lsh_multi", "ivf64_t", "ivf4_store",
+        "pq16t_rr", "ivfpq_rr", "extq", "ivfpq_res",
         "del_sync", "del_compact", "rebuilt",
     ]
     assert [a for a, _ in _arm_names("index_probe_rows")] == [
@@ -98,7 +98,7 @@ def test_bench_arm_factories_cover_their_query_variants():
     ]
     assert [a for a, _ in _arm_names("embedding_pairs")] == ["vec", "hashdoc"]
     assert [a for a, _ in _arm_names("embedding_clusters")] == [
-        "ann", "exact", "semdedup",
+        "ann", "exact", "semdedup", "semdedup2",
     ]
 
 

@@ -122,7 +122,20 @@ def test_ann_recall_floor_vs_brute_force(spark, sf_dir):
             out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         return out
 
+    import duckdb
+
+    from iodf_spark.functions.kmeans import (
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
     exact = topk(ann_brute_force(emb, "vec_id", "embedding", qids, dim=64))
+    sample_rows = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "WHERE vec_id < 256 ORDER BY vec_id"
+    ).fetchall()
+    sample = [[float(x) for x in r[0]] for r in sample_rows]
+    cb_t = train_pq_codebooks(sample, 4, 16, iters=8)
     floors = {
         "lsh_multi": 0.5,
         "ivf64_p8": 0.5,
@@ -131,6 +144,17 @@ def test_ann_recall_floor_vs_brute_force(spark, sf_dir):
         # that; the rerank arm shows the production two-stage recall
         "pq16": 0.2,
         "pq16_rr100": 0.7,
+        # trained quantizers (round 9, functions/kmeans): the fixture is
+        # measured ISOTROPIC (same-label mean cosine 0.002 vs 0.000 —
+        # no trainer can move IVF recall here; the material gain is
+        # pinned on a planted-cluster corpus in
+        # test_trained_quantizers.py), but trained PQ codebooks DO
+        # quantize the isotropic cloud finer than the id-prefix sample:
+        # both pq floors rise +0.1 vs their prefix twins (measured 0.33
+        # raw / 0.83 reranked vs 0.2 / 0.7 prefix floors)
+        "ivf64_t_p8": 0.5,
+        "pq16_t": 0.3,
+        "pq16_t_rr100": 0.8,
     }
     approx = {
         "lsh_multi": ann_lsh(
@@ -142,6 +166,17 @@ def test_ann_recall_floor_vs_brute_force(spark, sf_dir):
         "pq16": ann_pq(emb, "vec_id", "embedding", qids, dim=64),
         "pq16_rr100": ann_pq(
             emb, "vec_id", "embedding", qids, dim=64, rerank=100
+        ),
+        "ivf64_t_p8": ann_ivf(
+            emb, "vec_id", "embedding", qids, n_centroids=64, n_probe=8,
+            dim=64, cent_vecs=train_ivf_centroids(sample, 64, iters=8),
+        ),
+        "pq16_t": ann_pq(
+            emb, "vec_id", "embedding", qids, dim=64, codebook_vecs=cb_t
+        ),
+        "pq16_t_rr100": ann_pq(
+            emb, "vec_id", "embedding", qids, dim=64, rerank=100,
+            codebook_vecs=cb_t,
         ),
     }
     for name, df in approx.items():

@@ -1,0 +1,307 @@
+"""Trained quantizers (round-8 verdict #2): deterministic driver-side
+Lloyd's replaces id-prefix sampling for IVF centroids and PQ codebooks —
+dialect-twinned as full-precision literals, frozen into the store sidecar,
+and shown to raise recall materially WHERE CLUSTER STRUCTURE EXISTS.
+
+The fixture corpus itself is measured ISOTROPIC (same-label mean cosine
+0.002 vs 0.000 cross-label; top-10 co-label rate 11% ≈ the 10% chance
+floor), so no trainer can move recall on it — the quality evidence
+therefore lives on a planted-cluster corpus in this file, and the
+fixture-based tests pin exact dialect parity instead."""
+
+import math
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from iodf_spark.functions.kmeans import (
+    lloyd_kmeans,
+    train_ivf_centroids,
+    train_pq_codebooks,
+)
+from iodf_spark.operators import similarity as S
+from iodf_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    return c
+
+
+def _sample(sf_dir, n=256):
+    """The deterministic training sample BOTH engines see: the first n
+    vectors by id, as float64 (float32 -> float64 widening is exact)."""
+    rows = (
+        duckdb.sql(
+            f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+            f"WHERE vec_id < {n} ORDER BY vec_id"
+        )
+        .fetchall()
+    )
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def test_lloyd_is_deterministic_and_valid():
+    sample = [[math.sin(i * 7 + j) for j in range(8)] for i in range(40)]
+    a = lloyd_kmeans(sample, 4, iters=6, metric="cos")
+    b = lloyd_kmeans(sample, 4, iters=6, metric="cos")
+    assert a == b  # bit-identical, not approximately
+    assert len(a) == 4 and all(len(c) == 8 for c in a)
+    l2 = lloyd_kmeans(sample, 4, iters=6, metric="l2")
+    assert l2 == lloyd_kmeans(sample, 4, iters=6, metric="l2")
+    with pytest.raises(ValueError):
+        lloyd_kmeans(sample[:3], 4)
+    with pytest.raises(ValueError):
+        lloyd_kmeans(sample, 4, metric="manhattan")
+
+
+def _match(sdf, con, sql):
+    s = sorted(tuple(r) for r in sdf.collect())
+    d = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert len(s) == len(d) > 0
+    assert s == d
+
+
+def test_trained_ivf_matches_oracle(spark, sf_dir, con):
+    """Spark with trained-centroid literals == DuckDB with the SAME
+    literals: training runs once driver-side, both engines consume the
+    identical float64s, so the parity is exact like every other arm."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(_sample(sf_dir), k=8, iters=6)
+    _match(
+        S.ann_ivf(
+            emb, "vec_id", "embedding", [0, 1, 2],
+            n_centroids=8, n_probe=2, dim=64, cent_vecs=cents,
+        ),
+        con,
+        S.ann_ivf_oracle(
+            "vec_id", "embedding", "embeddings", [0, 1, 2],
+            n_centroids=8, n_probe=2, dim=64, cent_vecs=cents,
+        ),
+    )
+
+
+def test_trained_pq_matches_oracle(spark, sf_dir, con):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = train_pq_codebooks(_sample(sf_dir), m_subspaces=4, n_codes=16, iters=6)
+    _match(
+        S.ann_pq(
+            emb, "vec_id", "embedding", [0, 1, 2], dim=64,
+            rerank=50, codebook_vecs=cbs,
+        ),
+        con,
+        S.ann_pq_oracle(
+            "vec_id", "embedding", "embeddings", [0, 1, 2], dim=64,
+            rerank=50, codebook_vecs=cbs,
+        ),
+    )
+
+
+def _planted(spark, n_clusters=8, per=40, dim=16):
+    """A deterministic clustered corpus (no RNG): cluster centers are
+    orthogonal-ish trig rays; members are small deterministic
+    perturbations — tight enough that a member's true neighbors are its
+    own cluster."""
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        center = [math.cos(0.7 * c + 0.31 * j) for j in range(dim)]
+        for m in range(per):
+            vec = [
+                center[j] + 0.05 * math.sin(1.3 * m + 2.9 * j + c)
+                for j in range(dim)
+            ]
+            rows.append((vid, vec))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_trained_centroids_raise_recall_on_clustered_data(spark):
+    """THE quality claim: with real cluster structure, trained centroids
+    align cells with clusters, so IVF at n_probe=1 finds the whole
+    neighborhood; id-prefix 'centroids' (the first k corpus vectors — all
+    from cluster 0) collapse most of the corpus into few cells and miss.
+    The fixture corpus is isotropic (see module docstring) and cannot
+    show this — the planted corpus can, deterministically."""
+    df = _planted(spark).cache()
+    qids = [0, 45, 90, 135]
+    exact = {}
+    for r in S.ann_brute_force(df, "vec_id", "embedding", qids, dim=16).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    sample = [
+        [float(x) for x in r["embedding"]]
+        for r in df.orderBy("vec_id").limit(320).collect()
+    ]
+    trained = train_ivf_centroids(sample, k=8, iters=8)
+
+    def recall(res):
+        got = {}
+        for r in res.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(exact[q] & got.get(q, set())) for q in qids)
+        return hits / sum(len(exact[q]) for q in qids)
+
+    r_prefix = recall(
+        S.ann_ivf(df, "vec_id", "embedding", qids, n_centroids=8, n_probe=1, dim=16)
+    )
+    r_trained = recall(
+        S.ann_ivf(
+            df, "vec_id", "embedding", qids, n_centroids=8, n_probe=1,
+            dim=16, cent_vecs=trained,
+        )
+    )
+    df.unpersist()
+    assert r_trained >= 0.95, f"trained recall {r_trained:.2f}"
+    assert r_trained >= r_prefix + 0.2, (
+        f"trained {r_trained:.2f} vs prefix {r_prefix:.2f}: training must "
+        "materially beat the id-prefix sample where structure exists"
+    )
+
+
+def test_trained_store_freezes_centroids_in_sidecar(spark, sf_dir, tmp_path):
+    """ann_store_seed(cent_vecs=...) freezes the TRAINED quantizer into
+    the sidecar: appends and probes then run on it (never on corpus
+    member rows), and the probe equals the in-flight trained query."""
+    from iodf_spark.operators.ann_maintenance import (
+        ann_store_seed,
+        read_centroid_sidecar,
+    )
+    from iodf_spark.sources.segments import SegmentStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(_sample(sf_dir), k=8, iters=6)
+    corpus = SegmentStore(str(tmp_path / "corpus"))
+    corpus.write_segment(emb.select("vec_id", "embedding"))
+    path = str(tmp_path / "ivf")
+    ann_store_seed(
+        spark, corpus, path, "vec_id", "embedding",
+        n_centroids=8, dim=64, cent_vecs=cents,
+    )
+    side = read_centroid_sidecar(spark, path)
+    got = {r["cid"]: [float(x) for x in r["_ce"]] for r in side.collect()}
+    assert got == {i: v for i, v in enumerate(cents)}
+    # probe through the store == in-flight trained query (rank/neighbor)
+    want = [
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in S.ann_ivf(
+            emb, "vec_id", "embedding", [0, 1, 2],
+            n_centroids=8, n_probe=2, dim=64, cent_vecs=cents,
+        ).collect()
+    ]
+    got_rows = [
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in S.ann_ivf_store(
+            emb, "vec_id", "embedding", path, [0, 1, 2],
+            n_centroids=8, n_probe=2, dim=64,
+        ).collect()
+    ]
+    assert got_rows == want
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup multi-probe (round-9 verdict #5)
+
+
+def _semdedup_removed(spark, rows, n_probe, n_centroids=3, threshold=0.8):
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.semdedup(
+        df, "vec_id", "embedding", n_centroids=n_centroids,
+        threshold=threshold, dim=len(rows[0][1]), n_probe=n_probe,
+    )
+    return {r["doc_id"] for r in out.collect() if not r["keep"]}
+
+
+def _exact_removed(rows, threshold=0.8):
+    """Ground truth WITHOUT cell scoping: a row is removed iff ANY
+    smaller-id row clears the quantized-cosine threshold (semdedup's
+    smallest-witness rule over ALL pairs). Mirrors quant_expr: round to
+    3 decimals then scale by 1000 into int64."""
+
+    def q(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [int(round(x / n, 3) * 1000) for x in v]
+
+    qs = {i: q(v) for i, v in rows}
+    removed = set()
+    for i, _ in rows:
+        for j, _ in rows:
+            if j >= i:
+                break
+        for j, _ in rows:
+            if j < i:
+                d = sum(a * b for a, b in zip(qs[i], qs[j]))
+                na = math.sqrt(sum(a * a for a in qs[i]))
+                nb = math.sqrt(sum(b * b for b in qs[j]))
+                if na and nb and d / (na * nb) >= threshold:
+                    removed.add(i)
+                    break
+    return removed
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def small_corpora(draw):
+    n = draw(st.integers(6, 14))
+    dim = 4
+    rows = []
+    for i in range(n):
+        vec = [
+            float(draw(st.integers(-5, 5))) + 0.5  # +0.5 keeps vectors nonzero
+            for _ in range(dim)
+        ]
+        rows.append((i, vec))
+    return rows
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=small_corpora())
+def test_semdedup_recall_monotone_in_probes_and_exact_at_full(spark, rows):
+    """The multi-probe property (round-9 verdict #5): the probed-cell
+    pair set grows monotonically with n_probe (probe-1 cells ⊆ probe-2
+    cells per row), so the removed set can only GROW — and at
+    n_probe == n_centroids every row is in every cell, so the result
+    equals the unscoped exact semantics."""
+    r1 = _semdedup_removed(spark, rows, n_probe=1)
+    r2 = _semdedup_removed(spark, rows, n_probe=2)
+    r3 = _semdedup_removed(spark, rows, n_probe=3)
+    assert r1 <= r2 <= r3
+    assert r3 == _exact_removed(rows)
+
+
+def test_semdedup_multiprobe_catches_cross_cell_pair(spark):
+    """A constructed boundary case: two near-identical vectors straddling
+    the Voronoi boundary between two centroids — single-probe puts them
+    in DIFFERENT cells and misses the pair by design (the paper's
+    documented recall trade); probe-2 shares a cell and finds it.
+
+    Geometry: centroids c0/c1 are orthogonal rays (boundary at 45°);
+    rows 3/4 sit at 37°/53° — 16° apart (cos 0.961, a true near-dup at
+    threshold 0.82) but each 37° from its own centroid (cos 0.799 <
+    0.82, so the centroid member rows are NOT witnesses)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),        # centroid 0 (corpus member)
+        (1, [0.0, 1.0, 0.0, 0.0]),        # centroid 1
+        (2, [0.0, 0.0, 1.0, 0.0]),        # centroid 2, far from everything
+        (3, [0.79864, 0.60182, 0.0, 0.0]),  # 37°: cell c0
+        (4, [0.60182, 0.79864, 0.0, 0.0]),  # 53°: cell c1
+    ]
+    r1 = _semdedup_removed(spark, rows, n_probe=1, threshold=0.82)
+    r2 = _semdedup_removed(spark, rows, n_probe=2, threshold=0.82)
+    assert 4 not in r1, "single-probe should miss the cross-cell pair here"
+    assert 4 in r2, "probe-2 must recover the cross-cell near-dup"
+    assert 3 not in r2, "the smaller id is the survivor/witness"

@@ -293,6 +293,7 @@ def main():
         sf_ladder(only or None)
         return
     max_k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("iodf_scale_probe")
     spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
@@ -346,13 +347,34 @@ def main():
             .count()
         )
 
+    def probe_hash_embed(k):
+        # round-9 ladder (verdict #6): the text-scale path that drives
+        # hash_embed — token explode -> two-column agg; cost claim is
+        # time ∝ total tokens
+        from iodf_spark.operators.similarity import hash_embed
+
+        return hash_embed(rd("documents", k), "doc_id", "text", dim=256).count()
+
+    def probe_semdedup(k):
+        # round-9 ladder: cluster-scoped semantic dedup; replicas make
+        # every copy an exact dup (cos 1.0 within its cell), so the pair
+        # phase carries the replica-squared worst case the blocked grid
+        # must absorb — cost claim is time ∝ rows + sum(cell_pairs)
+        from iodf_spark.operators.similarity import semdedup
+
+        return semdedup(rd("embeddings", k), "vec_id", "embedding", dim=64).count()
+
     probes = {
         "index_build": probe_index_build,
         "minhash_pairs": probe_minhash,
         "exact_dedup": probe_exact_dedup,
         "ann_lsh_multiprobe": probe_ann_lsh,
         "event_window_agg": probe_window_agg,
+        "hash_embed": probe_hash_embed,
+        "semdedup": probe_semdedup,
     }
+    if only:
+        probes = {n: f for n, f in probes.items() if n in only}
     for name, fn in probes.items():
         fn(1)  # codegen/JIT warmup, untimed
         for k in ks:
