@@ -297,7 +297,7 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("iodf_scale_probe")
     spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
-    ks = [k for k in (1, 2, 4, 8) if k <= max_k]
+    ks = [k for k in (1, 2, 4, 8, 16, 32) if k <= max_k]
 
     for k in ks:
         build_replica(spark, sf_dir, "documents", "doc_id", k, True)
