@@ -111,3 +111,38 @@ def train_pq_codebooks(
         subsample = [v[j * sub : (j + 1) * sub] for v in sample]
         out.append(lloyd_kmeans(subsample, n_codes, iters=iters, metric="l2"))
     return out
+
+
+def assign_cos(vec: list[float], cents: list[list[float]]) -> int:
+    """Nearest-centroid id under cosine, ties to the lowest id — the
+    pure-python twin of the distributed argmax in _ivf_assign (used to
+    derive training residuals driver-side)."""
+    import math
+
+    vn = math.sqrt(sum(x * x for x in vec))
+    best, best_cos = 0, float("-inf")
+    for i, c in enumerate(cents):
+        cn = math.sqrt(sum(x * x for x in c))
+        cos = sum(a * b for a, b in zip(vec, c)) / (vn * cn)
+        if cos > best_cos:
+            best, best_cos = i, cos
+    return best
+
+
+def train_residual_codebooks(
+    sample: list[list[float]],
+    cent_vecs: list[list[float]],
+    m_subspaces: int,
+    n_codes: int,
+    iters: int = 10,
+) -> list[list[list[float]]]:
+    """PQ codebooks trained on RESIDUALS to the (trained) coarse
+    quantizer — the IVFADC training recipe (Jégou TPAMI'11 §III):
+    residuals are derived driver-side with the same cosine-argmax /
+    lowest-id-tie assignment the distributed encoder uses, then each
+    subspace runs L2 Lloyd's. Deterministic end to end."""
+    residuals = []
+    for v in sample:
+        c = cent_vecs[assign_cos(v, cent_vecs)]
+        residuals.append([a - b for a, b in zip(v, c)])
+    return train_pq_codebooks(residuals, m_subspaces, n_codes, iters=iters)

@@ -173,6 +173,10 @@ def ann_compact_deletes(spark: SparkSession, store_path: str) -> list[int]:
             .dropDuplicates(["neighbor_id"])
             .select(*cols, F.col("cid").cast("int").alias("cid"))
             .repartition("cid")
+            # materialize BEFORE the overwrite: the rewrite reads the same
+            # partition dirs it replaces — localCheckpoint decouples the
+            # scan from the commit (bounded by the touched cells)
+            .localCheckpoint()
         )
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -221,6 +225,7 @@ def ann_reinstate(spark: SparkSession, store_path: str, ids: DataFrame) -> int:
         df.join(F.broadcast(hit.select("neighbor_id")), "neighbor_id", "left_anti")
         .select(*cols, F.col("cid").cast("int").alias("cid"))
         .repartition("cid")
+        .localCheckpoint()  # same scan-vs-overwrite decoupling as compaction
     )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -228,14 +233,21 @@ def ann_reinstate(spark: SparkSession, store_path: str, ids: DataFrame) -> int:
         kept.write.mode("overwrite").partitionBy("cid").parquet(store_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    remaining = dels.join(F.broadcast(idset), "neighbor_id", "left_anti").cache()
-    n_rem = remaining.count()
+    # rewrite the deletion list WITHOUT the reinstated ids. Write-then-swap:
+    # writing the remainder to a staging dir BEFORE clearing the old list
+    # keeps the computation's source files alive (a cache-and-clear-first
+    # sequence would recompute from deleted files on cache eviction) and
+    # makes a crash at any point leave a readable list (old or new).
+    remaining = dels.join(F.broadcast(idset), "neighbor_id", "left_anti")
+    staging = _deletes_path(store_path) + ".swap"
+    remaining.coalesce(1).write.mode("overwrite").parquet(staging)
     _clear_deletes(store_path)
-    if n_rem:
-        remaining.coalesce(1).write.mode("overwrite").parquet(
-            _deletes_path(store_path)
-        )
-    remaining.unpersist()
+    if spark.read.parquet(staging).isEmpty():
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+    else:
+        os.rename(staging, _deletes_path(store_path))
     hit.unpersist()
     return n
 
