@@ -360,15 +360,9 @@ def ann_store_seed(
             snap, id_col, vec_col, store_path, n_centroids, dim, cent_vecs
         )
     elif kind == "ivfpq":
-        if cent_vecs is not None:
-            raise ValueError(
-                "trained centroids for the ivfpq store are not wired yet — "
-                "ivfpq_build_store derives its residual chain from the "
-                "id-prefix sample"
-            )
         ivfpq_build_store(
             snap, id_col, vec_col, store_path, n_centroids,
-            m_subspaces, n_codes, dim, residual,
+            m_subspaces, n_codes, dim, residual, cent_vecs,
         )
     else:
         raise ValueError(f"unknown ANN store kind {kind!r}")
@@ -440,10 +434,19 @@ def ann_store_sync(
                         cent=read_centroid_sidecar(spark, store_path),
                     )
                 else:
+                    side = read_centroid_sidecar(spark, store_path)
+                    cv = (
+                        [
+                            [float(x) for x in r["_ce"]]
+                            for r in side.orderBy("cid").collect()
+                        ]
+                        if side is not None
+                        else None
+                    )
                     ivfpq_append(
                         spark, store_path, fresh, corpus_store.open(spark),
                         id_col, vec_col, n_centroids, m_subspaces, n_codes,
-                        dim, residual,
+                        dim, residual, cent_vecs=cv,
                     )
 
     windows = stream_changes(

@@ -1617,6 +1617,8 @@ def ivfpq_build_store(
     n_codes: int = 16,
     dim: int | None = None,
     residual: bool = False,
+    cent_vecs: list[list[float]] | None = None,
+    codebook_vecs: list[list[list[float]]] | None = None,
 ) -> None:
     """Materialize the IVF-PQ index (Jégou et al. TPAMI'11, the layout
     behind every billion-scale ANN service): each corpus vector is
@@ -1643,23 +1645,34 @@ def ivfpq_build_store(
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
     sub_dim = dim // m_subspaces
+    cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim, cent_vecs)
     if residual:
-        cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim)
         res = _ivf_residuals(df, id_col, vec_col, n_centroids, dim, cent)
-        # sample-only residual chain for the codebook (see
-        # _ivfpq_residual_rank — full-corpus assign for n_codes rows is
-        # pure waste; residuals depend only on the vector + centroids)
-        res_s = _ivf_residuals(
-            df.filter(F.col(id_col) < n_codes), id_col, vec_col,
-            n_centroids, dim, cent,
-        )
-        cb = _pq_codebook(res_s, "neighbor_id", "_rv", m_subspaces, sub_dim, n_codes)
+        if codebook_vecs is not None:
+            # TRAINED residual codebooks (kmeans.train_residual_codebooks)
+            cb = _pq_codebook(
+                df, id_col, vec_col, m_subspaces, sub_dim, n_codes,
+                codebook_vecs,
+            )
+        else:
+            # sample-only residual chain for the codebook (see
+            # _ivfpq_residual_rank — full-corpus assign for n_codes rows is
+            # pure waste; residuals depend only on the vector + centroids)
+            res_s = _ivf_residuals(
+                df.filter(F.col(id_col) < n_codes), id_col, vec_col,
+                n_centroids, dim, cent,
+            )
+            cb = _pq_codebook(
+                res_s, "neighbor_id", "_rv", m_subspaces, sub_dim, n_codes
+            )
         codes = _pq_encode(res, "neighbor_id", "_rv", m_subspaces, sub_dim, cb)
         cells = res.select("cid", "neighbor_id")
     else:
-        cb = _pq_codebook(df, id_col, vec_col, m_subspaces, sub_dim, n_codes)
+        cb = _pq_codebook(
+            df, id_col, vec_col, m_subspaces, sub_dim, n_codes, codebook_vecs
+        )
         codes = _pq_encode(df, id_col, vec_col, m_subspaces, sub_dim, cb)
-        cells = _ivf_assign(df, id_col, vec_col, n_centroids, dim).select(
+        cells = _ivf_assign(df, id_col, vec_col, n_centroids, dim, cent=cent).select(
             "cid", "neighbor_id"
         )
     # cluster by cell before the partitioned write (one file per cell, not
@@ -1693,6 +1706,8 @@ def ivfpq_append(
     n_codes: int = 16,
     dim: int | None = None,
     residual: bool = False,
+    cent_vecs: list[list[float]] | None = None,
+    codebook_vecs: list[list[list[float]]] | None = None,
 ) -> None:
     """Incremental IVF-PQ maintenance: encode ONLY the new delivery
     against the FROZEN codebooks and assign it against the FROZEN
@@ -1711,18 +1726,28 @@ def ivfpq_append(
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
     sub_dim = dim // m_subspaces
-    cent = _ivf_centroids(train_df, id_col, vec_col, n_centroids, dim)
+    cent = _ivf_centroids(train_df, id_col, vec_col, n_centroids, dim, cent_vecs)
     if residual:
-        res_train = _ivf_residuals(
-            train_df.filter(F.col(id_col) < n_codes), id_col, vec_col,
-            n_centroids, dim, cent,
-        )
-        cb = _pq_codebook(res_train, "neighbor_id", "_rv", m_subspaces, sub_dim, n_codes)
+        if codebook_vecs is not None:
+            cb = _pq_codebook(
+                train_df, id_col, vec_col, m_subspaces, sub_dim, n_codes,
+                codebook_vecs,
+            )
+        else:
+            res_train = _ivf_residuals(
+                train_df.filter(F.col(id_col) < n_codes), id_col, vec_col,
+                n_centroids, dim, cent,
+            )
+            cb = _pq_codebook(
+                res_train, "neighbor_id", "_rv", m_subspaces, sub_dim, n_codes
+            )
         res_new = _ivf_residuals(new_df, id_col, vec_col, n_centroids, dim, cent)
         codes = _pq_encode(res_new, "neighbor_id", "_rv", m_subspaces, sub_dim, cb)
         cells = res_new.select("cid", "neighbor_id")
     else:
-        cb = _pq_codebook(train_df, id_col, vec_col, m_subspaces, sub_dim, n_codes)
+        cb = _pq_codebook(
+            train_df, id_col, vec_col, m_subspaces, sub_dim, n_codes, codebook_vecs
+        )
         codes = _pq_encode(new_df, id_col, vec_col, m_subspaces, sub_dim, cb)
         cells = _ivf_assign(
             new_df, id_col, vec_col, n_centroids, dim, cent=cent
@@ -1747,6 +1772,8 @@ def ann_ivfpq_store(
     rerank: int | None = None,
     query_vecs: dict[int, list[float]] | None = None,
     residual: bool = False,
+    cent_vecs: list[list[float]] | None = None,
+    codebook_vecs: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """ANN over a materialized IVF-PQ store: query cells resolve first
     (n_queries x n_probe cell ids, collected driver-side — tiny), the
@@ -1776,9 +1803,18 @@ def ann_ivfpq_store(
     # localCheckpoint before the collect: the qcells window chain feeds
     # the probe-cell collect AND the candidate join AND (residual) the
     # centroid-dot table — one evaluation instead of three
+    # centroid precedence: explicit trained literals > the store's frozen
+    # sidecar (a maintained store) > the id-prefix sample from the source
+    from .ann_maintenance import read_centroid_sidecar
+
+    cent = (
+        _ivf_centroids(df, id_col, vec_col, n_centroids, dim, cent_vecs)
+        if cent_vecs is not None
+        else read_centroid_sidecar(spark, store_path)
+    )
     qcells = _ivf_query_cells(
         df, id_col, vec_col, query_ids, n_centroids, n_probe, dim,
-        query_vecs=query_vecs,
+        query_vecs=query_vecs, cent=cent,
     ).localCheckpoint()
     probe_cells = sorted({r["cid"] for r in qcells.select("cid").collect()})
     # delete-aware: a maintained store carries a pending-deletion list
@@ -1792,12 +1828,15 @@ def ann_ivfpq_store(
         ranked = _ivfpq_residual_rank(
             df, id_col, vec_col, codes, qcells,
             n_centroids, m_subspaces, sub_dim, dim, n_codes,
+            cent=cent, codebook_vecs=codebook_vecs,
         )
     else:
         cand = codes.join(
             F.broadcast(qcells.select("cid", "query_id")), "cid"
         ).drop("cid")
-        cb = _pq_codebook(df, id_col, vec_col, m_subspaces, sub_dim, n_codes)
+        cb = _pq_codebook(
+            df, id_col, vec_col, m_subspaces, sub_dim, n_codes, codebook_vecs
+        )
         ranked = _pq_adc_rank(
             cand, df, id_col, vec_col, query_ids, m_subspaces, sub_dim, dim, cb,
             query_vecs=query_vecs,
@@ -1817,6 +1856,7 @@ def ann_ivfpq_store(
 def _ivfpq_residual_rank(
     df, id_col, vec_col, codes, qcells,
     n_centroids, m_subspaces, sub_dim, dim, n_codes,
+    cent=None, codebook_vecs=None,
 ):
     """Rank residual-encoded candidates by the IVFADC cosine
     approximation: reconstruction = cent_c + r-hat, so
@@ -1827,20 +1867,28 @@ def _ivfpq_residual_rank(
 
     Every non-exact term reads from a broadcast table keyed by the
     candidate's (cid, code_j) or the query's (query_id, code_j); sums are
-    fixed-order so the DuckDB twin is bit-equal."""
-    cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim)
-    # codebooks need ONLY the sample vectors' residuals: filter the corpus
-    # BEFORE the assign chain (residual of a vector depends on itself +
-    # centroids alone) — assigning the whole corpus just to keep n_codes
-    # rows cost ~6 s of the probe at sf0.1
-    res_s = _ivf_residuals(
-        df.filter(F.col(id_col) < n_codes), id_col, vec_col, n_centroids, dim, cent
-    )
-    # checkpointed: the dt AND cc builds below both consume cb — without
-    # it each re-runs the sample assign chain
-    cb = _pq_codebook(
-        res_s, "neighbor_id", "_rv", m_subspaces, sub_dim, n_codes
-    ).localCheckpoint()
+    fixed-order so the DuckDB twin is bit-equal. ``cent``/``codebook_vecs``
+    override the frozen training artifacts (sidecar / trained literals)."""
+    if cent is None:
+        cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim)
+    if codebook_vecs is not None:
+        cb = _pq_codebook(
+            df, id_col, vec_col, m_subspaces, sub_dim, n_codes, codebook_vecs
+        ).localCheckpoint()
+    else:
+        # codebooks need ONLY the sample vectors' residuals: filter the
+        # corpus BEFORE the assign chain (residual of a vector depends only
+        # on itself + centroids) — assigning the whole corpus just to keep
+        # n_codes rows cost ~6 s of the probe at sf0.1. Checkpointed: the
+        # dt AND cc builds below both consume cb — without it each re-runs
+        # the sample assign chain
+        res_s = _ivf_residuals(
+            df.filter(F.col(id_col) < n_codes), id_col, vec_col,
+            n_centroids, dim, cent,
+        )
+        cb = _pq_codebook(
+            res_s, "neighbor_id", "_rv", m_subspaces, sub_dim, n_codes
+        ).localCheckpoint()
 
     # The three lookup tables are TINY (Q*P, Q*m*n_codes, cells*m*n_codes
     # rows) but their PLANS are multi-stage chains (codebook assign, query
@@ -1917,6 +1965,8 @@ def ann_ivfpq_oracle(
     rerank: int | None = None,
     query_vecs: dict[int, list[float]] | None = None,
     residual: bool = False,
+    cent_vecs: list[list[float]] | None = None,
+    codebook_vecs: list[list[list[float]]] | None = None,
 ) -> str:
     """DuckDB twin of ivfpq_build_store + ann_ivfpq_store: the IVF
     oracle's assigned/qcells CTEs restrict the PQ oracle's candidate set
@@ -1975,9 +2025,21 @@ def ann_ivfpq_oracle(
                                     ORDER BY cos DESC, neighbor_id)::INT AS rank
           FROM rr)"""
         final_src = "rranked"
+    if codebook_vecs is not None:
+        _rows = ", ".join(
+            f"({c}, {m}, [{', '.join(repr(float(x)) for x in cw)}]::DOUBLE[])"
+            for m, words in enumerate(codebook_vecs)
+            for c, cw in enumerate(words)
+        )
+        cb_literal = (
+            f"SELECT code, m, csub, "
+            f"{_dot('csub', 'csub', 'duckdb', sub_dim)} AS _cn2 "
+            f"FROM (VALUES {_rows}) AS _cb(code, m, csub)"
+        )
+    else:
+        cb_literal = None
     shared_head = f"""
-        WITH cent AS (SELECT {id_col} AS cid, {vec_col} AS _ce FROM {table}
-                      WHERE {id_col} < {n_centroids}),
+        WITH cent AS ({_cent_sql(id_col, vec_col, table, n_centroids, cent_vecs)}),
         corpus AS (SELECT {id_col} AS neighbor_id, {vec_col} AS _cv FROM {table}),
         ascore AS (
           SELECT c.neighbor_id, ct.cid, {acos} AS ccos
@@ -2024,10 +2086,13 @@ def ann_ivfpq_oracle(
           JOIN qcells qc ON qc.cid = a.cid),
         qsub AS ({qsub_arms()}),"""
     if not residual:
+        cb_src = cb_literal or (
+            f"SELECT code, m, sub AS csub, "
+            f"{_dot('sub', 'sub', 'duckdb', sub_dim)} AS _cn2 "
+            f"FROM ({sub_arms(f' WHERE {id_col} < {n_codes}', 'code')})"
+        )
         return f"""{shared_head}
-        cb AS (
-          SELECT code, m, sub AS csub, {_dot("sub", "sub", "duckdb", sub_dim)} AS _cn2
-          FROM ({sub_arms(f" WHERE {id_col} < {n_codes}", "code")})),
+        cb AS ({cb_src}),
         nsub AS ({sub_arms("", "neighbor_id")}),{codes_ctes}
         dt AS (
           SELECT query_id, qs.m, code,
@@ -2054,17 +2119,18 @@ def ann_ivfpq_oracle(
     radot = " + ".join(["qc._qc"] + [f"d{j}._pdot" for j in range(m_subspaces)])
     rcross = " + ".join(f"x{j}._cc" for j in range(m_subspaces))
     rrn2 = " + ".join(f"x{j}._cn2" for j in range(m_subspaces))
+    rcb_src = cb_literal or (
+        f"SELECT code, m, sub AS csub, "
+        f"{_dot('sub', 'sub', 'duckdb', sub_dim)} AS _cn2 "
+        f"FROM ({sub_arms_src(f'res WHERE neighbor_id < {n_codes}', 'neighbor_id', '_rv', 'code')})"
+    )
     return f"""{shared_head}
         res AS (
           SELECT a.cid, a.neighbor_id, {rvec} AS _rv
           FROM assigned a
           JOIN corpus c ON c.neighbor_id = a.neighbor_id
           JOIN cent ct ON ct.cid = a.cid),
-        cb AS (
-          SELECT code, m, sub AS csub, {_dot("sub", "sub", "duckdb", sub_dim)} AS _cn2
-          FROM ({sub_arms_src(
-              f"res WHERE neighbor_id < {n_codes}", "neighbor_id", "_rv", "code"
-          )})),
+        cb AS ({rcb_src}),
         nsub AS ({sub_arms_src("res", "neighbor_id", "_rv", "neighbor_id")}),{codes_ctes}
         dt AS (
           SELECT query_id, qs.m, code,

@@ -305,3 +305,38 @@ def test_semdedup_multiprobe_catches_cross_cell_pair(spark):
     assert 4 not in r1, "single-probe should miss the cross-cell pair here"
     assert 4 in r2, "probe-2 must recover the cross-cell near-dup"
     assert 3 not in r2, "the smaller id is the survivor/witness"
+
+
+def test_trained_ivfpq_store_matches_oracle(spark, sf_dir, con, tmp_path):
+    """The composed trained path (round-9 completion of verdict #2): a
+    RESIDUAL IVF-PQ store built with trained centroids AND residual
+    codebooks trained on driver-side residuals (the IVFADC training
+    recipe) probes bit-equal to the DuckDB twin consuming the same
+    literals."""
+    import duckdb as _duck
+
+    from iodf_spark.functions.kmeans import train_residual_codebooks
+    from iodf_spark.operators.similarity import ann_ivfpq_store, ivfpq_build_store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = _sample(sf_dir)
+    cents = train_ivf_centroids(sample, k=4, iters=6)
+    rcbs = train_residual_codebooks(sample, cents, m_subspaces=4, n_codes=16, iters=6)
+    path = str(tmp_path / "ivfpq_t")
+    ivfpq_build_store(
+        emb, "vec_id", "embedding", path, n_centroids=4, dim=64,
+        residual=True, cent_vecs=cents, codebook_vecs=rcbs,
+    )
+    _match(
+        ann_ivfpq_store(
+            emb, "vec_id", "embedding", path, [0, 1, 2],
+            n_centroids=4, n_probe=2, dim=64, rerank=50, residual=True,
+            cent_vecs=cents, codebook_vecs=rcbs,
+        ),
+        con,
+        S.ann_ivfpq_oracle(
+            "vec_id", "embedding", "embeddings", [0, 1, 2],
+            n_centroids=4, n_probe=2, dim=64, rerank=50, residual=True,
+            cent_vecs=cents, codebook_vecs=rcbs,
+        ),
+    )
