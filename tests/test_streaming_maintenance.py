@@ -93,3 +93,74 @@ def test_ingest_then_purge_then_ingest(spark, store, tmp_path):
     stream3 = spark.readStream.schema(d2.schema).parquet(str(tmp_path / "src"))
     stream_ingest_segments(stream3, store, order_keys=["k"])
     assert store.open(spark).count() == 25
+
+
+def test_ann_sync_rides_the_streaming_ingest(spark, store, tmp_path):
+    """The standing-pipeline shape (round 9): a micro-batch stream feeds
+    the corpus store while the derived ANN index keeps itself fresh off
+    the change feed — sync after each trigger run, takedowns propagate,
+    and a corpus purge forces (and survives) the full-refresh recovery.
+    Every probe along the way equals a fresh IVF over the live corpus."""
+    from iodf_spark.operators.ann_maintenance import (
+        FullRefreshRequired,
+        ann_store_seed,
+        ann_store_sync,
+    )
+    from iodf_spark.operators.similarity import ann_ivf, ann_ivf_store
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .cache()
+    )
+    wave1 = emb.filter(F.col("vec_id") < 300)
+    wave2 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+
+    def probe_equals_live():
+        want = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ann_ivf(
+                store.open(spark), "vec_id", "embedding", [0, 1, 2], dim=64
+            ).collect()
+        }
+        got = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ann_ivf_store(
+                emb, "vec_id", "embedding", path, [0, 1, 2], dim=64
+            ).collect()
+        }
+        assert got == want
+
+    # trigger run 1 -> seed the index
+    stream_ingest_segments(
+        _stream_from(spark, tmp_path, [wave1]), store, order_keys=["vec_id"]
+    )
+    path = str(tmp_path / "ivf")
+    ann_store_seed(spark, store, path, "vec_id", "embedding", dim=64)
+    probe_equals_live()
+
+    # trigger run 2 (new delivery) + a takedown between runs -> one sync
+    wave2.write.mode("append").parquet(str(tmp_path / "src"))
+    stream_ingest_segments(
+        spark.readStream.schema(wave1.schema).parquet(str(tmp_path / "src")),
+        store, order_keys=["vec_id"],
+    )
+    store.delete_where(spark, F.col("vec_id").isin([250, 251]))
+    assert ann_store_sync(spark, store, path, "vec_id", "embedding", dim=64)
+    probe_equals_live()
+    got_ids = {
+        r["neighbor_id"]
+        for r in ann_ivf_store(
+            emb, "vec_id", "embedding", path, [0, 1, 2], k=50, dim=64
+        ).collect()
+    }
+    assert got_ids.isdisjoint({250, 251})
+
+    # purge between runs -> incremental sync must refuse; reseed recovers
+    store.purge(spark)
+    with pytest.raises(FullRefreshRequired):
+        ann_store_sync(spark, store, path, "vec_id", "embedding", dim=64)
+    ann_store_seed(spark, store, path, "vec_id", "embedding", dim=64)
+    probe_equals_live()
+    emb.unpersist()
