@@ -539,6 +539,12 @@ def _ivf_centroids(
     float64 literals, the norm is computed by the same unrolled expression
     in both engines, so the oracle twin stays bit-equal."""
     if cent_vecs is not None:
+        if len(cent_vecs) != n_centroids:
+            raise ValueError(
+                f"cent_vecs has {len(cent_vecs)} centroids but n_centroids="
+                f"{n_centroids} — the geometry params must agree (probe "
+                "counts and the oracle twin key off n_centroids)"
+            )
         lit = df.sparkSession.createDataFrame(
             [(i, [float(x) for x in v]) for i, v in enumerate(cent_vecs)],
             schema="cid int, _ce array<double>",
@@ -784,6 +790,8 @@ def _cent_sql(
             f"SELECT {id_col} AS cid, {vec_col} AS _ce FROM {table} "
             f"WHERE {id_col} < {n_centroids}"
         )
+    if not cent_vecs:
+        raise ValueError("cent_vecs must be non-empty (empty VALUES is invalid SQL)")
     rows = ", ".join(
         f"({i}, [{', '.join(repr(float(x)) for x in v)}]::DOUBLE[])"
         for i, v in enumerate(cent_vecs)
@@ -1034,6 +1042,14 @@ def _pq_codebook(df, id_col, vec_col, m_subspaces, sub_dim, n_codes,
     by the same unrolled expression either way so the oracle twin stays
     bit-equal."""
     if codebook_vecs is not None:
+        if len(codebook_vecs) != m_subspaces or any(
+            len(words) != n_codes for words in codebook_vecs
+        ):
+            raise ValueError(
+                f"codebook_vecs must be [m_subspaces={m_subspaces}]"
+                f"[n_codes={n_codes}][sub_dim] — got "
+                f"[{len(codebook_vecs)}][{[len(w) for w in codebook_vecs]}]"
+            )
         rows = [
             (c, m, [float(x) for x in cw])
             for m, words in enumerate(codebook_vecs)

@@ -340,3 +340,23 @@ def test_trained_ivfpq_store_matches_oracle(spark, sf_dir, con, tmp_path):
             cent_vecs=cents, codebook_vecs=rcbs,
         ),
     )
+
+
+def test_trained_literal_shape_validation(spark, sf_dir):
+    """Geometry params and literal shapes must agree — a mismatched
+    cent_vecs/n_centroids (or a ragged codebook) would silently change
+    the probed geometry out from under the oracle twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(_sample(sf_dir), k=8, iters=2)
+    with pytest.raises(ValueError, match="n_centroids"):
+        S.ann_ivf(
+            emb, "vec_id", "embedding", [0], n_centroids=4, dim=64,
+            cent_vecs=cents,  # 8 centroids vs n_centroids=4
+        ).collect()
+    with pytest.raises(ValueError, match="non-empty"):
+        S._cent_sql("vec_id", "embedding", "embeddings", 4, [])
+    bad_cb = [[[0.0] * 16] * 15] * 4  # 15 codes, n_codes expects 16
+    with pytest.raises(ValueError, match="codebook_vecs"):
+        S.ann_pq(
+            emb, "vec_id", "embedding", [0], dim=64, codebook_vecs=bad_cb
+        ).collect()
