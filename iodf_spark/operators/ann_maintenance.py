@@ -456,3 +456,38 @@ def ann_store_sync(
     if dl is not None and dl.count() > auto_compact_threshold:
         ann_compact_deletes(spark, store_path)
     return windows
+
+
+def ann_store_describe(spark: SparkSession, store_path: str) -> dict:
+    """Operational introspection of an ANN store — the derived-index twin
+    of SegmentStore.describe (reference parity: store stats surface,
+    Dfs.scala's describe/stats shape): cell count and row balance (the
+    skew signal that says 'rebalance or raise n_probe'), pending-delete
+    mass (the compaction signal), the frozen-sidecar presence (appends
+    are takedown-safe iff true), and the maintenance cursor (which corpus
+    version/epoch the artifact reflects). One column-pruned scan of
+    (neighbor_id is not read — cid only) plus metadata reads."""
+    per_cell = (
+        spark.read.parquet(store_path)
+        .groupBy("cid")
+        .count()
+        .collect()
+    )
+    sizes = sorted(r["count"] for r in per_cell)
+    dels = read_ann_deletes(spark, store_path)
+    side = read_centroid_sidecar(spark, store_path)
+    cursor = None
+    cpath = os.path.join(_maint_dir(store_path), "_cdf_cursor.json")
+    if os.path.exists(cpath):
+        with open(cpath) as fh:
+            cursor = json.load(fh)
+    return {
+        "n_cells": len(sizes),
+        "n_rows": sum(sizes),
+        "cell_rows_min": sizes[0] if sizes else 0,
+        "cell_rows_max": sizes[-1] if sizes else 0,
+        "pending_deletes": 0 if dels is None else dels.count(),
+        "has_centroid_sidecar": side is not None,
+        "sidecar_k": None if side is None else side.count(),
+        "cursor": cursor,
+    }

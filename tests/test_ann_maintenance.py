@@ -245,3 +245,27 @@ def test_ivfpq_store_is_delete_aware(spark, emb, corpus, tmp_path):
         for r in spark.read.parquet(path).select("neighbor_id").collect()
     }
     assert physical.isdisjoint(DELETED)
+
+
+def test_ann_store_describe(spark, emb, corpus, tmp_path):
+    from iodf_spark.operators.ann_maintenance import ann_store_describe
+
+    path = str(tmp_path / "ivf")
+    ann_store_seed(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    d0 = ann_store_describe(spark, path)
+    assert d0["n_cells"] == 4 and d0["n_rows"] == 450
+    assert d0["pending_deletes"] == 0 and d0["has_centroid_sidecar"]
+    assert d0["sidecar_k"] == 4 and d0["cursor"]["version"] >= 1
+    assert d0["cell_rows_min"] >= 1 and sum((d0["cell_rows_min"],)) <= d0["cell_rows_max"]
+
+    corpus.delete_where(spark, F.col("vec_id").isin(DELETED))
+    ann_store_sync(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    d1 = ann_store_describe(spark, path)
+    assert d1["pending_deletes"] == len(DELETED)
+    assert d1["n_rows"] == 450  # physical rows until compaction
+    assert d1["cursor"]["version"] > d0["cursor"]["version"]
+
+    ann_compact_deletes(spark, path)
+    d2 = ann_store_describe(spark, path)
+    assert d2["pending_deletes"] == 0
+    assert d2["n_rows"] == 450 - len(DELETED)
