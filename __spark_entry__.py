@@ -2526,6 +2526,11 @@ TEXT_QUERY_TERMS = ["spark", "query", "vector"]
 TEXT_PHRASE = "stream table hash"  # 3-word phrase present in multiple docs
 TEXT_PREFIX = "sp"  # key-range probe: every token starting with this
 HYBRID_QUERY_VEC_ID = 7  # doc whose embedding drives the hybrid 'rrf' arm
+# the 'semvec' arm's free-text query: embedded with the SAME hashed-TF
+# transform as the corpus (no embeddings table, no model in the loop),
+# then brute-force cosine top-15 — pure text-to-text semantic retrieval
+SEMVEC_QUERY = "customer orders join merge fast table"
+SEMVEC_DIM = 64
 
 
 def _text_search_arms(spark: SparkSession, sf_dir: str):
@@ -2612,12 +2617,48 @@ def _text_search_arms(spark: SparkSession, sf_dir: str):
             HYBRID_QUERY_VEC_ID, n, k=15, dim=EMB_DIM,
         ).select(F.lit("rrf").alias("variant"), "row_id", "score")
 
+    def arm_semvec() -> DataFrame:
+        # end-to-end SEMANTIC retrieval over plain text (round 9): the
+        # query STRING embeds through the same hashed-TF transform as the
+        # corpus (hash_embed — dialect-pinned token hashes), so query and
+        # documents live in one vector space with no model and no
+        # embeddings table; ranking is exact cosine top-15. The query
+        # enters as id -1 (never a corpus id) unioned into the embedded
+        # frame, so ann_brute_force's self-exclusion is a no-op for it.
+        from iodf_spark.operators.similarity import ann_brute_force, hash_embed
+
+        d = docs().select("doc_id", "text")
+        qdf = spark.createDataFrame(
+            [(-1, SEMVEC_QUERY)], "doc_id long, text string"
+        )
+        # the query vector is ONE row: collect it and probe via the
+        # query_vecs literal path (a union of the two embed chains would
+        # broadcast-and-recompute the corpus aggregation — measured 13.7 s
+        # vs ~2 s). The oracle derives the same vector in SQL; the
+        # hash_embed dialect twins are bit-equal, so literal-vs-derived
+        # cannot diverge.
+        qvec = [
+            float(x)
+            for x in hash_embed(qdf, "doc_id", "text", dim=SEMVEC_DIM)
+            .collect()[0]["vec"]
+        ]
+        corpus = hash_embed(d, "doc_id", "text", dim=SEMVEC_DIM)
+        return ann_brute_force(
+            corpus, "doc_id", "vec", [], k=15, dim=SEMVEC_DIM,
+            query_vecs={-1: qvec},
+        ).select(
+            F.lit("semvec").alias("variant"),
+            F.col("neighbor_id").alias("row_id"),
+            F.col("cos").alias("score"),
+        )
+
     return [
         ("probe", arm_probe),
         ("bm25", arm_bm25),
         ("phrase", arm_phrase),
         ("prefix", arm_prefix),
         ("rrf", arm_rrf),
+        ("semvec", arm_semvec),
     ]
 
 
@@ -2625,9 +2666,12 @@ def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I2/§2.12 analyzers + ranked retrieval in one attested entry (former
     index_text_tokens): the text column indexed with the whitespace
     tokenizer (the reference's test analyzer, DfTest.scala:69-70 — one
-    value fans out to N index tokens), then five retrieval variants over
-    it — boolean probe, BM25 top-15, exact phrase, key-range prefix, and
-    hybrid BM25+ANN reciprocal-rank fusion (see _text_search_arms)."""
+    value fans out to N index tokens), then six retrieval variants over
+    it — boolean probe, BM25 top-15, exact phrase, key-range prefix,
+    hybrid BM25+ANN reciprocal-rank fusion, and free-text SEMANTIC
+    retrieval (semvec: the query string embeds through the same hashed-TF
+    transform as the corpus and ranks by exact cosine — no model, no
+    embeddings table; see _text_search_arms)."""
     out = None
     for _name, thunk in _text_search_arms(spark, sf_dir):
         df = thunk()
@@ -3541,6 +3585,18 @@ def oracle_sql() -> dict[str, str]:
                 "documents", "doc_id", "text", TEXT_QUERY_TERMS,
                 "embeddings", "vec_id", "embedding", HYBRID_QUERY_VEC_ID,
                 k=15, dim=EMB_DIM)}) h
+            UNION ALL
+            SELECT 'semvec' AS variant, neighbor_id AS row_id, cos AS score
+            FROM ({similarity.ann_brute_force_oracle(
+                "doc_id", "vec",
+                "(" + similarity.hash_embed_oracle(
+                    "doc_id", "text",
+                    "(SELECT doc_id, text FROM documents UNION ALL "
+                    "SELECT * FROM (VALUES (-1, '" + SEMVEC_QUERY + "')) "
+                    "AS _q(doc_id, text))",
+                    dim=SEMVEC_DIM,
+                ) + ")",
+                [-1], k=15, dim=SEMVEC_DIM)}) sv
         """,
         "text_stats": f"""
             SELECT s.*, r.n_bigrams, r.top_token_frac, r.dup_bigram_frac,
