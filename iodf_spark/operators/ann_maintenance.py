@@ -50,7 +50,6 @@ maintainer's thread.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -476,11 +475,9 @@ def ann_store_describe(spark: SparkSession, store_path: str) -> dict:
     sizes = sorted(r["count"] for r in per_cell)
     dels = read_ann_deletes(spark, store_path)
     side = read_centroid_sidecar(spark, store_path)
-    cursor = None
-    cpath = os.path.join(_maint_dir(store_path), "_cdf_cursor.json")
-    if os.path.exists(cpath):
-        with open(cpath) as fh:
-            cursor = json.load(fh)
+    from ..streaming.ingest import read_cdf_cursor
+
+    cursor = read_cdf_cursor(_maint_dir(store_path))
     return {
         "n_cells": len(sizes),
         "n_rows": sum(sizes),
