@@ -105,6 +105,9 @@ DRIVING_TABLE = {
     "merge_by_key": "orders",
     "optimize_zorder": "orders",
     "mirror_changes": "orders",
+    # round-9 ladder extension: the retrieval cell grew the semvec arm
+    # (hashed-TF corpus embedding + cosine top-k) — ladder the whole cell
+    "text_search": "documents",
 }
 
 
