@@ -624,13 +624,21 @@ def test_ann_ranking_uses_window_group_limit(spark, sf_dir):
     a FINAL group-limit after it; per-partition sorts are spill-safe.
     This pin turns a silent Catalyst regression (e.g. a filter shape the
     rewrite stops recognizing) into a red test."""
-    from iodf_spark.operators.similarity import ann_brute_force, ann_ivf
+    from iodf_spark.operators.similarity import (
+        ann_brute_force,
+        ann_ivf,
+        ann_pq,
+    )
     from iodf_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     for df in (
         ann_brute_force(emb, "vec_id", "embedding", [0, 1, 2], dim=64),
         ann_ivf(emb, "vec_id", "embedding", [0, 1, 2], dim=64),
+        # the ADC rank window (and through it the store probes, which
+        # share _pq_adc_rank) — all four ranking sites the round-8
+        # verdict named must carry the group limit
+        ann_pq(emb, "vec_id", "embedding", [0, 1, 2], dim=64),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("WindowGroupLimit") >= 2, (
