@@ -415,10 +415,18 @@ def ann_store_sync(
     def apply(delta: DataFrame, frm: int, to: int) -> None:
         ins = delta.filter(F.col("_change_type") == "insert").drop("_change_type")
         dels = delta.filter(F.col("_change_type") == "delete").select("row_id")
-        if not dels.isEmpty():
+        # ONE delta-sized count job decides both branches (two isEmpty
+        # probes schedule two jobs over the same delta scan)
+        kinds = {
+            r["_change_type"]: r["n"]
+            for r in delta.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if kinds.get("delete"):
             gone = _resolve_deleted_ids(spark, corpus_store, frm, dels, id_col)
             ann_apply_deletes(spark, store_path, gone)
-        if not ins.isEmpty():
+        if kinds.get("insert"):
             ann_reinstate(spark, store_path, ins.select(id_col))
             fresh = ins.join(
                 _store_ids(spark, store_path),
