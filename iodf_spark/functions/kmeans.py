@@ -19,8 +19,15 @@ as full-precision literals. Everything is therefore fixed-order:
 * assignment iterates points in index order; nearest centroid, ties to
   the LOWEST centroid id (the same tie rule as the distributed
   _ivf_assign / _pq_encode argmins);
-* update = arithmetic mean of members in index order; a cluster that
-  loses all members keeps its previous centroid (no re-seeding RNG);
+* update = arithmetic mean of members in index order — under 'cos' the
+  mean is RE-NORMALIZED to unit length after every update (classic
+  Dhillon–Modha spherical k-means): centroids stay on the sphere, so
+  the training argmax of P @ C.T IS max-cosine, matching the serving
+  assignment in _ivf_assign/assign_cos exactly (an unnormalized mean
+  biases the dot toward large-norm = tight centroids, a different and
+  wrong objective); a cluster that loses all members (or whose mean
+  cancels to the zero vector) keeps its previous centroid (no
+  re-seeding RNG);
 * a fixed iteration count (no data-dependent convergence test — early
   exit on a float comparison could diverge between environments).
 
@@ -82,7 +89,17 @@ def lloyd_kmeans(
         for j in range(k):
             members = P[A == j]
             if len(members):
-                C[j] = members.mean(axis=0)
+                m = members.mean(axis=0)
+                if metric == "cos":
+                    # spherical update: project the mean back onto the unit
+                    # sphere so the next argmax(P @ C.T) is a true cosine
+                    # assignment (degenerate zero-mean keeps the previous
+                    # centroid — no RNG re-seed)
+                    n = float(np.linalg.norm(m))
+                    if n > 0.0:
+                        C[j] = m / n
+                else:
+                    C[j] = m
     return [[float(x) for x in row] for row in C]
 
 

@@ -545,6 +545,17 @@ def _ivf_centroids(
                 f"{n_centroids} — the geometry params must agree (probe "
                 "counts and the oracle twin key off n_centroids)"
             )
+        bad = [(i, len(v)) for i, v in enumerate(cent_vecs) if len(v) != dim]
+        if bad:
+            # fail fast at the entry point (the _check_query_vecs style):
+            # a wrong-length centroid otherwise flows into the unrolled
+            # element_at dot/norm expressions and surfaces as nulls or a
+            # runtime error deep in the plan
+            raise ValueError(
+                f"cent_vecs dimension mismatch: expected dim={dim}, got "
+                f"len(cent_vecs[{bad[0][0]}])={bad[0][1]}"
+                + (f" (+{len(bad) - 1} more)" if len(bad) > 1 else "")
+            )
         lit = df.sparkSession.createDataFrame(
             [(i, [float(x) for x in v]) for i, v in enumerate(cent_vecs)],
             schema="cid int, _ce array<double>",
@@ -688,7 +699,15 @@ def ivf_build_store(
     probe reads n_probe/n_centroids of the data at the FILE level
     (PartitionFilters prune before any IO; asserted by plan test).
     ``cent_vecs`` builds the store around TRAINED centroids (driver-side
-    Lloyd's literals) instead of the id-prefix sample."""
+    Lloyd's literals) instead of the id-prefix sample.
+
+    The build ALWAYS freezes the effective centroids into the store's
+    sidecar (ann_maintenance.write_centroid_sidecar) — trained or
+    id-prefix alike — so every store is self-contained: probes and
+    appends never depend on the training rows surviving in the source
+    corpus, and a store built with trained centroids can never be
+    silently probed against the id-prefix sample (the round-9 advice
+    hazard: cent_vecs accepted at build, ignored at probe)."""
     dim = dim or _infer_dim(df, vec_col)
     cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim, cent_vecs)
     # cluster by cell before the partitioned write: each inverted list lands
@@ -697,6 +716,9 @@ def ivf_build_store(
     _ivf_assign(
         df, id_col, vec_col, n_centroids, dim, cent=cent
     ).repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(path)
+    from .ann_maintenance import write_centroid_sidecar
+
+    write_centroid_sidecar(cent, path)
 
 
 def ivf_append(
@@ -745,24 +767,36 @@ def ann_ivf_store(
     n_centroids: int = 4,
     n_probe: int = 2,
     dim: int | None = None,
+    cent_vecs: list[list[float]] | None = None,
+    query_vecs: dict[int, list[float]] | None = None,
 ) -> DataFrame:
     """ANN over a materialized IVF store: query cells are resolved first
     (tiny: n_queries x n_probe cell ids, collected driver-side), then the
     store scan carries a STATIC cid IN (...) predicate — Spark prunes the
     non-probed cell partitions before reading a byte. Results are
     bit-identical to ann_ivf on the same corpus/params (same float ops on
-    the same values; parquet round-trips doubles exactly)."""
+    the same values; parquet round-trips doubles exactly).
+
+    Centroid precedence (matching ann_ivfpq_store): explicit ``cent_vecs``
+    literals > the store's frozen sidecar (every ivf_build_store /
+    ann_store_seed writes one) > the source-derived id-prefix sample —
+    so a store built with trained centroids is probed against the SAME
+    quantizer automatically; probing the wrong (id-prefix) cells returned
+    wrong/missing neighbors with no error. ``query_vecs`` queries with
+    EXTERNAL vectors (the serving shape), same contract as
+    ann_ivfpq_store."""
     spark = df.sparkSession
     dim = dim or _infer_dim(df, vec_col)
-    # query cells resolve against the store's frozen centroid SIDECAR when
-    # one exists (a maintained store — the sidecar survives takedowns of
-    # training-prefix rows; see ann_maintenance.write_centroid_sidecar),
-    # falling back to the source-derived id-prefix sample
     from .ann_maintenance import read_centroid_sidecar
 
+    cent = (
+        _ivf_centroids(df, id_col, vec_col, n_centroids, dim, cent_vecs)
+        if cent_vecs is not None
+        else read_centroid_sidecar(spark, store_path)
+    )
     qcells = _ivf_query_cells(
         df, id_col, vec_col, query_ids, n_centroids, n_probe, dim,
-        cent=read_centroid_sidecar(spark, store_path),
+        query_vecs=query_vecs, cent=cent,
     )
     probe_cells = sorted({r["cid"] for r in qcells.select("cid").collect()})
     # delete-aware scan: anti-join the store's pending-deletion list
@@ -1049,6 +1083,20 @@ def _pq_codebook(df, id_col, vec_col, m_subspaces, sub_dim, n_codes,
                 f"codebook_vecs must be [m_subspaces={m_subspaces}]"
                 f"[n_codes={n_codes}][sub_dim] — got "
                 f"[{len(codebook_vecs)}][{[len(w) for w in codebook_vecs]}]"
+            )
+        bad = [
+            (m, c, len(cw))
+            for m, words in enumerate(codebook_vecs)
+            for c, cw in enumerate(words)
+            if len(cw) != sub_dim
+        ]
+        if bad:
+            # same fail-fast contract as _ivf_centroids' dim check
+            m0, c0, got = bad[0]
+            raise ValueError(
+                f"codebook_vecs sub_dim mismatch: expected {sub_dim}, got "
+                f"len(codebook_vecs[{m0}][{c0}])={got}"
+                + (f" (+{len(bad) - 1} more)" if len(bad) > 1 else "")
             )
         rows = [
             (c, m, [float(x) for x in cw])
@@ -1696,6 +1744,17 @@ def ivfpq_build_store(
     codes.join(cells, "neighbor_id").repartition("cid").write.mode(
         "overwrite"
     ).partitionBy("cid").parquet(path)
+    # freeze BOTH training artifacts into the store's sidecars: the codes
+    # hold no float vectors, so without the frozen codebooks every append
+    # re-derived them from the live corpus's id-prefix rows — and a
+    # takedown of any id < n_codes row changed the codewords, silently
+    # encoding appended rows against a different quantizer than the
+    # existing ones (corrupted ADC rankings, no error). Residual stores
+    # freeze the RESIDUAL-domain codebooks — exactly what _pq_encode used.
+    from .ann_maintenance import write_centroid_sidecar, write_codebook_sidecar
+
+    write_centroid_sidecar(cent, path)
+    write_codebook_sidecar(cb, path)
 
 
 def _ivf_residuals(df, id_col, vec_col, n_centroids, dim, cent):
@@ -1724,6 +1783,8 @@ def ivfpq_append(
     residual: bool = False,
     cent_vecs: list[list[float]] | None = None,
     codebook_vecs: list[list[list[float]]] | None = None,
+    cent: DataFrame | None = None,
+    cb: DataFrame | None = None,
 ) -> None:
     """Incremental IVF-PQ maintenance: encode ONLY the new delivery
     against the FROZEN codebooks and assign it against the FROZEN
@@ -1733,37 +1794,52 @@ def ivfpq_append(
     same codes; tested append==rebuild). ``residual`` must match the
     store's build flag.
 
-    ``train_df`` supplies the frozen samples (the rows with id <
-    max(n_centroids, n_codes) of the ORIGINAL corpus — the codes store
-    intentionally holds no float vectors to recover them from, unlike
-    ivf_append's store; the probe path already requires the same source
-    table for its codebooks, so this is no extra dependency)."""
+    The frozen training artifacts come in, by precedence: ``cent``/``cb``
+    frames (the store's SIDECARS — ann_maintenance.read_centroid_sidecar/
+    read_codebook_sidecar; the maintained-store path, immune to corpus
+    takedowns), else ``cent_vecs``/``codebook_vecs`` trained literals,
+    else derived from ``train_df`` (the rows with id <
+    max(n_centroids, n_codes) of the ORIGINAL corpus — a legacy path
+    that silently drifts if a training-prefix row is taken down and
+    compacted; new code should pass the sidecars). ``train_df`` may be
+    None when both frames are supplied."""
     dim = dim or _infer_dim(new_df, vec_col)
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
     sub_dim = dim // m_subspaces
-    cent = _ivf_centroids(train_df, id_col, vec_col, n_centroids, dim, cent_vecs)
-    if residual:
-        if codebook_vecs is not None:
+    if cent is None or cb is None:
+        if train_df is None:
+            raise ValueError(
+                "ivfpq_append needs either both sidecar frames (cent + cb) "
+                "or a train_df to derive the missing artifact from"
+            )
+    if cent is None:
+        cent = _ivf_centroids(train_df, id_col, vec_col, n_centroids, dim, cent_vecs)
+    if cb is None:
+        if residual:
+            if codebook_vecs is not None:
+                cb = _pq_codebook(
+                    train_df, id_col, vec_col, m_subspaces, sub_dim, n_codes,
+                    codebook_vecs,
+                )
+            else:
+                res_train = _ivf_residuals(
+                    train_df.filter(F.col(id_col) < n_codes), id_col, vec_col,
+                    n_centroids, dim, cent,
+                )
+                cb = _pq_codebook(
+                    res_train, "neighbor_id", "_rv", m_subspaces, sub_dim, n_codes
+                )
+        else:
             cb = _pq_codebook(
                 train_df, id_col, vec_col, m_subspaces, sub_dim, n_codes,
                 codebook_vecs,
             )
-        else:
-            res_train = _ivf_residuals(
-                train_df.filter(F.col(id_col) < n_codes), id_col, vec_col,
-                n_centroids, dim, cent,
-            )
-            cb = _pq_codebook(
-                res_train, "neighbor_id", "_rv", m_subspaces, sub_dim, n_codes
-            )
+    if residual:
         res_new = _ivf_residuals(new_df, id_col, vec_col, n_centroids, dim, cent)
         codes = _pq_encode(res_new, "neighbor_id", "_rv", m_subspaces, sub_dim, cb)
         cells = res_new.select("cid", "neighbor_id")
     else:
-        cb = _pq_codebook(
-            train_df, id_col, vec_col, m_subspaces, sub_dim, n_codes, codebook_vecs
-        )
         codes = _pq_encode(new_df, id_col, vec_col, m_subspaces, sub_dim, cb)
         cells = _ivf_assign(
             new_df, id_col, vec_col, n_centroids, dim, cent=cent
@@ -1819,14 +1895,22 @@ def ann_ivfpq_store(
     # localCheckpoint before the collect: the qcells window chain feeds
     # the probe-cell collect AND the candidate join AND (residual) the
     # centroid-dot table — one evaluation instead of three
-    # centroid precedence: explicit trained literals > the store's frozen
-    # sidecar (a maintained store) > the id-prefix sample from the source
-    from .ann_maintenance import read_centroid_sidecar
+    # training-artifact precedence (both quantizers): explicit trained
+    # literals > the store's frozen sidecar (every ivfpq_build_store
+    # writes both) > derived from the source's id-prefix rows. The
+    # sidecar path is also the FAST one: the derived residual codebook
+    # chain cost ~6 s of the probe at sf0.1 (see _ivfpq_residual_rank);
+    # the sidecar is a one-file scan.
+    from .ann_maintenance import read_centroid_sidecar, read_codebook_sidecar
 
     cent = (
         _ivf_centroids(df, id_col, vec_col, n_centroids, dim, cent_vecs)
         if cent_vecs is not None
         else read_centroid_sidecar(spark, store_path)
+    )
+    side_cb = (
+        None if codebook_vecs is not None
+        else read_codebook_sidecar(spark, store_path)
     )
     qcells = _ivf_query_cells(
         df, id_col, vec_col, query_ids, n_centroids, n_probe, dim,
@@ -1844,13 +1928,13 @@ def ann_ivfpq_store(
         ranked = _ivfpq_residual_rank(
             df, id_col, vec_col, codes, qcells,
             n_centroids, m_subspaces, sub_dim, dim, n_codes,
-            cent=cent, codebook_vecs=codebook_vecs,
+            cent=cent, codebook_vecs=codebook_vecs, cb=side_cb,
         )
     else:
         cand = codes.join(
             F.broadcast(qcells.select("cid", "query_id")), "cid"
         ).drop("cid")
-        cb = _pq_codebook(
+        cb = side_cb if side_cb is not None else _pq_codebook(
             df, id_col, vec_col, m_subspaces, sub_dim, n_codes, codebook_vecs
         )
         ranked = _pq_adc_rank(
@@ -1872,7 +1956,7 @@ def ann_ivfpq_store(
 def _ivfpq_residual_rank(
     df, id_col, vec_col, codes, qcells,
     n_centroids, m_subspaces, sub_dim, dim, n_codes,
-    cent=None, codebook_vecs=None,
+    cent=None, codebook_vecs=None, cb=None,
 ):
     """Rank residual-encoded candidates by the IVFADC cosine
     approximation: reconstruction = cent_c + r-hat, so
@@ -1884,10 +1968,14 @@ def _ivfpq_residual_rank(
     Every non-exact term reads from a broadcast table keyed by the
     candidate's (cid, code_j) or the query's (query_id, code_j); sums are
     fixed-order so the DuckDB twin is bit-equal. ``cent``/``codebook_vecs``
-    override the frozen training artifacts (sidecar / trained literals)."""
+    override the frozen training artifacts (sidecar / trained literals);
+    ``cb`` supplies the codebook FRAME directly (the store's frozen
+    sidecar — one file scan instead of the derived sample-assign chain)."""
     if cent is None:
         cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim)
-    if codebook_vecs is not None:
+    if cb is not None:
+        cb = cb.localCheckpoint()  # same one-evaluation contract as below
+    elif codebook_vecs is not None:
         cb = _pq_codebook(
             df, id_col, vec_col, m_subspaces, sub_dim, n_codes, codebook_vecs
         ).localCheckpoint()

@@ -247,6 +247,214 @@ def test_ivfpq_store_is_delete_aware(spark, emb, corpus, tmp_path):
     assert physical.isdisjoint(DELETED)
 
 
+def test_ivfpq_codebook_freeze_survives_training_row_takedown(
+    spark, emb, corpus, tmp_path
+):
+    """THE round-9 advice (high): a takedown of an id < n_codes row must
+    NOT drift the PQ codebooks for later appends. The codebooks are
+    frozen into a sidecar at seed time; sync's append path encodes
+    against the sidecar, so appended rows carry the SAME codes a one-shot
+    encode against the seed-time codebooks produces — even after the
+    training row is physically compacted away."""
+    from iodf_spark.operators.ann_maintenance import read_codebook_sidecar
+    from iodf_spark.operators.similarity import _pq_encode
+
+    path = str(tmp_path / "ivfpq")
+    ann_store_seed(
+        spark, corpus, path, "vec_id", "embedding", kind="ivfpq", dim=DIM
+    )
+    cb0 = read_codebook_sidecar(spark, path)
+    assert cb0 is not None and cb0.count() == 4 * 16
+    frozen = sorted(
+        (r["m"], r["code"], tuple(r["csub"])) for r in cb0.collect()
+    )
+
+    # take down a CODEBOOK training row (id < n_codes = 16) and compact:
+    # the live corpus's id-prefix sample is now a different set
+    corpus.delete_where(spark, F.col("vec_id") == 7)
+    ann_store_sync(
+        spark, corpus, path, "vec_id", "embedding", kind="ivfpq", dim=DIM
+    )
+    ann_compact_deletes(spark, path)
+
+    # append fresh rows through sync — must encode against the FROZEN cb
+    corpus.write_segment(
+        emb.filter(F.col("vec_id") >= 450), order_keys=["vec_id"]
+    )
+    ann_store_sync(
+        spark, corpus, path, "vec_id", "embedding", kind="ivfpq", dim=DIM
+    )
+
+    # sidecar unchanged by the whole lifecycle
+    cb1 = read_codebook_sidecar(spark, path)
+    assert (
+        sorted((r["m"], r["code"], tuple(r["csub"])) for r in cb1.collect())
+        == frozen
+    )
+    # appended codes == one-shot encode of the same rows vs the frozen cb
+    new_rows = emb.filter(F.col("vec_id") >= 450)
+    want = {
+        r["neighbor_id"]: tuple(r[f"code{j}"] for j in range(4))
+        for r in _pq_encode(
+            new_rows, "vec_id", "embedding", 4, DIM // 4, cb0
+        ).collect()
+    }
+    got = {
+        r["neighbor_id"]: tuple(r[f"code{j}"] for j in range(4))
+        for r in spark.read.parquet(path)
+        .filter(F.col("neighbor_id") >= 450)
+        .collect()
+    }
+    assert got == want and len(got) == 50
+
+
+def test_ivfpq_sync_refuses_pre_freeze_store(spark, emb, corpus, tmp_path):
+    """A store whose codebook sidecar is missing (pre-freeze layout)
+    cannot be drift-appended: sync must demand a full refresh instead of
+    silently re-deriving quantizers from the live corpus."""
+    import shutil
+
+    from iodf_spark.operators.ann_maintenance import CODEBOOKS_DIR
+
+    path = str(tmp_path / "ivfpq")
+    ann_store_seed(
+        spark, corpus, path, "vec_id", "embedding", kind="ivfpq", dim=DIM
+    )
+    shutil.rmtree(os.path.join(path, CODEBOOKS_DIR))
+    corpus.write_segment(
+        emb.filter(F.col("vec_id") >= 450), order_keys=["vec_id"]
+    )
+    with pytest.raises(FullRefreshRequired, match="sidecar"):
+        ann_store_sync(
+            spark, corpus, path, "vec_id", "embedding", kind="ivfpq", dim=DIM
+        )
+
+
+def test_replayed_window_runs_no_store_scan(spark, emb, corpus, tmp_path, monkeypatch):
+    """THE round-9 weak mark, fixed: a replayed (already fully applied)
+    sync window must be decided from the O(1) applied-window ledger —
+    NEVER by anti-joining the delivery against all ids physically in the
+    store. We rewind the change-feed cursor (simulating the one crash
+    window where apply committed but the cursor write was lost), re-sync,
+    and assert (a) the store-id scan was never built, (b) no duplicate
+    rows appeared."""
+    from iodf_spark.operators import ann_maintenance as M
+
+    path = str(tmp_path / "ivf")
+    ann_store_seed(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    corpus.write_segment(
+        emb.filter(F.col("vec_id") >= 450), order_keys=["vec_id"]
+    )
+    windows = ann_store_sync(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    assert windows
+    n0 = spark.read.parquet(path).count()
+
+    calls = {"n": 0}
+    real = M._store_ids
+
+    def counting(spark_, p):
+        calls["n"] += 1
+        return real(spark_, p)
+
+    monkeypatch.setattr(M, "_store_ids", counting)
+    # lost-cursor replay: rewind the cursor to before the applied window
+    frm, to = windows[0]
+    M._write_cdf_cursor(
+        M._maint_dir(path), frm,
+        corpus.manifest_doc_at(frm)["renumber_epoch"],
+    )
+    replayed = ann_store_sync(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    assert replayed, "the rewound cursor must re-deliver the window"
+    assert calls["n"] == 0, "replay must be decided by the ledger, not a store scan"
+    assert spark.read.parquet(path).count() == n0, "replay appended rows"
+
+
+def test_torn_window_converges_via_safe_path(spark, emb, corpus, tmp_path, monkeypatch):
+    """A TORN window (crash mid-apply: the ledger's in-flight marker
+    survives, the cursor never advanced) must take the safe store-scan
+    path exactly once and converge — no duplicates, appended rows all
+    present."""
+    from iodf_spark.operators import ann_maintenance as M
+
+    path = str(tmp_path / "ivf")
+    ann_store_seed(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    corpus.write_segment(
+        emb.filter(F.col("vec_id") >= 450), order_keys=["vec_id"]
+    )
+    # simulate the crash: run the real sync (which appends + commits),
+    # then forge the crash state — in-flight marker set, cursor rewound
+    windows = ann_store_sync(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    frm, to = windows[0]
+    n0 = spark.read.parquet(path).count()
+    M._write_ledger(path, frm, {"frm": frm, "to": to})
+    M._write_cdf_cursor(
+        M._maint_dir(path), frm,
+        corpus.manifest_doc_at(frm)["renumber_epoch"],
+    )
+    calls = {"n": 0}
+    real = M._store_ids
+
+    def counting(spark_, p):
+        calls["n"] += 1
+        return real(spark_, p)
+
+    monkeypatch.setattr(M, "_store_ids", counting)
+    ann_store_sync(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    assert calls["n"] == 1, "torn window must converge via ONE safe scan"
+    assert spark.read.parquet(path).count() == n0
+    led = M._read_ledger(path)
+    assert led["applied_to"] == to and led["inflight"] is None
+
+
+def test_delete_resolve_prunes_to_candidate_cells(spark, tmp_path):
+    """The delete-resolve scan is bounded by parquet-footer id-ranges:
+    on a corpus whose cells correlate with id ranges (time-ordered
+    corpora — the normal case), a takedown touching one id neighborhood
+    resolves against ONLY the cells whose footer range can contain it."""
+    import math
+
+    from iodf_spark.operators import ann_maintenance as M
+    from iodf_spark.operators.similarity import ivf_build_store
+
+    # planted: 4 tight clusters, ids sequential per cluster -> cell ids
+    # correlate with id ranges (each cluster lands in one cell)
+    rows = []
+    vid = 0
+    for c in range(4):
+        center = [math.cos(0.9 * c + 0.37 * j) for j in range(8)]
+        for m in range(50):
+            rows.append(
+                (
+                    vid,
+                    [
+                        center[j] + 0.03 * math.sin(1.7 * m + 2.3 * j + c)
+                        for j in range(8)
+                    ],
+                )
+            )
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # centroids = one member of each planted cluster (ids 0,50,100,150)
+    cents = [rows[c * 50][1] for c in range(4)]
+    path = str(tmp_path / "ivf")
+    ivf_build_store(
+        df, "vec_id", "embedding", path, n_centroids=4, dim=8, cent_vecs=cents
+    )
+    ranges = M._cell_id_ranges(path)
+    assert ranges is not None and len(ranges) == 4
+    # takedown ids all inside cluster 2's id range [100, 150)
+    ids = spark.createDataFrame([(110,), (111,), (145,)], "vec_id long")
+    cand = M._delete_candidate_cells(spark, path, ids)
+    assert cand is not None and len(cand) == 1, (
+        f"expected one candidate cell, got {cand} (ranges {ranges})"
+    )
+    # and the apply itself still lands exactly the right deletion rows
+    assert M.ann_apply_deletes(spark, path, ids) == 3
+    dels = M.read_ann_deletes(spark, path)
+    assert {r["neighbor_id"] for r in dels.collect()} == {110, 111, 145}
+    assert {r["cid"] for r in dels.collect()} == set(cand)
+
+
 def test_ann_store_describe(spark, emb, corpus, tmp_path):
     from iodf_spark.operators.ann_maintenance import ann_store_describe
 

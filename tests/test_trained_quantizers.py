@@ -62,6 +62,79 @@ def test_lloyd_is_deterministic_and_valid():
         lloyd_kmeans(sample, 4, metric="manhattan")
 
 
+def test_spherical_centroids_are_unit_norm():
+    """The 'cos' metric is REAL spherical k-means (Dhillon–Modha): every
+    update re-normalizes the member mean, so centroids stay on the unit
+    sphere and the training argmax of P @ C.T IS max-cosine — the same
+    assignment rule the distributed _ivf_assign/assign_cos serve with. An
+    unnormalized mean biases the dot toward tight (large-norm-mean)
+    clusters: training-time and serving-time assignments diverge."""
+    sample = [
+        [math.sin(i * 7 + j) * (1.0 + (i % 5)) for j in range(8)]
+        for i in range(60)
+    ]
+    cents = lloyd_kmeans(sample, 5, iters=8, metric="cos")
+    for c in cents:
+        assert abs(math.sqrt(sum(x * x for x in c)) - 1.0) < 1e-12
+    # with unit centroids, argmax dot == argmax cosine for every sample
+    # point — i.e. training assignment equals the serving assignment
+    from iodf_spark.functions.kmeans import assign_cos
+
+    for v in sample[:20]:
+        dots = [sum(a * b for a, b in zip(v, c)) for c in cents]
+        assert dots.index(max(dots)) == assign_cos(v, cents)
+
+
+def test_trained_literal_dim_validation(spark, sf_dir):
+    """A wrong-LENGTH trained vector fails fast at the entry point (the
+    _check_query_vecs contract) instead of flowing into the unrolled
+    element_at expressions and surfacing as nulls deep in the plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    short_cents = [[0.1] * 32 for _ in range(4)]  # dim is 64
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        S.ann_ivf(
+            emb, "vec_id", "embedding", [0], n_centroids=4, dim=64,
+            cent_vecs=short_cents,
+        )
+    bad_cb = [[[0.1] * 9] * 16] * 4  # sub_dim is 64/4 = 16, not 9
+    with pytest.raises(ValueError, match="sub_dim mismatch"):
+        S.ann_pq(
+            emb, "vec_id", "embedding", [0], dim=64, codebook_vecs=bad_cb
+        )
+
+
+def test_trained_build_store_probes_with_frozen_sidecar(spark, sf_dir, tmp_path):
+    """A store built DIRECTLY with ivf_build_store(cent_vecs=...) — not
+    through ann_store_seed — must probe against those trained centroids
+    (the build now freezes them into the sidecar and ann_ivf_store reads
+    it): before the fix the probe silently derived query cells from the
+    id-prefix centroids of the source df, probing the wrong cells."""
+    from iodf_spark.operators.similarity import ann_ivf_store, ivf_build_store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(_sample(sf_dir), k=8, iters=6)
+    path = str(tmp_path / "ivf_t")
+    ivf_build_store(
+        emb, "vec_id", "embedding", path, n_centroids=8, dim=64,
+        cent_vecs=cents,
+    )
+    want = [
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in S.ann_ivf(
+            emb, "vec_id", "embedding", [0, 1, 2],
+            n_centroids=8, n_probe=2, dim=64, cent_vecs=cents,
+        ).collect()
+    ]
+    got = [
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ann_ivf_store(
+            emb, "vec_id", "embedding", path, [0, 1, 2],
+            n_centroids=8, n_probe=2, dim=64,  # no cent_vecs: sidecar path
+        ).collect()
+    ]
+    assert got == want
+
+
 def _match(sdf, con, sql):
     s = sorted(tuple(r) for r in sdf.collect())
     d = sorted(tuple(r) for r in con.execute(sql).fetchall())
