@@ -45,12 +45,20 @@ Underscore-prefixed subdirs (``_deletes``, ``_centroids``,
 existing reader of ``spark.read.parquet(store_path)`` sees exactly the
 codes it always saw.
 
-Concurrency contract: SINGLE MAINTAINER. The corpus store has OCC for its
-writers; the ANN artifact assumes one maintenance process (the standard
-shape for derived indexes — one compactor per index). Serving probes are
-safe concurrent with maintenance appends (parquet readers list files at
-plan time); compaction is the one rewrite and should run in the
-maintainer's thread.
+Concurrency contract: ONE maintainer process (the standard shape for
+derived indexes — one compactor per index), MANY concurrent readers. The
+round-10 addition closing the reader side: a tiny VERSIONED MANIFEST
+(``_ann_manifest/``, committed by atomic rename — reference parity: the
+atomic-rename publish discipline the reference applies to every write,
+Utils.scala:91-99 ``atomicWrite``; footer-last CFS commit,
+store/WrittenCfsDir.scala:106-125) records the store's live cell files
+and deletion-list files. Probes plan against ONE manifest snapshot, so a
+probe planned mid-compaction reads the OLD cell files in full (they stay
+on disk until :func:`ann_vacuum`), never a half-rewritten cell; a crash
+mid-compaction leaves the old manifest current and only orphan files on
+disk (reconciled by vacuum) — old or new, never mixed. Legacy stores
+without a manifest keep the plain directory-scan behavior; the first
+maintenance op initializes one.
 """
 
 from __future__ import annotations
@@ -71,6 +79,12 @@ DELETES_DIR = "_deletes"
 CENTROIDS_DIR = "_centroids"
 CODEBOOKS_DIR = "_codebooks"
 MAINT_DIR = "_maintenance"
+MANIFEST_DIR = "_ann_manifest"
+
+# manifest versions kept for readers planned against older snapshots;
+# commits prune beyond this horizon (the data files a pruned version
+# referenced are reclaimed separately by ann_vacuum)
+MANIFEST_RETAIN = 16
 
 # above this many pending deletes the probe-side anti-join list stops
 # being broadcast-cheap — callers should compact. ann_store_sync applies
@@ -82,11 +96,247 @@ def _deletes_path(store_path: str) -> str:
     return os.path.join(store_path, DELETES_DIR)
 
 
-def read_ann_deletes(spark: SparkSession, store_path: str) -> DataFrame | None:
+# -- versioned manifest ------------------------------------------------------
+#
+# {"version": N,
+#  "cells":   {"<cid>": [relpath, ...]},   # the LIVE code files per cell
+#  "deletes": [relpath, ...],              # the LIVE deletion-list files
+#  "stale":   [relpath, ...]}              # replaced files awaiting vacuum
+#
+# Commit protocol (all atomic renames): write v%08d.json, then flip the
+# CURRENT pointer. Readers resolve CURRENT once at plan time and build
+# their scan from that snapshot's explicit file list — so compaction can
+# append replacement files and flip the manifest while a planned probe
+# keeps reading the old (still-on-disk) files. A crash between the vN
+# write and the CURRENT flip leaves the previous snapshot current and vN
+# as an overwritable orphan. Physical reclamation is ann_vacuum's job and
+# runs strictly after commits, in the maintainer's thread.
+
+
+def _manifest_dir(store_path: str) -> str:
+    return os.path.join(store_path, MANIFEST_DIR)
+
+
+def _atomic_write(path: str, content: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(content)
+    os.replace(tmp, path)
+
+
+def ann_manifest_read(store_path: str) -> dict | None:
+    """The CURRENT manifest snapshot, or None for a legacy (directory-
+    scanned) store. Driver-side metadata: two tiny file reads."""
+    import json
+
+    cur = os.path.join(_manifest_dir(store_path), "CURRENT")
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(_manifest_dir(store_path), f"v{v:08d}.json")) as fh:
+        return json.load(fh)
+
+
+def _manifest_commit(store_path: str, doc: dict) -> int:
+    """Publish ``doc`` as the next manifest version: vN.json first, then
+    the CURRENT pointer — both atomic renames, so every reader sees a
+    complete old or complete new snapshot, never a mix."""
+    import json
+
+    d = _manifest_dir(store_path)
+    os.makedirs(d, exist_ok=True)
+    prev = ann_manifest_read(store_path)
+    v = (prev["version"] if prev else 0) + 1
+    doc = {
+        "version": v,
+        "cells": {k: sorted(fs) for k, fs in doc["cells"].items()},
+        "deletes": sorted(doc["deletes"]),
+        "stale": sorted(set(doc["stale"])),
+    }
+    _atomic_write(os.path.join(d, f"v{v:08d}.json"), json.dumps(doc))
+    _atomic_write(os.path.join(d, "CURRENT"), str(v))
+    # retention: drop manifest HISTORY files beyond the horizon (readers
+    # only ever resolve CURRENT; old versions exist for debugging)
+    for old in range(max(1, v - MANIFEST_RETAIN)):
+        p = os.path.join(d, f"v{old:08d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    return v
+
+
+def _list_data_files(store_path: str) -> dict:
+    """Physical listing of the store's data files (cells + deletion
+    list), as manifest-relative paths. Driver-side os.scandir — the one
+    place the layout's directory structure is interpreted."""
+    cells: dict[int, set[str]] = {}
+    for entry in os.scandir(store_path):
+        if entry.is_dir() and entry.name.startswith("cid="):
+            cid = int(entry.name.split("=", 1)[1])
+            cells[cid] = {
+                f"{entry.name}/{f.name}"
+                for f in os.scandir(entry.path)
+                if f.name.endswith(".parquet")
+            }
+    dels: set[str] = set()
+    p = _deletes_path(store_path)
+    if os.path.isdir(p):
+        dels = {
+            f"{DELETES_DIR}/{f.name}"
+            for f in os.scandir(p)
+            if f.name.endswith(".parquet")
+        }
+    return {"cells": cells, "deletes": dels}
+
+
+def ann_manifest_init(store_path: str) -> dict:
+    """Bootstrap a manifest from the store's current directory state (the
+    build/seed path, and the lazy upgrade for legacy stores — correct
+    because before the first manifest commit, directory state IS live
+    state). Returns the committed doc."""
+    listing = _list_data_files(store_path)
+    doc = {
+        "cells": {str(c): sorted(fs) for c, fs in listing["cells"].items()},
+        "deletes": sorted(listing["deletes"]),
+        "stale": [],
+    }
+    _manifest_commit(store_path, doc)
+    return ann_manifest_read(store_path)
+
+
+def _ensure_manifest(store_path: str) -> dict:
+    doc = ann_manifest_read(store_path)
+    return doc if doc is not None else ann_manifest_init(store_path)
+
+
+def _snapshot_for_append(store_path: str) -> dict | None:
+    """Pre-write file listing, taken only when the store is
+    manifest-tracked (None = legacy store, nothing to record)."""
+    if ann_manifest_read(store_path) is None:
+        return None
+    return _list_data_files(store_path)
+
+
+def _commit_append_diff(store_path: str, before: dict | None) -> None:
+    """Register the files an append just wrote (the listing diff against
+    ``before``) with the manifest. No-op for legacy stores."""
+    if before is None:
+        return
+    after = _list_data_files(store_path)
+    doc = ann_manifest_read(store_path)
+    changed = False
+    for cid, files in after["cells"].items():
+        new = files - before["cells"].get(cid, set())
+        if new:
+            key = str(cid)
+            doc["cells"][key] = sorted(set(doc["cells"].get(key, [])) | new)
+            changed = True
+    new_dels = after["deletes"] - before["deletes"]
+    if new_dels:
+        doc["deletes"] = sorted(set(doc["deletes"]) | new_dels)
+        changed = True
+    if changed:
+        _manifest_commit(store_path, doc)
+
+
+def ann_vacuum(store_path: str) -> int:
+    """Physically reclaim files no manifest CURRENT snapshot references —
+    compaction/reinstate leftovers (the manifest's ``stale`` list) AND
+    crash orphans (files written by an attempt that died before its
+    commit). Runs in the maintainer's thread strictly after commits;
+    readers planned against the current snapshot never reference the
+    removed files. Returns the number of files removed."""
+    doc = ann_manifest_read(store_path)
+    if doc is None:
+        return 0
+    live: set[str] = set(doc["deletes"])
+    for fs in doc["cells"].values():
+        live.update(fs)
+    removed = 0
+    listing = _list_data_files(store_path)
+    for cid, files in listing["cells"].items():
+        for rel in files:
+            if rel not in live:
+                os.remove(os.path.join(store_path, rel))
+                removed += 1
+        try:  # drop a fully-emptied cell dir (cosmetic)
+            os.rmdir(os.path.join(store_path, f"cid={cid}"))
+        except OSError:
+            pass
+    for rel in listing["deletes"]:
+        if rel not in live:
+            os.remove(os.path.join(store_path, rel))
+            removed += 1
+    if doc["stale"]:
+        doc["stale"] = []
+        _manifest_commit(store_path, doc)
+    return removed
+
+
+def _codes_files(
+    store_path: str,
+    cells: list[int] | None = None,
+    doc: dict | None = None,
+) -> list[str] | None:
+    if doc is None:
+        doc = ann_manifest_read(store_path)
+    if doc is None:
+        return None
+    want = None if cells is None else {int(c) for c in cells}
+    out: list[str] = []
+    for cid_s, files in doc["cells"].items():
+        if want is not None and int(cid_s) not in want:
+            continue
+        out.extend(os.path.join(store_path, f) for f in files)
+    return out
+
+
+def _codes_df(
+    spark: SparkSession,
+    store_path: str,
+    cells: list[int] | None = None,
+    doc: dict | None = None,
+) -> DataFrame:
+    """The store's codes scan from ONE manifest snapshot (explicit file
+    list + basePath, so the cid partition column and PartitionFilters
+    survive), optionally pruned to ``cells``; legacy stores fall back to
+    the directory scan. This is the single reader every maintenance op
+    and probe routes through — the isolation point. ``doc`` pins an
+    already-resolved snapshot (live_codes resolves CURRENT once and
+    feeds both its codes scan and its deletion-list read from it)."""
+    files = _codes_files(store_path, cells, doc=doc)
+    if files is None:
+        df = spark.read.parquet(store_path)
+    elif not files:
+        # manifest says nothing is live in the requested cells: preserve
+        # schema from the directory, return no rows
+        df = spark.read.parquet(store_path).filter(F.lit(False))
+    else:
+        df = spark.read.option("basePath", store_path).parquet(*files)
+    if cells is not None:
+        df = df.filter(F.col("cid").isin([int(c) for c in cells]))
+    return df
+
+
+def read_ann_deletes(
+    spark: SparkSession, store_path: str, doc: dict | None = None
+) -> DataFrame | None:
     """The pending deletion list as (neighbor_id, cid), or None when the
     store has no pending deletes. cid rides along so both consumers stay
     pruned: probes keep only the rows of the cells they probe, and
-    compaction rewrites only the named cells."""
+    compaction rewrites only the named cells. Manifest-tracked stores
+    read the snapshot's explicit file list (no directory walk — the list
+    survives object stores with no atomic rename semantics); legacy
+    stores fall back to the directory scan. ``doc`` pins an
+    already-resolved snapshot (see live_codes)."""
+    if doc is None:
+        doc = ann_manifest_read(store_path)
+    if doc is not None:
+        if not doc["deletes"]:
+            return None
+        return spark.read.parquet(
+            *(os.path.join(store_path, f) for f in doc["deletes"])
+        ).select("neighbor_id", "cid")
     p = _deletes_path(store_path)
     if not os.path.isdir(p) or not any(
         f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs
@@ -106,17 +356,33 @@ def _cell_id_ranges(store_path: str) -> dict[int, tuple[int, int]] | None:
     count per cell."""
     import pyarrow.parquet as pq
 
+    # manifest-tracked stores read footers of the LIVE files only (a
+    # stale pre-compaction file could otherwise re-widen a cell's range)
+    doc = ann_manifest_read(store_path)
+    if doc is not None:
+        by_cell = [
+            (int(cid_s), [os.path.join(store_path, f) for f in files])
+            for cid_s, files in doc["cells"].items()
+        ]
+    else:
+        by_cell = [
+            (
+                int(entry.name.split("=", 1)[1]),
+                [
+                    f.path
+                    for f in os.scandir(entry.path)
+                    if f.name.endswith(".parquet")
+                ],
+            )
+            for entry in os.scandir(store_path)
+            if entry.is_dir() and entry.name.startswith("cid=")
+        ]
     ranges: dict[int, tuple[int, int]] = {}
     found = False
-    for entry in os.scandir(store_path):
-        if not entry.is_dir() or not entry.name.startswith("cid="):
-            continue
-        cid = int(entry.name.split("=", 1)[1])
-        for f in os.scandir(entry.path):
-            if not f.name.endswith(".parquet"):
-                continue
+    for cid, paths in by_cell:
+        for fpath in paths:
             found = True
-            md = pq.ParquetFile(f.path).metadata
+            md = pq.ParquetFile(fpath).metadata
             col_idx = None
             for i in range(md.num_columns):
                 if md.schema.column(i).name == "neighbor_id":
@@ -182,12 +448,10 @@ def ann_apply_deletes(
     window appends nothing; ids absent from the store resolve to no rows.
     Returns the number of list rows written."""
     key = ids.columns[0]
-    store = spark.read.parquet(store_path)
     cand = _delete_candidate_cells(spark, store_path, ids)
-    if cand is not None:
-        if not cand:
-            return 0  # no cell can contain any takedown id
-        store = store.filter(F.col("cid").isin(cand))
+    if cand is not None and not cand:
+        return 0  # no cell can contain any takedown id
+    store = _codes_df(spark, store_path, cells=cand)
     dels = (
         store.select("neighbor_id", F.col("cid").cast("int").alias("cid"))
         .join(
@@ -207,7 +471,9 @@ def ann_apply_deletes(
         )
     n = dels.count()
     if n:
+        before = _snapshot_for_append(store_path)
         dels.coalesce(1).write.mode("append").parquet(_deletes_path(store_path))
+        _commit_append_diff(store_path, before)
     return n
 
 
@@ -220,11 +486,14 @@ def live_codes(
     pre-filtered to the probed cells (delete rows for unprobed cells
     can't match anything) and broadcast: plan shape stays
     `Scan(PartitionFilters) -> BroadcastHashJoin(LeftAnti)`, preserving
-    the codes-only ReadSchema and file-level pruning the plan tests pin."""
-    df = spark.read.parquet(store_path)
-    if cells is not None:
-        df = df.filter(F.col("cid").isin([int(c) for c in cells]))
-    dels = read_ann_deletes(spark, store_path)
+    the codes-only ReadSchema and file-level pruning the plan tests pin.
+    Both sides resolve ONE manifest snapshot at plan time (CURRENT is
+    read once and pins the codes scan AND the deletion-list read), so a
+    probe planned mid-compaction reads a consistent pre- or
+    post-compaction store, never a mix."""
+    doc = ann_manifest_read(store_path)
+    df = _codes_df(spark, store_path, cells=cells, doc=doc)
+    dels = read_ann_deletes(spark, store_path, doc=doc)
     if dels is None:
         return df
     if cells is not None:
@@ -234,22 +503,32 @@ def live_codes(
     )
 
 
-def ann_compact_deletes(spark: SparkSession, store_path: str) -> list[int]:
+def ann_compact_deletes(
+    spark: SparkSession, store_path: str, vacuum: bool = True
+) -> list[int]:
     """Materialize pending deletes: rewrite ONLY the cells named by the
-    deletion list (dynamic partition overwrite — untouched cells keep
-    their files byte-identical), dropping deleted ids, then clear the
-    list. The rewrite also dropDuplicates on neighbor_id within the
-    rewritten cells, healing any torn-replay duplicate appends (the one
-    at-least-once window ann_store_sync documents). Returns the rewritten
-    cell ids."""
-    dels = read_ann_deletes(spark, store_path)
+    deletion list, dropping deleted ids, then clear the list. The rewrite
+    also dropDuplicates on neighbor_id within the rewritten cells,
+    healing any torn-replay duplicate appends (the one at-least-once
+    window ann_store_sync documents). Returns the rewritten cell ids.
+
+    Commit protocol (round-10): replacement files are APPENDED next to
+    the old ones, then ONE atomic manifest flip points the rewritten
+    cells at the new files and retires the old files + the deletion list
+    to ``stale`` — so a concurrent probe planned before the flip keeps
+    reading the intact old files, a probe planned after sees the compact
+    cells, and a crash at any point leaves the previous manifest current
+    with only orphan files (ann_vacuum reconciles). The old in-place
+    dynamic-partition-overwrite could expose a half-rewritten cell to a
+    probe planned mid-write. ``vacuum=False`` defers physical
+    reclamation (retention for long-running readers)."""
+    doc = _ensure_manifest(store_path)
+    dels = read_ann_deletes(spark, store_path, doc=doc)
     if dels is None:
         return []
     cells = sorted(r["cid"] for r in dels.select("cid").distinct().collect())
     if cells:
-        df = spark.read.parquet(store_path).filter(
-            F.col("cid").isin([int(c) for c in cells])
-        )
+        df = _codes_df(spark, store_path, cells=cells, doc=doc)
         cols = [c for c in df.columns if c != "cid"]
         kept = (
             df.join(
@@ -258,18 +537,22 @@ def ann_compact_deletes(spark: SparkSession, store_path: str) -> list[int]:
             .dropDuplicates(["neighbor_id"])
             .select(*cols, F.col("cid").cast("int").alias("cid"))
             .repartition("cid")
-            # materialize BEFORE the overwrite: the rewrite reads the same
-            # partition dirs it replaces — localCheckpoint decouples the
-            # scan from the commit (bounded by the touched cells)
-            .localCheckpoint()
         )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            kept.write.mode("overwrite").partitionBy("cid").parquet(store_path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    _clear_deletes(store_path)
+        before = _list_data_files(store_path)
+        kept.write.mode("append").partitionBy("cid").parquet(store_path)
+        after = _list_data_files(store_path)
+        for cid in cells:
+            key = str(int(cid))
+            doc["stale"] = list(doc["stale"]) + doc["cells"].get(key, [])
+            doc["cells"][key] = sorted(
+                after["cells"].get(int(cid), set())
+                - before["cells"].get(int(cid), set())
+            )
+    doc["stale"] = list(doc["stale"]) + list(doc["deletes"])
+    doc["deletes"] = []
+    _manifest_commit(store_path, doc)
+    if vacuum:
+        ann_vacuum(store_path)
     return [int(c) for c in cells]
 
 
@@ -281,7 +564,9 @@ def _clear_deletes(store_path: str) -> None:
         shutil.rmtree(p)
 
 
-def ann_reinstate(spark: SparkSession, store_path: str, ids: DataFrame) -> int:
+def ann_reinstate(
+    spark: SparkSession, store_path: str, ids: DataFrame, vacuum: bool = True
+) -> int:
     """Make room for a RE-INSERT of previously-deleted ids (a document
     taken down and later republished: the change feed delivers it as a
     fresh insert while its id still sits on the deletion list). Two
@@ -290,8 +575,15 @@ def ann_reinstate(spark: SparkSession, store_path: str, ids: DataFrame) -> int:
     deletion list without them. After this, the normal append path adds
     the new codes and probes see exactly the republished version. Rare
     path by construction — republish-after-takedown — so per-cell rewrite
-    cost is acceptable; returns the number of reinstated ids."""
-    dels = read_ann_deletes(spark, store_path)
+    cost is acceptable; returns the number of reinstated ids.
+
+    Commit protocol: same append-then-flip as ann_compact_deletes — the
+    replacement cell files AND the remainder deletion list are written as
+    NEW files first, then one atomic manifest flip publishes both; a
+    crash leaves the old snapshot current (old or new, never mixed),
+    which retires the old write-then-swap os.rename dance."""
+    doc = _ensure_manifest(store_path)
+    dels = read_ann_deletes(spark, store_path, doc=doc)
     if dels is None:
         return 0
     key = ids.columns[0]
@@ -302,37 +594,45 @@ def ann_reinstate(spark: SparkSession, store_path: str, ids: DataFrame) -> int:
         hit.unpersist()
         return 0
     cells = sorted(r["cid"] for r in hit.select("cid").distinct().collect())
-    df = spark.read.parquet(store_path).filter(
-        F.col("cid").isin([int(c) for c in cells])
-    )
+    df = _codes_df(spark, store_path, cells=cells, doc=doc)
     cols = [c for c in df.columns if c != "cid"]
     kept = (
         df.join(F.broadcast(hit.select("neighbor_id")), "neighbor_id", "left_anti")
         .select(*cols, F.col("cid").cast("int").alias("cid"))
         .repartition("cid")
-        .localCheckpoint()  # same scan-vs-overwrite decoupling as compaction
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        kept.write.mode("overwrite").partitionBy("cid").parquet(store_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    # rewrite the deletion list WITHOUT the reinstated ids. Write-then-swap:
-    # writing the remainder to a staging dir BEFORE clearing the old list
-    # keeps the computation's source files alive (a cache-and-clear-first
-    # sequence would recompute from deleted files on cache eviction) and
-    # makes a crash at any point leave a readable list (old or new).
+    before = _list_data_files(store_path)
+    kept.write.mode("append").partitionBy("cid").parquet(store_path)
     remaining = dels.join(F.broadcast(idset), "neighbor_id", "left_anti")
-    staging = _deletes_path(store_path) + ".swap"
-    remaining.coalesce(1).write.mode("overwrite").parquet(staging)
-    _clear_deletes(store_path)
-    if spark.read.parquet(staging).isEmpty():
-        import shutil
+    remaining.coalesce(1).write.mode("append").parquet(_deletes_path(store_path))
+    after = _list_data_files(store_path)
+    for cid in cells:
+        ckey = str(int(cid))
+        doc["stale"] = list(doc["stale"]) + doc["cells"].get(ckey, [])
+        doc["cells"][ckey] = sorted(
+            after["cells"].get(int(cid), set())
+            - before["cells"].get(int(cid), set())
+        )
+    # an all-reinstated list writes a 0-row remainder file: retire it too,
+    # so read_ann_deletes keeps returning None for "no pending deletes"
+    # (row counts from parquet footers — driver-side metadata, no job)
+    import pyarrow.parquet as pq
 
-        shutil.rmtree(staging, ignore_errors=True)
-    else:
-        os.rename(staging, _deletes_path(store_path))
+    new_del_files = sorted(after["deletes"] - before["deletes"])
+    nonempty = [
+        f
+        for f in new_del_files
+        if pq.ParquetFile(os.path.join(store_path, f)).metadata.num_rows > 0
+    ]
+    doc["stale"] = (
+        list(doc["stale"])
+        + list(doc["deletes"])
+        + [f for f in new_del_files if f not in nonempty]
+    )
+    doc["deletes"] = nonempty
+    _manifest_commit(store_path, doc)
+    if vacuum:
+        ann_vacuum(store_path)
     hit.unpersist()
     return n
 
@@ -474,7 +774,7 @@ def _store_ids(spark: SparkSession, store_path: str) -> DataFrame:
     8-byte id column. CRASH-RECOVERY ONLY: steady-state replay idempotence
     is decided by the applied-window ledger in O(1) metadata; this scan
     backs the one torn-window convergence pass (see ann_store_sync)."""
-    return spark.read.parquet(store_path).select("neighbor_id")
+    return _codes_df(spark, store_path).select("neighbor_id")
 
 
 def ann_store_seed(
@@ -520,6 +820,10 @@ def ann_store_seed(
         )
     else:
         raise ValueError(f"unknown ANN store kind {kind!r}")
+    # the static-overwrite build replaced the whole directory: publish a
+    # fresh manifest v1 over the new file set (seed is the full-refresh
+    # path — probes resume snapshot-isolated reads from here)
+    ann_manifest_init(store_path)
     _write_cdf_cursor(_maint_dir(store_path), v, doc["renumber_epoch"])
     _write_ledger(store_path, v, None)  # the seed IS applied-through v
     return v
@@ -662,7 +966,7 @@ def ann_store_describe(spark: SparkSession, store_path: str) -> dict:
     version/epoch the artifact reflects). One column-pruned scan of
     (neighbor_id is not read — cid only) plus metadata reads."""
     per_cell = (
-        spark.read.parquet(store_path)
+        _codes_df(spark, store_path)
         .groupBy("cid")
         .count()
         .collect()
@@ -673,7 +977,9 @@ def ann_store_describe(spark: SparkSession, store_path: str) -> dict:
     from ..streaming.ingest import read_cdf_cursor
 
     cursor = read_cdf_cursor(_maint_dir(store_path))
+    mdoc = ann_manifest_read(store_path)
     return {
+        "manifest_version": None if mdoc is None else mdoc["version"],
         "n_cells": len(sizes),
         "n_rows": sum(sizes),
         "cell_rows_min": sizes[0] if sizes else 0,

@@ -752,9 +752,14 @@ def ivf_append(
             F.col("_cvn").alias("_cen"),
         )
     dim = dim or _infer_dim(new_df, vec_col)
+    from .ann_maintenance import _commit_append_diff, _snapshot_for_append
+
+    before = _snapshot_for_append(store_path)
     _ivf_assign(new_df, id_col, vec_col, n_centroids, dim, cent=cent).write.mode(
         "append"
     ).partitionBy("cid").parquet(store_path)
+    # manifest-tracked stores register the appended files (no-op legacy)
+    _commit_append_diff(store_path, before)
 
 
 def ann_ivf_store(
@@ -1844,9 +1849,14 @@ def ivfpq_append(
         cells = _ivf_assign(
             new_df, id_col, vec_col, n_centroids, dim, cent=cent
         ).select("cid", "neighbor_id")
+    from .ann_maintenance import _commit_append_diff, _snapshot_for_append
+
+    before = _snapshot_for_append(store_path)
     codes.join(cells, "neighbor_id").repartition("cid").write.mode(
         "append"
     ).partitionBy("cid").parquet(store_path)
+    # manifest-tracked stores register the appended files (no-op legacy)
+    _commit_append_diff(store_path, before)
 
 
 def ann_ivfpq_store(

@@ -455,6 +455,86 @@ def test_delete_resolve_prunes_to_candidate_cells(spark, tmp_path):
     assert {r["cid"] for r in dels.collect()} == set(cand)
 
 
+def test_probe_is_snapshot_isolated_from_compaction(spark, emb, corpus, tmp_path):
+    """A probe PLANNED before compaction keeps reading the intact
+    pre-compaction files (manifest snapshot + deferred vacuum), a probe
+    planned after reads the compacted cells — both return identical
+    results, and vacuum reclaims the retired files afterward."""
+    from iodf_spark.operators import ann_maintenance as M
+
+    path = str(tmp_path / "ivf")
+    ann_store_seed(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    corpus.delete_where(spark, F.col("vec_id").isin(DELETED))
+    ann_store_sync(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    v0 = M.ann_manifest_read(path)["version"]
+
+    # plan (but do not run) a probe against the pre-compaction snapshot
+    pre = ann_ivf_store(
+        emb, "vec_id", "embedding", path, QUERIES, k=5, dim=DIM
+    )
+    ann_compact_deletes(spark, path, vacuum=False)  # flip, keep old files
+    assert M.ann_manifest_read(path)["version"] > v0
+    post = ann_ivf_store(
+        emb, "vec_id", "embedding", path, QUERIES, k=5, dim=DIM
+    )
+    rows_pre = [(r["query_id"], r["rank"], r["neighbor_id"]) for r in pre.collect()]
+    rows_post = [(r["query_id"], r["rank"], r["neighbor_id"]) for r in post.collect()]
+    assert rows_pre == rows_post
+    assert all(nid not in DELETED for _, _, nid in rows_pre)
+    # deferred vacuum reclaims the retired cell files + the deletes list
+    assert M.ann_vacuum(path) > 0
+    physical = {
+        r["neighbor_id"]
+        for r in spark.read.parquet(path).select("neighbor_id").collect()
+    }
+    assert physical.isdisjoint(DELETED)
+    assert M.ann_manifest_read(path)["stale"] == []
+
+
+def test_crash_mid_compaction_leaves_old_snapshot(spark, emb, corpus, tmp_path, monkeypatch):
+    """A crash between compaction's replacement-file append and its
+    manifest commit must leave the OLD snapshot current — probes stay
+    delete-aware and identical, never a half-rewritten cell — and
+    ann_vacuum reconciles the orphan files; the retried compaction then
+    succeeds."""
+    from iodf_spark.operators import ann_maintenance as M
+
+    path = str(tmp_path / "ivf")
+    ann_store_seed(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    corpus.delete_where(spark, F.col("vec_id").isin(DELETED))
+    ann_store_sync(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    want = _probe(spark, emb, path)
+    v0 = M.ann_manifest_read(path)["version"]
+
+    real = M._manifest_commit
+
+    def boom(store_path, doc):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(M, "_manifest_commit", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ann_compact_deletes(spark, path)
+    monkeypatch.setattr(M, "_manifest_commit", real)
+
+    # old snapshot current: same version, deletes still pending, probe
+    # identical (old files intact — never mixed with the torn rewrite)
+    assert M.ann_manifest_read(path)["version"] == v0
+    assert read_ann_deletes(spark, path) is not None
+    assert _probe(spark, emb, path) == want
+    # reconcile: the torn attempt's orphan files are reclaimed
+    assert M.ann_vacuum(path) > 0
+    assert _probe(spark, emb, path) == want
+    # the retried compaction completes normally
+    cells = ann_compact_deletes(spark, path)
+    assert cells and read_ann_deletes(spark, path) is None
+    assert _probe(spark, emb, path) == want
+    physical = {
+        r["neighbor_id"]
+        for r in spark.read.parquet(path).select("neighbor_id").collect()
+    }
+    assert physical.isdisjoint(DELETED)
+
+
 def test_ann_store_describe(spark, emb, corpus, tmp_path):
     from iodf_spark.operators.ann_maintenance import ann_store_describe
 
