@@ -810,21 +810,25 @@ _TRAINED_Q: dict = {}
 
 
 def _trained_sample(n: int = 256) -> list[list[float]]:
-    """The deterministic quantizer-training sample: the first ``n``
-    embedding vectors by vec_id from the CORRECTNESS-gate scale
-    (/root/testdata/sf0.01 — the driver compares Spark vs oracle there,
-    TESTDATA.md), as exact float64. Trained ONCE per process and frozen:
-    bench (sf0.1) and smoke (sf0.001) reuse the same frozen quantizer,
-    which is the production shape — faiss trains on a sample and serves
-    every later corpus size. Read via duckdb so oracle_sql() (which has
-    no SparkSession) derives the IDENTICAL literals."""
+    """The deterministic quantizer-training sample: ``n`` embedding
+    vectors drawn HASH-ORDERED (Knuth multiplicative hash of vec_id —
+    functions/kmeans.hash_order_key; round-10 de-bias: an id-prefix
+    sample is one id-era's distribution on any corpus where content
+    correlates with id order, e.g. time-ordered crawls) from the
+    CORRECTNESS-gate scale (/root/testdata/sf0.01 — the driver compares
+    Spark vs oracle there, TESTDATA.md), as exact float64. Trained ONCE
+    per process and frozen: bench (sf0.1) and smoke (sf0.001) reuse the
+    same frozen quantizer, which is the production shape — faiss trains
+    on a sample and serves every later corpus size. Read via duckdb so
+    oracle_sql() (which has no SparkSession) derives the IDENTICAL
+    literals."""
     if "sample" not in _TRAINED_Q:
         import duckdb
 
         rows = duckdb.sql(
             "SELECT embedding FROM "
             "read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
-            f"WHERE vec_id < {n} ORDER BY vec_id"
+            f"ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT {n}"
         ).fetchall()
         _TRAINED_Q["sample"] = [[float(x) for x in r[0]] for r in rows]
     return _TRAINED_Q["sample"]
@@ -1391,6 +1395,18 @@ def _embedding_clusters_arms(spark: SparkSession, sf_dir: str):
             lambda: semdedup(
                 emb(), "vec_id", "embedding", dim=EMB_DIM, n_probe=2
             ).select(F.lit("semdedup2").alias("method"), "*"),
+        ),
+        # round-10 verdict #4: the TRAINED-centroid pass — the same 64
+        # spherical-Lloyd's centroids the ivf64_t ANN arm serves with,
+        # threaded through semdedup's cell assignment (and the oracle as
+        # identical literals); the recall gain lives on the planted
+        # corpus in pytest (this fixture is isotropic — see MEMORY)
+        (
+            "semdedup_t",
+            lambda: semdedup(
+                emb(), "vec_id", "embedding", dim=EMB_DIM,
+                cent_vecs=_trained_ivf64(),
+            ).select(F.lit("semdedup_t").alias("method"), "*"),
         ),
     ]
 
@@ -3298,6 +3314,11 @@ def oracle_sql() -> dict[str, str]:
             FROM ({similarity.semdedup_oracle(
                 "vec_id", "embedding", "embeddings", dim=EMB_DIM,
                 n_probe=2)})
+            UNION ALL
+            SELECT 'semdedup_t' AS method, doc_id, cluster_id, keep
+            FROM ({similarity.semdedup_oracle(
+                "vec_id", "embedding", "embeddings", dim=EMB_DIM,
+                cent_vecs=_trained_ivf64())})
             ORDER BY method, doc_id
         """,
         "quality_filter": f"""

@@ -40,6 +40,21 @@ _pq_encode's argmin ||x-c||^2).
 from __future__ import annotations
 
 
+def hash_order_key(i: int) -> int:
+    """Deterministic, engine-independent ordering key for drawing the
+    bounded training sample: Knuth's multiplicative hash
+    (i * 2654435761 mod 2^32). Ordering a corpus by this key and taking
+    the first N gives a fixed pseudo-uniform sample — unlike the
+    id-prefix sample, it is unbiased on corpora where content correlates
+    with id order (time-ordered crawls, the normal case: a prefix of a
+    crawl is one era's distribution, not the corpus's). Pure integer
+    arithmetic so the same expression runs in SQL
+    (``(id * 2654435761) % 4294967296``) on any engine and reproduces
+    these exact keys — determinism is load-bearing (the trained output
+    enters both dialects as literals)."""
+    return (int(i) * 2654435761) % 4294967296
+
+
 def lloyd_kmeans(
     sample: list[list[float]],
     k: int,

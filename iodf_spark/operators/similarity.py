@@ -1476,6 +1476,7 @@ def semdedup(
     n_blocks: int | None = None,
     keep_by: str | None = None,
     n_probe: int = 1,
+    cent_vecs: list[list[float]] | None = None,
 ) -> DataFrame:
     """Semantic deduplication (Abbas et al. 2023, 'SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication'): cluster the
@@ -1513,16 +1514,24 @@ def semdedup(
     pairs from multiply-shared cells are absorbed by the witness
     aggregations (min/argmax are idempotent), never double-counted.
 
+    ``cent_vecs`` (round-10, the same knob the ANN family grew in round
+    9) clusters around TRAINED centroids (functions/kmeans spherical
+    Lloyd's literals) instead of the id-prefix sample — on a corpus with
+    real cluster structure, trained cells align with the clusters, so
+    near-dup pairs land in the SAME cell where arbitrary prefix cells
+    split them (recall gain pinned on a planted corpus in pytest; both
+    dialects consume the identical literals).
+
     Output (doc_id, cluster_id, keep), oracle-exact: quantized int64 dots
     (any summation order) + float64 normalization, same as cosine_pairs."""
     dim = dim or _infer_dim(df, vec_col)
+    cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim, cent_vecs)
     if n_probe <= 1:
-        assigned = _ivf_assign(df, id_col, vec_col, n_centroids, dim)
+        assigned = _ivf_assign(df, id_col, vec_col, n_centroids, dim, cent=cent)
     else:
         # top-n_probe cells per row: score on SCALARS only (the _ivf_assign
         # lesson — arrays in the expansion sort kill the stage), rank with
         # a window, re-attach the vector by one corpus-sized join
-        cent = _ivf_centroids(df, id_col, vec_col, n_centroids, dim)
         corpus = fan_out(
             df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
         ).withColumn("_cvn", F.expr(norm_expr("_cv", "spark", dim)))
@@ -1610,8 +1619,10 @@ def semdedup_oracle(
     dim: int | None = None,
     keep_by: str | None = None,
     n_probe: int = 1,
+    cent_vecs: list[list[float]] | None = None,
 ) -> str:
-    """DuckDB twin of semdedup: same id-prefix centroids and max-cosine
+    """DuckDB twin of semdedup: same centroids (id-prefix, or the same
+    TRAINED full-precision literals via ``cent_vecs``) and max-cosine
     (top-n_probe) cell assignment, same quantized within-cell pair
     scores, same smallest-witness (or keep_by strongest-witness) keep
     rule. Multi-probe duplicate pairs are absorbed by the same
@@ -1643,8 +1654,7 @@ def semdedup_oracle(
                                          ORDER BY _wp DESC, _win) AS _r
             FROM edges) WHERE _r = 1)"""
     return f"""
-        WITH cent AS (SELECT {id_col} AS cid, {vec_col} AS _ce FROM {table}
-                      WHERE {id_col} < {n_centroids}),
+        WITH cent AS ({_cent_sql(id_col, vec_col, table, n_centroids, cent_vecs)}),
         corpus AS (SELECT {id_col} AS _id, {vec_col} AS _cv FROM {table}),
         ascore AS (
           SELECT c._id, ct.cid, {acos} AS ccos

@@ -98,7 +98,7 @@ def test_bench_arm_factories_cover_their_query_variants():
     ]
     assert [a for a, _ in _arm_names("embedding_pairs")] == ["vec", "hashdoc"]
     assert [a for a, _ in _arm_names("embedding_clusters")] == [
-        "ann", "exact", "semdedup", "semdedup2",
+        "ann", "exact", "semdedup", "semdedup2", "semdedup_t",
     ]
 
 

@@ -239,6 +239,130 @@ def test_trained_centroids_raise_recall_on_clustered_data(spark):
     )
 
 
+def _planted_wide(spark, n_clusters=8, per=80, dim=16):
+    """The _planted corpus at 2x size — big enough that a 256-row
+    id-PREFIX sample covers only clusters 0..3 (ids are sequential per
+    cluster: the id-order-correlates-with-content shape of a
+    time-ordered crawl)."""
+    return _planted(spark, n_clusters=n_clusters, per=per, dim=dim)
+
+
+def test_hash_ordered_sample_debiases_id_correlated_corpora(spark):
+    """Round-10 verdict #3: the quantizer-training sample is drawn
+    hash-ordered (kmeans.hash_order_key), not id-prefix. On a corpus
+    whose cluster membership correlates with id ranges (640 rows, ids
+    sequential per cluster), a 256-row prefix sees ONLY clusters 0..3;
+    the hash-ordered 256 rows cover all 8 — and the trained centroids
+    keep the >=0.95 recall pin for queries in the LATE clusters the
+    prefix never saw."""
+    from iodf_spark.functions.kmeans import hash_order_key
+
+    df = _planted_wide(spark).cache()
+    rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in df.collect()
+    }
+    n = len(rows)
+    assert n == 640
+    # queries from the late clusters (ids >= 320: outside any 256-prefix)
+    qids = [330, 410, 490, 570, 635]
+    exact = {}
+    for r in S.ann_brute_force(df, "vec_id", "embedding", qids, dim=16).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    hash_ids = sorted(range(n), key=lambda i: (hash_order_key(i), i))[:256]
+    # the de-biased sample reaches every id-range octant of the corpus
+    assert {i // 80 for i in hash_ids} == set(range(8))
+    trained = train_ivf_centroids([rows[i] for i in hash_ids], k=8, iters=8)
+
+    got = {}
+    for r in S.ann_ivf(
+        df, "vec_id", "embedding", qids, n_centroids=8, n_probe=1,
+        dim=16, cent_vecs=trained,
+    ).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    df.unpersist()
+    recall = sum(len(exact[q] & got.get(q, set())) for q in qids) / sum(
+        len(exact[q]) for q in qids
+    )
+    assert recall >= 0.95, f"hash-sample trained recall {recall:.2f}"
+
+
+def test_semdedup_trained_centroids_catch_cross_prefix_cell_dups(spark):
+    """Round-10 verdict #4: semdedup(cent_vecs=...) clusters around
+    trained centroids. Planted twins (cosine ~1) inside each of 8 real
+    clusters: trained cells align with the clusters, so EVERY twin pair
+    is co-cell and deduped; the id-prefix cells (first 8 corpus vectors
+    — all from cluster 0) split at least one twin pair apart and miss
+    it."""
+    import math as _m
+
+    rows = []
+    vid = 0
+    twins = []
+    for c in range(8):
+        center = [_m.cos(0.7 * c + 0.31 * j) for j in range(16)]
+        for m in range(20):
+            # hash-sin noise (fract(sin(x)*43758.5453), the classic
+            # deterministic scatter) so no two MEMBERS are accidental
+            # near-dups — only the planted twins clear the 0.999
+            # quantized-cosine threshold
+            vec = [
+                center[j]
+                + 0.3
+                * (
+                    2.0
+                    * _m.modf(
+                        abs(_m.sin(m * 16 + j + c * 301 + 1)) * 43758.5453
+                    )[0]
+                    - 1.0
+                )
+                for j in range(16)
+            ]
+            rows.append((vid, vec))
+            vid += 1
+        # the planted near-dup twin of this cluster's first member — with
+        # a 15% lean toward ANOTHER cluster's center: quantized cosine to
+        # the base stays >= 0.98 (a real near-dup above the 0.975
+        # threshold) but the lean is big enough to flip the argmax
+        # between the nearly-tied id-PREFIX centroids (all cluster-0
+        # members), splitting at least one pair across prefix cells;
+        # trained cells, aligned with the real clusters, keep every pair
+        # together (both margins checked numerically for this fixture)
+        base = rows[vid - 20][1]
+        other = [_m.cos(0.7 * ((c + 3) % 8) + 0.31 * j) for j in range(16)]
+        rows.append(
+            (vid, [0.895 * base[j] + 0.15 * other[j] for j in range(16)])
+        )
+        twins.append((vid - 20, vid))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    sample = [v for _, v in rows]
+    trained = train_ivf_centroids(sample, k=8, iters=8)
+
+    def removed(cent_vecs):
+        out = S.semdedup(
+            df, "vec_id", "embedding", n_centroids=8, threshold=0.975,
+            dim=16, cent_vecs=cent_vecs,
+        )
+        return {r["doc_id"] for r in out.collect() if not r["keep"]}
+
+    r_trained = removed(trained)
+    r_prefix = removed(None)
+    df.unpersist()
+    want = {b for _, b in twins}  # the larger id of each twin pair
+    assert want <= r_trained, (
+        f"trained cells must co-cell (and dedup) EVERY planted twin: "
+        f"missed {sorted(want - r_trained)}"
+    )
+    assert want - r_prefix, (
+        f"id-prefix cells should split at least one twin pair here "
+        f"(prefix removed {sorted(r_prefix & want)} of {sorted(want)}) — "
+        "if this ever catches all, the planted geometry no longer "
+        "exercises the bias"
+    )
+
+
 def test_trained_store_freezes_centroids_in_sidecar(spark, sf_dir, tmp_path):
     """ann_store_seed(cent_vecs=...) freezes the TRAINED quantizer into
     the sidecar: appends and probes then run on it (never on corpus
