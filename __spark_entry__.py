@@ -1418,9 +1418,20 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces it from byte lengths), and sample 'video' frames per payload
     (one row per frame with byte offsets in the operator; aggregated here
     to per-doc frame count / bytes / offset checksum so both mapInPandas
-    paths share one oracle-checked output)."""
+    paths share one oracle-checked output).
+
+    Round-10 'hdr_*' columns attest the REAL stdlib codec
+    (multimodal.decode_headers — PNG IHDR / JPEG SOF0 struct parsing, no
+    image libs): each doc gets a spec-shaped container byte stream built
+    IN SPARK SQL (even doc_id -> PNG with RGBA color type, odd -> JPEG
+    SOF0 with 3 components; dimensions derived from the text byte
+    length), the executor-side parser recovers width/height/channels
+    from the byte layout alone, and the oracle re-derives the expected
+    values from the same formulas — a header the parser fails to
+    round-trip hash-mismatches immediately."""
     from iodf_spark.operators.multimodal import (
         attach_payload,
+        decode_headers,
         decode_metadata,
         frame_sample,
         resize,
@@ -1428,6 +1439,33 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = attach_payload(load_table(spark, sf_dir, "documents"), "text")
     meta = decode_metadata(docs, "doc_id")
+    imgs = docs.withColumn(
+        "_hw", F.expr("cast(1 + octet_length(payload) % 640 as int)")
+    ).withColumn(
+        "_hh", F.expr("cast(1 + (octet_length(payload) * 7) % 480 as int)")
+    ).withColumn(
+        "img",
+        F.expr(
+            """CASE WHEN doc_id % 2 = 0 THEN
+                 concat(X'89504E470D0A1A0A', X'0000000D',
+                        encode('IHDR', 'UTF-8'),
+                        unhex(lpad(hex(_hw), 8, '0')),
+                        unhex(lpad(hex(_hh), 8, '0')),
+                        X'0806000000', X'00000000')
+               ELSE
+                 concat(X'FFD8', X'FFC00011', X'08',
+                        unhex(lpad(hex(_hh), 4, '0')),
+                        unhex(lpad(hex(_hw), 4, '0')),
+                        X'03', X'000000000000000000', X'FFD9')
+               END"""
+        ),
+    )
+    hdr = decode_headers(imgs, "doc_id", "img").select(
+        "doc_id",
+        F.col("width").alias("hdr_width"),
+        F.col("height").alias("hdr_height"),
+        F.col("channels").alias("hdr_channels"),
+    )
     frames = frame_sample(docs, "doc_id").groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_frames"),
         F.sum("length").cast("long").alias("frame_bytes"),
@@ -1447,6 +1485,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta.join(frames, "doc_id")
         .join(resized, "doc_id")
         .join(feats, "doc_id")
+        .join(hdr, "doc_id")
         .orderBy("doc_id")
     )
 
@@ -3664,7 +3703,11 @@ def oracle_sql() -> dict[str, str]:
                    f.n_frames, f.frame_bytes, f.frame_checksum,
                    (32 * 24 * 3)::BIGINT AS resize_bytes,
                    ((s.n * 31 + 32) * 31 + 24)::BIGINT AS resize_checksum,
-                   ft.dim AS feat_dim, ft.feat_checksum
+                   ft.dim AS feat_dim, ft.feat_checksum,
+                   (1 + s.n % 640)::INT AS hdr_width,
+                   (1 + (s.n * 7) % 480)::INT AS hdr_height,
+                   (CASE WHEN s.doc_id % 2 = 0 THEN 4 ELSE 3 END)::INT
+                     AS hdr_channels
             FROM sized s JOIN frames f USING (doc_id)
             JOIN ({FEATURES_ORACLE}) ft USING (doc_id)
             ORDER BY s.doc_id

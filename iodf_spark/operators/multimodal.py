@@ -4,13 +4,22 @@ struct; decode / feature-extraction / resize / frame-sampling run as
 Arrow-batched Pandas UDFs over mapInPandas — the Spark-side plumbing
 (schemas, batch iteration, partitioning) is real and tested.
 
-The default codecs are STUBBED: this container has no image/audio
-libraries, so `decode_metadata` uses a clearly-marked deterministic fake
-(byte-arithmetic). `decode_real` is the optional-dependency wiring: with
-PIL importable it decodes real image headers executor-side into the SAME
-output schema; without it, it raises NotImplementedError (or degrades to
-the fake explicitly via fallback_to_fake=True) — the dataflow around the
-codec does not change either way.
+Codec tiers (one logical operation, pluggable codecs — the reference's
+serializer contract, IoType.scala:61-81):
+
+* `decode_metadata` — clearly-marked deterministic FAKE (byte
+  arithmetic), kept for oracle-replayable plumbing attestation.
+* `decode_headers` — REAL metadata decode with NO dependencies
+  (round-10): PNG IHDR and JPEG SOFn width/height/channels parsed from
+  the actual byte layouts with stdlib ``struct`` alone, so THIS
+  container runs a genuine codec end-to-end. Pixel data is untouched —
+  metadata extraction over a 100 TB crawl reads a few hundred header
+  bytes per blob, which is exactly what this tier models.
+* `decode_real` — the optional-dependency wiring: with PIL importable it
+  decodes real image headers (any PIL format) executor-side into the
+  SAME output schema; without it, it raises NotImplementedError (or
+  degrades to the fake explicitly via fallback_to_fake=True) — the
+  dataflow around the codec does not change either way.
 
 Scale notes: mapInPandas streams Arrow record batches — no row-at-a-time
 serde; binary payloads never pass through Python object pickling. Batch
@@ -54,6 +63,103 @@ def _fake_features(payload: bytes, dim: int) -> list[float]:
         acc = (acc * 31 + (payload[d % len(payload)] if payload else 0) + d) % 1_000_000_007
         out.append(float(acc % 1000) / 1000.0)
     return out
+
+
+# channels per PNG color type (spec §11.2.2): greyscale, RGB, palette,
+# greyscale+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG SOF markers carrying frame dims: C0-CF minus C4 (DHT), C8 (JPG
+# extension), CC (DAC)
+_JPEG_SOF = {
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+}
+
+
+def parse_image_header(payload: bytes) -> tuple[int | None, int | None, int | None]:
+    """REAL image metadata from the container byte layout, stdlib-only:
+
+    * PNG: walk chunks (len:4BE, type:4, data, crc:4) from the 8-byte
+      signature to IHDR; width/height are the first two 4-byte BE fields,
+      channels map from the color-type byte (spec §11.2.2).
+    * JPEG: walk markers from SOI (FFD8); any SOFn segment (FFC0-FFCF
+      minus DHT/DAC/JPG) carries precision:1, height:2BE, width:2BE,
+      n_components:1.
+
+    Returns (width, height, channels), or (None, None, None) for
+    unrecognized/truncated payloads — at 100 TB a crawler corpus WILL
+    contain corrupt blobs and a poisoned task must not kill the stage.
+    CRCs are deliberately not verified: metadata extraction reads a few
+    hundred bytes per blob; integrity is the storage layer's contract."""
+    import struct
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        pos = 8
+        while pos + 8 <= len(payload):
+            (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            if ctype == b"IHDR":
+                if pos + 8 + 13 > len(payload):
+                    return None, None, None
+                w, h = struct.unpack(">II", payload[pos + 8 : pos + 16])
+                color = payload[pos + 17]
+                return int(w), int(h), _PNG_CHANNELS.get(int(color))
+            pos += 8 + clen + 4
+        return None, None, None
+    if payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 2 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None, None, None
+            marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+                pos += 2
+                continue
+            if pos + 4 > len(payload):
+                return None, None, None
+            (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            if marker in _JPEG_SOF:
+                if pos + 10 > len(payload):
+                    return None, None, None
+                h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+                ncomp = payload[pos + 9]
+                return int(w), int(h), int(ncomp)
+            pos += 2 + seglen
+    return None, None, None
+
+
+def decode_headers(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
+    """REAL metadata decode that runs in THIS environment: Arrow-batched
+    mapInPandas over :func:`parse_image_header` (stdlib PNG IHDR / JPEG
+    SOFn), schema-identical to decode_metadata/decode_real — the
+    pluggable-codec contract. Unrecognized payloads yield NULL
+    width/height/channels, never a failed batch."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())] + list(META_SCHEMA.fields)
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes, widths, heights, channels = [], [], [], []
+            for p in pdf[payload_col]:
+                b = bytes(p)
+                n_bytes.append(len(b))
+                w, h, c = parse_image_header(b)
+                widths.append(w)
+                heights.append(h)
+                channels.append(c)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "n_bytes": pd.array(n_bytes, dtype="Int64"),
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "channels": pd.array(channels, dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, out_schema)
 
 
 def attach_payload(df: DataFrame, text_col: str) -> DataFrame:

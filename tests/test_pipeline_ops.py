@@ -103,28 +103,89 @@ def test_multimodal_plumbing(spark, sf_dir):
         assert fb.schema == MM.decode_metadata(with_p, "doc_id").schema
 
 
-def test_decode_real_with_pil(spark):
-    """Golden test for the REAL codec path: a generated 1-px PNG decodes
-    to its true dimensions through the same mapInPandas plumbing, and a
-    corrupt payload yields NULL metadata instead of failing the batch.
-    Runs only where PIL is installed (skipped in this container)."""
-    pytest.importorskip("PIL")
-    import io
+def _stdlib_png(w: int, h: int, color: int = 2) -> bytes:
+    """A fully VALID PNG built with stdlib alone (struct + zlib +
+    binascii CRCs): real signature, real IHDR, zlib-compressed blank
+    scanlines in IDAT, IEND — any conformant decoder opens it."""
+    import binascii
+    import struct
+    import zlib
 
-    from PIL.Image import new as new_image
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", binascii.crc32(ctype + data) & 0xFFFFFFFF)
+        )
 
-    buf = io.BytesIO()
-    new_image("RGB", (7, 5)).save(buf, format="PNG")
-    png = buf.getvalue()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    nch = {0: 1, 2: 3, 6: 4}[color]
+    raw = b"".join(b"\x00" + bytes(w * nch) for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _minimal_jpeg(w: int, h: int, ncomp: int = 3) -> bytes:
+    """A header-valid JPEG stream: SOI, a spec-shaped JFIF APP0, a SOF0
+    frame header carrying the real dimensions, EOI."""
+    import struct
+
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", h, w) + bytes([ncomp]) + bytes(9)
+        + b"\xff\xd9"
+    )
+
+
+def test_real_codec_headers_stdlib(spark):
+    """Golden test for the REAL codec path, running in THIS container
+    (round-10: the former PIL-gated perpetual skip): genuine PNG and
+    JPEG byte layouts decode to their true dimensions through
+    decode_headers' stdlib struct parser via the same mapInPandas
+    plumbing; corrupt/truncated payloads yield NULL metadata instead of
+    failing the batch; where PIL happens to be installed, decode_real
+    agrees with the stdlib parse on the same bytes."""
+    png = _stdlib_png(7, 5)  # RGB -> 3 channels
+    rgba = _stdlib_png(640, 479, color=6)  # RGBA -> 4 channels
+    jpeg = _minimal_jpeg(63, 31)
     df = spark.createDataFrame(
-        [(1, bytearray(png)), (2, bytearray(b"not an image"))],
+        [
+            (1, bytearray(png)),
+            (2, bytearray(rgba)),
+            (3, bytearray(jpeg)),
+            (4, bytearray(b"not an image")),
+            (5, bytearray(png[:20])),  # truncated mid-IHDR
+        ],
         "doc_id long, payload binary",
     )
-    rows = {r["doc_id"]: r for r in MM.decode_real(df, "doc_id").collect()}
+    rows = {r["doc_id"]: r for r in MM.decode_headers(df, "doc_id").collect()}
     assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (7, 5, 3)
     assert rows[1]["n_bytes"] == len(png)
-    assert rows[2]["width"] is None and rows[2]["channels"] is None
-    assert MM.decode_real(df, "doc_id").schema == MM.decode_metadata(df, "doc_id").schema
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["channels"]) == (640, 479, 4)
+    assert (rows[3]["width"], rows[3]["height"], rows[3]["channels"]) == (63, 31, 3)
+    assert rows[4]["width"] is None and rows[4]["channels"] is None
+    assert rows[5]["width"] is None and rows[5]["channels"] is None
+    assert (
+        MM.decode_headers(df, "doc_id").schema
+        == MM.decode_metadata(df, "doc_id").schema
+    )
+    # driver-side parser twins (the unit under the plumbing)
+    assert MM.parse_image_header(png) == (7, 5, 3)
+    assert MM.parse_image_header(jpeg) == (63, 31, 3)
+    assert MM.parse_image_header(b"") == (None, None, None)
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        return
+    real = {r["doc_id"]: r for r in MM.decode_real(df, "doc_id").collect()}
+    assert (real[1]["width"], real[1]["height"], real[1]["channels"]) == (7, 5, 3)
 
 
 def test_jaccard_prefix_filter_lossless_vs_bruteforce(spark):
