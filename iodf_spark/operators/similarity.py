@@ -2281,3 +2281,59 @@ def ann_ivfpq_oracle(
           {cc_joins}
           JOIN qc ON qc.query_id = cand.query_id AND qc.cid = cand.cid
           WHERE cand.query_id <> cand.neighbor_id),{shared_tail}"""
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation (round 10): distributed recall@k — the standing
+# eval a pipeline runs on a query sample whenever an index is trained,
+# synced, or compacted (faiss's knn-recall harness shape), expressed as
+# two joins + one agg instead of driver-side set math
+
+
+def ann_recall(truth: DataFrame, approx: DataFrame, k: int = 10) -> DataFrame:
+    """Per-query recall@k of any ANN result frame against an exact one:
+    (query_id, n_truth, n_hit, recall). Both inputs are (query_id,
+    neighbor_id, rank, ...) — the shape every ann_* operator in this
+    module returns — so brute-force truth and IVF/PQ/LSH/store candidates
+    plug in directly. The denominator is the TRUTH's row count at rank<=k
+    (tiny corpora can have fewer than k true neighbors; recall against a
+    padded k would understate such queries). Queries the approx frame
+    misses entirely score 0, not absent.
+
+    Scale: the truth sample is Q*k rows — the joins are hash joins on
+    (query_id, neighbor_id) with the tiny side broadcast by AQE; nothing
+    here touches vectors, so the eval costs the two ANN runs, not a third
+    pass over the corpus."""
+    t = truth.filter(F.col("rank") <= F.lit(k)).select("query_id", "neighbor_id")
+    a = approx.filter(F.col("rank") <= F.lit(k)).select("query_id", "neighbor_id")
+    hits = (
+        t.join(a, ["query_id", "neighbor_id"], "leftsemi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    per_q = t.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        per_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth")
+            ).alias("recall"),
+        )
+    )
+
+
+def ann_recall_summary(truth: DataFrame, approx: DataFrame, k: int = 10) -> DataFrame:
+    """One-row corpus roll-up of :func:`ann_recall`: (n_queries,
+    mean_recall, min_recall, n_perfect). mean is micro-averaged over
+    queries (each query weighs 1 regardless of its truth size — the
+    faiss-recall convention)."""
+    r = ann_recall(truth, approx, k)
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.avg("recall").alias("mean_recall"),
+        F.min("recall").alias("min_recall"),
+        F.sum((F.col("recall") >= 1.0).cast("bigint")).alias("n_perfect"),
+    )
