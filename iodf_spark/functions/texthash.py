@@ -155,3 +155,43 @@ def hamming32(a: str, b: str, dialect: str) -> str:
     if _d(dialect):
         return f"bit_count({a} ^ {b})"
     return f"bit_count(xor({a}::BIGINT, {b}::BIGINT))"
+
+
+# ---------------------------------------------------------------------------
+# second independent hash family (round 10): substring-level dedup groups
+# windows by hash with NO downstream pair verification (unlike the Jaccard
+# candidates, which a full-set verify re-checks), so a single 1e9+7 space
+# saturates at curation scale — at 1e13 windows every residue would hold
+# ~1e4 unrelated windows. Packing two INDEPENDENT polynomial folds
+# (different multiplier AND modulus — same-modulus/different-seed folds
+# collide together whenever lengths match) widens window identity to
+# ~1e18 while keeping the 8-byte shuffle key and exact DuckDB twinning.
+
+MOD2 = 998_244_353  # NTT prime, coprime-free of MOD
+MULT2 = 131
+SEED2 = 13
+
+
+def fold_hash2(arr: str, dialect: str, seed: int = SEED2) -> str:
+    """Polynomial fold of an integer array in the SECOND hash family."""
+    if _d(dialect):
+        return (
+            f"aggregate({arr}, cast({seed} as bigint), "
+            f"(_acc, _x) -> (_acc * {MULT2} + _x) % {MOD2})"
+        )
+    return (
+        f"list_reduce(list_prepend({seed}::BIGINT, {arr}), "
+        f"(_acc, _x) -> (_acc * {MULT2} + _x) % {MOD2})"
+    )
+
+
+def text_hash2(e: str, dialect: str) -> str:
+    """Second-family deterministic hash of a string expression."""
+    return fold_hash2(codepoints(e, dialect), dialect)
+
+
+def pack_hashes(h1: str, h2: str) -> str:
+    """One int64 from a (family-1, family-2) hash pair: h1*MOD2 + h2 —
+    max ~1e18, inside int64; injective over the pair, dialect-neutral
+    arithmetic (emit into either engine)."""
+    return f"(({h1}) * {MOD2} + ({h2}))"

@@ -1191,3 +1191,319 @@ def line_dedup_clean_oracle(
         FROM _lines LEFT JOIN _boiler USING (_lh)
         GROUP BY _id
     """
+
+
+# --------------------------------------------------------------------------
+# substring-level dedup (the ExactSubstr family: find and remove verbatim
+# token runs that repeat across — or within — documents)
+
+
+DEFAULT_SPAN_K = 16  # Lee et al. use 50 BPE tokens; whitespace tokens run
+# denser, and the engine parameterizes k per corpus anyway
+
+
+def _gram_stream2(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """_gram_stream with a PACKED DOUBLE-HASH gram identity (_id, _pos, _s):
+    two independent polynomial folds (31 mod 1e9+7 and 131 mod 998244353,
+    texthash families 1 and 2) packed into one int64. The substring ops
+    group windows by hash with no downstream pair verification, so the
+    single 1e9+7 space would saturate at curation scale (1e13 windows ->
+    ~1e4 unrelated windows per residue, everything 'duplicated'); a
+    simultaneous double collision runs ~1e-18 per pair. Same lead()-window
+    scalar construction as _gram_stream (the array-lambda form recomputes
+    the token-hash array per element access — measured 3-10x), same one
+    shuffle on _id, still an 8-byte key."""
+    from pyspark.sql.window import Window
+
+    base = fan_out(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    )
+    tok = (
+        base.select(
+            "_id",
+            F.posexplode(F.expr(TH.tokens("_txt", "spark"))).alias("_pos", "_t"),
+        )
+        .withColumn("_h", F.expr(TH.text_hash("_t", "spark")))
+        .withColumn("_g", F.expr(TH.text_hash2("_t", "spark")))
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    acc1 = f"cast({TH.SEED} as bigint)"
+    acc2 = f"cast({TH.SEED2} as bigint)"
+    for j in range(n):
+        acc1 = f"((({acc1}) * {TH.MULT} + _h{j}) % {TH.MOD})"
+        acc2 = f"((({acc2}) * {TH.MULT2} + _g{j}) % {TH.MOD2})"
+    with_leads = tok.select(
+        "_id",
+        "_pos",
+        F.col("_h").alias("_h0"),
+        F.col("_g").alias("_g0"),
+        *[F.lead("_h", j).over(w).alias(f"_h{j}") for j in range(1, n)],
+        *[F.lead("_g", j).over(w).alias(f"_g{j}") for j in range(1, n)],
+    )
+    return (
+        with_leads.filter(F.col(f"_h{n - 1}").isNotNull())
+        .withColumn("_s", F.expr(TH.pack_hashes(acc1, acc2)))
+        .select("_id", "_pos", "_s")
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_SPAN_K,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans: (doc_id, span_start, span_toks,
+    n_windows), one row per maximal run of tokens in which EVERY k-token
+    window occurs >= min_occurrences times corpus-wide (within-doc repeats
+    count — a doc that pastes its own header twice flags both copies, like
+    the suffix-array ExactSubstr it approximates; Lee et al., ACL 2022,
+    'Deduplicating Training Data Makes Language Models Better'). A verbatim
+    duplicated run of length L >= k has all L-k+1 of its windows duplicated,
+    so true duplicated spans are recovered EXACTLY with their boundaries;
+    the one approximation vs a suffix array is chimeric merges (adjacent
+    windows each duplicated against DIFFERENT sources fuse into one reported
+    span) — the same span-coalescing the reference family applies when
+    cutting remove-ranges out of documents. Window identity is a PACKED
+    DOUBLE polynomial hash (_gram_stream2 — two independent families in
+    one int64, dialect-exact so the oracle reproduces every verdict
+    bit-for-bit): unlike the Jaccard candidates, nothing downstream
+    re-verifies pairs, and a single 1e9+7 space would mark everything
+    duplicated at 1e13 windows; the packed ~1e18 space keeps the expected
+    corpus-wide false-dup count below one up to ~1e9-window shards.
+
+    Scale (100 TB): the window stream is (_id 8B, _pos 4B, hash 8B) per
+    token — linear in token count, the same wire cost as the MinHash
+    shingle pass, never text. The duplicate filter is a map-side-combined
+    count on the 8-byte hash; the join-back is hash-keyed (hot boilerplate
+    windows are exactly what it finds — AQE skew-join splits them); the
+    island merge is a per-document window sort, bounded by document length.
+    Suffix arrays (the reference implementation of ExactSubstr) need a
+    global sort of the whole corpus' suffixes — this is the shuffle-local
+    re-expression of the same detector.
+    """
+    stream = _gram_stream2(df, id_col, text_col, k)
+    dup = (
+        stream.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") >= F.lit(min_occurrences))
+        .select("_s")
+    )
+    hits = stream.join(dup, "_s", "leftsemi")
+    return windows_to_spans(hits, k, id_col="_id", pos_col="_pos")
+
+
+def windows_to_spans(
+    df: DataFrame, k: int, id_col: str = "doc_id", pos_col: str = "pos"
+) -> DataFrame:
+    """Coalesce duplicated k-window START POSITIONS into maximal spans:
+    (doc_id, span_start, span_toks, n_windows). The gaps-and-islands
+    merge shared by the batch detector and the streaming reader — a run
+    of consecutive positions i..j covers tokens [i, j+k)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(pos_col)
+    isl = df.select(id_col, pos_col).withColumn(
+        "_isl", F.col(pos_col) - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy(id_col, "_isl")
+        .agg(
+            F.min(pos_col).alias("_s0"),
+            F.max(pos_col).alias("_s1"),
+            F.count(F.lit(1)).alias("_nw"),
+        )
+        .select(
+            F.col(id_col).cast("bigint").alias("doc_id"),
+            F.col("_s0").cast("bigint").alias("span_start"),
+            (F.col("_s1") - F.col("_s0") + F.lit(k)).cast("bigint").alias("span_toks"),
+            F.col("_nw").cast("bigint").alias("n_windows"),
+        )
+    )
+
+
+def packed_grams_expr(th1: str, th2: str, k: int) -> str:
+    """Spark SQL expr: in-order packed double-hash k-gram array from two
+    PRE-MATERIALIZED token-hash array COLUMNS (the array form of
+    _gram_stream2's lead()-window folds — needed where window functions
+    are unavailable, i.e. on a STREAMING DataFrame; pass column names, not
+    expressions — Catalyst's CollapseProject inlines expressions into
+    every lambda reference). Docs shorter than k tokens yield an empty
+    array."""
+    acc1 = f"cast({TH.SEED} as bigint)"
+    acc2 = f"cast({TH.SEED2} as bigint)"
+    for j in range(1, k + 1):
+        acc1 = f"((({acc1}) * {TH.MULT} + element_at({th1}, _i + {j})) % {TH.MOD})"
+        acc2 = f"((({acc2}) * {TH.MULT2} + element_at({th2}, _i + {j})) % {TH.MOD2})"
+    return (
+        f"case when size({th1}) >= {k} "
+        f"then transform(sequence(0, size({th1}) - {k}), "
+        f"_i -> {TH.pack_hashes(acc1, acc2)}) "
+        f"else cast(array() as array<bigint>) end"
+    )
+
+
+def _span_stream_sql(id_col: str, text_col: str, table: str, k: int) -> str:
+    """DuckDB mirror of _gram_stream2: (_id, _pos, _s) — parallel unnest
+    zips the 0-based window position with the in-order PACKED double-hash
+    gram, the exact integers Spark's lead()-window folds produce."""
+    f1 = TH.fold_hash(f"list_slice(_th, _i + 1, _i + {k})", "duckdb")
+    f2 = TH.fold_hash2(f"list_slice(_t2, _i + 1, _i + {k})", "duckdb")
+    grams = (
+        f"list_transform(range(greatest(len(_th) - {k - 1}, 0)), "
+        f"_i -> {TH.pack_hashes(f1, f2)})"
+    )
+    toks = TH.tokens(text_col, "duckdb")
+    h2 = TH.text_hash2("_tok", "duckdb")
+    return f"""
+        SELECT _id, unnest(range(len(_g))) AS _pos, unnest(_g) AS _s
+        FROM (SELECT _id, {grams} AS _g
+              FROM (SELECT {id_col}::BIGINT AS _id,
+                           {TH.token_hashes(text_col, "duckdb")} AS _th,
+                           list_transform({toks}, _tok -> {h2}) AS _t2
+                    FROM {table}))
+    """
+
+
+def duplicated_spans_oracle(
+    id_col: str,
+    text_col: str,
+    table: str,
+    k: int = DEFAULT_SPAN_K,
+    min_occurrences: int = 2,
+) -> str:
+    return f"""
+        WITH _st AS ({_span_stream_sql(id_col, text_col, table, k)}),
+        _dup AS (SELECT _s FROM _st GROUP BY _s
+                 HAVING count(*) >= {min_occurrences}),
+        _isl AS (
+          SELECT _id, _pos,
+                 _pos - row_number() OVER (PARTITION BY _id ORDER BY _pos) AS _g
+          FROM _st SEMI JOIN _dup USING (_s)
+        )
+        SELECT _id AS doc_id,
+               min(_pos)::BIGINT AS span_start,
+               (max(_pos) - min(_pos) + {k})::BIGINT AS span_toks,
+               count(*)::BIGINT AS n_windows
+        FROM _isl GROUP BY _id, _g
+    """
+
+
+def substring_dedup_clean(
+    df: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_SPAN_K
+) -> DataFrame:
+    """Materialize the substring-deduplicated corpus: (doc_id, clean_text,
+    n_toks, removed_toks). For every k-token window that occurs >= 2 times
+    corpus-wide, exactly ONE occurrence survives — the lexicographically
+    first by (doc_id, position) — and every other occurrence's token range
+    is cut; adjacent cut windows coalesce into maximal remove-spans first,
+    so overlapping duplicates are removed once, not k times. clean_text is
+    the surviving tokens re-joined by single spaces (token-normalized, the
+    same convention as the tokenizer that defined the windows).
+
+    Preconditions (ValueError-free by contract, documented like
+    capped_candidates'): integer doc ids with 0 <= id < 2^32 and documents
+    under 2^31 tokens — (id, pos) packs into one int64 keeper key at radix
+    2^31 so the arg-min survives a map-side-combined min() instead of a
+    skew-prone per-key window sort.
+
+    Scale: same linear window stream as duplicated_spans; the keeper
+    choice is min(enc) — partial-aggregated, hot boilerplate windows cost
+    one combiner cell per map task, not a single-task sort. Token text
+    travels exactly once, to the final reassembly (the output contains it;
+    unavoidable). Reference family: Lee et al.'s ExactSubstr removes all
+    but one occurrence of each duplicated substring — this is that policy,
+    shuffle-local."""
+    stream = _gram_stream2(df, id_col, text_col, k).withColumn(
+        "_enc", F.col("_id").cast("long") * F.lit(_POS_ENC) + F.col("_pos")
+    )
+    kp = (
+        stream.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_occ"), F.min("_enc").alias("_keep"))
+        .filter(F.col("_occ") >= F.lit(2))
+        .select("_s", "_keep")
+    )
+    rm = (
+        stream.join(kp, "_s")
+        .filter(F.col("_enc") != F.col("_keep"))
+        .select("_id", "_pos")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_id").orderBy("_pos")
+    spans = (
+        rm.withColumn("_isl", F.col("_pos") - F.row_number().over(w))
+        .groupBy("_id", "_isl")
+        .agg(F.min("_pos").alias("_a"), (F.max("_pos") + F.lit(k)).alias("_b"))
+    )
+    per_doc = spans.groupBy("_id").agg(
+        F.collect_list(F.struct(F.col("_a").alias("s"), F.col("_b").alias("e"))).alias(
+            "_spans"
+        ),
+        F.sum(F.col("_b") - F.col("_a")).alias("_cut"),
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.expr(TH.tokens(text_col, "spark")).alias("_toks"),
+    )
+    # null _spans (no duplicated window touches the doc) short-circuits the
+    # exists() inside the lambda — a bare not(exists(null, ...)) is null,
+    # which filter() would treat as drop-every-token
+    clean = F.expr(
+        "array_join(filter(_toks, (_t, _i) -> _spans is null or "
+        "not exists(_spans, _sp -> _i >= _sp.s and _i < _sp.e)), ' ')"
+    )
+    return (
+        base.join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias("doc_id"),
+            clean.alias("clean_text"),
+            F.size("_toks").cast("bigint").alias("n_toks"),
+            F.coalesce(F.col("_cut"), F.lit(0)).cast("bigint").alias("removed_toks"),
+        )
+    )
+
+
+def substring_dedup_clean_oracle(
+    id_col: str, text_col: str, table: str, k: int = DEFAULT_SPAN_K
+) -> str:
+    return f"""
+        WITH _st AS (
+          SELECT _id, _pos, _s, (_id * {_POS_ENC} + _pos) AS _enc
+          FROM ({_span_stream_sql(id_col, text_col, table, k)})
+        ),
+        _kp AS (SELECT _s, min(_enc) AS _keep FROM _st
+                GROUP BY _s HAVING count(*) >= 2),
+        _rm AS (SELECT t._id, t._pos FROM _st t JOIN _kp USING (_s)
+                WHERE t._enc <> _kp._keep),
+        _isl AS (
+          SELECT _id, _pos,
+                 _pos - row_number() OVER (PARTITION BY _id ORDER BY _pos) AS _g
+          FROM _rm
+        ),
+        _sp AS (SELECT _id, min(_pos) AS _a, max(_pos) + {k} AS _b
+                FROM _isl GROUP BY _id, _g),
+        _tok AS (
+          SELECT _id, unnest(range(len(_t))) AS _pos, unnest(_t) AS _tok
+          FROM (SELECT {id_col}::BIGINT AS _id,
+                       {TH.tokens(text_col, "duckdb")} AS _t
+                FROM {table})
+        ),
+        _keep2 AS (
+          SELECT t._id, t._pos, t._tok FROM _tok t
+          WHERE NOT EXISTS (SELECT 1 FROM _sp p
+                            WHERE p._id = t._id
+                              AND t._pos >= p._a AND t._pos < p._b)
+        ),
+        _agg AS (SELECT _id, string_agg(_tok, ' ' ORDER BY _pos) AS clean_text,
+                        count(*) AS _kept
+                 FROM _keep2 GROUP BY _id),
+        _n AS (SELECT _id, count(*) AS _n FROM _tok GROUP BY _id)
+        SELECT b._id AS doc_id,
+               coalesce(a.clean_text, '') AS clean_text,
+               coalesce(n._n, 0)::BIGINT AS n_toks,
+               (coalesce(n._n, 0) - coalesce(a._kept, 0))::BIGINT AS removed_toks
+        FROM (SELECT {id_col}::BIGINT AS _id FROM {table}) b
+        LEFT JOIN _agg a USING (_id) LEFT JOIN _n n USING (_id)
+    """

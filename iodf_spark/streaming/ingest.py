@@ -883,3 +883,126 @@ def read_neardup_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
         return spark.read.schema(schema).parquet(pairs_dir)
     except Exception:  # noqa: BLE001 — no batch produced any pair file
         return spark.createDataFrame([], schema)
+
+
+# --------------------------------------------------------------------------
+# Incremental substring-level dedup (streaming ExactSubstr)
+
+
+def stream_duplicated_windows(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    state_dir: str,
+    k: int = 16,
+) -> None:
+    """Incremental ExactSubstr discovery over a document stream: every
+    k-token window that reaches >= 2 corpus-wide occurrences is emitted
+    EXACTLY ONCE per occurrence, in the micro-batch where it becomes
+    duplicated — so the accumulated output is the batch detector's
+    duplicated-window set over the corpus-so-far, independent of
+    micro-batch boundaries and arrival order (the dedup_minhash
+    batch==stream contract, at substring granularity).
+
+    Engine shape: the ONLY stateful primitive is applyInPandasWithState
+    keyed by the packed double-hash window identity (operators/dedup
+    _gram_stream2's array form — window functions are unavailable on a
+    streaming DataFrame). State per key is 12 bytes: (count, pending
+    doc, pending pos); while a window has exactly one occurrence, that
+    occurrence is HELD; the batch delivering the second emits both (the
+    held one retroactively) and later arrivals emit themselves — no
+    per-batch scan of anything corpus-sized, no foreachBatch parquet
+    state: per-delivery cost is the delivery's own windows plus state
+    lookups (RocksDB/HDFS state store, delta-bounded natively).
+
+    State lives forever (one row per DISTINCT window ever seen): exact
+    global dedup, the same trade stream_dedup documents for its
+    unwatermarked mode — duplicates arrive arbitrarily late by nature,
+    so event-time GC would silently re-admit old text. At corpus scale,
+    shard streams by source/epoch or reconcile with the batch detector.
+
+    Output sink: parquet (doc_id, pos) rows under state_dir/dups with the
+    checkpoint under state_dir/_checkpoint — exactly-once end to end.
+    Read back through :func:`read_duplicated_spans`."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from iodf_spark.functions import texthash as TH
+    from iodf_spark.operators.dedup import packed_grams_expr
+
+    h2 = TH.text_hash2("_tok", "spark")
+    hashed = docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.expr(TH.token_hashes(text_col, "spark")).alias("_th"),
+        F.expr(
+            f"transform({TH.tokens(text_col, 'spark')}, _tok -> {h2})"
+        ).alias("_t2"),
+    )
+    windows = hashed.select(
+        "_id",
+        F.posexplode(F.expr(packed_grams_expr("_th", "_t2", k))).alias("_pos", "_s"),
+    )
+
+    def fn(key, pdfs, state):
+        occ: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            occ.extend(
+                (int(d), int(p)) for d, p in zip(pdf["_id"], pdf["_pos"])
+            )
+        cnt, pend_doc, pend_pos = state.get if state.exists else (0, -1, -1)
+        out: list[tuple[int, int]] = []
+        total = cnt + len(occ)
+        if total >= 2:
+            if cnt == 1:
+                out.append((pend_doc, pend_pos))  # retroactive emission
+            out.extend(occ)
+            state.update((total, -1, -1))
+        elif total == 1 and cnt == 0:
+            state.update((1, occ[0][0], occ[0][1]))
+        yield pd.DataFrame(out, columns=["doc_id", "pos"])
+
+    emitted = windows.groupBy("_s").applyInPandasWithState(
+        fn,
+        "doc_id long, pos long",
+        "cnt long, pend_doc long, pend_pos long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        emitted.writeStream.format("parquet")
+        .option("path", os.path.join(state_dir, "dups"))
+        .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_duplicated_spans(spark: SparkSession, state_dir: str, k: int = 16) -> DataFrame:
+    """Accumulated result of stream_duplicated_windows as MAXIMAL SPANS —
+    the same gaps-and-islands merge (operators/dedup.windows_to_spans)
+    over the emitted (doc_id, pos) rows, so after any availableNow drain:
+    read_duplicated_spans(...) == duplicated_spans(<all docs so far>).
+    Empty-but-typed before the first duplicate."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from iodf_spark.operators.dedup import windows_to_spans
+
+    dups_dir = os.path.join(state_dir, "dups")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("pos", T.LongType())]
+    )
+    files = (
+        [f for f in os.listdir(dups_dir) if f.endswith(".parquet")]
+        if os.path.isdir(dups_dir)
+        else []
+    )
+    if not files:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(dups_dir)
+    return windows_to_spans(df, k)

@@ -681,3 +681,30 @@ def test_delete_aware_probe_keeps_pruned_codes_only_plan(spark, tmp_path):
     assert "embedding" not in store_scan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
     # the anti-join is broadcast — the codes never shuffle to meet the list
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_substring_dedup_stream_never_shuffles_text(spark):
+    """Round 10 (ExactSubstr): the duplicated-window detector's shuffles
+    must carry only (_id, _pos, hash) — token/document TEXT stays in the
+    map stage that hashed it. Also pins the dup-window filter as a
+    LeftSemi join (never an inner join materializing occurrence pairs,
+    which is quadratic in hot-window frequency)."""
+    from iodf_spark.operators.dedup import duplicated_spans, substring_dedup_clean
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(duplicated_spans(docs, "doc_id", "text", k=16))
+    assert "LeftSemi" in plan, "dup-window filter must be a semi join"
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        keys = seg.split(")", 1)[0]
+        assert "_txt" not in keys and "text" not in keys and "_t#" not in keys, (
+            "text column leaked into a shuffle key:\n" + keys
+        )
+    # clean variant: text may travel ONCE (the reassembly contains it) but
+    # the window/keeper/island shuffles stay hash-only
+    plan2 = plan_of(substring_dedup_clean(docs, "doc_id", "text", k=16))
+    n_text_exch = sum(
+        1
+        for seg in plan2.split("Exchange hashpartitioning(")[1:]
+        if "_toks" in seg.split("\n", 1)[0]
+    )
+    assert n_text_exch <= 1, "token arrays shuffled more than once"

@@ -110,3 +110,42 @@ def test_simhash_dialects(corpora):
         TH.simhash32("text", "spark"), TH.simhash32("text", "duckdb"),
         "simhash32",
     )
+
+
+def test_text_hash2_dialects(corpora):
+    # the round-10 second hash family (131 mod 998244353) must twin
+    # exactly like family 1 — it carries half of every substring-dedup
+    # window identity
+    sdf, con = corpora
+    _compare(
+        sdf, con,
+        TH.text_hash2("text", "spark"), TH.text_hash2("text", "duckdb"),
+        "text_hash2",
+    )
+
+
+def test_packed_window_identity_dialects(corpora):
+    # the exact packed expression the substring ops group by: both folds
+    # over the token-hash arrays, packed into one int64
+    sdf, con = corpora
+    s1 = TH.fold_hash(TH.token_hashes("text", "spark"), "spark")
+    s2 = TH.fold_hash2(
+        f"transform({TH.tokens('text', 'spark')}, _tok -> "
+        f"{TH.text_hash2('_tok', 'spark')})",
+        "spark",
+    )
+    d1 = TH.fold_hash(TH.token_hashes("text", "duckdb"), "duckdb")
+    d2 = TH.fold_hash2(
+        f"list_transform({TH.tokens('text', 'duckdb')}, _tok -> "
+        f"{TH.text_hash2('_tok', 'duckdb')})",
+        "duckdb",
+    )
+    _compare(
+        sdf, con,
+        TH.pack_hashes(s1, s2), TH.pack_hashes(d1, d2),
+        "packed_window_identity",
+    )
+    # the two families are genuinely independent: equal family-1 hashes
+    # with unequal family-2 hashes must stay distinguishable after packing
+    assert TH.MOD != TH.MOD2 and TH.MULT != TH.MULT2
+    assert TH.pack_hashes("7", "1") != TH.pack_hashes("7", "2")

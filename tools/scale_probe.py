@@ -367,6 +367,23 @@ def main():
 
         return semdedup(rd("embeddings", k), "vec_id", "embedding", dim=64).count()
 
+    def probe_substring_spans(k):
+        # round-10 ladder: ExactSubstr span detection. Replicas are the
+        # ADVERSARIAL case — every window of every original recurs in all
+        # k copies (the salt suffix differs, the body doesn't), so the
+        # duplicated-window hit stream is ~the whole corpus; cost claim is
+        # time ∝ total tokens (occurrences, never occurrence PAIRS)
+        from iodf_spark.operators.dedup import duplicated_spans
+
+        return duplicated_spans(rd("documents", k), "doc_id", "text", k=16).count()
+
+    def probe_substring_clean(k):
+        # round-10 ladder: the materialized cut — same stream plus one
+        # text-bearing reassembly pass (the output contains the corpus)
+        from iodf_spark.operators.dedup import substring_dedup_clean
+
+        return substring_dedup_clean(rd("documents", k), "doc_id", "text", k=16).count()
+
     probes = {
         "index_build": probe_index_build,
         "minhash_pairs": probe_minhash,
@@ -375,6 +392,8 @@ def main():
         "event_window_agg": probe_window_agg,
         "hash_embed": probe_hash_embed,
         "semdedup": probe_semdedup,
+        "substring_spans": probe_substring_spans,
+        "substring_clean": probe_substring_clean,
     }
     if only:
         probes = {n: f for n, f in probes.items() if n in only}
