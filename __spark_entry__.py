@@ -453,10 +453,45 @@ def _boilerplate_pages_sql() -> str:
     """
 
 
+SPAN_K = 16  # window width for the substring-dedup arms (tokens)
+SSTREAM_MOD = 4  # sstream arm's corpus subset: doc_id % SSTREAM_MOD = 0
+
+
+def _sstream_spans(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Drive the incremental ExactSubstr stream for the 'sstream' arm (see
+    _dedup_exact_arms) and return its accumulated spans."""
+    import tempfile
+
+    from iodf_spark.streaming.ingest import (
+        read_duplicated_spans,
+        stream_duplicated_windows,
+    )
+
+    sub = docs.filter(F.col("doc_id") % SSTREAM_MOD == 0).select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="iodf_ss_src_")
+    state = tempfile.mkdtemp(prefix="iodf_ss_state_")
+    # 2-file source + maxFilesPerTrigger=1 -> 2 micro-batches: cross-batch
+    # duplicates take the retroactive-emission path
+    sub.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_duplicated_windows(stream, "doc_id", "text", state, k=SPAN_K)
+    return read_duplicated_spans(spark, state, k=SPAN_K)
+
+
 def _dedup_exact_arms(spark: SparkSession, sf_dir: str):
     """ORDERED arm thunks of the dedup_exact entry (see q_dedup_exact)."""
     from iodf_spark.functions import texthash as TH
-    from iodf_spark.operators.dedup import exact_dedup, line_dedup, line_dedup_clean
+    from iodf_spark.operators.dedup import (
+        duplicated_spans,
+        exact_dedup,
+        line_dedup,
+        line_dedup_clean,
+        substring_dedup_clean,
+    )
 
     memo: dict[str, DataFrame] = {}
 
@@ -500,15 +535,68 @@ def _dedup_exact_arms(spark: SparkSession, sf_dir: str):
                 F.expr(TH.text_hash("clean_text", "spark")).alias("fp"),
             ),
         ),
+        (
+            # substring granularity (the ExactSubstr family, Lee et al.
+            # ACL 2022): 'spans' rows = maximal duplicated token runs with
+            # exact boundaries (n=span_start, m=span_toks, fp=n_windows)
+            "spans",
+            lambda: duplicated_spans(docs(), "doc_id", "text", k=SPAN_K).select(
+                F.lit("spans").alias("variant"),
+                F.col("doc_id").alias("id"),
+                F.col("span_start").alias("n"),
+                F.col("span_toks").alias("m"),
+                F.col("n_windows").alias("fp"),
+            ),
+        ),
+        (
+            # 'sstream' attests the INCREMENTAL path: the same duplicated
+            # spans discovered by micro-batch over a 2-file split of a
+            # deterministic corpus subset (doc_id % 4 = 0 — the smallest
+            # mod whose subset still contains duplicated runs at sf0.01),
+            # each occurrence emitted exactly once in the batch where it
+            # became duplicated (stateful applyInPandasWithState keyed by
+            # window hash; held first occurrences emit retroactively);
+            # checked against the BATCH spans oracle on the same subset —
+            # stream == batch, the dedup_minhash contract at substring
+            # granularity
+            "sstream",
+            lambda: _sstream_spans(spark, docs()).select(
+                F.lit("sstream").alias("variant"),
+                F.col("doc_id").alias("id"),
+                F.col("span_start").alias("n"),
+                F.col("span_toks").alias("m"),
+                F.col("n_windows").alias("fp"),
+            ),
+        ),
+        (
+            # 'sclean' attests the MATERIALIZED substring-deduplicated
+            # corpus — each duplicated k-window keeps exactly its
+            # lexicographically-first occurrence (n=n_toks, m=removed_toks,
+            # fp=text_hash(clean_text))
+            "sclean",
+            lambda: substring_dedup_clean(docs(), "doc_id", "text", k=SPAN_K).select(
+                F.lit("sclean").alias("variant"),
+                F.col("doc_id").alias("id"),
+                F.col("n_toks").alias("n"),
+                F.col("removed_toks").alias("m"),
+                F.expr(TH.text_hash("clean_text", "spark")).alias("fp"),
+            ),
+        ),
     ]
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagged union: 'doc' rows = exact content-hash dedup groups; 'line'
-    rows = per-page line-level boilerplate-removal verdicts over the derived
-    pages fixture (id=page_id, n=lines kept, m=lines dropped, fp=ordered
-    fingerprint of the cleaned page); 'clean' rows attest the materialized
-    stripped text."""
+    """Exact dedup at THREE granularities, one tagged union: 'doc' rows =
+    content-hash dedup groups over whole documents; 'line' rows = per-page
+    line-level boilerplate-removal verdicts over the derived pages fixture
+    (id=page_id, n=lines kept, m=lines dropped, fp=ordered fingerprint of
+    the cleaned page) with 'clean' rows attesting the materialized stripped
+    text; 'spans'/'sclean' rows = substring-level dedup (the ExactSubstr
+    family, Lee et al. ACL 2022 — the suffix-array detector re-expressed as
+    a shuffle-local duplicated-window join): maximal duplicated token runs
+    with exact boundaries, and the materialized corpus with every
+    duplicated k-window cut except its lexicographically-first
+    occurrence."""
     out = None
     for _name, thunk in _dedup_exact_arms(spark, sf_dir):
         df = thunk()
@@ -1420,10 +1508,19 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     length), the executor-side parser recovers width/height/channels
     from the byte layout alone, and the oracle re-derives the expected
     values from the same formulas — a header the parser fails to
-    round-trip hash-mismatches immediately."""
+    round-trip hash-mismatches immediately.
+
+    Round-10 'med_*' columns extend the real-codec attestation to the
+    other two modalities of the build brief: each doc also gets a WAV
+    (RIFF fmt/data chunks, little-endian) or MP4 (ftyp+moov/mvhd+trak
+    boxes, big-endian) byte stream built in Spark SQL, parsed by
+    multimodal.decode_media_headers' unified magic-byte dispatch —
+    channels/sample-rate/duration for audio, duration/track-count for
+    video, per-modality NULLs for the rest."""
     from iodf_spark.operators.multimodal import (
         attach_payload,
         decode_headers,
+        decode_media_headers,
         decode_metadata,
         frame_sample,
         resize,
@@ -1458,6 +1555,16 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").alias("hdr_height"),
         F.col("channels").alias("hdr_channels"),
     )
+    media = decode_media_headers(
+        docs.withColumn("med", F.expr(_media_payload_sql())), "doc_id", "med"
+    ).select(
+        "doc_id",
+        F.col("kind").alias("med_kind"),
+        F.col("channels").alias("med_channels"),
+        F.col("sample_rate").alias("med_rate"),
+        F.col("duration_ms").alias("med_dur"),
+        F.col("n_tracks").alias("med_tracks"),
+    )
     frames = frame_sample(docs, "doc_id").groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_frames"),
         F.sum("length").cast("long").alias("frame_bytes"),
@@ -1478,8 +1585,63 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(resized, "doc_id")
         .join(feats, "doc_id")
         .join(hdr, "doc_id")
+        .join(media, "doc_id")
         .orderBy("doc_id")
     )
+
+
+def _le_bytes_sql(v_expr: str, n_bytes: int) -> str:
+    """Spark SQL expr: `v_expr` as n_bytes LITTLE-endian bytes (the RIFF
+    convention) — hex() is big-endian, so each byte is extracted and
+    emitted low-first."""
+    parts = [
+        f"unhex(lpad(hex((({v_expr}) DIV {256 ** i}) % 256), 2, '0'))"
+        for i in range(n_bytes)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _be_bytes_sql(v_expr: str, n_bytes: int) -> str:
+    """Spark SQL expr: `v_expr` as n_bytes BIG-endian bytes (ISO-BMFF)."""
+    return f"unhex(lpad(hex({v_expr}), {2 * n_bytes}, '0'))"
+
+
+def _media_payload_sql() -> str:
+    """Spec-shaped WAV / MP4 container byte streams built IN SPARK SQL from
+    each doc's payload length n (the same pattern as the PNG/JPEG 'img'
+    column): even doc_id -> a RIFF/WAVE header whose fmt chunk carries
+    derived channels/rate and whose data chunk declares a derived frame
+    count; odd doc_id -> an ftyp+moov ISO-BMFF stream with a version-0
+    mvhd (timescale 600, derived duration) and 1-3 empty trak boxes. The
+    executor-side parser must recover every field from the byte layout
+    alone; the oracle re-derives the expected values from the arithmetic."""
+    n = "octet_length(payload)"
+    ch = f"(1 + {n} % 2)"
+    rate = f"(8000 * (1 + {n} % 6))"
+    align = f"({ch} * 2)"
+    frames = f"((1 + {n} % 1000) * 64)"
+    data = f"({align} * {frames})"
+    dur = f"(1 + ({n} * 37) % 100000)"
+    trak = "X'000000087472616B'"  # (size=8 BE) ++ 'trak'
+    return f"""CASE WHEN doc_id % 2 = 0 THEN
+         concat(encode('RIFF', 'UTF-8'), {_le_bytes_sql(f"36 + {data}", 4)},
+                encode('WAVE', 'UTF-8'),
+                encode('fmt ', 'UTF-8'), {_le_bytes_sql("16", 4)},
+                {_le_bytes_sql("1", 2)}, {_le_bytes_sql(ch, 2)},
+                {_le_bytes_sql(rate, 4)}, {_le_bytes_sql(f"{rate} * {align}", 4)},
+                {_le_bytes_sql(align, 2)}, {_le_bytes_sql("16", 2)},
+                encode('data', 'UTF-8'), {_le_bytes_sql(data, 4)})
+       ELSE
+         concat({_be_bytes_sql("16", 4)}, encode('ftyp', 'UTF-8'),
+                encode('isom', 'UTF-8'), X'00000000',
+                {_be_bytes_sql(f"36 + 8 * (1 + {n} % 3)", 4)}, encode('moov', 'UTF-8'),
+                {_be_bytes_sql("28", 4)}, encode('mvhd', 'UTF-8'),
+                X'000000000000000000000000',
+                {_be_bytes_sql("600", 4)}, {_be_bytes_sql(dur, 4)},
+                CASE ({n} % 3) WHEN 0 THEN {trak}
+                     WHEN 1 THEN concat({trak}, {trak})
+                     ELSE concat({trak}, {trak}, {trak}) END)
+       END"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3284,6 +3446,22 @@ def oracle_sql() -> dict[str, str]:
                    length(clean_text)::BIGINT AS n, 0::BIGINT AS m,
                    {texthash.text_hash("clean_text", "duckdb")} AS fp
             FROM ({dedup.line_dedup_clean_oracle("page_id", "text", _boilerplate_pages_sql())})
+            UNION ALL
+            SELECT 'spans' AS variant, doc_id AS id, span_start AS n,
+                   span_toks AS m, n_windows AS fp
+            FROM ({dedup.duplicated_spans_oracle("doc_id", "text", "documents", k=SPAN_K)})
+            UNION ALL
+            SELECT 'sstream' AS variant, doc_id AS id, span_start AS n,
+                   span_toks AS m, n_windows AS fp
+            FROM ({dedup.duplicated_spans_oracle(
+                "doc_id", "text",
+                f"(SELECT * FROM documents WHERE doc_id % {SSTREAM_MOD} = 0)",
+                k=SPAN_K)})
+            UNION ALL
+            SELECT 'sclean' AS variant, doc_id AS id, n_toks AS n,
+                   removed_toks AS m,
+                   {texthash.text_hash("clean_text", "duckdb")} AS fp
+            FROM ({dedup.substring_dedup_clean_oracle("doc_id", "text", "documents", k=SPAN_K)})
         """,
         "dedup_jaccard": f"""
             SELECT 'shingle' AS variant, * FROM
@@ -3699,7 +3877,20 @@ def oracle_sql() -> dict[str, str]:
                    (1 + s.n % 640)::INT AS hdr_width,
                    (1 + (s.n * 7) % 480)::INT AS hdr_height,
                    (CASE WHEN s.doc_id % 2 = 0 THEN 4 ELSE 3 END)::INT
-                     AS hdr_channels
+                     AS hdr_channels,
+                   CASE WHEN s.doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END
+                     AS med_kind,
+                   (CASE WHEN s.doc_id % 2 = 0 THEN 1 + s.n % 2 END)::INT
+                     AS med_channels,
+                   (CASE WHEN s.doc_id % 2 = 0
+                         THEN 8000 * (1 + s.n % 6) END)::INT AS med_rate,
+                   (CASE WHEN s.doc_id % 2 = 0
+                         THEN ((1 + s.n % 1000) * 64 * 1000)
+                              // (8000 * (1 + s.n % 6))
+                         ELSE ((1 + (s.n * 37) % 100000) * 1000) // 600
+                    END)::BIGINT AS med_dur,
+                   (CASE WHEN s.doc_id % 2 = 1 THEN 1 + s.n % 3 END)::INT
+                     AS med_tracks
             FROM sized s JOIN frames f USING (doc_id)
             JOIN ({FEATURES_ORACLE}) ft USING (doc_id)
             ORDER BY s.doc_id

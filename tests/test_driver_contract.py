@@ -89,7 +89,12 @@ def test_bench_arm_factories_cover_their_query_variants():
     ]
     # round-8 additions: the multi-variant pipeline cells (every round one
     # grew an arm and false-tripped the cell-level gate)
-    assert [a for a, _ in _arm_names("dedup_exact")] == ["doc", "line", "clean"]
+    # round 10: substring granularity (ExactSubstr) joins the exact-dedup
+    # cell — spans (duplicated-run detection), sstream (the incremental
+    # stream == batch path), sclean (materialized cut)
+    assert [a for a, _ in _arm_names("dedup_exact")] == [
+        "doc", "line", "clean", "spans", "sstream", "sclean",
+    ]
     assert [a for a, _ in _arm_names("dedup_jaccard")] == [
         "shingle", "winnow", "capped",
     ]

@@ -765,3 +765,236 @@ def test_line_dedup_clean_materializes_stripped_text(spark):
         4: "",               # fully-boilerplate doc present with empty text
         5: "epsilon\nzeta",  # untouched
     }
+
+
+# ---------------------------------------------------------------------------
+# substring-level dedup (ExactSubstr family)
+
+
+def test_duplicated_spans_ground_truth(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"one unique start {shared} one unique end"),
+        (2, f"two opening words {shared} two closing words here"),
+        (3, "totally unrelated text with no repeats at all whatsoever"),
+        (4, f"{shared} {shared} self repeat doc"),
+        (5, ""),
+        (6, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        tuple(r) for r in D.duplicated_spans(df, "doc_id", "text", k=4).collect()
+    )
+    # exact boundaries: the 8-token run starts at token 3 in docs 1 and 2
+    # (5 duplicated 4-windows each); doc 4's two pasted copies are SEPARATE
+    # spans because the junction windows (straddling copy 1 -> copy 2) occur
+    # only once corpus-wide; docs 3/5/6 never appear
+    assert got == [
+        (1, 3, 8, 5),
+        (2, 3, 8, 5),
+        (4, 0, 8, 5),
+        (4, 8, 8, 5),
+    ]
+
+
+def test_duplicated_spans_min_occurrences(spark):
+    shared = "w x y z q r s t"
+    rows = [(1, f"a b c {shared}"), (2, f"d e f {shared}"), (3, f"g h i {shared}")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # every window of `shared` occurs 3x -> min_occurrences=3 still fires
+    assert D.duplicated_spans(df, "doc_id", "text", k=4, min_occurrences=3).count() == 3
+    # but a pair-only duplicate does not
+    rows2 = [(1, f"a b c {shared}"), (2, f"d e f {shared}"), (3, "g h i j k l m n")]
+    df2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    assert D.duplicated_spans(df2, "doc_id", "text", k=4, min_occurrences=3).count() == 0
+
+
+def test_duplicated_spans_chimeric_merge_is_coalesced(spark):
+    # the documented approximation has a sharp edge, pinned both ways:
+    # (a) doc 3 = two halves shared with different sources and NO window
+    # straddling the junction duplicated -> the halves stay SEPARATE spans;
+    rows = [
+        (1, "doc one has a b c d only here"),
+        (2, "doc two has e f g h only here"),
+        (3, "a b c d e f g h"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans3 = sorted(
+        (r["span_start"], r["span_toks"])
+        for r in D.duplicated_spans(df, "doc_id", "text", k=4).collect()
+        if r["doc_id"] == 3
+    )
+    assert spans3 == [(0, 4), (4, 4)]
+    # (b) when the sources OVERLAP at the junction (every window of doc 3
+    # is duplicated somewhere, each half against a different source), the
+    # windows are consecutive and fuse into ONE chimeric span even though
+    # no single source contains the whole run — the coalescing a suffix
+    # array would not do
+    rows2 = [
+        (1, "prefix source a b c d e f g end"),
+        (2, "start d e f g h i j suffix source"),
+        (3, "a b c d e f g h i j"),
+    ]
+    df2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    spans3b = sorted(
+        (r["span_start"], r["span_toks"])
+        for r in D.duplicated_spans(df2, "doc_id", "text", k=4).collect()
+        if r["doc_id"] == 3
+    )
+    assert spans3b == [(0, 10)]
+
+
+def test_substring_dedup_clean_keeper_policy(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"one unique start {shared} one unique end"),
+        (2, f"two opening words {shared} two closing words here"),
+        (4, f"{shared} {shared} self repeat doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           D.substring_dedup_clean(df, "doc_id", "text", k=4).collect()}
+    # doc 1 holds the lexicographically-first occurrence -> keeps everything
+    assert out[1]["clean_text"] == f"one unique start {shared} one unique end"
+    assert out[1]["removed_toks"] == 0
+    # doc 2 loses exactly the shared run
+    assert out[2]["clean_text"] == "two opening words two closing words here"
+    assert (out[2]["n_toks"], out[2]["removed_toks"]) == (15, 8)
+    # doc 4 loses BOTH pasted copies (keeper lives in doc 1)
+    assert out[4]["clean_text"] == "self repeat doc"
+    assert out[4]["removed_toks"] == 16
+
+
+def test_substring_dedup_untouched_docs_roundtrip(spark):
+    # docs with no duplicated window come back token-identical (whitespace
+    # normalized to single spaces, the documented convention) — including
+    # empty and shorter-than-k docs
+    rows = [(1, "just  some   spaced\ttext"), (2, ""), (3, "tiny"),
+            (4, "another unique document body")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           D.substring_dedup_clean(df, "doc_id", "text", k=3).collect()}
+    assert out[1]["clean_text"] == "just some spaced text"
+    assert out[2]["clean_text"] == "" and out[2]["n_toks"] == 0
+    assert out[3]["clean_text"] == "tiny"
+    assert all(r["removed_toks"] == 0 for r in out.values())
+
+
+@pytest.mark.parametrize("k", [8, 16])
+def test_dedup_substring_vs_oracle(spark, sf_dir, con, k):
+    docs = load_table(spark, sf_dir, "documents")
+    _match(
+        D.duplicated_spans(docs, "doc_id", "text", k=k),
+        con,
+        D.duplicated_spans_oracle("doc_id", "text", "documents", k=k),
+    )
+    _match(
+        D.substring_dedup_clean(docs, "doc_id", "text", k=k),
+        con,
+        D.substring_dedup_clean_oracle("doc_id", "text", "documents", k=k),
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio/video container headers (round 10: WAV RIFF / MP4 ISO-BMFF)
+
+
+def _stdlib_wav(channels: int, rate: int, n_frames: int) -> bytes:
+    """A REAL WAV stream written by the stdlib `wave` encoder — the parser
+    is tested against bytes an actual codec produced, not hand-rolled
+    ones."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00" * (2 * channels * n_frames))
+    return buf.getvalue()
+
+
+def _minimal_mp4(timescale: int, duration: int, n_tracks: int,
+                 version: int = 0) -> bytes:
+    """A box-walk-valid ISO-BMFF stream: ftyp, then moov holding a
+    version-0 (or version-1, with widened time fields) mvhd plus
+    n_tracks empty trak boxes."""
+    import struct
+
+    if version == 0:
+        mvhd_body = bytes([0, 0, 0, 0]) + bytes(8) + struct.pack(
+            ">II", timescale, duration
+        )
+    else:
+        mvhd_body = bytes([1, 0, 0, 0]) + bytes(16) + struct.pack(
+            ">IQ", timescale, duration
+        )
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    traks = (struct.pack(">I", 8) + b"trak") * n_tracks
+    moov = struct.pack(">I", 8 + len(mvhd) + len(traks)) + b"moov" + mvhd + traks
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + bytes(4)
+    return ftyp + moov
+
+
+def test_wav_header_real_stdlib_roundtrip():
+    # bytes from the REAL stdlib wave encoder parse back exactly
+    wav = _stdlib_wav(2, 22050, 441)
+    assert MM.parse_wav_header(wav) == (2, 22050, 16, 441)
+    m = MM.parse_media_header(wav)
+    assert (m["kind"], m["channels"], m["sample_rate"]) == ("wav", 2, 22050)
+    assert m["duration_ms"] == 441 * 1000 // 22050  # 20 ms
+    assert m["width"] is None and m["n_tracks"] is None
+    # mono, odd-sized data chunk exercises the RIFF word-alignment rule
+    wav2 = _stdlib_wav(1, 8000, 3)
+    assert MM.parse_wav_header(wav2) == (1, 8000, 16, 3)
+    # corrupt / truncated / wrong-magic degrade to Nones, never raise
+    assert MM.parse_wav_header(wav[:10]) == (None, None, None, None)
+    assert MM.parse_wav_header(b"RIFFxxxxAVI ") == (None, None, None, None)
+    assert MM.parse_wav_header(b"") == (None, None, None, None)
+
+
+def test_mp4_header_box_walk():
+    mp4 = _minimal_mp4(600, 1800, 2)
+    assert MM.parse_mp4_header(mp4) == (600, 1800, 2)
+    m = MM.parse_media_header(mp4)
+    assert (m["kind"], m["duration_ms"], m["n_tracks"]) == ("mp4", 3000, 2)
+    # version-1 mvhd (64-bit duration) parses through the widened offsets
+    v1 = _minimal_mp4(90000, 90000 * 7 + 1, 1, version=1)
+    assert MM.parse_mp4_header(v1) == (90000, 90000 * 7 + 1, 1)
+    assert MM.parse_media_header(v1)["duration_ms"] == 7000
+    # zero tracks, missing moov, truncation, size-0 box, garbage
+    assert MM.parse_mp4_header(_minimal_mp4(600, 60, 0)) == (600, 60, 0)
+    import struct
+    assert MM.parse_mp4_header(struct.pack(">I", 16) + b"ftyp" + bytes(8)) == (
+        None, None, 0)
+    assert MM.parse_mp4_header(_minimal_mp4(600, 60, 1)[:20]) == (None, None, 0)
+    assert MM.parse_mp4_header(b"") == (None, None, None)
+    assert MM.parse_mp4_header(b"not a video at all") == (None, None, None)
+
+
+def test_decode_media_headers_mixed_modalities(spark):
+    """The unified all-modality decoder over one binary column: per-row
+    magic dispatch inside a single Arrow batch, nullable per-modality
+    fields, corrupt rows as NULL-kind rows."""
+    png = _stdlib_png(7, 5)
+    wav = _stdlib_wav(2, 16000, 320)
+    mp4 = _minimal_mp4(600, 1200, 3)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(png)),
+            (2, bytearray(wav)),
+            (3, bytearray(mp4)),
+            (4, bytearray(b"opaque blob")),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in MM.decode_media_headers(df, "doc_id").collect()}
+    assert (rows[1]["kind"], rows[1]["width"], rows[1]["channels"]) == ("png", 7, 3)
+    assert rows[1]["sample_rate"] is None
+    assert (rows[2]["kind"], rows[2]["sample_rate"], rows[2]["duration_ms"]) == (
+        "wav", 16000, 20)
+    assert rows[2]["width"] is None
+    assert (rows[3]["kind"], rows[3]["duration_ms"], rows[3]["n_tracks"]) == (
+        "mp4", 2000, 3)
+    assert rows[4]["kind"] is None and rows[4]["n_bytes"] == 11
