@@ -6,6 +6,7 @@ carry no recall signal — see test_trained_quantizers docstring)."""
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from iodf_spark.operators import similarity as S
 
@@ -92,3 +93,46 @@ def test_recall_small_truth_and_missing_queries(spark):
     empty = truth.filter("query_id <> query_id")  # zero rows, same schema
     r0 = S.ann_recall(truth, empty, k=10).collect()[0]
     assert (r0["n_hit"], r0["recall"]) == (0, 0.0)
+
+
+def test_recall_preserved_under_maintenance_lifecycle(spark, tmp_path):
+    """The eval composed with the maintenance surface — the reason the
+    operator exists: after a takedown of rows OUTSIDE the query
+    neighborhoods (deletion-list pruning) and after cell compaction, the
+    probed store's recall against the LIVE corpus' brute-force truth must
+    be exactly what it was before (here 1.0: n_probe = n_centroids makes
+    the pre-delete probe exact)."""
+    from iodf_spark.operators.ann_maintenance import (
+        ann_apply_deletes,
+        ann_compact_deletes,
+    )
+    from iodf_spark.operators.similarity import ann_ivf_store, ivf_build_store
+
+    df = _planted(spark).cache()
+    path = str(tmp_path / "store")
+    ivf_build_store(df, "vec_id", "embedding", path, n_centroids=8, dim=16)
+    qids = [0, 45]  # cluster-0 members
+
+    def probe(corpus):
+        return ann_ivf_store(
+            corpus, "vec_id", "embedding", path, qids,
+            n_centroids=8, n_probe=8, dim=16,
+        )
+
+    truth0 = S.ann_brute_force(df, "vec_id", "embedding", qids, dim=16)
+    s0 = S.ann_recall_summary(truth0, probe(df), k=10).collect()[0]
+    assert s0["mean_recall"] == 1.0
+
+    # take down three cluster-7 rows (ids 280+): far from every query
+    gone = [281, 282, 283]
+    ids = spark.createDataFrame([(i,) for i in gone], "vec_id long")
+    assert ann_apply_deletes(spark, path, ids) == 3
+    live = df.filter(~F.col("vec_id").isin(gone))
+    truth1 = S.ann_brute_force(live, "vec_id", "embedding", qids, dim=16)
+    s1 = S.ann_recall_summary(truth1, probe(live), k=10).collect()[0]
+    assert s1["mean_recall"] == 1.0  # pruning cost zero recall
+
+    ann_compact_deletes(spark, path)  # physical rewrite of touched cells
+    s2 = S.ann_recall_summary(truth1, probe(live), k=10).collect()[0]
+    df.unpersist()
+    assert s2["mean_recall"] == 1.0

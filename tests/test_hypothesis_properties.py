@@ -668,3 +668,69 @@ def test_ivfpq_store_model_based(spark, data, tmp_path_factory):
     full = sorted(map(tuple, spark.read.parquet(full_path).collect()))
     assert inc == full
     shutil.rmtree(str(base), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# substring-level dedup vs a pure-python reference model (round 10)
+
+
+def _ref_duplicated_spans(corpus: list[tuple[int, str]], k: int) -> set:
+    """Brute-force reference: duplicated k-window start positions by token
+    TUPLE equality (no hashing), islands merged — what duplicated_spans
+    must reproduce through the packed-hash path."""
+    occ: dict[tuple, int] = {}
+    toks = {i: t.split() for i, t in corpus}
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            occ[tuple(ts[p : p + k])] = occ.get(tuple(ts[p : p + k]), 0) + 1
+    spans = set()
+    for i, ts in toks.items():
+        dup = [p for p in range(len(ts) - k + 1) if occ[tuple(ts[p : p + k])] >= 2]
+        run: list[int] = []
+        for p in dup + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                spans.add((i, run[0], run[-1] - run[0] + k, len(run)))
+                run = []
+            if p is not None:
+                run.append(p)
+    return spans
+
+
+@st.composite
+def substring_corpora(draw):
+    """Small corpora biased toward REAL duplication: a shared phrase pool
+    pasted into random docs (sometimes twice), plus unique filler."""
+    pool = [f"p{i}" for i in range(draw(st.integers(2, 4)))]
+    phrases = [
+        " ".join(
+            draw(st.sampled_from(pool)) for _ in range(draw(st.integers(3, 7)))
+        )
+        for _ in range(3)
+    ]
+    docs = []
+    for i in range(draw(st.integers(2, 6))):
+        parts = []
+        for _ in range(draw(st.integers(0, 3))):
+            parts.append(draw(st.sampled_from(phrases)))
+        # unique filler tokens break accidental cross-doc runs
+        parts.append(" ".join(f"u{i}x{j}" for j in range(draw(st.integers(0, 4)))))
+        draw(st.randoms()).shuffle(parts)
+        docs.append((i, " ".join(parts)))
+    return docs
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=substring_corpora(), k=st.integers(2, 4))
+def test_duplicated_spans_model_based(spark, corpus, k):
+    from iodf_spark.operators.dedup import duplicated_spans
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_toks"], r["n_windows"])
+        for r in duplicated_spans(df, "doc_id", "text", k=k).collect()
+    }
+    assert got == _ref_duplicated_spans(corpus, k)

@@ -379,10 +379,23 @@ def main():
 
     def probe_substring_clean(k):
         # round-10 ladder: the materialized cut — same stream plus one
-        # text-bearing reassembly pass (the output contains the corpus)
+        # text-bearing reassembly pass (the output contains the corpus).
+        # NOT .count(): the clean frame's left join is keyed by a unique
+        # aggregate, so Catalyst's join elimination prunes the ENTIRE
+        # dedup computation out of a bare count (first ladder run measured
+        # a flat 0.5 s scan); summing over clean_text forces the real plan
         from iodf_spark.operators.dedup import substring_dedup_clean
 
-        return substring_dedup_clean(rd("documents", k), "doc_id", "text", k=16).count()
+        row = (
+            substring_dedup_clean(rd("documents", k), "doc_id", "text", k=16)
+            .select(
+                F.sum(F.length("clean_text")).alias("b"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        assert row["b"] is not None and row["b"] > 0
+        return row["n"]
 
     probes = {
         "index_build": probe_index_build,
