@@ -68,6 +68,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources import fsio
 from ..sources.segments import SegmentStore
 from ..streaming.ingest import (
     FullRefreshRequired,  # noqa: F401  (re-exported: the sync's recovery signal)
@@ -118,10 +119,7 @@ def _manifest_dir(store_path: str) -> str:
 
 
 def _atomic_write(path: str, content: str) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(content)
-    os.replace(tmp, path)
+    fsio.atomic_write_text(path, content)
 
 
 def ann_manifest_read(store_path: str) -> dict | None:
@@ -145,7 +143,7 @@ def _manifest_commit(store_path: str, doc: dict) -> int:
     import json
 
     d = _manifest_dir(store_path)
-    os.makedirs(d, exist_ok=True)
+    fsio.makedirs(d)
     prev = ann_manifest_read(store_path)
     v = (prev["version"] if prev else 0) + 1
     doc = {
@@ -160,32 +158,26 @@ def _manifest_commit(store_path: str, doc: dict) -> int:
     # only ever resolve CURRENT; old versions exist for debugging)
     for old in range(max(1, v - MANIFEST_RETAIN)):
         p = os.path.join(d, f"v{old:08d}.json")
-        if os.path.exists(p):
-            os.remove(p)
+        fsio.remove_file(p)
     return v
 
 
 def _list_data_files(store_path: str) -> dict:
     """Physical listing of the store's data files (cells + deletion
-    list), as manifest-relative paths. Driver-side os.scandir — the one
-    place the layout's directory structure is interpreted."""
+    list), as manifest-relative paths. Driver-side listings through the
+    sources/fsio seam — the one place the layout's directory structure is
+    interpreted."""
     cells: dict[int, set[str]] = {}
-    for entry in os.scandir(store_path):
-        if entry.is_dir() and entry.name.startswith("cid="):
-            cid = int(entry.name.split("=", 1)[1])
-            cells[cid] = {
-                f"{entry.name}/{f.name}"
-                for f in os.scandir(entry.path)
-                if f.name.endswith(".parquet")
-            }
-    dels: set[str] = set()
-    p = _deletes_path(store_path)
-    if os.path.isdir(p):
-        dels = {
-            f"{DELETES_DIR}/{f.name}"
-            for f in os.scandir(p)
-            if f.name.endswith(".parquet")
+    for name in fsio.list_subdirs(store_path, prefix="cid="):
+        cid = int(name.split("=", 1)[1])
+        cells[cid] = {
+            f"{name}/{f}"
+            for f in fsio.list_files(os.path.join(store_path, name), ".parquet")
         }
+    dels = {
+        f"{DELETES_DIR}/{f}"
+        for f in fsio.list_files(_deletes_path(store_path), ".parquet")
+    }
     return {"cells": cells, "deletes": dels}
 
 
@@ -257,15 +249,14 @@ def ann_vacuum(store_path: str) -> int:
     for cid, files in listing["cells"].items():
         for rel in files:
             if rel not in live:
-                os.remove(os.path.join(store_path, rel))
+                fsio.remove_file(os.path.join(store_path, rel))
                 removed += 1
-        try:  # drop a fully-emptied cell dir (cosmetic)
-            os.rmdir(os.path.join(store_path, f"cid={cid}"))
-        except OSError:
-            pass
+        if not fsio.list_files(os.path.join(store_path, f"cid={cid}")):
+            # drop a fully-emptied cell dir (cosmetic)
+            fsio.remove_tree(os.path.join(store_path, f"cid={cid}"))
     for rel in listing["deletes"]:
         if rel not in live:
-            os.remove(os.path.join(store_path, rel))
+            fsio.remove_file(os.path.join(store_path, rel))
             removed += 1
     if doc["stale"]:
         doc["stale"] = []
@@ -338,9 +329,7 @@ def read_ann_deletes(
             *(os.path.join(store_path, f) for f in doc["deletes"])
         ).select("neighbor_id", "cid")
     p = _deletes_path(store_path)
-    if not os.path.isdir(p) or not any(
-        f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs
-    ):
+    if not fsio.walk_has_suffix(p, ".parquet"):
         return None
     return spark.read.parquet(p).select("neighbor_id", "cid")
 
@@ -367,15 +356,15 @@ def _cell_id_ranges(store_path: str) -> dict[int, tuple[int, int]] | None:
     else:
         by_cell = [
             (
-                int(entry.name.split("=", 1)[1]),
+                int(name.split("=", 1)[1]),
                 [
-                    f.path
-                    for f in os.scandir(entry.path)
-                    if f.name.endswith(".parquet")
+                    os.path.join(store_path, name, f)
+                    for f in fsio.list_files(
+                        os.path.join(store_path, name), ".parquet"
+                    )
                 ],
             )
-            for entry in os.scandir(store_path)
-            if entry.is_dir() and entry.name.startswith("cid=")
+            for name in fsio.list_subdirs(store_path, prefix="cid=")
         ]
     ranges: dict[int, tuple[int, int]] = {}
     found = False
@@ -557,11 +546,9 @@ def ann_compact_deletes(
 
 
 def _clear_deletes(store_path: str) -> None:
-    import shutil
-
     p = _deletes_path(store_path)
-    if os.path.isdir(p):
-        shutil.rmtree(p)
+    if fsio.is_dir(p):
+        fsio.remove_tree(p, ignore_errors=False)
 
 
 def ann_reinstate(
@@ -723,11 +710,11 @@ def _read_ledger(store_path: str) -> dict | None:
 def _write_ledger(store_path: str, applied_to: int, inflight: dict | None) -> None:
     import json
 
-    os.makedirs(_maint_dir(store_path), exist_ok=True)
-    tmp = _ledger_path(store_path) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"applied_to": int(applied_to), "inflight": inflight}, fh)
-    os.replace(tmp, _ledger_path(store_path))
+    fsio.makedirs(_maint_dir(store_path))
+    fsio.atomic_write_text(
+        _ledger_path(store_path),
+        json.dumps({"applied_to": int(applied_to), "inflight": inflight}),
+    )
 
 
 def _resolve_deleted_ids(

@@ -44,6 +44,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iodf_spark.operators.index import IndexConf, build_index
+from iodf_spark.sources import fsio
 from iodf_spark.plans.rowset import DEFAULT_BUCKET_SIZE
 from iodf_spark.sources.tables import with_row_id, with_row_id_scalable
 
@@ -81,7 +82,7 @@ def _footer_stats(data_dir: str) -> dict:
     _val = _stat_key
 
     try:
-        for name in sorted(os.listdir(data_dir)):
+        for name in sorted(fsio.list_dir(data_dir)):
             if not name.endswith(".parquet"):
                 continue
             md = pq.ParquetFile(os.path.join(data_dir, name)).metadata
@@ -218,7 +219,7 @@ def _parquet_dir_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     total = 0
-    for name in os.listdir(path):
+    for name in fsio.list_dir(path):
         if name.endswith(".parquet"):
             total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
     return int(total)
@@ -417,7 +418,7 @@ class SegmentStore:
         # VACUUM has a retention window). Crash orphans are reclaimed the
         # same way, just `grace` later.
         self.orphan_grace_seconds = orphan_grace_seconds
-        os.makedirs(path, exist_ok=True)
+        fsio.makedirs(path)
 
     # -- manifest ------------------------------------------------------------
 
@@ -521,20 +522,18 @@ class SegmentStore:
         with os.fdopen(fd, "w") as fh:
             json.dump(doc, fh, indent=1)
         vpath = os.path.join(self.path, f"manifest-v{v:06d}.json")
-        try:
-            os.link(tmp, vpath)  # atomic claim: fails iff the version exists
-        except FileExistsError:
-            os.remove(tmp)
+        if not fsio.link_claim(tmp, vpath):  # atomic claim: one winner per version
+            fsio.remove_file(tmp)
             raise ManifestConflictError(
                 f"manifest version {v} was published concurrently by another "
                 f"writer ({vpath} exists); re-read the store and retry"
-            ) from None
-        os.replace(tmp, self._manifest_path)  # current pointer, atomic
+            )
+        fsio.atomic_replace(tmp, self._manifest_path)  # current pointer
 
     def versions(self) -> list[int]:
         """Available snapshot versions, ascending (1-based publish order)."""
         out = []
-        for name in os.listdir(self.path):
+        for name in fsio.list_dir(self.path):
             if name.startswith("manifest-v") and name.endswith(".json"):
                 out.append(int(name[len("manifest-v"):-len(".json")]))
         return sorted(out)
@@ -738,8 +737,6 @@ class SegmentStore:
         its manifest entry does, and sweeping it mid-write destroys a
         commit in flight — Delta's VACUUM retention window, at segment
         grain. Pass 0 only when no other writer can be active."""
-        import shutil
-
         if grace_seconds is None:
             grace_seconds = self.orphan_grace_seconds
         live = set()
@@ -756,28 +753,28 @@ class SegmentStore:
             return True  # vanished while we looked: not ours to keep
 
         removed = []
-        for name in os.listdir(self.path):
+        for name in fsio.list_dir(self.path):
             full = os.path.join(self.path, name)
             if (
                 name.startswith(("seg-", "del-"))
                 and name not in live
                 and aged(full)
             ):
-                shutil.rmtree(full, ignore_errors=True)
+                fsio.remove_tree(full)
                 removed.append(name)
             elif name.startswith("_zorder_tmp_") and aged(full):
                 # optimize_zorder's one-pass staging dir: cleaned on every
                 # exit path, so a survivor means a crash mid-rewrite —
                 # never referenced by any manifest, safe to sweep after
                 # the same grace window
-                shutil.rmtree(full, ignore_errors=True)
+                fsio.remove_tree(full)
                 removed.append(name)
             elif name.endswith(".manifest.tmp") and aged(full):
                 # a crash between mkstemp and the atomic os.replace in
                 # _publish leaves the temp file forever; it is never
                 # referenced by anything (replace is the only consumer)
                 with contextlib.suppress(OSError):
-                    os.remove(full)
+                    fsio.remove_file(full, missing_ok=False)
                 removed.append(name)
         return removed
 
@@ -802,8 +799,6 @@ class SegmentStore:
         its segment dirs under that reader fails its scan mid-flight.
         Delta's VACUUM retention default solves the identical race; pass 0
         only when no concurrent reader can be active."""
-        import shutil
-
         all_vs = self.versions()
         keep = set(all_vs[-max(keep_last, 1):])
         if min_age_seconds > 0:
@@ -821,7 +816,7 @@ class SegmentStore:
                     f"seg-{e['segment_id']:05d}" for e in doc["segments"]
                 }
                 dropped_refs |= {t["file"] for t in doc["tombstones"]}
-                os.remove(os.path.join(self.path, f"manifest-v{v:06d}.json"))
+                fsio.remove_file(os.path.join(self.path, f"manifest-v{v:06d}.json"))
         live = set()
         for v in sorted(keep):
             doc = self.manifest_doc_at(v)
@@ -829,7 +824,7 @@ class SegmentStore:
             live |= {t["file"] for t in doc["tombstones"]}
         removed = []
         for name in sorted(dropped_refs - live):
-            shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+            fsio.remove_tree(os.path.join(self.path, name))
             removed.append(name)
         return removed + self.reconcile()
 
@@ -848,15 +843,11 @@ class SegmentStore:
 
     def _claim_dir(self, prefix: str, start_id: int) -> int:
         claim_id = start_id
-        while True:
-            try:
-                os.makedirs(
-                    os.path.join(self.path, f"{prefix}-{claim_id:05d}"),
-                    exist_ok=False,
-                )
-                return claim_id
-            except FileExistsError:
-                claim_id += 1
+        while not fsio.claim_dir(
+            os.path.join(self.path, f"{prefix}-{claim_id:05d}")
+        ):
+            claim_id += 1
+        return claim_id
 
     def _write_segment_files(
         self,
@@ -1045,11 +1036,8 @@ class SegmentStore:
                         ):
                             # the racing writer WAS us (replayed producer):
                             # drop our duplicate files, adopt its commit
-                            import shutil
-
-                            shutil.rmtree(
-                                os.path.join(self.path, f"seg-{seg_id:05d}"),
-                                ignore_errors=True,
+                            fsio.remove_tree(
+                                os.path.join(self.path, f"seg-{seg_id:05d}")
                             )
                             return e
         raise ManifestConflictError(
@@ -1162,14 +1150,12 @@ class SegmentStore:
                 )
                 src = os.path.join(tmp, f"_srank={i}")
                 if os.path.isdir(src):
-                    os.replace(src, dst)
+                    fsio.rename_dir(src, dst)
                 else:  # empty segment: write an empty (but schema'd) index
                     ix.filter(F.lit(False)).drop("_srank").write.mode(
                         "overwrite"
                     ).parquet(dst)
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
+            fsio.remove_tree(tmp)
         for _ in range(_COMMIT_RETRIES):
             for i, entry in enumerate(new_entries):
                 entry["row_id_offset"] = base_offset + seg_starts[i]
@@ -1505,9 +1491,7 @@ class SegmentStore:
         known = {t["file"] for t in doc["tombstones"]}
         for _ in range(_COMMIT_RETRIES):
             if n == 0:
-                import shutil
-
-                shutil.rmtree(fpath, ignore_errors=True)
+                fsio.remove_tree(fpath)
                 return {"file": None, "n": 0}
             t = {"file": fname, "n": n}
             try:
@@ -1525,9 +1509,7 @@ class SegmentStore:
                     # (the same contract purge enforces for the reverse
                     # ordering; writeMergedDf's single-writer renumbering
                     # discipline, Dfs.scala:222-228, made detectable)
-                    import shutil
-
-                    shutil.rmtree(fpath, ignore_errors=True)
+                    fsio.remove_tree(fpath)
                     raise ManifestConflictError(
                         f"delete_where raced a purge in {self.path}: the row "
                         "space was renumbered, so the computed row_ids are "
@@ -1548,10 +1530,8 @@ class SegmentStore:
                     )
                     tmp = fpath + ".rewrite"
                     mine.write.mode("overwrite").parquet(tmp)
-                    import shutil
-
-                    shutil.rmtree(fpath, ignore_errors=True)
-                    os.replace(tmp, fpath)
+                    fsio.remove_tree(fpath)
+                    fsio.rename_dir(tmp, fpath)
                     n = _parquet_dir_rows(fpath)
         raise ManifestConflictError(
             f"delete_where lost the manifest race {_COMMIT_RETRIES} times in "
@@ -1607,8 +1587,6 @@ class SegmentStore:
         Serializable isolation level, and the renumber-epoch rule for
         racing purges falls out for free (a purge is just another
         intervening commit)."""
-        import shutil
-
         if when_matched not in ("update", "delete", "ignore"):
             raise ValueError(f"unknown when_matched mode: {when_matched!r}")
         keys = [on] if isinstance(on, str) else list(on)
@@ -1650,7 +1628,7 @@ class SegmentStore:
             victims.write.mode("overwrite").parquet(fpath)
             n_dead = _parquet_dir_rows(fpath)
             if n_dead == 0:
-                shutil.rmtree(fpath, ignore_errors=True)
+                fsio.remove_tree(fpath)
             else:
                 tomb = {"file": fname, "n": n_dead}
                 staged.append(fpath)
@@ -1686,7 +1664,7 @@ class SegmentStore:
                 sketch_cols=sketch_cols, bloom_cols=bloom_cols,
             )
             if entry["n_rows"] == 0:
-                shutil.rmtree(seg_path, ignore_errors=True)
+                fsio.remove_tree(seg_path)
                 entry = None
             else:
                 entry["row_id_offset"] = sum(
@@ -1704,7 +1682,7 @@ class SegmentStore:
             self._publish(new_doc, base_version=base_v)
         except ManifestConflictError:
             for p in staged:
-                shutil.rmtree(p, ignore_errors=True)
+                fsio.remove_tree(p)
             raise ManifestConflictError(
                 f"merge_by_key raced a concurrent commit in {self.path}: "
                 "the snapshot it merged against is stale (the racing writer "
@@ -1787,11 +1765,7 @@ class SegmentStore:
                 base_version=base_v,
             )
         except ManifestConflictError:
-            import shutil
-
-            shutil.rmtree(
-                os.path.join(self.path, f"seg-{new_id:05d}"), ignore_errors=True
-            )
+            fsio.remove_tree(os.path.join(self.path, f"seg-{new_id:05d}"))
             raise ManifestConflictError(
                 f"purge raced a concurrent commit in {self.path}: the "
                 "rewritten row space is stale — re-run purge against the "
@@ -1934,7 +1908,7 @@ class SegmentStore:
             for k, sid in enumerate(new_ids):
                 lo, hi = k * size, min((k + 1) * size, n)
                 seg_path = os.path.join(self.path, f"seg-{sid:05d}")
-                os.rename(os.path.join(tmp, f"_seg={k}"), os.path.join(seg_path, "data"))
+                fsio.rename_dir(os.path.join(tmp, f"_seg={k}"), os.path.join(seg_path, "data"))
                 entry = {
                     "segment_id": sid,
                     "n_rows": int(hi - lo),
@@ -1957,9 +1931,7 @@ class SegmentStore:
                     entry["indexed_cols"] = sorted(index_conf.columns(seg_df))
                 entry["row_id_offset"] = lo
                 entries.append(entry)
-            import shutil as _sh
-
-            _sh.rmtree(tmp, ignore_errors=True)
+            fsio.remove_tree(tmp)
             # carry every absorbed batch_key (same exactly-once contract
             # as purge): replayed producers must still see their batches
             keys: set[str] = set()
@@ -1980,13 +1952,9 @@ class SegmentStore:
                 base_version=base_v,
             )
         except ManifestConflictError:
-            import shutil
-
             for sid in new_ids:
-                shutil.rmtree(
-                    os.path.join(self.path, f"seg-{sid:05d}"), ignore_errors=True
-                )
-            shutil.rmtree(tmp, ignore_errors=True)
+                fsio.remove_tree(os.path.join(self.path, f"seg-{sid:05d}"))
+            fsio.remove_tree(tmp)
             raise ManifestConflictError(
                 f"optimize_zorder raced a concurrent commit in {self.path}: "
                 "the rewritten row space is stale — re-run against the "
@@ -2493,11 +2461,8 @@ class SegmentStore:
                     None,
                 )
                 if pos is None or fresh[pos]["row_id_offset"] != base:
-                    import shutil
-
-                    shutil.rmtree(
+                    fsio.remove_tree(
                         os.path.join(self.path, f"seg-{new_id:05d}"),
-                        ignore_errors=True,
                     )
                     raise ManifestConflictError(
                         f"compact_run [{start}, {end}) raced a concurrent "
