@@ -478,6 +478,12 @@ def _sstream_spans(spark: SparkSession, docs: DataFrame) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
+    # session-default partition width ON PURPOSE: this stateful op is a
+    # PYTHON state fn over many tiny keys, where worker parallelism beats
+    # state-store-count frugality — the bounded_state_partitions sizing
+    # that wins for JVM stateful ops LOSES here, measured isolated A/B at
+    # this exact geometry: sp=2 57-64 s, sp=8 22 s, sp=16 13.6 s,
+    # sp=32 11.9 s (BENCH_NOTES.md round-10 sstream sizing)
     stream_duplicated_windows(stream, "doc_id", "text", state, k=SPAN_K)
     return read_duplicated_spans(spark, state, k=SPAN_K)
 

@@ -895,6 +895,7 @@ def stream_duplicated_windows(
     text_col: str,
     state_dir: str,
     k: int = 16,
+    shuffle_partitions: int | None = None,
 ) -> None:
     """Incremental ExactSubstr discovery over a document stream: every
     k-token window that reaches >= 2 corpus-wide occurrences is emitted
@@ -923,7 +924,13 @@ def stream_duplicated_windows(
 
     Output sink: parquet (doc_id, pos) rows under state_dir/dups with the
     checkpoint under state_dir/_checkpoint — exactly-once end to end.
-    Read back through :func:`read_duplicated_spans`."""
+    Read back through :func:`read_duplicated_spans`.
+
+    ``shuffle_partitions`` pins the state-store count for the query's
+    lifetime (restored afterwards) — size bounded drains with
+    :func:`bounded_state_partitions`, NOT the session default: one state
+    store per shuffle partition means a tiny drain on a 32-core session
+    otherwise pays 32 stores x per-batch delta commits of fixed I/O."""
     import os
 
     import pandas as pd
@@ -970,14 +977,23 @@ def stream_duplicated_windows(
         "append",
         GroupStateTimeout.NoTimeout,
     )
-    q = (
-        emitted.writeStream.format("parquet")
-        .option("path", os.path.join(state_dir, "dups"))
-        .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = docs.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            emitted.writeStream.format("parquet")
+            .option("path", os.path.join(state_dir, "dups"))
+            .option(
+                "checkpointLocation", os.path.join(state_dir, "_checkpoint")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def read_duplicated_spans(spark: SparkSession, state_dir: str, k: int = 16) -> DataFrame:
