@@ -195,3 +195,21 @@ def pack_hashes(h1: str, h2: str) -> str:
     max ~1e18, inside int64; injective over the pair, dialect-neutral
     arithmetic (emit into either engine)."""
     return f"(({h1}) * {MOD2} + ({h2}))"
+
+
+def mix(h: str, dialect: str, mod: int = MOD) -> str:
+    """Non-linear mix of a token hash BEFORE a window fold: (h*h + h) mod
+    `mod`. A polynomial fold is affine in its inputs, so two windows
+    whose token-hash deltas satisfy sum(delta_i * MULT^(k-i)) = 0 mod M
+    collide — and because token hashes are themselves affine in
+    codepoints, natural correlated edits hit that relation in BOTH
+    families at once (hypothesis found ('p1','p0','u0x0') ==
+    ('p0','p0','u1x0') at k=3: the +1 token delta times MULT^2 cancels
+    the +MULT^2 codepoint delta, identically under every multiplier).
+    Squaring makes each input's contribution depend on the hash VALUE,
+    not just the edit delta, so the relation cannot be engineered by
+    token choice. Max intermediate (M-1)^2 + M < 2^63: int64-safe in
+    both engines. `dialect` is accepted for signature symmetry — the
+    arithmetic is dialect-neutral."""
+    _d(dialect)
+    return f"((({h}) * ({h}) + ({h})) % {mod})"

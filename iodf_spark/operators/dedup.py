@@ -1223,8 +1223,16 @@ def _gram_stream2(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
             "_id",
             F.posexplode(F.expr(TH.tokens("_txt", "spark"))).alias("_pos", "_t"),
         )
-        .withColumn("_h", F.expr(TH.text_hash("_t", "spark")))
-        .withColumn("_g", F.expr(TH.text_hash2("_t", "spark")))
+        # mix() before the fold: the fold is affine in its inputs, and
+        # correlated token edits cancel inside an UNmixed fold in both
+        # families at once (see functions/texthash.mix — hypothesis-found)
+        .withColumn(
+            "_h", F.expr(TH.mix(TH.text_hash("_t", "spark"), "spark"))
+        )
+        .withColumn(
+            "_g",
+            F.expr(TH.mix(TH.text_hash2("_t", "spark"), "spark", mod=TH.MOD2)),
+        )
     )
     w = Window.partitionBy("_id").orderBy("_pos")
     acc1 = f"cast({TH.SEED} as bigint)"
@@ -1325,11 +1333,13 @@ def windows_to_spans(
 
 def packed_grams_expr(th1: str, th2: str, k: int) -> str:
     """Spark SQL expr: in-order packed double-hash k-gram array from two
-    PRE-MATERIALIZED token-hash array COLUMNS (the array form of
+    PRE-MATERIALIZED, PRE-MIXED token-hash array COLUMNS (texthash.mix
+    applied per token — see _gram_stream2; the folds are affine, mixing
+    is what makes window identity collision-honest). The array form of
     _gram_stream2's lead()-window folds — needed where window functions
     are unavailable, i.e. on a STREAMING DataFrame; pass column names, not
     expressions — Catalyst's CollapseProject inlines expressions into
-    every lambda reference). Docs shorter than k tokens yield an empty
+    every lambda reference. Docs shorter than k tokens yield an empty
     array."""
     acc1 = f"cast({TH.SEED} as bigint)"
     acc2 = f"cast({TH.SEED2} as bigint)"
@@ -1355,13 +1365,14 @@ def _span_stream_sql(id_col: str, text_col: str, table: str, k: int) -> str:
         f"_i -> {TH.pack_hashes(f1, f2)})"
     )
     toks = TH.tokens(text_col, "duckdb")
-    h2 = TH.text_hash2("_tok", "duckdb")
+    h1m = TH.mix(TH.text_hash("_tok", "duckdb"), "duckdb")
+    h2m = TH.mix(TH.text_hash2("_tok", "duckdb"), "duckdb", mod=TH.MOD2)
     return f"""
         SELECT _id, unnest(range(len(_g))) AS _pos, unnest(_g) AS _s
         FROM (SELECT _id, {grams} AS _g
               FROM (SELECT {id_col}::BIGINT AS _id,
-                           {TH.token_hashes(text_col, "duckdb")} AS _th,
-                           list_transform({toks}, _tok -> {h2}) AS _t2
+                           list_transform({toks}, _tok -> {h1m}) AS _th,
+                           list_transform({toks}, _tok -> {h2m}) AS _t2
                     FROM {table}))
     """
 
@@ -1441,7 +1452,6 @@ def substring_dedup_clean(
         F.collect_list(F.struct(F.col("_a").alias("s"), F.col("_b").alias("e"))).alias(
             "_spans"
         ),
-        F.sum(F.col("_b") - F.col("_a")).alias("_cut"),
     )
     base = df.select(
         F.col(id_col).cast("long").alias("_id"),
@@ -1450,17 +1460,24 @@ def substring_dedup_clean(
     # null _spans (no duplicated window touches the doc) short-circuits the
     # exists() inside the lambda — a bare not(exists(null, ...)) is null,
     # which filter() would treat as drop-every-token
-    clean = F.expr(
-        "array_join(filter(_toks, (_t, _i) -> _spans is null or "
-        "not exists(_spans, _sp -> _i >= _sp.s and _i < _sp.e)), ' ')"
+    kept = F.expr(
+        "filter(_toks, (_t, _i) -> _spans is null or "
+        "not exists(_spans, _sp -> _i >= _sp.s and _i < _sp.e))"
     )
+    # removed_toks = tokens COVERED by the cut = n_toks - kept count.
+    # NOT sum(span lengths): two islands of cut windows closer than k
+    # produce OVERLAPPING token ranges (window positions {0} and {2,3} at
+    # k=3 cover [0,3) and [2,6)), and summing lengths double-counts the
+    # overlap — hypothesis model test caught exactly this against the
+    # brute-force reference (and the oracle, which computes n - kept)
     return (
         base.join(per_doc, "_id", "left")
+        .withColumn("_kept", kept)
         .select(
             F.col("_id").alias("doc_id"),
-            clean.alias("clean_text"),
+            F.array_join("_kept", " ").alias("clean_text"),
             F.size("_toks").cast("bigint").alias("n_toks"),
-            F.coalesce(F.col("_cut"), F.lit(0)).cast("bigint").alias("removed_toks"),
+            (F.size("_toks") - F.size("_kept")).cast("bigint").alias("removed_toks"),
         )
     )
 

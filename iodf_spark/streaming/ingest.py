@@ -939,13 +939,15 @@ def stream_duplicated_windows(
     from iodf_spark.functions import texthash as TH
     from iodf_spark.operators.dedup import packed_grams_expr
 
-    h2 = TH.text_hash2("_tok", "spark")
+    h1m = TH.mix(TH.text_hash("_tok", "spark"), "spark")
+    h2m = TH.mix(TH.text_hash2("_tok", "spark"), "spark", mod=TH.MOD2)
+    toks = TH.tokens(text_col, "spark")
     hashed = docs.select(
         F.col(id_col).cast("long").alias("_id"),
-        F.expr(TH.token_hashes(text_col, "spark")).alias("_th"),
-        F.expr(
-            f"transform({TH.tokens(text_col, 'spark')}, _tok -> {h2})"
-        ).alias("_t2"),
+        # PRE-MIXED token hashes (texthash.mix) — packed_grams_expr's
+        # contract; the fold alone is affine and collision-engineerable
+        F.expr(f"transform({toks}, _tok -> {h1m})").alias("_th"),
+        F.expr(f"transform({toks}, _tok -> {h2m})").alias("_t2"),
     )
     windows = hashed.select(
         "_id",

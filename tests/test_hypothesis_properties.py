@@ -734,3 +734,42 @@ def test_duplicated_spans_model_based(spark, corpus, k):
         for r in duplicated_spans(df, "doc_id", "text", k=k).collect()
     }
     assert got == _ref_duplicated_spans(corpus, k)
+
+
+def _ref_substring_clean(corpus: list[tuple[int, str]], k: int) -> dict:
+    """Reference for substring_dedup_clean: keeper = lexicographically
+    first occurrence per duplicated window (by token tuple), every other
+    occurrence's [pos, pos+k) range cut, survivors joined by ' '."""
+    toks = {i: t.split() for i, t in corpus}
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(len(ts) - k + 1):
+            occ.setdefault(tuple(ts[p : p + k]), []).append((i, p))
+    out = {}
+    for i, ts in toks.items():
+        cut = set()
+        for p in range(len(ts) - k + 1):
+            members = occ[tuple(ts[p : p + k])]
+            if len(members) >= 2 and (i, p) != min(members):
+                cut.update(range(p, p + k))
+        kept = [t for j, t in enumerate(ts) if j not in cut]
+        out[i] = (" ".join(kept), len(ts), len(cut))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=substring_corpora(), k=st.integers(2, 4))
+def test_substring_clean_model_based(spark, corpus, k):
+    from iodf_spark.operators.dedup import substring_dedup_clean
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_toks"], r["removed_toks"])
+        for r in substring_dedup_clean(df, "doc_id", "text", k=k).collect()
+    }
+    assert got == _ref_substring_clean(corpus, k)
