@@ -1239,19 +1239,39 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_K = 8  # window width for the substring-grain decontamination arm
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: n-gram containment of every corpus doc
-    against a held-out 'benchmark' split (doc_id % 20 == 0 here), benchmark
-    shingles broadcast — the corpus never shuffles against the benchmark."""
-    from iodf_spark.operators.dedup import contamination
+    """Benchmark decontamination at BOTH grains, one tagged union (the
+    held-out 'benchmark' split is doc_id % 20 == 0; benchmark hashes
+    broadcast — the corpus never shuffles against the benchmark):
+    'ngram' rows score whole documents by n-gram containment and flag
+    (n=n_shingles, x=overlap_frac, f=contaminated); 'spans' rows LOCATE
+    the verbatim overlap — maximal token runs whose every k-window occurs
+    in the benchmark (the ExactSubstr decontamination of the GPT-3/PaLM
+    reports; n=span_start, x=span_toks, f=n_windows), cut-ready with
+    exact boundaries."""
+    from iodf_spark.operators.dedup import contaminated_spans, contamination
 
     docs = load_table(spark, sf_dir, "documents")
-    return contamination(
-        docs.filter(F.col("doc_id") % 20 != 0),
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    ngram = contamination(train, "doc_id", "text", bench).select(
+        F.lit("ngram").alias("variant"),
         "doc_id",
-        "text",
-        docs.filter(F.col("doc_id") % 20 == 0),
+        F.col("n_shingles").alias("n"),
+        F.col("overlap_frac").alias("x"),
+        F.col("contaminated").cast("bigint").alias("f"),
     )
+    spans = contaminated_spans(train, "doc_id", "text", bench, k=DECON_K).select(
+        F.lit("spans").alias("variant"),
+        "doc_id",
+        F.col("span_start").alias("n"),
+        F.col("span_toks").cast("double").alias("x"),
+        F.col("n_windows").alias("f"),
+    )
+    return ngram.unionByName(spans)
 
 
 ORDERS_PROFILE_COLS = [
@@ -3844,9 +3864,18 @@ def oracle_sql() -> dict[str, str]:
             USING (doc_id)
             ORDER BY doc_id
         """,
-        "contamination": dedup.contamination_oracle(
-            "doc_id", "text", "documents", "_id % 20 = 0", "_id % 20 <> 0"
-        ),
+        "contamination": f"""
+            SELECT 'ngram' AS variant, doc_id, n_shingles AS n,
+                   overlap_frac AS x, contaminated::BIGINT AS f
+            FROM ({dedup.contamination_oracle(
+                "doc_id", "text", "documents", "_id % 20 = 0", "_id % 20 <> 0")})
+            UNION ALL
+            SELECT 'spans' AS variant, doc_id, span_start AS n,
+                   span_toks::DOUBLE AS x, n_windows AS f
+            FROM ({dedup.contaminated_spans_oracle(
+                "doc_id", "text", "documents",
+                "doc_id % 20 = 0", "doc_id % 20 <> 0", k=DECON_K)})
+        """,
         "sequence_pack": packing.sequence_pack_oracle("doc_id", "text", "documents"),
         "approx_aggregates": """
             SELECT count(*)::BIGINT AS n,

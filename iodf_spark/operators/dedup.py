@@ -71,7 +71,13 @@ def _gram_stream(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame
     array per element access (measured 3-10x blowup). One shuffle on _id;
     values identical to the per-array fold. Shared by the shingle-set
     builders (Jaccard/MinHash) and the winnowing fingerprinter, so every
-    gram-based operator hashes identically by construction."""
+    gram-based operator hashes identically by construction.
+
+    UNMIXED on purpose (contrast _gram_stream2): these consumers are
+    set-overlap ESTIMATORS — a rare gram collision perturbs a Jaccard
+    ratio by one element — while the substring family makes an exact
+    per-window duplicate CLAIM with no downstream verification, so only
+    it pays for texthash.mix's non-linearity."""
     from pyspark.sql.window import Window
 
     # fan_out before tokenization: split/posexplode/hash are narrow and
@@ -1523,4 +1529,61 @@ def substring_dedup_clean_oracle(
                (coalesce(n._n, 0) - coalesce(a._kept, 0))::BIGINT AS removed_toks
         FROM (SELECT {id_col}::BIGINT AS _id FROM {table}) b
         LEFT JOIN _agg a USING (_id) LEFT JOIN _n n USING (_id)
+    """
+
+
+def contaminated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    k: int = DEFAULT_SPAN_K,
+) -> DataFrame:
+    """Substring-grain benchmark decontamination — the other deployment of
+    the ExactSubstr detector (the eval-decontamination pass of the GPT-3 /
+    PaLM reports cuts verbatim benchmark overlap out of training text, not
+    just whole contaminated documents): maximal token runs in corpus docs
+    whose EVERY k-window occurs verbatim anywhere in ``benchmark``.
+    Output (doc_id, span_start, span_toks, n_windows) — exact boundaries,
+    ready for the same span-cut materialization as substring_dedup_clean
+    (vs :func:`contamination`, which scores whole documents by n-gram
+    containment and flags, never locates).
+
+    Scale shape: the benchmark side is tiny (eval suites are MBs), so its
+    distinct window identities BROADCAST and the corpus stream meets them
+    in a map-side semi join — no corpus shuffle against the benchmark;
+    the corpus pays only the window stream it already pays for dedup.
+    Window identity is the mixed packed double hash (_gram_stream2)."""
+    train = _gram_stream2(df, id_col, text_col, k)
+    bench = (
+        _gram_stream2(benchmark, id_col, text_col, k).select("_s").distinct()
+    )
+    hits = train.join(F.broadcast(bench), "_s", "leftsemi")
+    return windows_to_spans(hits, k, id_col="_id", pos_col="_pos")
+
+
+def contaminated_spans_oracle(
+    id_col: str,
+    text_col: str,
+    table: str,
+    bench_pred: str,
+    doc_pred: str,
+    k: int = DEFAULT_SPAN_K,
+) -> str:
+    train_t = f"(SELECT * FROM {table} WHERE {doc_pred})"
+    bench_t = f"(SELECT * FROM {table} WHERE {bench_pred})"
+    return f"""
+        WITH _tr AS ({_span_stream_sql(id_col, text_col, train_t, k)}),
+        _bs AS (SELECT DISTINCT _s
+                FROM ({_span_stream_sql(id_col, text_col, bench_t, k)})),
+        _isl AS (
+          SELECT _id, _pos,
+                 _pos - row_number() OVER (PARTITION BY _id ORDER BY _pos) AS _g
+          FROM _tr SEMI JOIN _bs USING (_s)
+        )
+        SELECT _id AS doc_id,
+               min(_pos)::BIGINT AS span_start,
+               (max(_pos) - min(_pos) + {k})::BIGINT AS span_toks,
+               count(*)::BIGINT AS n_windows
+        FROM _isl GROUP BY _id, _g
     """

@@ -998,3 +998,35 @@ def test_decode_media_headers_mixed_modalities(spark):
     assert (rows[3]["kind"], rows[3]["duration_ms"], rows[3]["n_tracks"]) == (
         "mp4", 2000, 3)
     assert rows[4]["kind"] is None and rows[4]["n_bytes"] == 11
+
+
+def test_contaminated_spans_locates_benchmark_overlap(spark):
+    """Substring-grain decontamination: verbatim benchmark runs inside
+    train docs come back with exact boundaries; paraphrased (gap-broken)
+    overlap and train-train duplication do NOT flag."""
+    bench_run = "q a1 a2 a3 a4 a5 a6 a7 a8 end"  # 10 tokens
+    bench = spark.createDataFrame(
+        [(1000, f"benchmark question {bench_run} answer")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # verbatim contamination mid-doc
+            (1, f"some training text {bench_run} more text here"),
+            # gap-broken: the run with one token swapped mid-way —
+            # only the two clean halves flag, separately
+            (2, f"t {('q a1 a2 a3 a4 XX a6 a7 a8 end')} t"),
+            # train-train duplication must NOT flag (not in benchmark)
+            (3, "dup dup dup shared train only run one two three four"),
+            (4, "dup dup dup shared train only run one two three four"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        tuple(r)
+        for r in D.contaminated_spans(train, "doc_id", "text", bench, k=4).collect()
+    )
+    # doc 1: tokens 3..12 inclusive = start 3, 10 toks, 7 windows
+    # doc 2: halves 'q a1 a2 a3 a4' (start 1, 5 toks) and 'a6 a7 a8 end'
+    #        (start 7, 4 toks = 1 window)
+    assert got == [(1, 3, 10, 7), (2, 1, 5, 2), (2, 7, 4, 1)]
