@@ -708,3 +708,27 @@ def test_substring_dedup_stream_never_shuffles_text(spark):
         if "_toks" in seg.split("\n", 1)[0]
     )
     assert n_text_exch <= 1, "token arrays shuffled more than once"
+
+
+def test_contaminated_spans_broadcasts_benchmark(spark):
+    """Substring-grain decon: the benchmark's window identities must meet
+    the corpus stream as a BROADCAST LeftSemi — a shuffled semi join
+    would move the 100 TB corpus stream to meet a MB-scale benchmark."""
+    from iodf_spark.operators.dedup import contaminated_spans
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(
+        contaminated_spans(
+            docs.filter(F.col("doc_id") % 20 != 0),
+            "doc_id",
+            "text",
+            docs.filter(F.col("doc_id") % 20 == 0),
+            k=8,
+        )
+    )
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan, "benchmark side must broadcast"
+    # and no text column in any shuffle key (inherited detector property)
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        keys = seg.split(")", 1)[0]
+        assert "text" not in keys and "_txt" not in keys
