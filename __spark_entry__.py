@@ -1226,17 +1226,43 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(rep, "doc_id").join(surp, "doc_id").orderBy("doc_id")
 
 
-def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chop training-sequence packing within hash shards: per-doc
-    (shard, start_seq, start_off, end_seq) placement from one shuffle of
-    token COUNTS (one long per doc) + a per-shard window running sum —
-    parallel at any corpus size; sequence straddling shows as
-    end_seq > start_seq."""
-    from iodf_spark.operators.packing import sequence_pack
+CHUNK_TOKS, CHUNK_OVERLAP = 64, 8  # chunk arm geometry (fixture docs ~100 toks)
 
-    return sequence_pack(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence assembly at both ends of the training pipeline, one tagged
+    union: 'pack' rows = concat-and-chop packing within hash shards
+    (per-doc a=shard, b=n_tokens, c=start_seq, d=end_seq, fp=start_off —
+    one shuffle of token COUNTS + a per-shard running sum; straddling
+    shows as d > c); 'chunk' rows = overlapping token-window chunking,
+    the pre-embedding step of retrieval pipelines (per-chunk a=chunk_idx,
+    b=n_toks, c=start_tok, fp=text_hash(chunk_text) — shuffle-free, one
+    narrow pass)."""
+    from iodf_spark.functions import texthash as TH
+    from iodf_spark.operators.packing import chunk_documents, sequence_pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    pack = sequence_pack(docs, "doc_id", "text").select(
+        F.lit("pack").alias("variant"),
+        "doc_id",
+        F.col("shard").alias("a"),
+        F.col("n_tokens").alias("b"),
+        F.col("start_seq").alias("c"),
+        F.col("end_seq").alias("d"),
+        F.col("start_off").alias("fp"),
     )
+    chunk = chunk_documents(
+        docs, "doc_id", "text", chunk_toks=CHUNK_TOKS, overlap=CHUNK_OVERLAP
+    ).select(
+        F.lit("chunk").alias("variant"),
+        "doc_id",
+        F.col("chunk_idx").alias("a"),
+        F.col("n_toks").alias("b"),
+        F.col("start_tok").alias("c"),
+        F.lit(0).cast("bigint").alias("d"),
+        F.expr(TH.text_hash("chunk_text", "spark")).alias("fp"),
+    )
+    return pack.unionByName(chunk)
 
 
 DECON_K = 8  # window width for the substring-grain decontamination arm
@@ -3876,7 +3902,18 @@ def oracle_sql() -> dict[str, str]:
                 "doc_id", "text", "documents",
                 "doc_id % 20 = 0", "doc_id % 20 <> 0", k=DECON_K)})
         """,
-        "sequence_pack": packing.sequence_pack_oracle("doc_id", "text", "documents"),
+        "sequence_pack": f"""
+            SELECT 'pack' AS variant, doc_id, shard AS a, n_tokens AS b,
+                   start_seq AS c, end_seq AS d, start_off AS fp
+            FROM ({packing.sequence_pack_oracle("doc_id", "text", "documents")})
+            UNION ALL
+            SELECT 'chunk' AS variant, doc_id, chunk_idx AS a, n_toks AS b,
+                   start_tok AS c, 0::BIGINT AS d,
+                   {texthash.text_hash("chunk_text", "duckdb")} AS fp
+            FROM ({packing.chunk_documents_oracle(
+                "doc_id", "text", "documents",
+                chunk_toks=CHUNK_TOKS, overlap=CHUNK_OVERLAP)})
+        """,
         "approx_aggregates": """
             SELECT count(*)::BIGINT AS n,
                    count(DISTINCT l_partkey)::BIGINT AS exact_parts,

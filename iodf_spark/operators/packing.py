@@ -88,3 +88,94 @@ def sequence_pack_oracle(
                ((_start + greatest(n_tokens, 1) - 1) // {seq_len})::BIGINT AS end_seq
         FROM placed ORDER BY {id_col}
     """
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_toks: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Overlapping token-window chunking — the pre-embedding step of every
+    retrieval/embedding pipeline (split long documents into chunk_toks-token
+    windows striding chunk_toks - overlap, so each chunk shares `overlap`
+    tokens of context with its predecessor): (doc_id, chunk_idx, start_tok,
+    n_toks, chunk_text). Chunk boundaries are TOKEN boundaries (chunk_text
+    re-joins its tokens by single spaces, the tokenizer convention shared
+    with substring_dedup_clean); the last chunk is the remainder (>= 1
+    token, possibly short); empty docs yield no chunks. Feed chunk_text to
+    hash_embed/ann_* for chunk-grain retrieval.
+
+    Scale: one narrow pass — tokenize, slice per start offset, posexplode;
+    no shuffle at all (chunking is per-document), and chunk text is emitted
+    exactly once, into the output that contains it by definition."""
+    if chunk_toks <= 0 or overlap < 0 or overlap >= chunk_toks:
+        raise ValueError(
+            f"need chunk_toks > 0 and 0 <= overlap < chunk_toks, got "
+            f"chunk_toks={chunk_toks} overlap={overlap}"
+        )
+    stride = chunk_toks - overlap
+    toks = TH.tokens(text_col, "spark")
+    # start offsets 0, stride, 2*stride, ... while start < n (and at least
+    # one chunk for any non-empty doc); a start with < chunk_toks tokens
+    # left takes the remainder
+    chunks = (
+        f"case when size(_toks) = 0 then cast(array() as array<struct<"
+        f"start_tok: int, toks: array<string>>>) else "
+        f"transform("
+        f"  sequence(0, greatest(int(ceil((size(_toks) - {chunk_toks})"
+        f"           / {stride}e0)), 0) * {stride}, {stride}),"
+        f"  _s -> struct(int(_s) as start_tok,"
+        f"               slice(_toks, _s + 1, {chunk_toks}) as toks)) end"
+    )
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.expr(toks).alias("_toks"),
+        )
+        .select("doc_id", F.posexplode(F.expr(chunks)).alias("chunk_idx", "_c"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("_c.start_tok").cast("bigint").alias("start_tok"),
+            F.size("_c.toks").cast("bigint").alias("n_toks"),
+            F.array_join("_c.toks", " ").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_oracle(
+    id_col: str,
+    text_col: str,
+    table: str,
+    chunk_toks: int = 128,
+    overlap: int = 16,
+) -> str:
+    stride = chunk_toks - overlap
+    toks = TH.tokens(text_col, "duckdb")
+    return f"""
+        WITH _t AS (SELECT {id_col}::BIGINT AS doc_id, {toks} AS _toks
+                    FROM {table}),
+        _c AS (
+          SELECT doc_id,
+                 unnest(range(len(_starts))) AS chunk_idx,
+                 unnest(_starts) AS start_tok,
+                 _toks
+          FROM (SELECT doc_id, _toks,
+                       list_transform(
+                         range(0, greatest(ceil((len(_toks) - {chunk_toks})
+                                                / {stride}e0)::BIGINT, 0)
+                                  * {stride} + 1, {stride}),
+                         _s -> _s) AS _starts
+                FROM _t WHERE len(_toks) > 0)
+        )
+        SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+               start_tok::BIGINT AS start_tok,
+               len(list_slice(_toks, start_tok + 1,
+                              start_tok + {chunk_toks}))::BIGINT AS n_toks,
+               list_aggregate(list_slice(_toks, start_tok + 1,
+                                         start_tok + {chunk_toks}),
+                              'string_agg', ' ') AS chunk_text
+        FROM _c
+    """

@@ -1030,3 +1030,37 @@ def test_contaminated_spans_locates_benchmark_overlap(spark):
     # doc 2: halves 'q a1 a2 a3 a4' (start 1, 5 toks) and 'a6 a7 a8 end'
     #        (start 7, 4 toks = 1 window)
     assert got == [(1, 3, 10, 7), (2, 1, 5, 2), (2, 7, 4, 1)]
+
+
+def test_chunk_documents_geometry(spark):
+    """Overlapping token-window chunking: stride/overlap arithmetic,
+    remainder tail, short and empty docs, and the adjacent-chunk overlap
+    invariant (each chunk's first `overlap` tokens == its predecessor's
+    last `overlap`)."""
+    from iodf_spark.operators.packing import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),
+        (2, "a b c"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in chunk_documents(df, "doc_id", "text", chunk_toks=4, overlap=2).collect()
+    }
+    # doc 1: starts 0,2,4,6 (stride 2); all full-width; tail covered
+    assert sorted(k for k in got if k[0] == 1) == [(1, i) for i in range(4)]
+    assert got[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert got[(1, 3)]["chunk_text"] == "t6 t7 t8 t9"
+    for i in range(1, 4):
+        prev, cur = got[(1, i - 1)]["chunk_text"].split(), got[(1, i)]["chunk_text"].split()
+        assert prev[-2:] == cur[:2]  # the overlap invariant
+    # short doc: one remainder chunk; empty doc: absent
+    assert (got[(2, 0)]["n_toks"], got[(2, 0)]["chunk_text"]) == (3, "a b c")
+    assert not any(k[0] == 3 for k in got)
+    # parameter validation
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_toks=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_toks=0)
