@@ -1064,3 +1064,32 @@ def test_chunk_documents_geometry(spark):
         chunk_documents(df, "doc_id", "text", chunk_toks=4, overlap=4)
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_toks=0)
+
+
+def test_chunk_embed_retrieve_composition(spark):
+    """The advertised composition end-to-end: chunk -> hash_embed the
+    chunk text -> brute-force cosine retrieval returns the planted
+    near-duplicate chunk as the top neighbor, at chunk grain (the doc
+    pair is only half-similar — chunking is what isolates the overlap)."""
+    from iodf_spark.operators.packing import chunk_documents
+    from iodf_spark.operators.similarity import ann_brute_force, hash_embed
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    rows = [
+        (1, f"{shared} {' '.join(f'a{i}' for i in range(8))}"),
+        (2, f"{' '.join(f'b{i}' for i in range(8))} {shared}"),
+        (3, " ".join(f"c{i}" for i in range(16))),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_toks=8, overlap=0)
+    # chunk key = doc_id * 16 + chunk_idx (unique, reversible)
+    keyed = chunks.select(
+        (F.col("doc_id") * 16 + F.col("chunk_idx")).alias("chunk_key"),
+        F.col("chunk_text"),
+    )
+    emb = hash_embed(keyed, "chunk_key", "chunk_text", dim=64)
+    # query = doc 1's FIRST chunk (the shared half): key 16
+    res = ann_brute_force(emb, "chunk_key", "vec", [16], k=1, dim=64)
+    top = res.collect()[0]
+    # its nearest neighbor is doc 2's SECOND chunk (key 33), similarity 1.0
+    assert (top["neighbor_id"], round(top["cos"], 4)) == (33, 1.0)
