@@ -803,3 +803,86 @@ def test_media_parsers_never_raise(payload):
             "kind", "width", "height", "channels",
             "sample_rate", "duration_ms", "n_tracks",
         }
+
+
+# ---------------------------------------------------------------------------
+# chunking + substring decontamination vs pure-python references (round 10)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=substring_corpora(),
+    chunk_toks=st.integers(2, 6),
+    overlap=st.integers(0, 3),
+)
+def test_chunk_documents_model_based(spark, corpus, chunk_toks, overlap):
+    from hypothesis import assume
+
+    from iodf_spark.operators.packing import chunk_documents
+
+    assume(overlap < chunk_toks)
+    stride = chunk_toks - overlap
+    want = set()
+    for i, t in corpus:
+        ts = t.split()
+        if not ts:
+            continue
+        starts = [0]
+        while starts[-1] + chunk_toks < len(ts):
+            starts.append(starts[-1] + stride)
+        for ci, s in enumerate(starts):
+            sl = ts[s : s + chunk_toks]
+            want.add((i, ci, s, len(sl), " ".join(sl)))
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        tuple(r)
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_toks=chunk_toks, overlap=overlap
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=substring_corpora(), k=st.integers(2, 4))
+def test_contaminated_spans_model_based(spark, corpus, k):
+    from hypothesis import assume
+
+    from iodf_spark.operators.dedup import contaminated_spans
+
+    assume(len(corpus) >= 2)
+    bench_rows = [r for r in corpus if r[0] % 2 == 0]
+    train_rows = [r for r in corpus if r[0] % 2 == 1]
+    assume(bench_rows and train_rows)
+    bench_windows = set()
+    for _, t in bench_rows:
+        ts = t.split()
+        for p in range(len(ts) - k + 1):
+            bench_windows.add(tuple(ts[p : p + k]))
+    want = set()
+    for i, t in train_rows:
+        ts = t.split()
+        hit = [p for p in range(len(ts) - k + 1)
+               if tuple(ts[p : p + k]) in bench_windows]
+        run: list[int] = []
+        for p in hit + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                want.add((i, run[0], run[-1] - run[0] + k, len(run)))
+                run = []
+            if p is not None:
+                run.append(p)
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    got = {
+        tuple(r)
+        for r in contaminated_spans(train, "doc_id", "text", bench, k=k).collect()
+    }
+    assert got == want
