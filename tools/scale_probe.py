@@ -397,6 +397,35 @@ def main():
         assert row["b"] is not None and row["b"] > 0
         return row["n"]
 
+    def probe_decon_spans(k):
+        # round-10 ladder: substring-grain decontamination — the window
+        # stream over a growing corpus vs a FIXED benchmark (the base
+        # documents table); cost claim is time ∝ corpus tokens with the
+        # benchmark side broadcast (never rescaled)
+        from iodf_spark.operators.dedup import contaminated_spans
+
+        bench = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return contaminated_spans(
+            rd("documents", k), "doc_id", "text", bench, k=16
+        ).count()
+
+    def probe_chunk(k):
+        # round-10 ladder: overlapping chunking — shuffle-free text
+        # emission; forced through a chunk_text-consuming aggregate
+        # (join-elimination lesson, probe_substring_clean)
+        from iodf_spark.operators.packing import chunk_documents
+
+        row = (
+            chunk_documents(rd("documents", k), "doc_id", "text")
+            .select(
+                F.sum(F.length("chunk_text")).alias("b"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        assert row["b"] is not None and row["b"] > 0
+        return row["n"]
+
     probes = {
         "index_build": probe_index_build,
         "minhash_pairs": probe_minhash,
@@ -407,6 +436,8 @@ def main():
         "semdedup": probe_semdedup,
         "substring_spans": probe_substring_spans,
         "substring_clean": probe_substring_clean,
+        "decon_spans": probe_decon_spans,
+        "chunk_documents": probe_chunk,
     }
     if only:
         probes = {n: f for n, f in probes.items() if n in only}
