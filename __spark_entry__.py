@@ -1277,8 +1277,14 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verbatim overlap — maximal token runs whose every k-window occurs
     in the benchmark (the ExactSubstr decontamination of the GPT-3/PaLM
     reports; n=span_start, x=span_toks, f=n_windows), cut-ready with
-    exact boundaries."""
-    from iodf_spark.operators.dedup import contaminated_spans, contamination
+    exact boundaries; 'clean' rows attest the CUT — the materialized
+    decontaminated corpus, every benchmark-overlap span removed from
+    every doc (n=n_toks, x=removed_toks, f=text_hash(clean_text))."""
+    from iodf_spark.operators.dedup import (
+        contaminated_spans,
+        contamination,
+        decontaminate_clean,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 20 != 0)
@@ -1297,7 +1303,16 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_toks").cast("double").alias("x"),
         F.col("n_windows").alias("f"),
     )
-    return ngram.unionByName(spans)
+    from iodf_spark.functions import texthash as TH
+
+    clean = decontaminate_clean(train, "doc_id", "text", bench, k=DECON_K).select(
+        F.lit("clean").alias("variant"),
+        "doc_id",
+        F.col("n_toks").alias("n"),
+        F.col("removed_toks").cast("double").alias("x"),
+        F.expr(TH.text_hash("clean_text", "spark")).alias("f"),
+    )
+    return ngram.unionByName(spans).unionByName(clean)
 
 
 ORDERS_PROFILE_COLS = [
@@ -3899,6 +3914,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'spans' AS variant, doc_id, span_start AS n,
                    span_toks::DOUBLE AS x, n_windows AS f
             FROM ({dedup.contaminated_spans_oracle(
+                "doc_id", "text", "documents",
+                "doc_id % 20 = 0", "doc_id % 20 <> 0", k=DECON_K)})
+            UNION ALL
+            SELECT 'clean' AS variant, doc_id, n_toks AS n,
+                   removed_toks::DOUBLE AS x,
+                   {texthash.text_hash("clean_text", "duckdb")} AS f
+            FROM ({dedup.decontaminate_clean_oracle(
                 "doc_id", "text", "documents",
                 "doc_id % 20 = 0", "doc_id % 20 <> 0", k=DECON_K)})
         """,

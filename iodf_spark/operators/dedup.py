@@ -1446,6 +1446,17 @@ def substring_dedup_clean(
         .filter(F.col("_enc") != F.col("_keep"))
         .select("_id", "_pos")
     )
+    return _cut_window_positions(df, rm, id_col, text_col, k)
+
+
+def _cut_window_positions(
+    df: DataFrame, rm: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Shared cut machinery: given (_id, _pos) window START positions to
+    remove, coalesce them into maximal spans, cut every covered token,
+    and rebuild (doc_id, clean_text, n_toks, removed_toks). Used by
+    substring_dedup_clean (rm = non-keeper duplicated occurrences) and
+    decontaminate_clean (rm = every benchmark-hit occurrence)."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("_id").orderBy("_pos")
@@ -1463,7 +1474,7 @@ def substring_dedup_clean(
         F.col(id_col).cast("long").alias("_id"),
         F.expr(TH.tokens(text_col, "spark")).alias("_toks"),
     )
-    # null _spans (no duplicated window touches the doc) short-circuits the
+    # null _spans (no cut window touches the doc) short-circuits the
     # exists() inside the lambda — a bare not(exists(null, ...)) is null,
     # which filter() would treat as drop-every-token
     kept = F.expr(
@@ -1586,4 +1597,77 @@ def contaminated_spans_oracle(
                (max(_pos) - min(_pos) + {k})::BIGINT AS span_toks,
                count(*)::BIGINT AS n_windows
         FROM _isl GROUP BY _id, _g
+    """
+
+
+def decontaminate_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    k: int = DEFAULT_SPAN_K,
+) -> DataFrame:
+    """The decontamination ACTION: materialize corpus docs with every
+    benchmark-overlap span cut out — (doc_id, clean_text, n_toks,
+    removed_toks). Every occurrence of a benchmark-hit window is removed
+    (no keeper: benchmark text must not survive in training data,
+    anywhere), via the same coalesce-spans-then-cut machinery as
+    substring_dedup_clean. Completes the contamination surface:
+    contamination flags, contaminated_spans locates, this cuts.
+
+    Scale: identical to contaminated_spans (broadcast benchmark windows,
+    map-side semi join) plus the one text-bearing reassembly the output
+    is."""
+    train = _gram_stream2(df, id_col, text_col, k)
+    bench = (
+        _gram_stream2(benchmark, id_col, text_col, k).select("_s").distinct()
+    )
+    rm = train.join(F.broadcast(bench), "_s", "leftsemi").select("_id", "_pos")
+    return _cut_window_positions(df, rm, id_col, text_col, k)
+
+
+def decontaminate_clean_oracle(
+    id_col: str,
+    text_col: str,
+    table: str,
+    bench_pred: str,
+    doc_pred: str,
+    k: int = DEFAULT_SPAN_K,
+) -> str:
+    train_t = f"(SELECT * FROM {table} WHERE {doc_pred})"
+    bench_t = f"(SELECT * FROM {table} WHERE {bench_pred})"
+    return f"""
+        WITH _tr AS ({_span_stream_sql(id_col, text_col, train_t, k)}),
+        _bs AS (SELECT DISTINCT _s
+                FROM ({_span_stream_sql(id_col, text_col, bench_t, k)})),
+        _rm AS (SELECT _id, _pos FROM _tr SEMI JOIN _bs USING (_s)),
+        _isl AS (
+          SELECT _id, _pos,
+                 _pos - row_number() OVER (PARTITION BY _id ORDER BY _pos) AS _g
+          FROM _rm
+        ),
+        _sp AS (SELECT _id, min(_pos) AS _a, max(_pos) + {k} AS _b
+                FROM _isl GROUP BY _id, _g),
+        _tok AS (
+          SELECT _id, unnest(range(len(_t))) AS _pos, unnest(_t) AS _tok
+          FROM (SELECT {id_col}::BIGINT AS _id,
+                       {TH.tokens(text_col, "duckdb")} AS _t
+                FROM {train_t})
+        ),
+        _keep2 AS (
+          SELECT t._id, t._pos, t._tok FROM _tok t
+          WHERE NOT EXISTS (SELECT 1 FROM _sp p
+                            WHERE p._id = t._id
+                              AND t._pos >= p._a AND t._pos < p._b)
+        ),
+        _agg AS (SELECT _id, string_agg(_tok, ' ' ORDER BY _pos) AS clean_text,
+                        count(*) AS _kept
+                 FROM _keep2 GROUP BY _id),
+        _n AS (SELECT _id, count(*) AS _n FROM _tok GROUP BY _id)
+        SELECT b._id AS doc_id,
+               coalesce(a.clean_text, '') AS clean_text,
+               coalesce(n._n, 0)::BIGINT AS n_toks,
+               (coalesce(n._n, 0) - coalesce(a._kept, 0))::BIGINT AS removed_toks
+        FROM (SELECT {id_col}::BIGINT AS _id FROM {train_t}) b
+        LEFT JOIN _agg a USING (_id) LEFT JOIN _n n USING (_id)
     """

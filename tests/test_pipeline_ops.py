@@ -1093,3 +1093,28 @@ def test_chunk_embed_retrieve_composition(spark):
     top = res.collect()[0]
     # its nearest neighbor is doc 2's SECOND chunk (key 33), similarity 1.0
     assert (top["neighbor_id"], round(top["cos"], 4)) == (33, 1.0)
+
+
+def test_decontaminate_clean_cuts_benchmark_text(spark):
+    """The decon CUT: verbatim benchmark runs vanish from train docs
+    (every occurrence — no keeper), clean docs round-trip untouched, and
+    the within-doc double paste loses BOTH copies."""
+    bench_run = "q a1 a2 a3 a4 a5 a6 a7 a8 end"
+    bench = spark.createDataFrame(
+        [(1000, f"benchmark question {bench_run} answer")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, f"some training text {bench_run} more text here"),
+            (2, "pristine document with no benchmark overlap at all"),
+            (3, f"{bench_run} {bench_run}"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           D.decontaminate_clean(train, "doc_id", "text", bench, k=4).collect()}
+    assert out[1]["clean_text"] == "some training text more text here"
+    assert (out[1]["n_toks"], out[1]["removed_toks"]) == (16, 10)
+    assert out[2]["clean_text"] == "pristine document with no benchmark overlap at all"
+    assert out[2]["removed_toks"] == 0
+    assert (out[3]["clean_text"], out[3]["removed_toks"]) == ("", 20)
