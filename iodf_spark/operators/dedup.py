@@ -1419,11 +1419,16 @@ def substring_dedup_clean(
     the surviving tokens re-joined by single spaces (token-normalized, the
     same convention as the tokenizer that defined the windows).
 
-    Preconditions (ValueError-free by contract, documented like
-    capped_candidates'): integer doc ids with 0 <= id < 2^32 and documents
-    under 2^31 tokens — (id, pos) packs into one int64 keeper key at radix
-    2^31 so the arg-min survives a map-side-combined min() instead of a
-    skew-prone per-key window sort.
+    Preconditions, VALIDATED in-plan: integer doc ids with
+    0 <= id < 2^32 and documents under 2^31 tokens — (id, pos) packs into
+    one int64 keeper key at radix 2^31 so the arg-min survives a
+    map-side-combined min() instead of a skew-prone per-key window sort.
+    An out-of-range id would silently wrap the int64 pack negative and
+    min(_enc) would crown wrong keepers, so the pack is guarded by a fused
+    when/raise_error: a violating row fails the job loudly instead of
+    corrupting the materialized corpus. The guard is one codegen'd
+    comparison per window row (no extra job, can't be pruned because it
+    gates the value itself).
 
     Scale: same linear window stream as duplicated_spans; the keeper
     choice is min(enc) — partial-aggregated, hot boilerplate windows cost
@@ -1432,8 +1437,29 @@ def substring_dedup_clean(
     unavoidable). Reference family: Lee et al.'s ExactSubstr removes all
     but one occurrence of each duplicated substring — this is that policy,
     shuffle-local."""
+    in_range = (
+        (F.col("_id") >= 0)
+        & (F.col("_id") < F.lit(4_294_967_296))
+        & (F.col("_pos") < F.lit(_POS_ENC))
+    )
     stream = _gram_stream2(df, id_col, text_col, k).withColumn(
-        "_enc", F.col("_id").cast("long") * F.lit(_POS_ENC) + F.col("_pos")
+        "_enc",
+        F.when(
+            in_range, F.col("_id").cast("long") * F.lit(_POS_ENC) + F.col("_pos")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "substring_dedup_clean: doc_id/pos outside the int64 "
+                        "keeper-key range (need 0 <= id < 2^32, pos < 2^31); "
+                        "got id="
+                    ),
+                    F.col("_id").cast("string"),
+                    F.lit(" pos="),
+                    F.col("_pos").cast("string"),
+                )
+            ).cast("long")
+        ),
     )
     kp = (
         stream.groupBy("_s")

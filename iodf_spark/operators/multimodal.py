@@ -35,6 +35,7 @@ operators (operators/similarity.py).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -461,7 +462,7 @@ def parse_mp4_header(
         for t2, s2, e2 in _iter_boxes(payload, s, e):
             if t2 == b"mvhd" and s2 < e2:
                 ver = payload[s2]
-                if ver == 1 and s2 + 28 <= e2:
+                if ver == 1 and s2 + 32 <= e2:
                     timescale, duration = struct.unpack(
                         ">IQ", payload[s2 + 20 : s2 + 32]
                     )
@@ -496,7 +497,27 @@ def parse_media_header(payload: bytes) -> dict:
     """Unified modality dispatch on magic bytes: PNG/JPEG -> image fields,
     RIFF/WAVE -> audio fields (duration from declared frame count over
     sample rate), ftyp -> video fields (duration from mvhd
-    duration/timescale). Unrecognized -> kind None, all fields None."""
+    duration/timescale). Unrecognized -> kind None, all fields None.
+
+    Contract: a corrupt blob degrades to the all-None row, never kills the
+    Arrow batch — per-blob parsing is wrapped so a truncated struct read
+    (e.g. an mvhd box ending mid-field) surfaces as nulls, not an executor
+    exception taking out every sibling blob in the batch."""
+    try:
+        return _parse_media_header_unsafe(payload)
+    except (struct.error, IndexError, ValueError):
+        return {
+            "kind": None,
+            "width": None,
+            "height": None,
+            "channels": None,
+            "sample_rate": None,
+            "duration_ms": None,
+            "n_tracks": None,
+        }
+
+
+def _parse_media_header_unsafe(payload: bytes) -> dict:
     out = {
         "kind": None,
         "width": None,

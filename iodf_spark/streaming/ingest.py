@@ -1003,7 +1003,11 @@ def read_duplicated_spans(spark: SparkSession, state_dir: str, k: int = 16) -> D
     the same gaps-and-islands merge (operators/dedup.windows_to_spans)
     over the emitted (doc_id, pos) rows, so after any availableNow drain:
     read_duplicated_spans(...) == duplicated_spans(<all docs so far>).
-    Empty-but-typed before the first duplicate."""
+    Empty-but-typed before the first duplicate.
+
+    The sink probe goes through spark.read (mirroring read_neardup_pairs),
+    NOT a driver-local os.listdir — the state_dir may live on an object
+    store or DFS the driver's local filesystem can't see."""
     import os
 
     from pyspark.sql import types as T
@@ -1014,13 +1018,8 @@ def read_duplicated_spans(spark: SparkSession, state_dir: str, k: int = 16) -> D
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("pos", T.LongType())]
     )
-    files = (
-        [f for f in os.listdir(dups_dir) if f.endswith(".parquet")]
-        if os.path.isdir(dups_dir)
-        else []
-    )
-    if not files:
-        df = spark.createDataFrame([], schema)
-    else:
+    try:
         df = spark.read.schema(schema).parquet(dups_dir)
+    except Exception:  # noqa: BLE001 — no batch emitted any duplicate yet
+        df = spark.createDataFrame([], schema)
     return windows_to_spans(df, k)

@@ -865,6 +865,21 @@ def test_substring_dedup_clean_keeper_policy(spark):
     assert out[4]["removed_toks"] == 16
 
 
+def test_substring_dedup_clean_rejects_out_of_range_ids(spark):
+    """The int64 keeper key packs (id, pos) at radix 2^31; an id >= 2^32
+    would wrap the pack negative and min(_enc) would silently crown wrong
+    keepers. The fused when/raise_error guard must fail the job loudly
+    instead."""
+    body = " ".join(f"tok{i}" for i in range(20))
+    rows = [(2**33, body), (2, body)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with pytest.raises(Exception, match="keeper-key range"):
+        D.substring_dedup_clean(df, "doc_id", "text", k=8).collect()
+    neg = spark.createDataFrame([(-1, body), (2, body)], ["doc_id", "text"])
+    with pytest.raises(Exception, match="keeper-key range"):
+        D.substring_dedup_clean(neg, "doc_id", "text", k=8).collect()
+
+
 def test_substring_dedup_untouched_docs_roundtrip(spark):
     # docs with no duplicated window come back token-identical (whitespace
     # normalized to single spaces, the documented convention) — including
@@ -971,6 +986,32 @@ def test_mp4_header_box_walk():
     assert MM.parse_mp4_header(_minimal_mp4(600, 60, 1)[:20]) == (None, None, 0)
     assert MM.parse_mp4_header(b"") == (None, None, None)
     assert MM.parse_mp4_header(b"not a video at all") == (None, None, None)
+
+
+def test_mp4_truncated_v1_mvhd_degrades_to_none():
+    """A version-1 mvhd box whose body ends inside [s2+28, s2+32) used to
+    pass the (too-loose) 28-byte guard and then struct.unpack 12 bytes
+    ending at s2+32 — struct.error killing the whole Arrow batch, or (when
+    the enclosing payload continued) a silent read across the box
+    boundary. Both shapes must degrade to None fields now."""
+    import struct
+
+    # full v1 body is 32 bytes (ver/flags 4 + ctime/mtime 16 + ts 4 + dur 8);
+    # cut it to 30 so the box ends at s2+30 — inside the hazardous window
+    full = bytes([1, 0, 0, 0]) + bytes(16) + struct.pack(">IQ", 90000, 630001)
+    for cut in (28, 29, 30, 31):
+        body = full[:cut]
+        mvhd = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+        moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+        ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + bytes(4)
+        blob = ftyp + moov
+        assert MM.parse_mp4_header(blob) == (None, None, 0), cut
+        m = MM.parse_media_header(blob)
+        assert m["kind"] == "mp4" and m["duration_ms"] is None
+        # trailing bytes AFTER the truncated box must not be read across
+        # the boundary as if they were the duration field
+        tail = blob + struct.pack(">IQ", 1, 1)
+        assert MM.parse_mp4_header(tail) == (None, None, 0), cut
 
 
 def test_decode_media_headers_mixed_modalities(spark):
