@@ -231,19 +231,46 @@ def _commit_append_diff(store_path: str, before: dict | None) -> None:
         _manifest_commit(store_path, doc)
 
 
-def ann_vacuum(store_path: str) -> int:
+def ann_vacuum(store_path: str, min_age_seconds: float = 0.0) -> int:
     """Physically reclaim files no manifest CURRENT snapshot references —
     compaction/reinstate leftovers (the manifest's ``stale`` list) AND
     crash orphans (files written by an attempt that died before its
     commit). Runs in the maintainer's thread strictly after commits;
     readers planned against the current snapshot never reference the
-    removed files. Returns the number of files removed."""
+    removed files. Returns the number of files removed.
+
+    ``min_age_seconds`` is the RETENTION window for concurrent readers
+    that planned against an OLDER snapshot (the SegmentStore.vacuum /
+    Delta-VACUUM window, at ANN-file grain): every file referenced by a
+    manifest version younger than the window is spared, because a probe
+    that resolved CURRENT before a compaction flip holds a reference no
+    filesystem can see — reclaiming its files fails the scan mid-flight.
+    Spared ``stale`` entries stay listed so a later vacuum (outside the
+    window) reclaims them. Pass 0 only when no concurrent reader can be
+    active (the default matches the maintainer-thread contract above)."""
+    import json
+    import time
+
     doc = ann_manifest_read(store_path)
     if doc is None:
         return 0
     live: set[str] = set(doc["deletes"])
     for fs in doc["cells"].values():
         live.update(fs)
+    if min_age_seconds > 0:
+        now = time.time()
+        d = _manifest_dir(store_path)
+        for name in fsio.list_files(d, ".json"):
+            p = os.path.join(d, name)
+            try:
+                if now - os.path.getmtime(p) < min_age_seconds:
+                    with open(p) as fh:
+                        vdoc = json.load(fh)
+                    live.update(vdoc.get("deletes", []))
+                    for fs in vdoc.get("cells", {}).values():
+                        live.update(fs)
+            except (OSError, ValueError):
+                continue  # vanished or torn history file: nothing to spare
     removed = 0
     listing = _list_data_files(store_path)
     for cid, files in listing["cells"].items():
@@ -258,8 +285,9 @@ def ann_vacuum(store_path: str) -> int:
         if rel not in live:
             fsio.remove_file(os.path.join(store_path, rel))
             removed += 1
-    if doc["stale"]:
-        doc["stale"] = []
+    spared = [rel for rel in doc["stale"] if rel in live]
+    if doc["stale"] != spared:
+        doc["stale"] = spared
         _manifest_commit(store_path, doc)
     return removed
 

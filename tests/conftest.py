@@ -15,3 +15,21 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(params=["posix", "objectstore"])
+def fsio_backend(request):
+    """Run a test against each fsio backend: the POSIX one (rename/link
+    atomicity) and the object-store one (conditional-put/copy-list-delete
+    semantics, no rename(2)/link(2)/exclusive-mkdir anywhere). The OCC and
+    ANN-maintenance suites opt in with an autouse shim so every
+    crash-safety claim is proven against both."""
+    from iodf_spark.sources import fsio
+
+    backend = (
+        fsio.PosixBackend()
+        if request.param == "posix"
+        else fsio.ObjectStoreBackend()
+    )
+    with fsio.using_backend(backend):
+        yield request.param

@@ -28,6 +28,16 @@ QUERIES = [200, 300, 400]
 DELETED = [201, 202, 301]  # all >= n_centroids/n_codes: training rows survive
 
 
+@pytest.fixture(autouse=True)
+def _both_backends(fsio_backend):
+    """Every manifest-commit / ledger-replay / vacuum / torn-window test
+    in this suite runs against BOTH fsio backends — the ANN store's
+    crash-safety story (vN.json-then-CURRENT, applied-window ledger,
+    orphan vacuum) must hold on object-store semantics, not just POSIX
+    rename."""
+    yield
+
+
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
     return (
@@ -489,6 +499,46 @@ def test_probe_is_snapshot_isolated_from_compaction(spark, emb, corpus, tmp_path
     }
     assert physical.isdisjoint(DELETED)
     assert M.ann_manifest_read(path)["stale"] == []
+
+
+def test_vacuum_retention_spares_reader_planned_at_previous_version(
+    spark, emb, corpus, tmp_path
+):
+    """A probe planned against version N-1 holds invisible references to
+    that snapshot's files; a vacuum running after the compaction flip to N
+    with a retention window (SegmentStore.vacuum's min_age contract, at
+    ANN-file grain) must spare every file a YOUNG manifest version
+    references — the pre-planned probe still reads complete files — and a
+    later out-of-window vacuum reclaims them."""
+    from iodf_spark.operators import ann_maintenance as M
+
+    path = str(tmp_path / "ivf")
+    ann_store_seed(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+    corpus.delete_where(spark, F.col("vec_id").isin(DELETED))
+    ann_store_sync(spark, corpus, path, "vec_id", "embedding", dim=DIM)
+
+    # reader resolves CURRENT = N-1 at plan time
+    pre = ann_ivf_store(emb, "vec_id", "embedding", path, QUERIES, k=5, dim=DIM)
+    ann_compact_deletes(spark, path, vacuum=False)  # flip to N; old files stale
+    stale_before = M.ann_manifest_read(path)["stale"]
+    assert stale_before  # the N-1 files are awaiting reclamation
+
+    # vacuum INSIDE the retention window: every file a young version
+    # references is spared, so nothing is reclaimed under the reader
+    assert M.ann_vacuum(path, min_age_seconds=3600) == 0
+    assert M.ann_manifest_read(path)["stale"] == stale_before  # still listed
+    rows_pre = [(r["query_id"], r["rank"], r["neighbor_id"]) for r in pre.collect()]
+    assert rows_pre and all(nid not in DELETED for _, _, nid in rows_pre)
+
+    # outside the window the same call reclaims, and a freshly planned
+    # probe (against N) is untouched
+    assert M.ann_vacuum(path, min_age_seconds=0) > 0
+    assert M.ann_manifest_read(path)["stale"] == []
+    assert _probe(spark, emb, path) == {
+        (q, rk): n for (q, rk), n in zip(
+            [(q, rk) for q, rk, _ in rows_pre], [n for _, _, n in rows_pre]
+        )
+    }
 
 
 def test_crash_mid_compaction_leaves_old_snapshot(spark, emb, corpus, tmp_path, monkeypatch):

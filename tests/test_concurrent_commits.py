@@ -30,6 +30,16 @@ from pyspark.sql import functions as F
 from iodf_spark.sources.segments import ManifestConflictError, SegmentStore
 
 
+@pytest.fixture(autouse=True)
+def _both_backends(fsio_backend):
+    """Every OCC race in this suite runs against BOTH fsio backends: the
+    POSIX one (rename/link atomicity) and the object-store one
+    (conditional-put claims, whole-object-PUT pointer flips,
+    copy-list-delete adoption) — the commit protocol must not depend on
+    which store carries it."""
+    yield
+
+
 @pytest.fixture()
 def path(tmp_path):
     return str(tmp_path / "store")

@@ -1,14 +1,32 @@
 """sources/fsio — the filesystem seam both stores route their driver-side
 metadata I/O through (the round-9 'object-store' design-debt note's fix
-shape). Pins the three CONTRACTS the stores' correctness builds on."""
+shape). Pins the contracts the stores' correctness builds on, against
+BOTH backends: POSIX (rename/link atomicity) and the object-store one
+(conditional-put claims, whole-object PUTs, copy-list-delete) — plus a
+mechanical audit that the object-store backend never reaches for the
+POSIX primitives it exists to avoid."""
 
+import inspect
 import os
 import threading
+
+import pytest
 
 from iodf_spark.sources import fsio
 
 
-def test_atomic_write_never_exposes_torn_content(tmp_path):
+@pytest.fixture(params=["posix", "objectstore"])
+def backend(request):
+    b = (
+        fsio.PosixBackend()
+        if request.param == "posix"
+        else fsio.ObjectStoreBackend()
+    )
+    with fsio.using_backend(b):
+        yield b
+
+
+def test_atomic_write_never_exposes_torn_content(backend, tmp_path):
     p = str(tmp_path / "doc.json")
     fsio.atomic_write_text(p, "A" * 64)
     # replace over existing: readers see old-complete or new-complete
@@ -17,7 +35,7 @@ def test_atomic_write_never_exposes_torn_content(tmp_path):
     assert not os.path.exists(p + ".tmp")  # buffer never lingers
 
 
-def test_link_claim_single_winner(tmp_path):
+def test_link_claim_single_winner(backend, tmp_path):
     tmp1, tmp2 = str(tmp_path / "t1"), str(tmp_path / "t2")
     dst = str(tmp_path / "manifest-v1.json")
     open(tmp1, "w").write("w1")
@@ -25,9 +43,15 @@ def test_link_claim_single_winner(tmp_path):
     wins = [fsio.link_claim(tmp1, dst), fsio.link_claim(tmp2, dst)]
     assert wins == [True, False]
     assert open(dst).read() == "w1"  # the winner's content, untouched
+    # tmp SURVIVES the claim on both backends: callers re-use it for the
+    # CURRENT-pointer flip (segments._publish choreography)
+    assert os.path.exists(tmp1) and os.path.exists(tmp2)
+    fsio.atomic_replace(tmp1, str(tmp_path / "CURRENT"))
+    assert open(str(tmp_path / "CURRENT")).read() == "w1"
+    assert not os.path.exists(tmp1)  # replace consumes
 
 
-def test_claim_dir_races_one_winner(tmp_path):
+def test_claim_dir_races_one_winner(backend, tmp_path):
     target = str(tmp_path / "seg-00001")
     results = []
     barrier = threading.Barrier(8)
@@ -40,9 +64,32 @@ def test_claim_dir_races_one_winner(tmp_path):
     [t.start() for t in ts]
     [t.join() for t in ts]
     assert sorted(results) == [False] * 7 + [True]
+    # a claimed dir is claimed for EVERY later arrival too
+    assert fsio.claim_dir(target) is False
 
 
-def test_listings_absent_prefix_is_empty_not_error(tmp_path):
+def test_claim_dir_respects_foreign_unmarked_dir(backend, tmp_path):
+    # a dir created outside the claim protocol (another writer's in-flight
+    # mkdir, a Spark task dir) must read as claimed on both backends
+    target = str(tmp_path / "seg-00007")
+    os.makedirs(target)
+    assert fsio.claim_dir(target) is False
+
+
+def test_rename_dir_moves_nested_content(backend, tmp_path):
+    src = tmp_path / "staging"
+    (src / "a").mkdir(parents=True)
+    (src / "part-0.parquet").write_text("p0")
+    (src / "a" / "part-1.parquet").write_text("p1")
+    dst = str(tmp_path / "seg-00001" / "data")
+    os.makedirs(str(tmp_path / "seg-00001"))
+    fsio.rename_dir(str(src), dst)
+    assert open(os.path.join(dst, "part-0.parquet")).read() == "p0"
+    assert open(os.path.join(dst, "a", "part-1.parquet")).read() == "p1"
+    assert not os.path.exists(str(src))  # src prefix fully gone
+
+
+def test_listings_absent_prefix_is_empty_not_error(backend, tmp_path):
     missing = str(tmp_path / "nope")
     assert fsio.list_dir(missing) == []
     assert fsio.list_files(missing, ".parquet") == []
@@ -60,12 +107,63 @@ def test_listings_absent_prefix_is_empty_not_error(tmp_path):
     assert fsio.walk_has_suffix(str(d / "_deletes"), ".parquet") is False
 
 
-def test_remove_helpers_are_idempotent(tmp_path):
+def test_remove_helpers_are_idempotent(backend, tmp_path):
     f = tmp_path / "f"
     f.write_text("x")
     fsio.remove_file(str(f))
     fsio.remove_file(str(f))  # second call: missing_ok default
+    with pytest.raises(FileNotFoundError):
+        fsio.remove_file(str(f), missing_ok=False)
     d = tmp_path / "d"
     d.mkdir()
     fsio.remove_tree(str(d))
     fsio.remove_tree(str(d))  # ignore_errors default
+    with pytest.raises(FileNotFoundError):
+        fsio.remove_tree(str(d), ignore_errors=False)
+
+
+def test_objectstore_claim_marker_is_invisible(tmp_path):
+    """The conditional-put claim marker must not leak into any listing the
+    stores interpret (it is layout bookkeeping, not data)."""
+    with fsio.using_backend(fsio.ObjectStoreBackend()):
+        target = str(tmp_path / "seg-00002")
+        assert fsio.claim_dir(target) is True
+        assert os.path.exists(os.path.join(target, fsio.CLAIM_MARKER))
+        assert fsio.list_dir(target) == []
+        assert fsio.list_files(target) == []
+        assert fsio.walk_has_suffix(target, "") is False
+        # marker name is dot-prefixed so Spark/Hadoop readers skip it too
+        assert fsio.CLAIM_MARKER.startswith(".")
+        # remove_tree reclaims marker + skeleton; the name is claimable again
+        fsio.remove_tree(target)
+        assert not os.path.exists(target)
+        assert fsio.claim_dir(target) is True
+
+
+def test_objectstore_backend_uses_no_posix_atomicity():
+    """Mechanical audit: the object-store backend's own choreography never
+    reaches for rename(2)/link(2)/exclusive-mkdir/os.replace — all
+    atomicity rides the service API (put/copy with If-None-Match). The
+    FakeObjectStore SERVICE may use them internally (that is S3's job,
+    not the protocol's)."""
+    src = inspect.getsource(fsio.ObjectStoreBackend)
+    for forbidden in ("os.replace", "os.link", "os.rename", "exist_ok=False"):
+        assert forbidden not in src, forbidden
+
+
+def test_objectstore_conditional_put_is_a_real_cas(tmp_path):
+    svc = fsio.FakeObjectStore()
+    key = str(tmp_path / "v1.json")
+    results = []
+    barrier = threading.Barrier(8)
+
+    def go(i):
+        barrier.wait()
+        results.append(svc.put(key, f"w{i}".encode(), if_none_match=True))
+
+    ts = [threading.Thread(target=go, args=(i,)) for i in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert sorted(results) == [False] * 7 + [True]
+    # the object carries exactly one winner's complete content
+    assert svc.get(key).decode() in {f"w{i}" for i in range(8)}
