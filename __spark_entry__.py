@@ -1268,6 +1268,35 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECON_K = 8  # window width for the substring-grain decontamination arm
 
 
+def _sdecon_spans(
+    spark: SparkSession, train: DataFrame, bench: DataFrame
+) -> DataFrame:
+    """Drive the incremental decontamination stream for the 'sdecon' arm
+    (see q_contamination) and return its accumulated spans. Unlike the
+    sstream arm there is NO state store — contamination is per-doc
+    against a static benchmark, so the op is a stateless stream-static
+    broadcast semi join and stream == batch under any split."""
+    import tempfile
+
+    from iodf_spark.streaming.ingest import (
+        read_contaminated_spans,
+        stream_contaminated_windows,
+    )
+
+    sub = train.filter(F.col("doc_id") % SSTREAM_MOD == 0).select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="iodf_sd_src_")
+    state = tempfile.mkdtemp(prefix="iodf_sd_state_")
+    # 2-file source + maxFilesPerTrigger=1 -> hits land across 2 batches
+    sub.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_contaminated_windows(stream, "doc_id", "text", bench, state, k=DECON_K)
+    return read_contaminated_spans(spark, state, k=DECON_K)
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination at BOTH grains, one tagged union (the
     held-out 'benchmark' split is doc_id % 20 == 0; benchmark hashes
@@ -1279,40 +1308,87 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports; n=span_start, x=span_toks, f=n_windows), cut-ready with
     exact boundaries; 'clean' rows attest the CUT — the materialized
     decontaminated corpus, every benchmark-overlap span removed from
-    every doc (n=n_toks, x=removed_toks, f=text_hash(clean_text))."""
+    every doc (n=n_toks, x=removed_toks, f=text_hash(clean_text));
+    'sdecon' rows attest the INCREMENTAL path — the same spans discovered
+    by a standing micro-batch stream over a deterministic train subset
+    (doc_id % 4 = 0; stateless stream-static broadcast semi join, no
+    state store), checked against the batch spans oracle on the same
+    subset: the live-crawl decontamination a curation pipeline runs."""
+    arms = _contamination_arms(spark, sf_dir)
+    out = arms[0][1]()
+    for _, thunk in arms[1:]:
+        out = out.unionByName(thunk())
+    return out
+
+
+def _contamination_arms(spark: SparkSession, sf_dir: str):
+    """ORDERED arm thunks of the contamination entry (see
+    q_contamination) — per-arm bench grain so a new arm lands with its
+    own baseline instead of tripping the cell-level gate."""
+    from iodf_spark.functions import texthash as TH
     from iodf_spark.operators.dedup import (
         contaminated_spans,
         contamination,
         decontaminate_clean,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    train = docs.filter(F.col("doc_id") % 20 != 0)
-    bench = docs.filter(F.col("doc_id") % 20 == 0)
-    ngram = contamination(train, "doc_id", "text", bench).select(
-        F.lit("ngram").alias("variant"),
-        "doc_id",
-        F.col("n_shingles").alias("n"),
-        F.col("overlap_frac").alias("x"),
-        F.col("contaminated").cast("bigint").alias("f"),
-    )
-    spans = contaminated_spans(train, "doc_id", "text", bench, k=DECON_K).select(
-        F.lit("spans").alias("variant"),
-        "doc_id",
-        F.col("span_start").alias("n"),
-        F.col("span_toks").cast("double").alias("x"),
-        F.col("n_windows").alias("f"),
-    )
-    from iodf_spark.functions import texthash as TH
+    memo: dict[str, DataFrame] = {}
 
-    clean = decontaminate_clean(train, "doc_id", "text", bench, k=DECON_K).select(
-        F.lit("clean").alias("variant"),
-        "doc_id",
-        F.col("n_toks").alias("n"),
-        F.col("removed_toks").cast("double").alias("x"),
-        F.expr(TH.text_hash("clean_text", "spark")).alias("f"),
-    )
-    return ngram.unionByName(spans).unionByName(clean)
+    def split(which: str) -> DataFrame:
+        if which not in memo:
+            docs = load_table(spark, sf_dir, "documents")
+            memo["train"] = docs.filter(F.col("doc_id") % 20 != 0)
+            memo["bench"] = docs.filter(F.col("doc_id") % 20 == 0)
+        return memo[which]
+
+    return [
+        (
+            "ngram",
+            lambda: contamination(
+                split("train"), "doc_id", "text", split("bench")
+            ).select(
+                F.lit("ngram").alias("variant"),
+                "doc_id",
+                F.col("n_shingles").alias("n"),
+                F.col("overlap_frac").alias("x"),
+                F.col("contaminated").cast("bigint").alias("f"),
+            ),
+        ),
+        (
+            "spans",
+            lambda: contaminated_spans(
+                split("train"), "doc_id", "text", split("bench"), k=DECON_K
+            ).select(
+                F.lit("spans").alias("variant"),
+                "doc_id",
+                F.col("span_start").alias("n"),
+                F.col("span_toks").cast("double").alias("x"),
+                F.col("n_windows").alias("f"),
+            ),
+        ),
+        (
+            "clean",
+            lambda: decontaminate_clean(
+                split("train"), "doc_id", "text", split("bench"), k=DECON_K
+            ).select(
+                F.lit("clean").alias("variant"),
+                "doc_id",
+                F.col("n_toks").alias("n"),
+                F.col("removed_toks").cast("double").alias("x"),
+                F.expr(TH.text_hash("clean_text", "spark")).alias("f"),
+            ),
+        ),
+        (
+            "sdecon",
+            lambda: _sdecon_spans(spark, split("train"), split("bench")).select(
+                F.lit("sdecon").alias("variant"),
+                "doc_id",
+                F.col("span_start").alias("n"),
+                F.col("span_toks").cast("double").alias("x"),
+                F.col("n_windows").alias("f"),
+            ),
+        ),
+    ]
 
 
 ORDERS_PROFILE_COLS = [
@@ -2807,6 +2883,8 @@ HYBRID_QUERY_VEC_ID = 7  # doc whose embedding drives the hybrid 'rrf' arm
 # then brute-force cosine top-15 — pure text-to-text semantic retrieval
 SEMVEC_QUERY = "customer orders join merge fast table"
 SEMVEC_DIM = 64
+CHUNKVEC_ENC = 1_000_000  # chunk identity: doc_id * ENC + chunk_idx (int64)
+CHUNKVEC_ALL = 1_000_000_000  # rank ALL chunks: doc score = max over chunks
 
 
 def _text_search_arms(spark: SparkSession, sf_dir: str):
@@ -2825,6 +2903,26 @@ def _text_search_arms(spark: SparkSession, sf_dir: str):
         if "docs" not in memo:
             memo["docs"] = _documents(spark, sf_dir)
         return memo["docs"]
+
+    def qvec() -> list:
+        # the free-text query embedded ONCE through the same hashed-TF
+        # transform as the corpus (shared by semvec and chunkvec; a union
+        # of the embed chains would broadcast-and-recompute the corpus
+        # aggregation — measured 13.7 s vs ~2 s). The oracle derives the
+        # same vector in SQL; the hash_embed dialect twins are bit-equal,
+        # so literal-vs-derived cannot diverge.
+        if "qvec" not in memo:
+            from iodf_spark.operators.similarity import hash_embed
+
+            qdf = spark.createDataFrame(
+                [(-1, SEMVEC_QUERY)], "doc_id long, text string"
+            )
+            memo["qvec"] = [
+                float(x)
+                for x in hash_embed(qdf, "doc_id", "text", dim=SEMVEC_DIM)
+                .collect()[0]["vec"]
+            ]
+        return memo["qvec"]
 
     def arm_probe() -> DataFrame:
         # one token's boolean posting set (IndexedDf.scala:71-85)
@@ -2904,28 +3002,59 @@ def _text_search_arms(spark: SparkSession, sf_dir: str):
         from iodf_spark.operators.similarity import ann_brute_force, hash_embed
 
         d = docs().select("doc_id", "text")
-        qdf = spark.createDataFrame(
-            [(-1, SEMVEC_QUERY)], "doc_id long, text string"
-        )
-        # the query vector is ONE row: collect it and probe via the
-        # query_vecs literal path (a union of the two embed chains would
-        # broadcast-and-recompute the corpus aggregation — measured 13.7 s
-        # vs ~2 s). The oracle derives the same vector in SQL; the
-        # hash_embed dialect twins are bit-equal, so literal-vs-derived
-        # cannot diverge.
-        qvec = [
-            float(x)
-            for x in hash_embed(qdf, "doc_id", "text", dim=SEMVEC_DIM)
-            .collect()[0]["vec"]
-        ]
         corpus = hash_embed(d, "doc_id", "text", dim=SEMVEC_DIM)
         return ann_brute_force(
             corpus, "doc_id", "vec", [], k=15, dim=SEMVEC_DIM,
-            query_vecs={-1: qvec},
+            query_vecs={-1: qvec()},
         ).select(
             F.lit("semvec").alias("variant"),
             F.col("neighbor_id").alias("row_id"),
             F.col("cos").alias("score"),
+        )
+
+    def arm_chunkvec() -> DataFrame:
+        # CHUNK-grain retrieval with DOC-grain hits (round 11) — THE
+        # serving shape for RAG corpora: long documents are chunked into
+        # overlapping token windows (packing.chunk_documents, the same
+        # geometry the sequence_pack 'chunk' arm attests), every chunk
+        # embeds through the same hashed-TF transform as semvec, chunks
+        # rank by exact cosine against the free-text query, and a
+        # document scores as its BEST chunk (max over its chunks' cosines
+        # — so a long doc with one highly relevant passage beats a doc
+        # that is mildly relevant throughout). Chunk identity packs
+        # (doc_id, chunk_idx) into one int64 at radix 1e6. Top-15 docs,
+        # score-desc / id-asc tie-break. Composition pytest: a9527e4's
+        # chunk->embed->retrieve pin; this arm gives it the oracle grade.
+        from iodf_spark.operators.packing import chunk_documents
+        from iodf_spark.operators.similarity import ann_brute_force, hash_embed
+
+        ch = chunk_documents(
+            docs().select("doc_id", "text"), "doc_id", "text",
+            chunk_toks=CHUNK_TOKS, overlap=CHUNK_OVERLAP,
+        )
+        cids = ch.select(
+            (F.col("doc_id") * F.lit(CHUNKVEC_ENC) + F.col("chunk_idx")).alias(
+                "cid"
+            ),
+            "chunk_text",
+        )
+        emb = hash_embed(cids, "cid", "chunk_text", dim=SEMVEC_DIM)
+        hits = ann_brute_force(
+            emb, "cid", "vec", [], k=CHUNKVEC_ALL, dim=SEMVEC_DIM,
+            query_vecs={-1: qvec()},
+        )
+        return (
+            hits.select(
+                F.expr(
+                    f"cast(neighbor_id div {CHUNKVEC_ENC} as bigint)"
+                ).alias("row_id"),
+                "cos",
+            )
+            .groupBy("row_id")
+            .agg(F.max("cos").alias("score"))
+            .orderBy(F.col("score").desc(), F.col("row_id"))
+            .limit(15)
+            .select(F.lit("chunkvec").alias("variant"), "row_id", "score")
         )
 
     return [
@@ -2935,6 +3064,7 @@ def _text_search_arms(spark: SparkSession, sf_dir: str):
         ("prefix", arm_prefix),
         ("rrf", arm_rrf),
         ("semvec", arm_semvec),
+        ("chunkvec", arm_chunkvec),
     ]
 
 
@@ -2942,12 +3072,15 @@ def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I2/§2.12 analyzers + ranked retrieval in one attested entry (former
     index_text_tokens): the text column indexed with the whitespace
     tokenizer (the reference's test analyzer, DfTest.scala:69-70 — one
-    value fans out to N index tokens), then six retrieval variants over
+    value fans out to N index tokens), then seven retrieval variants over
     it — boolean probe, BM25 top-15, exact phrase, key-range prefix,
-    hybrid BM25+ANN reciprocal-rank fusion, and free-text SEMANTIC
-    retrieval (semvec: the query string embeds through the same hashed-TF
-    transform as the corpus and ranks by exact cosine — no model, no
-    embeddings table; see _text_search_arms)."""
+    hybrid BM25+ANN reciprocal-rank fusion, free-text SEMANTIC retrieval
+    (semvec: the query string embeds through the same hashed-TF transform
+    as the corpus and ranks by exact cosine — no model, no embeddings
+    table), and CHUNK-grain retrieval with doc-grain hits (chunkvec: the
+    RAG serving shape — overlapping token-window chunks embed through the
+    same transform and rank, a document scores as its best chunk; see
+    _text_search_arms)."""
     out = None
     for _name, thunk in _text_search_arms(spark, sf_dir):
         df = thunk()
@@ -3180,6 +3313,8 @@ def bench_arms() -> dict:
         "dedup_minhash": _dedup_minhash_arms,
         "embedding_pairs": _embedding_pairs_arms,
         "embedding_clusters": _embedding_clusters_arms,
+        # round 11: the decon cell gains its streaming twin (sdecon)
+        "contamination": _contamination_arms,
     }
 
 
@@ -3894,6 +4029,25 @@ def oracle_sql() -> dict[str, str]:
                     dim=SEMVEC_DIM,
                 ) + ")",
                 [-1], k=15, dim=SEMVEC_DIM)}) sv
+            UNION ALL
+            SELECT 'chunkvec' AS variant, row_id, score FROM (
+              SELECT neighbor_id // {CHUNKVEC_ENC} AS row_id,
+                     max(cos) AS score
+              FROM ({similarity.ann_brute_force_oracle(
+                "cid", "vec",
+                "(" + similarity.hash_embed_oracle(
+                    "cid", "chunk_text",
+                    "(SELECT doc_id * " + str(CHUNKVEC_ENC)
+                    + " + chunk_idx AS cid, chunk_text FROM ("
+                    + packing.chunk_documents_oracle(
+                        "doc_id", "text", "documents",
+                        chunk_toks=CHUNK_TOKS, overlap=CHUNK_OVERLAP)
+                    + ") UNION ALL SELECT * FROM (VALUES (-1, '"
+                    + SEMVEC_QUERY + "')) AS _q(cid, chunk_text))",
+                    dim=SEMVEC_DIM,
+                ) + ")",
+                [-1], k=CHUNKVEC_ALL, dim=SEMVEC_DIM)})
+              GROUP BY 1 ORDER BY score DESC, row_id LIMIT 15) cv
         """,
         "text_stats": f"""
             SELECT s.*, r.n_bigrams, r.top_token_frac, r.dup_bigram_frac,
@@ -3923,6 +4077,13 @@ def oracle_sql() -> dict[str, str]:
             FROM ({dedup.decontaminate_clean_oracle(
                 "doc_id", "text", "documents",
                 "doc_id % 20 = 0", "doc_id % 20 <> 0", k=DECON_K)})
+            UNION ALL
+            SELECT 'sdecon' AS variant, doc_id, span_start AS n,
+                   span_toks::DOUBLE AS x, n_windows AS f
+            FROM ({dedup.contaminated_spans_oracle(
+                "doc_id", "text", "documents",
+                "doc_id % 20 = 0",
+                "doc_id % 20 <> 0 AND doc_id % 4 = 0", k=DECON_K)})
         """,
         "sequence_pack": f"""
             SELECT 'pack' AS variant, doc_id, shard AS a, n_tokens AS b,

@@ -197,6 +197,66 @@ def pack_hashes(h1: str, h2: str) -> str:
     return f"(({h1}) * {MOD2} + ({h2}))"
 
 
+# ---------------------------------------------------------------------------
+# WIDE fold families for the two-column window identity (round 11):
+# `duplicated_spans`' groupBy is CORPUS-wide, and the round-10 packed
+# ~9.2e18 space expects ~5e6 false-duplicated windows at 1e13 windows
+# (100 TB) — ppm-level erroneous cuts by the materialized substring cut.
+# The fix keeps the round-10 COST SHAPE (exactly two unrolled fold chains
+# per window — an isolated A/B of a 4-chain design measured 3.4-5.6x on
+# the spans ladder, the chains dominate the window projection) but widens
+# each fold's modulus from ~2^30 to ~2^56: the identity becomes the
+# UNPACKED (fold3 over the mixed family-1 token hashes, fold4 over the
+# mixed family-2 token hashes) pair — two int64 columns, 16 B/window on
+# the shuffle, combined space MOD3*MOD4 ~ 4.2e33 ~ 2^112, expected
+# corpus-wide false pairs at 1e13 windows = (1e13)^2/2 / 4.2e33 ~ 1.2e-8
+# — no sharding caveat left. Distinct multiplier AND modulus per family;
+# the texthash.mix nonlinearity (applied per token BEFORE the folds)
+# blocks the engineered-delta relation that would cancel under every
+# multiplier at once. Degenerate floor: two windows whose family-1 token
+# streams collide ENTIRELY (probability ~1/MOD per differing token)
+# rest on fold4's ~2^56 alone — the joint probability stays vanishing at
+# corpus scale. int64 safety: (MOD3-1)*MULT3 + max_mixed_hash < 2^63
+# (8.91e18 + 2^31 < 9.22e18), same margin for family 4; the narrow
+# families 1/2 stay as-is for every OTHER consumer (minhash's (ax+b)%MOD
+# affine maps and simhash's 32-bit windows assume ~2^30 values).
+
+MOD3 = 65_000_000_000_000_011  # prime ~2^55.85
+MULT3 = 137
+SEED3 = 17
+MOD4 = 64_000_000_000_000_079  # prime ~2^55.83, distinct from MOD3
+MULT4 = 139
+SEED4 = 19
+
+
+def fold_hash3(arr: str, dialect: str, seed: int = SEED3) -> str:
+    """WIDE polynomial fold of an integer array (window-identity column 1:
+    inputs must be < 2^31 — mixed token hashes are)."""
+    if _d(dialect):
+        return (
+            f"aggregate({arr}, cast({seed} as bigint), "
+            f"(_acc, _x) -> (_acc * {MULT3} + _x) % {MOD3})"
+        )
+    return (
+        f"list_reduce(list_prepend({seed}::BIGINT, {arr}), "
+        f"(_acc, _x) -> (_acc * {MULT3} + _x) % {MOD3})"
+    )
+
+
+def fold_hash4(arr: str, dialect: str, seed: int = SEED4) -> str:
+    """WIDE polynomial fold of an integer array (window-identity column 2:
+    inputs must be < 2^31 — mixed token hashes are)."""
+    if _d(dialect):
+        return (
+            f"aggregate({arr}, cast({seed} as bigint), "
+            f"(_acc, _x) -> (_acc * {MULT4} + _x) % {MOD4})"
+        )
+    return (
+        f"list_reduce(list_prepend({seed}::BIGINT, {arr}), "
+        f"(_acc, _x) -> (_acc * {MULT4} + _x) % {MOD4})"
+    )
+
+
 def mix(h: str, dialect: str, mod: int = MOD) -> str:
     """Non-linear mix of a token hash BEFORE a window fold: (h*h + h) mod
     `mod`. A polynomial fold is affine in its inputs, so two windows

@@ -1209,16 +1209,23 @@ DEFAULT_SPAN_K = 16  # Lee et al. use 50 BPE tokens; whitespace tokens run
 
 
 def _gram_stream2(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """_gram_stream with a PACKED DOUBLE-HASH gram identity (_id, _pos, _s):
-    two independent polynomial folds (31 mod 1e9+7 and 131 mod 998244353,
-    texthash families 1 and 2) packed into one int64. The substring ops
-    group windows by hash with no downstream pair verification, so the
-    single 1e9+7 space would saturate at curation scale (1e13 windows ->
-    ~1e4 unrelated windows per residue, everything 'duplicated'); a
-    simultaneous double collision runs ~1e-18 per pair. Same lead()-window
-    scalar construction as _gram_stream (the array-lambda form recomputes
-    the token-hash array per element access — measured 3-10x), same one
-    shuffle on _id, still an 8-byte key."""
+    """_gram_stream with a TWO-COLUMN ~2^112 gram identity (_id, _pos,
+    _s, _s2): two independent WIDE polynomial folds over the two mixed
+    per-token hash streams — _s = fold family 3 (137 mod ~2^56) over the
+    mixed family-1 token hashes, _s2 = fold family 4 (139 mod ~2^56) over
+    the mixed family-2 token hashes (texthash fold_hash3/fold_hash4). The
+    substring ops group windows by identity with no downstream pair
+    verification, and the groupBy is CORPUS-wide: the round-10 single
+    packed int64 (~9.2e18 space) expects ~5e6 false-duplicated windows at
+    1e13 windows (100 TB) — the wide pair puts expected false pairs at
+    ~1.2e-8 at the same scale, +8 B/window on the shuffle. COST SHAPE IS
+    ROUND-10's: exactly two unrolled fold chains per window (a 4-chain
+    quad-fold design measured 3.4-5.6x slower on the spans ladder in an
+    isolated A/B — the chains dominate); independence rationale, int64
+    bounds, and the degenerate-collision floor are at the texthash wide-
+    family definitions. Same lead()-window scalar construction as
+    _gram_stream (the array-lambda form recomputes the token-hash array
+    per element access — measured 3-10x), same one shuffle on _id."""
     from pyspark.sql.window import Window
 
     base = fan_out(
@@ -1241,11 +1248,11 @@ def _gram_stream2(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
         )
     )
     w = Window.partitionBy("_id").orderBy("_pos")
-    acc1 = f"cast({TH.SEED} as bigint)"
-    acc2 = f"cast({TH.SEED2} as bigint)"
+    acc3 = f"cast({TH.SEED3} as bigint)"
+    acc4 = f"cast({TH.SEED4} as bigint)"
     for j in range(n):
-        acc1 = f"((({acc1}) * {TH.MULT} + _h{j}) % {TH.MOD})"
-        acc2 = f"((({acc2}) * {TH.MULT2} + _g{j}) % {TH.MOD2})"
+        acc3 = f"((({acc3}) * {TH.MULT3} + _h{j}) % {TH.MOD3})"
+        acc4 = f"((({acc4}) * {TH.MULT4} + _g{j}) % {TH.MOD4})"
     with_leads = tok.select(
         "_id",
         "_pos",
@@ -1256,8 +1263,9 @@ def _gram_stream2(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     )
     return (
         with_leads.filter(F.col(f"_h{n - 1}").isNotNull())
-        .withColumn("_s", F.expr(TH.pack_hashes(acc1, acc2)))
-        .select("_id", "_pos", "_s")
+        .withColumn("_s", F.expr(acc3))
+        .withColumn("_s2", F.expr(acc4))
+        .select("_id", "_pos", "_s", "_s2")
     )
 
 
@@ -1279,19 +1287,22 @@ def duplicated_spans(
     the one approximation vs a suffix array is chimeric merges (adjacent
     windows each duplicated against DIFFERENT sources fuse into one reported
     span) — the same span-coalescing the reference family applies when
-    cutting remove-ranges out of documents. Window identity is a PACKED
-    DOUBLE polynomial hash (_gram_stream2 — two independent families in
-    one int64, dialect-exact so the oracle reproduces every verdict
-    bit-for-bit): unlike the Jaccard candidates, nothing downstream
-    re-verifies pairs, and a single 1e9+7 space would mark everything
-    duplicated at 1e13 windows; the packed ~1e18 space keeps the expected
-    corpus-wide false-dup count below one up to ~1e9-window shards.
+    cutting remove-ranges out of documents. Window identity is the
+    two-column ~2^112 wide-fold pair (_gram_stream2's two int64 columns,
+    dialect-exact so the oracle reproduces every verdict bit-for-bit):
+    unlike the Jaccard candidates, nothing downstream re-verifies pairs,
+    and THIS groupBy is corpus-wide — at 1e13 windows (100 TB) a single
+    1e9+7 space would mark everything duplicated and even the round-10
+    packed int64 (~9.2e18) expected ~5e6 false-dup windows; the ~4.2e33
+    wide pair puts expected corpus-wide false pairs at ~1.2e-8, no
+    sharding caveat.
 
-    Scale (100 TB): the window stream is (_id 8B, _pos 4B, hash 8B) per
-    token — linear in token count, the same wire cost as the MinHash
-    shingle pass, never text. The duplicate filter is a map-side-combined
-    count on the 8-byte hash; the join-back is hash-keyed (hot boilerplate
-    windows are exactly what it finds — AQE skew-join splits them); the
+    Scale (100 TB): the window stream is (_id 8B, _pos 4B, identity 16B)
+    per token — linear in token count, within 8 B/window of the MinHash
+    shingle pass's wire cost, never text. The duplicate filter is a
+    map-side-combined count on the 16-byte identity pair; the join-back is
+    hash-keyed (hot boilerplate windows are exactly what it finds — AQE
+    skew-join splits them); the
     island merge is a per-document window sort, bounded by document length.
     Suffix arrays (the reference implementation of ExactSubstr) need a
     global sort of the whole corpus' suffixes — this is the shuffle-local
@@ -1299,12 +1310,12 @@ def duplicated_spans(
     """
     stream = _gram_stream2(df, id_col, text_col, k)
     dup = (
-        stream.groupBy("_s")
+        stream.groupBy("_s", "_s2")
         .agg(F.count(F.lit(1)).alias("_occ"))
         .filter(F.col("_occ") >= F.lit(min_occurrences))
-        .select("_s")
+        .select("_s", "_s2")
     )
-    hits = stream.join(dup, "_s", "leftsemi")
+    hits = stream.join(dup, ["_s", "_s2"], "leftsemi")
     return windows_to_spans(hits, k, id_col="_id", pos_col="_pos")
 
 
@@ -1338,44 +1349,46 @@ def windows_to_spans(
 
 
 def packed_grams_expr(th1: str, th2: str, k: int) -> str:
-    """Spark SQL expr: in-order packed double-hash k-gram array from two
-    PRE-MATERIALIZED, PRE-MIXED token-hash array COLUMNS (texthash.mix
-    applied per token — see _gram_stream2; the folds are affine, mixing
-    is what makes window identity collision-honest). The array form of
-    _gram_stream2's lead()-window folds — needed where window functions
-    are unavailable, i.e. on a STREAMING DataFrame; pass column names, not
-    expressions — Catalyst's CollapseProject inlines expressions into
-    every lambda reference. Docs shorter than k tokens yield an empty
-    array."""
-    acc1 = f"cast({TH.SEED} as bigint)"
-    acc2 = f"cast({TH.SEED2} as bigint)"
+    """Spark SQL expr: in-order two-column ~2^112 k-gram identity array —
+    one struct<s1:bigint, s2:bigint> per window (the same wide-fold pair
+    as _gram_stream2's _s/_s2) — from two PRE-MATERIALIZED, PRE-MIXED
+    token-hash array COLUMNS (texthash.mix applied per token; the folds
+    are affine, mixing is what makes window identity collision-honest).
+    The array form of _gram_stream2's lead()-window folds — needed where
+    window functions are unavailable, i.e. on a STREAMING DataFrame; pass
+    column names, not expressions — Catalyst's CollapseProject inlines
+    expressions into every lambda reference. Docs shorter than k tokens
+    yield an empty array."""
+    acc3 = f"cast({TH.SEED3} as bigint)"
+    acc4 = f"cast({TH.SEED4} as bigint)"
     for j in range(1, k + 1):
-        acc1 = f"((({acc1}) * {TH.MULT} + element_at({th1}, _i + {j})) % {TH.MOD})"
-        acc2 = f"((({acc2}) * {TH.MULT2} + element_at({th2}, _i + {j})) % {TH.MOD2})"
+        acc3 = f"((({acc3}) * {TH.MULT3} + element_at({th1}, _i + {j})) % {TH.MOD3})"
+        acc4 = f"((({acc4}) * {TH.MULT4} + element_at({th2}, _i + {j})) % {TH.MOD4})"
     return (
         f"case when size({th1}) >= {k} "
         f"then transform(sequence(0, size({th1}) - {k}), "
-        f"_i -> {TH.pack_hashes(acc1, acc2)}) "
-        f"else cast(array() as array<bigint>) end"
+        f"_i -> struct({acc3} as s1, {acc4} as s2)) "
+        f"else cast(array() as array<struct<s1:bigint,s2:bigint>>) end"
     )
 
 
 def _span_stream_sql(id_col: str, text_col: str, table: str, k: int) -> str:
-    """DuckDB mirror of _gram_stream2: (_id, _pos, _s) — parallel unnest
-    zips the 0-based window position with the in-order PACKED double-hash
-    gram, the exact integers Spark's lead()-window folds produce."""
-    f1 = TH.fold_hash(f"list_slice(_th, _i + 1, _i + {k})", "duckdb")
-    f2 = TH.fold_hash2(f"list_slice(_t2, _i + 1, _i + {k})", "duckdb")
-    grams = (
-        f"list_transform(range(greatest(len(_th) - {k - 1}, 0)), "
-        f"_i -> {TH.pack_hashes(f1, f2)})"
-    )
+    """DuckDB mirror of _gram_stream2: (_id, _pos, _s, _s2) — parallel
+    unnest zips the 0-based window position with the in-order two-column
+    wide-fold identity pair, the exact integers Spark's lead()-window
+    folds produce."""
+    f3 = TH.fold_hash3(f"list_slice(_th, _i + 1, _i + {k})", "duckdb")
+    f4 = TH.fold_hash4(f"list_slice(_t2, _i + 1, _i + {k})", "duckdb")
+    rng = f"list_transform(range(greatest(len(_th) - {k - 1}, 0)), "
+    grams = f"{rng}_i -> {f3})"
+    grams2 = f"{rng}_i -> {f4})"
     toks = TH.tokens(text_col, "duckdb")
     h1m = TH.mix(TH.text_hash("_tok", "duckdb"), "duckdb")
     h2m = TH.mix(TH.text_hash2("_tok", "duckdb"), "duckdb", mod=TH.MOD2)
     return f"""
-        SELECT _id, unnest(range(len(_g))) AS _pos, unnest(_g) AS _s
-        FROM (SELECT _id, {grams} AS _g
+        SELECT _id, unnest(range(len(_g))) AS _pos,
+               unnest(_g) AS _s, unnest(_g2) AS _s2
+        FROM (SELECT _id, {grams} AS _g, {grams2} AS _g2
               FROM (SELECT {id_col}::BIGINT AS _id,
                            list_transform({toks}, _tok -> {h1m}) AS _th,
                            list_transform({toks}, _tok -> {h2m}) AS _t2
@@ -1392,12 +1405,12 @@ def duplicated_spans_oracle(
 ) -> str:
     return f"""
         WITH _st AS ({_span_stream_sql(id_col, text_col, table, k)}),
-        _dup AS (SELECT _s FROM _st GROUP BY _s
+        _dup AS (SELECT _s, _s2 FROM _st GROUP BY _s, _s2
                  HAVING count(*) >= {min_occurrences}),
         _isl AS (
           SELECT _id, _pos,
                  _pos - row_number() OVER (PARTITION BY _id ORDER BY _pos) AS _g
-          FROM _st SEMI JOIN _dup USING (_s)
+          FROM _st SEMI JOIN _dup USING (_s, _s2)
         )
         SELECT _id AS doc_id,
                min(_pos)::BIGINT AS span_start,
@@ -1462,13 +1475,13 @@ def substring_dedup_clean(
         ),
     )
     kp = (
-        stream.groupBy("_s")
+        stream.groupBy("_s", "_s2")
         .agg(F.count(F.lit(1)).alias("_occ"), F.min("_enc").alias("_keep"))
         .filter(F.col("_occ") >= F.lit(2))
-        .select("_s", "_keep")
+        .select("_s", "_s2", "_keep")
     )
     rm = (
-        stream.join(kp, "_s")
+        stream.join(kp, ["_s", "_s2"])
         .filter(F.col("_enc") != F.col("_keep"))
         .select("_id", "_pos")
     )
@@ -1530,12 +1543,12 @@ def substring_dedup_clean_oracle(
 ) -> str:
     return f"""
         WITH _st AS (
-          SELECT _id, _pos, _s, (_id * {_POS_ENC} + _pos) AS _enc
+          SELECT _id, _pos, _s, _s2, (_id * {_POS_ENC} + _pos) AS _enc
           FROM ({_span_stream_sql(id_col, text_col, table, k)})
         ),
-        _kp AS (SELECT _s, min(_enc) AS _keep FROM _st
-                GROUP BY _s HAVING count(*) >= 2),
-        _rm AS (SELECT t._id, t._pos FROM _st t JOIN _kp USING (_s)
+        _kp AS (SELECT _s, _s2, min(_enc) AS _keep FROM _st
+                GROUP BY _s, _s2 HAVING count(*) >= 2),
+        _rm AS (SELECT t._id, t._pos FROM _st t JOIN _kp USING (_s, _s2)
                 WHERE t._enc <> _kp._keep),
         _isl AS (
           SELECT _id, _pos,
@@ -1593,9 +1606,11 @@ def contaminated_spans(
     Window identity is the mixed packed double hash (_gram_stream2)."""
     train = _gram_stream2(df, id_col, text_col, k)
     bench = (
-        _gram_stream2(benchmark, id_col, text_col, k).select("_s").distinct()
+        _gram_stream2(benchmark, id_col, text_col, k)
+        .select("_s", "_s2")
+        .distinct()
     )
-    hits = train.join(F.broadcast(bench), "_s", "leftsemi")
+    hits = train.join(F.broadcast(bench), ["_s", "_s2"], "leftsemi")
     return windows_to_spans(hits, k, id_col="_id", pos_col="_pos")
 
 
@@ -1611,12 +1626,12 @@ def contaminated_spans_oracle(
     bench_t = f"(SELECT * FROM {table} WHERE {bench_pred})"
     return f"""
         WITH _tr AS ({_span_stream_sql(id_col, text_col, train_t, k)}),
-        _bs AS (SELECT DISTINCT _s
+        _bs AS (SELECT DISTINCT _s, _s2
                 FROM ({_span_stream_sql(id_col, text_col, bench_t, k)})),
         _isl AS (
           SELECT _id, _pos,
                  _pos - row_number() OVER (PARTITION BY _id ORDER BY _pos) AS _g
-          FROM _tr SEMI JOIN _bs USING (_s)
+          FROM _tr SEMI JOIN _bs USING (_s, _s2)
         )
         SELECT _id AS doc_id,
                min(_pos)::BIGINT AS span_start,
@@ -1646,9 +1661,14 @@ def decontaminate_clean(
     is."""
     train = _gram_stream2(df, id_col, text_col, k)
     bench = (
-        _gram_stream2(benchmark, id_col, text_col, k).select("_s").distinct()
+        _gram_stream2(benchmark, id_col, text_col, k)
+        .select("_s", "_s2")
+        .distinct()
     )
-    rm = train.join(F.broadcast(bench), "_s", "leftsemi").select("_id", "_pos")
+    rm = (
+        train.join(F.broadcast(bench), ["_s", "_s2"], "leftsemi")
+        .select("_id", "_pos")
+    )
     return _cut_window_positions(df, rm, id_col, text_col, k)
 
 
@@ -1664,9 +1684,9 @@ def decontaminate_clean_oracle(
     bench_t = f"(SELECT * FROM {table} WHERE {bench_pred})"
     return f"""
         WITH _tr AS ({_span_stream_sql(id_col, text_col, train_t, k)}),
-        _bs AS (SELECT DISTINCT _s
+        _bs AS (SELECT DISTINCT _s, _s2
                 FROM ({_span_stream_sql(id_col, text_col, bench_t, k)})),
-        _rm AS (SELECT _id, _pos FROM _tr SEMI JOIN _bs USING (_s)),
+        _rm AS (SELECT _id, _pos FROM _tr SEMI JOIN _bs USING (_s, _s2)),
         _isl AS (
           SELECT _id, _pos,
                  _pos - row_number() OVER (PARTITION BY _id ORDER BY _pos) AS _g

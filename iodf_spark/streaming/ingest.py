@@ -906,9 +906,10 @@ def stream_duplicated_windows(
     batch==stream contract, at substring granularity).
 
     Engine shape: the ONLY stateful primitive is applyInPandasWithState
-    keyed by the packed double-hash window identity (operators/dedup
-    _gram_stream2's array form — window functions are unavailable on a
-    streaming DataFrame). State per key is 12 bytes: (count, pending
+    keyed by the two-column ~2^112 wide-fold window identity (operators/
+    dedup _gram_stream2's array form, two int64 key columns — window
+    functions are unavailable on a streaming DataFrame). State per key is
+    12 bytes: (count, pending
     doc, pending pos); while a window has exactly one occurrence, that
     occurrence is HELD; the batch delivering the second emits both (the
     held one retroactively) and later arrivals emit themselves — no
@@ -951,7 +952,9 @@ def stream_duplicated_windows(
     )
     windows = hashed.select(
         "_id",
-        F.posexplode(F.expr(packed_grams_expr("_th", "_t2", k))).alias("_pos", "_s"),
+        F.posexplode(F.expr(packed_grams_expr("_th", "_t2", k))).alias("_pos", "_w"),
+    ).select(
+        "_id", "_pos", F.col("_w.s1").alias("_s"), F.col("_w.s2").alias("_s2")
     )
 
     def fn(key, pdfs, state):
@@ -972,7 +975,7 @@ def stream_duplicated_windows(
             state.update((1, occ[0][0], occ[0][1]))
         yield pd.DataFrame(out, columns=["doc_id", "pos"])
 
-    emitted = windows.groupBy("_s").applyInPandasWithState(
+    emitted = windows.groupBy("_s", "_s2").applyInPandasWithState(
         fn,
         "doc_id long, pos long",
         "cnt long, pend_doc long, pend_pos long",
@@ -1023,3 +1026,126 @@ def read_duplicated_spans(spark: SparkSession, state_dir: str, k: int = 16) -> D
     except Exception:  # noqa: BLE001 — no batch emitted any duplicate yet
         df = spark.createDataFrame([], schema)
     return windows_to_spans(df, k)
+
+
+# --------------------------------------------------------------------------
+# Incremental benchmark decontamination (streaming ExactSubstr vs a STATIC
+# benchmark — the live-crawl twin of operators/dedup.contaminated_spans /
+# decontaminate_clean)
+
+
+def stream_contaminated_windows(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    state_dir: str,
+    k: int = 16,
+) -> None:
+    """Incremental substring-grain benchmark decontamination over a
+    document stream: every k-token window of an arriving doc that occurs
+    verbatim anywhere in the STATIC ``benchmark`` is emitted as a
+    (doc_id, pos) hit in the micro-batch the doc arrives in — so the
+    accumulated sink equals the batch detector's window-hit set over the
+    corpus-so-far for ANY micro-batch split (contamination is per-doc
+    against a fixed reference, so unlike self-duplication there is no
+    cross-doc state: this op is STATELESS, and stream == batch needs no
+    retroactive emission).
+
+    Engine shape: tokenize -> two-column ~2^112 wide-fold window
+    identities (operators/dedup.packed_grams_expr, the array form —
+    window functions are unavailable on streaming DataFrames) ->
+    posexplode -> stream-static
+    BROADCAST left-semi join against the benchmark's distinct window
+    identities. The benchmark side is computed ONCE batch-side (eval
+    suites are MBs — the same broadcast-the-benchmark plan shape the batch
+    operator pins in test_plans); the corpus pays only its own window
+    stream, no text in any shuffle key, no state store at all — each
+    micro-batch costs its own windows plus a map-side probe.
+
+    Output sink: parquet (doc_id, pos) rows under state_dir/hits with the
+    checkpoint under state_dir/_checkpoint — exactly-once end to end.
+    Read back through :func:`read_contaminated_spans` (maximal spans) or
+    :func:`read_decontaminated_clean` (the materialized cut)."""
+    import os
+
+    from iodf_spark.functions import texthash as TH
+    from iodf_spark.operators.dedup import _gram_stream2, packed_grams_expr
+
+    bench = (
+        _gram_stream2(benchmark, id_col, text_col, k)
+        .select("_s", "_s2")
+        .distinct()
+    )
+    h1m = TH.mix(TH.text_hash("_tok", "spark"), "spark")
+    h2m = TH.mix(TH.text_hash2("_tok", "spark"), "spark", mod=TH.MOD2)
+    toks = TH.tokens(text_col, "spark")
+    hashed = docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.expr(f"transform({toks}, _tok -> {h1m})").alias("_th"),
+        F.expr(f"transform({toks}, _tok -> {h2m})").alias("_t2"),
+    )
+    windows = hashed.select(
+        "_id",
+        F.posexplode(F.expr(packed_grams_expr("_th", "_t2", k))).alias("_pos", "_w"),
+    ).select(
+        "_id", "_pos", F.col("_w.s1").alias("_s"), F.col("_w.s2").alias("_s2")
+    )
+    hits = windows.join(F.broadcast(bench), ["_s", "_s2"], "leftsemi").select(
+        F.col("_id").alias("doc_id"), F.col("_pos").alias("pos")
+    )
+    q = (
+        hits.writeStream.format("parquet")
+        .option("path", os.path.join(state_dir, "hits"))
+        .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _read_hit_windows(spark: SparkSession, state_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("pos", T.LongType())]
+    )
+    try:
+        return spark.read.schema(schema).parquet(os.path.join(state_dir, "hits"))
+    except Exception:  # noqa: BLE001 — no batch emitted any hit yet
+        return spark.createDataFrame([], schema)
+
+
+def read_contaminated_spans(
+    spark: SparkSession, state_dir: str, k: int = 16
+) -> DataFrame:
+    """Accumulated stream_contaminated_windows hits as MAXIMAL SPANS (the
+    shared gaps-and-islands merge), so after any availableNow drain:
+    read_contaminated_spans(...) == contaminated_spans(<docs so far>,
+    benchmark). Empty-but-typed before the first hit."""
+    from iodf_spark.operators.dedup import windows_to_spans
+
+    return windows_to_spans(_read_hit_windows(spark, state_dir), k)
+
+
+def read_decontaminated_clean(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    state_dir: str,
+    k: int = 16,
+) -> DataFrame:
+    """The materialized CUT over the accumulated stream hits: for the
+    (static) ``docs`` frame covering everything drained so far,
+    read_decontaminated_clean(...) == decontaminate_clean(docs, ...,
+    benchmark) — the same coalesce-spans-then-cut machinery, fed by the
+    sink instead of a fresh corpus-vs-benchmark join."""
+    from iodf_spark.operators.dedup import _cut_window_positions
+
+    rm = _read_hit_windows(spark, state_dir).select(
+        F.col("doc_id").alias("_id"), F.col("pos").alias("_pos")
+    )
+    return _cut_window_positions(docs, rm, id_col, text_col, k)

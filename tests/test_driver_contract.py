@@ -105,6 +105,11 @@ def test_bench_arm_factories_cover_their_query_variants():
     assert [a for a, _ in _arm_names("embedding_clusters")] == [
         "ann", "exact", "semdedup", "semdedup2", "semdedup_t",
     ]
+    # round 11: the decon cell gains its streaming twin — sdecon (the
+    # stateless stream-static broadcast path, stream == batch per doc)
+    assert [a for a, _ in _arm_names("contamination")] == [
+        "ngram", "spans", "clean", "sdecon",
+    ]
 
 
 def test_segments_compact_arm_budget():

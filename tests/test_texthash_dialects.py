@@ -149,3 +149,42 @@ def test_packed_window_identity_dialects(corpora):
     # with unequal family-2 hashes must stay distinguishable after packing
     assert TH.MOD != TH.MOD2 and TH.MULT != TH.MULT2
     assert TH.pack_hashes("7", "1") != TH.pack_hashes("7", "2")
+
+
+def test_wide_identity_columns_dialects(corpora):
+    # the two WIDE int64 columns of the window identity: fold families
+    # 3 and 4 (~2^56 moduli) over the two mixed token-hash streams — each
+    # must be bit-identical across engines like the narrow families
+    sdf, con = corpora
+    th_s = TH.token_hashes("text", "spark")
+    t2_s = (
+        f"transform({TH.tokens('text', 'spark')}, _tok -> "
+        f"{TH.text_hash2('_tok', 'spark')})"
+    )
+    th_d = TH.token_hashes("text", "duckdb")
+    t2_d = (
+        f"list_transform({TH.tokens('text', 'duckdb')}, _tok -> "
+        f"{TH.text_hash2('_tok', 'duckdb')})"
+    )
+    _compare(
+        sdf, con,
+        TH.fold_hash3(th_s, "spark"), TH.fold_hash3(th_d, "duckdb"),
+        "wide_identity_col1",
+    )
+    _compare(
+        sdf, con,
+        TH.fold_hash4(t2_s, "spark"), TH.fold_hash4(t2_d, "duckdb"),
+        "wide_identity_col2",
+    )
+    # all four fold families are pairwise distinct functionals: distinct
+    # prime moduli and distinct multipliers
+    mods = [TH.MOD, TH.MOD2, TH.MOD3, TH.MOD4]
+    mults = [TH.MULT, TH.MULT2, TH.MULT3, TH.MULT4]
+    assert len(set(mods)) == 4 and len(set(mults)) == 4
+    # int64 safety of the wide fold step: (MOD-1)*MULT + max mixed hash
+    assert (TH.MOD3 - 1) * TH.MULT3 + 2**31 < 2**63
+    assert (TH.MOD4 - 1) * TH.MULT4 + 2**31 < 2**63
+    # the pair's combined space covers the corpus-grain math the spans
+    # docstring claims: expected false pairs at 1e13 windows (100 TB) =
+    # W^2/2 / (MOD3*MOD4) ~ 1.2e-8 — assert the budget with margin
+    assert (1e13**2 / 2) / (TH.MOD3 * TH.MOD4) < 1e-7
