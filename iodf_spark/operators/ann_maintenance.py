@@ -521,7 +521,10 @@ def live_codes(
 
 
 def ann_compact_deletes(
-    spark: SparkSession, store_path: str, vacuum: bool = True
+    spark: SparkSession,
+    store_path: str,
+    vacuum: bool = True,
+    vacuum_min_age_seconds: float = 0.0,
 ) -> list[int]:
     """Materialize pending deletes: rewrite ONLY the cells named by the
     deletion list, dropping deleted ids, then clear the list. The rewrite
@@ -538,7 +541,10 @@ def ann_compact_deletes(
     with only orphan files (ann_vacuum reconciles). The old in-place
     dynamic-partition-overwrite could expose a half-rewritten cell to a
     probe planned mid-write. ``vacuum=False`` defers physical
-    reclamation (retention for long-running readers)."""
+    reclamation entirely; ``vacuum_min_age_seconds`` passes the
+    retention window through to ann_vacuum (spare files any manifest
+    version younger than the window references — the standing-maintainer
+    setting when probes may be planned concurrently)."""
     doc = _ensure_manifest(store_path)
     dels = read_ann_deletes(spark, store_path, doc=doc)
     if dels is None:
@@ -569,7 +575,7 @@ def ann_compact_deletes(
     doc["deletes"] = []
     _manifest_commit(store_path, doc)
     if vacuum:
-        ann_vacuum(store_path)
+        ann_vacuum(store_path, min_age_seconds=vacuum_min_age_seconds)
     return [int(c) for c in cells]
 
 
@@ -580,7 +586,11 @@ def _clear_deletes(store_path: str) -> None:
 
 
 def ann_reinstate(
-    spark: SparkSession, store_path: str, ids: DataFrame, vacuum: bool = True
+    spark: SparkSession,
+    store_path: str,
+    ids: DataFrame,
+    vacuum: bool = True,
+    vacuum_min_age_seconds: float = 0.0,
 ) -> int:
     """Make room for a RE-INSERT of previously-deleted ids (a document
     taken down and later republished: the change feed delivers it as a
@@ -647,7 +657,7 @@ def ann_reinstate(
     doc["deletes"] = nonempty
     _manifest_commit(store_path, doc)
     if vacuum:
-        ann_vacuum(store_path)
+        ann_vacuum(store_path, min_age_seconds=vacuum_min_age_seconds)
     hit.unpersist()
     return n
 

@@ -517,14 +517,16 @@ def test_vacuum_retention_spares_reader_planned_at_previous_version(
     corpus.delete_where(spark, F.col("vec_id").isin(DELETED))
     ann_store_sync(spark, corpus, path, "vec_id", "embedding", dim=DIM)
 
-    # reader resolves CURRENT = N-1 at plan time
+    # reader resolves CURRENT = N-1 at plan time; the maintainer compacts
+    # WITH the retention window plumbed through (the standing-maintainer
+    # call shape) — the flip to N happens, but the in-window vacuum spares
+    # every file a young version references
     pre = ann_ivf_store(emb, "vec_id", "embedding", path, QUERIES, k=5, dim=DIM)
-    ann_compact_deletes(spark, path, vacuum=False)  # flip to N; old files stale
+    ann_compact_deletes(spark, path, vacuum=True, vacuum_min_age_seconds=3600)
     stale_before = M.ann_manifest_read(path)["stale"]
-    assert stale_before  # the N-1 files are awaiting reclamation
+    assert stale_before  # the N-1 files are spared, awaiting reclamation
 
-    # vacuum INSIDE the retention window: every file a young version
-    # references is spared, so nothing is reclaimed under the reader
+    # an explicit in-window vacuum is likewise a no-op under the reader
     assert M.ann_vacuum(path, min_age_seconds=3600) == 0
     assert M.ann_manifest_read(path)["stale"] == stale_before  # still listed
     rows_pre = [(r["query_id"], r["rank"], r["neighbor_id"]) for r in pre.collect()]

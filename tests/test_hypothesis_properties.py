@@ -150,6 +150,30 @@ def test_segment_store_lifecycle_model_based(spark, ops, tmp_path_factory):
     exactly the rows it was published with, (3) vacuumed versions raise
     rather than resurrect, and (4) zone-map-pruned range reads equal the
     filtered full read."""
+    _run_store_lifecycle_model(spark, ops, tmp_path_factory)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=STORE_OPS)
+def test_segment_store_lifecycle_model_on_objectstore(spark, ops, tmp_path_factory):
+    """The SAME generative lifecycle model with every fsio touch routed
+    through the object-store backend (conditional-put claims, whole-
+    object-PUT publishes, copy-list-delete adoption, prefix-LIST
+    discovery — no rename/link/exclusive-mkdir): the deterministic OCC
+    suite proves the commit protocol's races on both backends; this
+    proves arbitrary LIFECYCLE INTERLEAVINGS (including vacuum + time
+    travel) hold on object-store semantics too."""
+    from iodf_spark.sources import fsio
+
+    with fsio.using_backend(fsio.ObjectStoreBackend()):
+        _run_store_lifecycle_model(spark, ops, tmp_path_factory)
+
+
+def _run_store_lifecycle_model(spark, ops, tmp_path_factory):
     import shutil
 
     from iodf_spark.sources.segments import SegmentStore

@@ -732,3 +732,42 @@ def test_contaminated_spans_broadcasts_benchmark(spark):
     for seg in plan.split("Exchange hashpartitioning(")[1:]:
         keys = seg.split(")", 1)[0]
         assert "text" not in keys and "_txt" not in keys
+
+
+def test_chunkvec_chain_never_shuffles_chunk_text(spark):
+    """Round 11 (chunk-grain retrieval): chunk -> hash_embed -> cosine ->
+    doc-grain top-k must keep chunk TEXT out of every shuffle key (the
+    embed explodes to (id, token-hash) pairs — narrow by design; chunking
+    itself is shuffle-free), and the final doc ranking must be a
+    TakeOrdered, never a global sort."""
+    from iodf_spark.operators.packing import chunk_documents
+    from iodf_spark.operators.similarity import ann_brute_force, hash_embed
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    ch = chunk_documents(docs, "doc_id", "text", chunk_toks=64, overlap=8)
+    cids = ch.select(
+        (F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_idx")).alias("cid"),
+        "chunk_text",
+    )
+    emb = hash_embed(cids, "cid", "chunk_text", dim=8)
+    hits = ann_brute_force(
+        emb, "cid", "vec", [], k=1_000_000_000, dim=8,
+        query_vecs={-1: [1.0] + [0.0] * 7},
+    )
+    ranked = (
+        hits.select(
+            F.expr("cast(neighbor_id div 1000000 as bigint)").alias("row_id"),
+            "cos",
+        )
+        .groupBy("row_id")
+        .agg(F.max("cos").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("row_id"))
+        .limit(15)
+    )
+    plan = plan_of(ranked)
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        keys = seg.split(")", 1)[0]
+        assert "chunk_text" not in keys and "text" not in keys and "_toks" not in keys, (
+            "chunk text leaked into a shuffle key:\n" + keys
+        )
+    assert "TakeOrderedAndProject" in plan, "doc top-k must be TakeOrdered"

@@ -142,6 +142,15 @@ def test_decon_stream_equals_batch_across_splits(spark, tmp_path):
         tuple(r) for r in read_contaminated_spans(spark, state, k=k).collect()
     )
     assert got == batch
+    # the twin is STATELESS by design (contamination is per-doc against a
+    # fixed benchmark): a stateful operator would materialize a state/
+    # directory under the checkpoint — pin its absence
+    import os as _os
+
+    assert not _os.path.isdir(_os.path.join(state, "_checkpoint", "state")), (
+        "decon stream grew a state store — it must stay a stateless "
+        "stream-static broadcast join"
+    )
     # the materialized cut over the drained prefix equals the batch cut
     got_clean = sorted(
         tuple(r)
