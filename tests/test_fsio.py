@@ -167,3 +167,90 @@ def test_objectstore_conditional_put_is_a_real_cas(tmp_path):
     assert sorted(results) == [False] * 7 + [True]
     # the object carries exactly one winner's complete content
     assert svc.get(key).decode() in {f"w{i}" for i in range(8)}
+
+
+class FaultyService(fsio.FakeObjectStore):
+    """Service emulator that dies after N mutating operations (PUT /
+    DELETE — COPY routes through PUT): the object-store outage /
+    process-crash model. Counting only mutations keeps the index space
+    the protocol's write schedule, not its read chatter."""
+
+    def __init__(self, fail_after=None):
+        super().__init__()
+        self.fail_after = fail_after
+        self.mutations = 0
+
+    def _tick(self):
+        self.mutations += 1
+        if self.fail_after is not None and self.mutations > self.fail_after:
+            raise OSError("injected object-store outage")
+
+    def put(self, key, data, if_none_match=False):
+        self._tick()
+        return super().put(key, data, if_none_match=if_none_match)
+
+    def delete(self, key):
+        self._tick()
+        return super().delete(key)
+
+
+def test_objectstore_compaction_survives_crash_at_every_mutation(
+    spark, tmp_path_factory
+):
+    """EXHAUSTIVE crash sweep on the object-store backend: kill the
+    service at EVERY mutating-operation index of a compaction's commit
+    choreography and require, at each index, that (1) the store still
+    reads a complete OLD-or-NEW snapshot — exactly the original rows,
+    never a torn mix, (2) a retried compaction completes, and
+    (3) vacuum + reconcile converge without breaking reads. This is the
+    generative complement to the deterministic OCC races: those pick the
+    interesting interleavings, this covers every crash point of the
+    happy path."""
+    import shutil
+
+    from iodf_spark.sources.segments import SegmentStore
+
+    template = str(tmp_path_factory.mktemp("faulty") / "template")
+    with fsio.using_backend(fsio.ObjectStoreBackend()):
+        store = SegmentStore(template)
+        for lo, hi in [(0, 10), (10, 25), (25, 30)]:
+            store.write_segment(
+                spark.createDataFrame(
+                    [(i, i * 3) for i in range(lo, hi)], "k long, v long"
+                ),
+                order_keys=["k"],
+            )
+    expected = list(range(30))
+
+    def copy_of(tag):
+        dst = str(tmp_path_factory.mktemp(f"faulty_{tag}") / "store")
+        shutil.copytree(template, dst)
+        return dst
+
+    # dry run: learn the compaction's mutation count on this backend
+    probe_svc = FaultyService(fail_after=None)
+    dry = copy_of("dry")
+    with fsio.using_backend(fsio.ObjectStoreBackend(probe_svc)):
+        SegmentStore(dry).compact(spark)
+    n_ops = probe_svc.mutations
+    assert n_ops >= 3  # claim marker + version claim + pointer at minimum
+
+    for k in range(n_ops):
+        dst = copy_of(k)
+        with fsio.using_backend(fsio.ObjectStoreBackend(FaultyService(k))):
+            try:
+                SegmentStore(dst).compact(spark)
+            except Exception:
+                pass  # the injected outage (or Spark's wrapping of it)
+        with fsio.using_backend(fsio.ObjectStoreBackend()):
+            store = SegmentStore(dst)
+            got = sorted(r["k"] for r in store.open(spark).collect())
+            assert got == expected, f"torn snapshot after crash at op {k}"
+            if len(store.manifest()) > 1:
+                store.compact(spark)  # the retry
+            assert len(SegmentStore(dst).manifest()) == 1
+            store.vacuum(keep_last=1)
+            store.reconcile(grace_seconds=0)
+            got2 = sorted(r["k"] for r in SegmentStore(dst).open(spark).collect())
+            assert got2 == expected, f"post-recovery drift at op {k}"
+        shutil.rmtree(dst, ignore_errors=True)
