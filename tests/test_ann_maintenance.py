@@ -609,3 +609,67 @@ def test_ann_store_describe(spark, emb, corpus, tmp_path):
     d2 = ann_store_describe(spark, path)
     assert d2["pending_deletes"] == 0
     assert d2["n_rows"] == 450 - len(DELETED)
+
+
+def test_ann_compaction_survives_objectstore_crash_at_every_mutation(
+    spark, emb, tmp_path_factory
+):
+    """EXHAUSTIVE crash sweep over the ANN store's compaction commit
+    choreography on the object-store backend (the corpus-store twin lives
+    in test_fsio): a FaultyService outage at EVERY mutating-operation
+    index must leave probes returning the identical delete-aware result
+    (old snapshot with the pending deletion list, or new snapshot with
+    the cells rewritten — never a torn mix), and the retried compaction
+    must converge. Spark's parquet writes bypass the seam — the sweep
+    covers the metadata protocol, which is where the crash-safety claims
+    live."""
+    import shutil
+
+    from iodf_spark.operators import ann_maintenance as M
+    from iodf_spark.sources import fsio
+    from tests.test_fsio import FaultyService
+
+    template_root = tmp_path_factory.mktemp("annfaulty")
+    corpus_t = str(template_root / "corpus")
+    store_t = str(template_root / "ivf")
+    with fsio.using_backend(fsio.ObjectStoreBackend()):
+        corpus = SegmentStore(corpus_t)
+        corpus.write_segment(emb.filter(F.col("vec_id") < 450), order_keys=["vec_id"])
+        ann_store_seed(spark, corpus, store_t, "vec_id", "embedding", dim=DIM)
+        corpus.delete_where(spark, F.col("vec_id").isin(DELETED))
+        ann_store_sync(spark, corpus, store_t, "vec_id", "embedding", dim=DIM)
+        want = _probe(spark, emb, store_t)
+    assert all(nid not in DELETED for nid in want.values())
+
+    def copy_of(tag):
+        dst = str(tmp_path_factory.mktemp(f"annfaulty_{tag}") / "ivf")
+        shutil.copytree(store_t, dst)
+        return dst
+
+    probe_svc = FaultyService(fail_after=None)
+    dry = copy_of("dry")
+    with fsio.using_backend(fsio.ObjectStoreBackend(probe_svc)):
+        ann_compact_deletes(spark, dry)
+    n_ops = probe_svc.mutations
+    assert n_ops >= 2  # vN.json + CURRENT at minimum
+
+    for k in range(n_ops):
+        dst = copy_of(k)
+        with fsio.using_backend(fsio.ObjectStoreBackend(FaultyService(k))):
+            try:
+                ann_compact_deletes(spark, dst)
+            except Exception:
+                pass  # the injected outage
+        with fsio.using_backend(fsio.ObjectStoreBackend()):
+            assert _probe(spark, emb, dst) == want, (
+                f"probe drifted after crash at op {k}"
+            )
+            cells = ann_compact_deletes(spark, dst)  # the retry
+            if read_ann_deletes(spark, dst) is not None:
+                # list survived the crashed+retried pair: compact once more
+                ann_compact_deletes(spark, dst)
+            assert read_ann_deletes(spark, dst) is None
+            assert _probe(spark, emb, dst) == want, (
+                f"post-recovery drift at op {k}"
+            )
+        shutil.rmtree(os.path.dirname(dst), ignore_errors=True)
