@@ -365,17 +365,25 @@ def _ingest_app_id(checkpoint_dir: str, explicit: str | None) -> str:
     import os
     import uuid
 
-    os.makedirs(checkpoint_dir, exist_ok=True)
+    from iodf_spark.sources import fsio
+
+    fsio.makedirs(checkpoint_dir)
     marker = os.path.join(checkpoint_dir, "_ingest_app_id")
-    if os.path.exists(marker):
+    if fsio.exists(marker):
         with open(marker) as fh:
             return fh.read().strip()
     app_id = uuid.uuid4().hex
+    # create-if-absent CLAIM through the fsio seam (POSIX link /
+    # conditional put), not a bare replace: two drivers bootstrapping the
+    # same checkpoint concurrently must converge on ONE identity — the
+    # loser adopts the winner's marker instead of overwriting it
     tmp = marker + ".tmp"
     with open(tmp, "w") as fh:
         fh.write(app_id)
-    os.replace(tmp, marker)
-    return app_id
+    fsio.link_claim(tmp, marker)
+    fsio.remove_file(tmp)
+    with open(marker) as fh:
+        return fh.read().strip()
 
 
 def stream_ingest_segments(
@@ -569,14 +577,18 @@ def read_cdf_cursor(checkpoint_dir: str) -> dict | None:
 
 
 def _write_cdf_cursor(checkpoint_dir: str, version: int, epoch: int) -> None:
+    """Durable CDC cursor publish — through the fsio seam (the cursor is
+    driver-side store metadata like any manifest: torn-write invisibility
+    on POSIX via rename, whole-object PUT on an object store)."""
     import json
-    import os
 
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    tmp = _cdf_cursor_path(checkpoint_dir) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"version": int(version), "renumber_epoch": int(epoch)}, fh)
-    os.replace(tmp, _cdf_cursor_path(checkpoint_dir))
+    from iodf_spark.sources import fsio
+
+    fsio.makedirs(checkpoint_dir)
+    fsio.atomic_write_text(
+        _cdf_cursor_path(checkpoint_dir),
+        json.dumps({"version": int(version), "renumber_epoch": int(epoch)}),
+    )
 
 
 def seed_changes(

@@ -17,6 +17,15 @@ from iodf_spark.streaming.ingest import (
 )
 
 
+@pytest.fixture(autouse=True)
+def _both_backends(fsio_backend):
+    """The CDC cursor and every store commit in this suite run against
+    BOTH fsio backends — the durable-cursor catch-up loop is driver-side
+    store metadata like any manifest (round 11 routed _write_cdf_cursor
+    through the seam)."""
+    yield
+
+
 @pytest.fixture()
 def store(tmp_path):
     return SegmentStore(str(tmp_path / "store"))

@@ -12,6 +12,14 @@ from iodf_spark.sources.segments import SegmentStore
 from iodf_spark.streaming.ingest import stream_ingest_segments
 
 
+@pytest.fixture(autouse=True)
+def _both_backends(fsio_backend):
+    """Ingest-vs-maintenance races run against BOTH fsio backends: the
+    foreachBatch producer's OCC commits and the maintenance job's
+    publishes must stay exactly-once on object-store semantics too."""
+    yield
+
+
 @pytest.fixture()
 def store(tmp_path):
     return SegmentStore(str(tmp_path / "store"))
