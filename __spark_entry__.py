@@ -2885,6 +2885,43 @@ SEMVEC_QUERY = "customer orders join merge fast table"
 SEMVEC_DIM = 64
 CHUNKVEC_ENC = 1_000_000  # chunk identity: doc_id * ENC + chunk_idx (int64)
 CHUNKVEC_ALL = 1_000_000_000  # rank ALL chunks: doc score = max over chunks
+# radix preconditions for the cid pack: doc_id in [0, 2^63/ENC), chunk_idx
+# in [0, ENC) — outside them the pack silently aliases two chunks onto one
+# identity (the wrap class substring_dedup_clean guards). 9.2e12 docs ×
+# 1e6 chunks covers any real corpus; violations fail LOUDLY below.
+CHUNKVEC_MAX_DOC = (1 << 63) // CHUNKVEC_ENC
+
+
+def _chunk_cid_expr():
+    """Fused range-guarded (doc_id, chunk_idx) -> int64 cid pack (round-12
+    ADVICE fix: the bare pack had no guard — a chunk_idx >= the radix or a
+    doc_id past 2^63/radix silently aliased chunk identities). Same
+    when/raise_error shape as dedup.substring_dedup_clean's keeper key:
+    one codegen'd comparison per chunk row, un-prunable because it gates
+    the value itself."""
+    in_range = (
+        (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < F.lit(CHUNKVEC_MAX_DOC))
+        & (F.col("chunk_idx") >= 0)
+        & (F.col("chunk_idx") < F.lit(CHUNKVEC_ENC))
+    )
+    return F.when(
+        in_range,
+        F.col("doc_id").cast("long") * F.lit(CHUNKVEC_ENC) + F.col("chunk_idx"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "chunk cid pack: (doc_id, chunk_idx) outside the radix "
+                    f"(need 0 <= doc_id < {CHUNKVEC_MAX_DOC}, "
+                    f"0 <= chunk_idx < {CHUNKVEC_ENC}); got doc_id="
+                ),
+                F.col("doc_id").cast("string"),
+                F.lit(" chunk_idx="),
+                F.col("chunk_idx").cast("string"),
+            )
+        ).cast("long")
+    )
 
 
 def _text_search_arms(spark: SparkSession, sf_dir: str):
@@ -3032,12 +3069,7 @@ def _text_search_arms(spark: SparkSession, sf_dir: str):
             docs().select("doc_id", "text"), "doc_id", "text",
             chunk_toks=CHUNK_TOKS, overlap=CHUNK_OVERLAP,
         )
-        cids = ch.select(
-            (F.col("doc_id") * F.lit(CHUNKVEC_ENC) + F.col("chunk_idx")).alias(
-                "cid"
-            ),
-            "chunk_text",
-        )
+        cids = ch.select(_chunk_cid_expr().alias("cid"), "chunk_text")
         emb = hash_embed(cids, "cid", "chunk_text", dim=SEMVEC_DIM)
         hits = ann_brute_force(
             emb, "cid", "vec", [], k=CHUNKVEC_ALL, dim=SEMVEC_DIM,

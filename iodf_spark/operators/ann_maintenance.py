@@ -87,6 +87,18 @@ MANIFEST_DIR = "_ann_manifest"
 # referenced are reclaimed separately by ann_vacuum)
 MANIFEST_RETAIN = 16
 
+# the AGE floor on history pruning (round-12 ADVICE fix): a version
+# younger than this is NEVER pruned, no matter how many commits landed
+# after it — count-only pruning under frequent commits (> MANIFEST_RETAIN
+# inside a vacuum retention window, routine for a standing maintainer)
+# deleted history that ann_vacuum(min_age_seconds) still needed to derive
+# its spare set, silently shrinking the documented reader-safety window.
+# ann_vacuum refuses retention windows larger than this so the pair can
+# never silently disagree. A day covers any sane reader-retention window
+# (Delta's default VACUUM horizon is 7 days at DATA grain; this bounds
+# tiny manifest JSONs only — worst case one day of commit history).
+MANIFEST_RETAIN_SECONDS = 86_400.0
+
 # above this many pending deletes the probe-side anti-join list stops
 # being broadcast-cheap — callers should compact. ann_store_sync applies
 # it automatically after each window batch.
@@ -128,12 +140,13 @@ def ann_manifest_read(store_path: str) -> dict | None:
     import json
 
     cur = os.path.join(_manifest_dir(store_path), "CURRENT")
-    if not os.path.exists(cur):
+    try:
+        v = int(fsio.read_text(cur).strip())
+    except FileNotFoundError:
         return None
-    with open(cur) as fh:
-        v = int(fh.read().strip())
-    with open(os.path.join(_manifest_dir(store_path), f"v{v:08d}.json")) as fh:
-        return json.load(fh)
+    return json.loads(
+        fsio.read_text(os.path.join(_manifest_dir(store_path), f"v{v:08d}.json"))
+    )
 
 
 def _manifest_commit(store_path: str, doc: dict) -> int:
@@ -142,22 +155,51 @@ def _manifest_commit(store_path: str, doc: dict) -> int:
     complete old or complete new snapshot, never a mix."""
     import json
 
+    import time
+
     d = _manifest_dir(store_path)
     fsio.makedirs(d)
     prev = ann_manifest_read(store_path)
     v = (prev["version"] if prev else 0) + 1
+    now = time.time()
     doc = {
         "version": v,
+        # commit time INSIDE the doc: the durable retention signal
+        # (object stores reset LastModified on COPY; file mtime is only
+        # the legacy fallback for pre-timestamp manifests)
+        "committed_at": now,
         "cells": {k: sorted(fs) for k, fs in doc["cells"].items()},
         "deletes": sorted(doc["deletes"]),
         "stale": sorted(set(doc["stale"])),
     }
     _atomic_write(os.path.join(d, f"v{v:08d}.json"), json.dumps(doc))
     _atomic_write(os.path.join(d, "CURRENT"), str(v))
-    # retention: drop manifest HISTORY files beyond the horizon (readers
-    # only ever resolve CURRENT; old versions exist for debugging)
-    for old in range(max(1, v - MANIFEST_RETAIN)):
-        p = os.path.join(d, f"v{old:08d}.json")
+    # retention: drop manifest HISTORY files beyond the COUNT horizon —
+    # but never a version still inside the AGE window
+    # (MANIFEST_RETAIN_SECONDS): ann_vacuum derives its concurrent-reader
+    # spare set from surviving history files, so count-only pruning under
+    # frequent commits would reclaim files an in-window reader planned
+    # against. Iterates only the files that EXIST (bounded by the retained
+    # set + in-window commits), not 0..v.
+    horizon = v - MANIFEST_RETAIN
+    for name in fsio.list_files(d, ".json"):
+        stem = name[1:-len(".json")]
+        if not (name.startswith("v") and stem.isdigit()):
+            continue
+        if int(stem) >= horizon:
+            continue
+        p = os.path.join(d, name)
+        try:
+            ts = json.loads(fsio.read_text(p)).get("committed_at")
+        except (OSError, ValueError):
+            ts = None
+        if ts is None:  # pre-timestamp manifest: LastModified fallback
+            try:
+                ts = fsio.mtime(p)
+            except OSError:
+                ts = None
+        if ts is not None and now - ts < MANIFEST_RETAIN_SECONDS:
+            continue  # inside the reader-safety window: keep
         fsio.remove_file(p)
     return v
 
@@ -257,15 +299,29 @@ def ann_vacuum(store_path: str, min_age_seconds: float = 0.0) -> int:
     live: set[str] = set(doc["deletes"])
     for fs in doc["cells"].values():
         live.update(fs)
+    if min_age_seconds > MANIFEST_RETAIN_SECONDS:
+        raise ValueError(
+            f"min_age_seconds={min_age_seconds} exceeds "
+            f"MANIFEST_RETAIN_SECONDS={MANIFEST_RETAIN_SECONDS}: the spare "
+            "set is derived from surviving manifest history, and commits "
+            "prune history older than that constant — a larger retention "
+            "window would be silently narrower than requested. Raise "
+            "MANIFEST_RETAIN_SECONDS alongside it."
+        )
     if min_age_seconds > 0:
         now = time.time()
         d = _manifest_dir(store_path)
         for name in fsio.list_files(d, ".json"):
             p = os.path.join(d, name)
             try:
-                if now - os.path.getmtime(p) < min_age_seconds:
-                    with open(p) as fh:
-                        vdoc = json.load(fh)
+                vdoc = json.loads(fsio.read_text(p))
+                # age from the doc's own commit timestamp (durable across
+                # object-store COPY); LastModified fallback for
+                # pre-timestamp manifests
+                ts = vdoc.get("committed_at")
+                if ts is None:
+                    ts = fsio.mtime(p)
+                if now - ts < min_age_seconds:
                     live.update(vdoc.get("deletes", []))
                     for fs in vdoc.get("cells", {}).values():
                         live.update(fs)
@@ -739,10 +795,10 @@ def _read_ledger(store_path: str) -> dict | None:
     import json
 
     p = _ledger_path(store_path)
-    if not os.path.exists(p):
+    try:
+        return json.loads(fsio.read_text(p))
+    except FileNotFoundError:
         return None
-    with open(p) as fh:
-        return json.load(fh)
 
 
 def _write_ledger(store_path: str, applied_to: int, inflight: dict | None) -> None:

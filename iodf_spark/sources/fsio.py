@@ -38,6 +38,23 @@ atomic-write shape (util/Utils.scala:91-99 tmp+rename) re-expressed:
                                               private dir, so the
                                               non-atomicity is invisible)
 * atomic_write_text   tmp + rename(2)      -> one whole-object PUT
+* read_text           open().read()        -> GET (round 12: the READ half
+                                              of the seam — manifest/
+                                              pointer/ledger/cursor loads
+                                              must not assume a local
+                                              filesystem any more than the
+                                              commits do)
+* mtime               stat.st_mtime        -> HEAD LastModified (for a
+                                              prefix: the NEWEST object
+                                              under it — object stores
+                                              have no directory inodes,
+                                              and S3 COPY does NOT
+                                              preserve LastModified, which
+                                              is why manifest docs carry
+                                              their own committed_at and
+                                              mtime is only the fallback
+                                              for pre-timestamp files and
+                                              orphan-grace ages)
 * remove_tree         rmdir walk           -> prefix LIST + batch DELETE
 * list_* / walk_*     readdir              -> delimiter/prefix LIST
                                               (strongly consistent — S3
@@ -61,6 +78,20 @@ The in-process FakeObjectStore below is the SERVICE emulator: it holds
 the service-side lock that makes PUT atomic and If-None-Match a real CAS
 (what S3 implements internally); the ObjectStoreBackend on top of it is
 the part under test — it may speak only the service API.
+
+Round 12 adds the STRICT backend the round-11 verdict asked for:
+StrictObjectStore keeps its objects in an IN-MEMORY dict — no local file
+is ever materialized for anything written through the seam. The
+metadata plane (manifests, pointers, claims, ledgers, cursors) therefore
+exists ONLY in the service, so any surviving direct-filesystem read in
+the stores (a bare open()/os.path.exists/os.path.getmtime on a manifest)
+fails loudly instead of silently working against the emulator's local
+files. The DATA plane (parquet written by Spark's Hadoop connector,
+outside the seam by design — on a real deployment those bytes go through
+s3a/gcs connectors into the same bucket) stays on the local filesystem,
+and the strict backend presents the MERGED view a real adapter would see
+of one bucket: seam listings union the service's keys with the
+connector's files.
 """
 
 from __future__ import annotations
@@ -68,6 +99,7 @@ from __future__ import annotations
 import os
 import shutil
 import threading
+import time
 from contextlib import contextmanager
 
 #: hidden marker object that represents a claimed directory on the
@@ -156,6 +188,24 @@ class PosixBackend:
             return False
         return True
 
+    def read_text(self, path: str) -> str:
+        with open(path) as fh:
+            return fh.read()
+
+    def mtime(self, path: str) -> float:
+        if os.path.isdir(path):
+            # prefix semantics: the NEWEST object under it (object stores
+            # have no directory inodes; "age of a segment dir" means "time
+            # since its last write"). An empty claimed dir falls back to
+            # the dir inode itself.
+            times = [
+                os.path.getmtime(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path)
+                for f in files
+            ]
+            return max(times) if times else os.path.getmtime(path)
+        return os.path.getmtime(path)
+
 
 class FakeObjectStore:
     """In-process object-store SERVICE emulator over the local
@@ -186,6 +236,13 @@ class FakeObjectStore:
     def get(self, key: str) -> bytes:
         with open(key, "rb") as fh:
             return fh.read()
+
+    def head(self, key: str) -> float:
+        """LastModified, epoch seconds (what a real HEAD returns). The
+        emulator's objects are files, so their mtime IS the last PUT time
+        — and because both put() and copy() write fresh bytes, COPY gets
+        a NEW LastModified exactly as S3 gives it."""
+        return os.path.getmtime(key)
 
     def copy(self, src: str, dst: str, if_none_match: bool = False) -> bool:
         return self.put(dst, self.get(src), if_none_match=if_none_match)
@@ -323,6 +380,21 @@ class ObjectStoreBackend:
             os.path.join(path, CLAIM_MARKER), b"", if_none_match=True
         )
 
+    def read_text(self, path: str) -> str:
+        return self.service.get(path).decode()
+
+    def mtime(self, path: str) -> float:
+        if os.path.isdir(path):
+            times = [
+                self.service.head(k)
+                for k in self.service.list_keys(path)
+                if os.path.basename(k) != CLAIM_MARKER
+            ]
+            if times:
+                return max(times)
+            return os.path.getmtime(path)  # marker-only / empty prefix
+        return self.service.head(path)
+
     @staticmethod
     def _sweep_empty_dirs(path: str) -> None:
         """Emulator bookkeeping: object stores have no directories, so
@@ -333,6 +405,221 @@ class ObjectStoreBackend:
                 os.rmdir(root)
             except OSError:
                 pass
+
+
+class StrictObjectStore:
+    """In-MEMORY object-store service: keys -> (bytes, LastModified) in a
+    dict, NO local files ever. Same API surface as FakeObjectStore; the
+    service lock makes PUT atomic and If-None-Match a real CAS. Because
+    nothing written through this service touches the filesystem, a store
+    code path that reads metadata with a bare open()/os.path.exists/
+    os.path.getmtime instead of the fsio seam sees NOTHING — the
+    passthrough that was invisible against FakeObjectStore (whose objects
+    are real files) fails loudly here. That loud-failure property is the
+    point of the strict mode (round-11 verdict What's-wrong #1)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._objs: dict[str, tuple[bytes, float]] = {}
+
+    def put(self, key: str, data: bytes, if_none_match: bool = False) -> bool:
+        with self._lock:
+            if if_none_match and key in self._objs:
+                return False
+            self._objs[key] = (bytes(data), time.time())
+            return True
+
+    def get(self, key: str) -> bytes:
+        with self._lock:
+            if key not in self._objs:
+                raise FileNotFoundError(key)
+            return self._objs[key][0]
+
+    def head(self, key: str) -> float:
+        with self._lock:
+            if key not in self._objs:
+                raise FileNotFoundError(key)
+            return self._objs[key][1]
+
+    def copy(self, src: str, dst: str, if_none_match: bool = False) -> bool:
+        # one service-side critical section (S3's COPY is a single call);
+        # LastModified is the COPY time — real stores do NOT carry the
+        # source's timestamp over, which is why retention never keys on
+        # the mtime of anything that may have been copied
+        with self._lock:
+            if src not in self._objs:
+                raise FileNotFoundError(src)
+            if if_none_match and dst in self._objs:
+                return False
+            self._objs[dst] = (self._objs[src][0], time.time())
+            return True
+
+    def delete(self, key: str) -> None:
+        with self._lock:
+            self._objs.pop(key, None)
+
+    def list_keys(self, prefix_dir: str) -> list[str]:
+        pre = prefix_dir.rstrip("/") + "/"
+        with self._lock:
+            return sorted(k for k in self._objs if k.startswith(pre))
+
+    def exists(self, key: str) -> bool:
+        with self._lock:
+            return key in self._objs
+
+
+class StrictObjectStoreBackend(ObjectStoreBackend):
+    """The strict backend: seam WRITES land only in the in-memory
+    service; seam READS/LISTS present the merged view of the service's
+    keys and the DATA-plane files Spark's connector wrote to the same
+    prefixes (one bucket, two writers — exactly a real deployment, where
+    the driver's boto PUTs and the executors' s3a parquet commits share a
+    bucket). Metadata therefore never exists on the local filesystem, so
+    any direct os.*/open() metadata access in the stores fails loudly,
+    while parquet segment/cell files keep working for Spark."""
+
+    name = "strictobjectstore"
+
+    def __init__(self, service: StrictObjectStore | None = None) -> None:
+        self.service = service or StrictObjectStore()
+
+    # -- merged listings ---------------------------------------------------
+    def _svc_children(self, path: str) -> tuple[set[str], set[str]]:
+        """(direct child object names, direct child 'dir' names) of a
+        prefix, from the service keys alone (delimiter LIST)."""
+        files: set[str] = set()
+        dirs: set[str] = set()
+        for key in self.service.list_keys(path):
+            rel = os.path.relpath(key, path)
+            head, _, tail = rel.partition(os.sep)
+            if tail:
+                dirs.add(head)
+            else:
+                files.add(head)
+        return files, dirs
+
+    def list_dir(self, path: str) -> list[str]:
+        files, dirs = self._svc_children(path)
+        try:
+            local = set(os.listdir(path))
+        except FileNotFoundError:
+            local = set()
+        return sorted((files | dirs | local) - {CLAIM_MARKER})
+
+    def exists(self, path: str) -> bool:
+        return (
+            self.service.exists(path)
+            or bool(self.service.list_keys(path))
+            or os.path.exists(path)
+        )
+
+    def is_dir(self, path: str) -> bool:
+        return bool(self.service.list_keys(path)) or os.path.isdir(path)
+
+    def walk_has_suffix(self, path: str, suffix: str) -> bool:
+        if any(
+            k.endswith(suffix)
+            for k in self.service.list_keys(path)
+            if os.path.basename(k) != CLAIM_MARKER
+        ):
+            return True
+        return any(
+            f.endswith(suffix) for _, _, fs in os.walk(path) for f in fs
+        )
+
+    def list_files(self, path: str, suffix: str = "") -> list[str]:
+        files, _dirs = self._svc_children(path)
+        try:
+            with os.scandir(path) as it:
+                files |= {e.name for e in it if e.is_file()}
+        except FileNotFoundError:
+            pass
+        return sorted(
+            n for n in files if n.endswith(suffix) and n != CLAIM_MARKER
+        )
+
+    def list_subdirs(self, path: str, prefix: str = "") -> list[str]:
+        _files, dirs = self._svc_children(path)
+        try:
+            with os.scandir(path) as it:
+                dirs |= {e.name for e in it if e.is_dir()}
+        except FileNotFoundError:
+            pass
+        return sorted(n for n in dirs if n.startswith(prefix))
+
+    # -- mutations: service for metadata, local for data-plane bytes -------
+    def remove_file(self, path: str, missing_ok: bool = True) -> None:
+        if self.service.exists(path):
+            self.service.delete(path)
+            return
+        try:
+            os.remove(path)  # data-plane file (connector-written parquet)
+        except FileNotFoundError:
+            if not missing_ok:
+                raise
+
+    def rename_dir(self, src: str, dst: str) -> None:
+        # copy-list-delete over BOTH planes: service keys move inside the
+        # service; connector-written files move on the connector's plane
+        # (a real adapter would issue server-side COPYs for both — they
+        # are the same bucket; the split here is emulation bookkeeping)
+        for key in self.service.list_keys(src):
+            rel = os.path.relpath(key, src)
+            self.service.copy(key, os.path.join(dst, rel))
+            self.service.delete(key)
+        if os.path.isdir(src):
+            for root, _dirs, files in os.walk(src):
+                for f in files:
+                    sp = os.path.join(root, f)
+                    dp = os.path.join(dst, os.path.relpath(sp, src))
+                    os.makedirs(os.path.dirname(dp), exist_ok=True)
+                    shutil.copyfile(sp, dp)  # fresh mtime, like S3 COPY
+            shutil.rmtree(src, ignore_errors=True)
+
+    def remove_tree(self, path: str, ignore_errors: bool = True) -> None:
+        keys = self.service.list_keys(path)
+        had_local = os.path.exists(path)
+        if not keys and not had_local and not self.service.exists(path):
+            if not ignore_errors:
+                raise FileNotFoundError(path)
+            return
+        for key in keys:
+            self.service.delete(key)
+        self.service.delete(path)
+        if had_local:
+            shutil.rmtree(path, ignore_errors=True)
+
+    def claim_dir(self, path: str) -> bool:
+        if self.is_dir(path):
+            return False
+        return self.service.put(
+            os.path.join(path, CLAIM_MARKER), b"", if_none_match=True
+        )
+
+    def mtime(self, path: str) -> float:
+        if self.service.exists(path):
+            return self.service.head(path)
+        keys = [
+            k
+            for k in self.service.list_keys(path)
+            if os.path.basename(k) != CLAIM_MARKER
+        ]
+        times = [self.service.head(k) for k in keys]
+        if os.path.isdir(path):
+            times += [
+                os.path.getmtime(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path)
+                for f in files
+            ]
+            if not times:
+                times = [os.path.getmtime(path)]
+        if not times:
+            # claim-marker-only prefix: the claim time is the write time
+            marker = os.path.join(path, CLAIM_MARKER)
+            if self.service.exists(marker):
+                return self.service.head(marker)
+            raise FileNotFoundError(path)
+        return max(times)
 
 
 _BACKEND = PosixBackend()
@@ -437,3 +724,22 @@ def claim_dir(path: str) -> bool:
     created it (the segment-id / private-workdir claim). POSIX exclusive
     mkdir / conditional-PUT of a hidden marker object."""
     return _BACKEND.claim_dir(path)
+
+
+def read_text(path: str) -> str:
+    """Full-content text read — the GET half of atomic_write_text. Every
+    driver-side metadata load (manifest pointers, version docs, ledgers,
+    CDC cursors, app-id markers) routes through this so a store's read
+    path is as portable as its commit path (round-12: the round-11 seam
+    covered mutations only). Raises FileNotFoundError when absent."""
+    return _BACKEND.read_text(path)
+
+
+def mtime(path: str) -> float:
+    """Last-modified time, epoch seconds (HEAD LastModified). For a
+    directory/prefix: the NEWEST object under it (the 'time since last
+    write' an orphan-grace window needs; object stores have no directory
+    inodes). NOTE: real stores do not preserve LastModified across COPY —
+    retention decisions should prefer a committed_at timestamp inside the
+    manifest doc itself and use this only as the legacy fallback."""
+    return _BACKEND.mtime(path)

@@ -35,8 +35,8 @@ from __future__ import annotations
 import contextlib
 import json
 import os
-import tempfile
 import time
+import uuid
 
 from collections.abc import Callable
 
@@ -469,10 +469,9 @@ class SegmentStore:
         vs = self.versions()
         if vs:
             return self.manifest_doc_at(vs[-1]), vs[-1]
-        if not os.path.exists(self._manifest_path):
+        if not fsio.exists(self._manifest_path):
             return self._as_doc([]), 0
-        with open(self._manifest_path) as fh:
-            return self._as_doc(json.load(fh)), 0
+        return self._as_doc(json.loads(fsio.read_text(self._manifest_path))), 0
 
     def manifest_versioned(self) -> tuple[list[dict], int]:
         doc, v = self.manifest_doc_versioned()
@@ -514,13 +513,23 @@ class SegmentStore:
             if isinstance(entries, list)
             else self._as_doc(entries)
         )
+        # committed_at rides INSIDE the doc: object stores do not preserve
+        # LastModified across COPY, so retention windows (vacuum
+        # min_age_seconds) key on this timestamp, with file mtime only as
+        # the legacy fallback for pre-round-12 manifests
+        doc["committed_at"] = time.time()
         v = (
             base_version if base_version is not None
             else (self.versions() or [0])[-1]
         ) + 1
-        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
-        with os.fdopen(fd, "w") as fh:
-            json.dump(doc, fh, indent=1)
+        # the tmp buffer is written THROUGH the seam (round 12: no local
+        # temp-file API — the strict object-store backend has no local
+        # files at all) under a per-writer unique name, so concurrent
+        # publishers never share a tmp
+        tmp = os.path.join(
+            self.path, f"_pub-{uuid.uuid4().hex}.manifest.tmp"
+        )
+        fsio.atomic_write_text(tmp, json.dumps(doc, indent=1))
         vpath = os.path.join(self.path, f"manifest-v{v:06d}.json")
         if not fsio.link_claim(tmp, vpath):  # atomic claim: one winner per version
             fsio.remove_file(tmp)
@@ -543,13 +552,14 @@ class SegmentStore:
 
     def manifest_doc_at(self, version: int) -> dict:
         p = os.path.join(self.path, f"manifest-v{version:06d}.json")
-        if not os.path.exists(p):
+        try:
+            raw = fsio.read_text(p)
+        except FileNotFoundError:
             raise ValueError(
                 f"snapshot version {version} not found (have {self.versions()}"
                 " — vacuumed or never published)"
-            )
-        with open(p) as fh:
-            return self._as_doc(json.load(fh))
+            ) from None
+        return self._as_doc(json.loads(raw))
 
     def total_rows(self) -> int:
         return sum(e["n_rows"] for e in self.manifest())
@@ -748,8 +758,11 @@ class SegmentStore:
         now = time.time()
 
         def aged(p: str) -> bool:
+            # fsio.mtime: newest write under the path (HEAD LastModified
+            # on an object store) — 'time since this orphan was last
+            # touched', which is what the grace window means
             with contextlib.suppress(OSError):
-                return now - os.path.getmtime(p) >= grace_seconds
+                return now - fsio.mtime(p) >= grace_seconds
             return True  # vanished while we looked: not ours to keep
 
         removed = []
@@ -769,10 +782,13 @@ class SegmentStore:
                 # the same grace window
                 fsio.remove_tree(full)
                 removed.append(name)
-            elif name.endswith(".manifest.tmp") and aged(full):
-                # a crash between mkstemp and the atomic os.replace in
+            elif ".manifest.tmp" in name and aged(full):
+                # a crash between the tmp write and the atomic replace in
                 # _publish leaves the temp file forever; it is never
-                # referenced by anything (replace is the only consumer)
+                # referenced by anything (replace is the only consumer).
+                # Substring match, not endswith: the POSIX backend's
+                # atomic_write_text stages '<tmp>.tmp' transiently, and a
+                # crash inside THAT window leaves the double suffix.
                 with contextlib.suppress(OSError):
                     fsio.remove_file(full, missing_ok=False)
                 removed.append(name)
@@ -804,9 +820,17 @@ class SegmentStore:
         if min_age_seconds > 0:
             now = time.time()
             for v in all_vs:
-                p = os.path.join(self.path, f"manifest-v{v:06d}.json")
-                with contextlib.suppress(OSError):
-                    if now - os.path.getmtime(p) < min_age_seconds:
+                # age from the doc's OWN committed_at (round 12): file
+                # mtime is not durable on object stores (COPY resets
+                # LastModified), the commit timestamp inside the manifest
+                # is. Pre-timestamp manifests fall back to fsio.mtime.
+                with contextlib.suppress(OSError, ValueError):
+                    ts = self.manifest_doc_at(v).get("committed_at")
+                    if ts is None:
+                        ts = fsio.mtime(
+                            os.path.join(self.path, f"manifest-v{v:06d}.json")
+                        )
+                    if now - ts < min_age_seconds:
                         keep.add(v)
         dropped_refs: set[str] = set()
         for v in all_vs:
@@ -1149,7 +1173,7 @@ class SegmentStore:
                     self.path, f"seg-{seg_ids[i]:05d}", "index"
                 )
                 src = os.path.join(tmp, f"_srank={i}")
-                if os.path.isdir(src):
+                if fsio.is_dir(src):
                     fsio.rename_dir(src, dst)
                 else:  # empty segment: write an empty (but schema'd) index
                     ix.filter(F.lit(False)).drop("_srank").write.mode(
@@ -1397,7 +1421,7 @@ class SegmentStore:
         missing = [
             e["segment_id"]
             for e in entries
-            if not os.path.isdir(
+            if not fsio.is_dir(
                 os.path.join(self.path, f"seg-{e['segment_id']:05d}")
             )
         ]

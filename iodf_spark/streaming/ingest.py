@@ -370,20 +370,21 @@ def _ingest_app_id(checkpoint_dir: str, explicit: str | None) -> str:
     fsio.makedirs(checkpoint_dir)
     marker = os.path.join(checkpoint_dir, "_ingest_app_id")
     if fsio.exists(marker):
-        with open(marker) as fh:
-            return fh.read().strip()
+        return fsio.read_text(marker).strip()
     app_id = uuid.uuid4().hex
     # create-if-absent CLAIM through the fsio seam (POSIX link /
     # conditional put), not a bare replace: two drivers bootstrapping the
     # same checkpoint concurrently must converge on ONE identity — the
-    # loser adopts the winner's marker instead of overwriting it
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(app_id)
+    # loser adopts the winner's marker instead of overwriting it. The
+    # claim buffer is PER-PROCESS unique (round-12 ADVICE fix: a shared
+    # '<marker>.tmp' let driver B overwrite/remove the tmp between driver
+    # A's write and A's link_claim, raising FileNotFoundError from the
+    # very race this converges) and written through the seam.
+    tmp = f"{marker}.{app_id}.tmp"
+    fsio.atomic_write_text(tmp, app_id)
     fsio.link_claim(tmp, marker)
     fsio.remove_file(tmp)
-    with open(marker) as fh:
-        return fh.read().strip()
+    return fsio.read_text(marker).strip()
 
 
 def stream_ingest_segments(
@@ -569,11 +570,13 @@ def read_cdf_cursor(checkpoint_dir: str) -> dict | None:
     import json
     import os
 
+    from iodf_spark.sources import fsio
+
     p = _cdf_cursor_path(checkpoint_dir)
-    if not os.path.exists(p):
+    try:
+        return json.loads(fsio.read_text(p))
+    except FileNotFoundError:
         return None
-    with open(p) as fh:
-        return json.load(fh)
 
 
 def _write_cdf_cursor(checkpoint_dir: str, version: int, epoch: int) -> None:
@@ -876,6 +879,27 @@ def stream_neardup_pairs(
     q.awaitTermination()
 
 
+def _read_sink_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Empty-but-typed read of a streaming parquet sink that may not have
+    produced its first output file yet. ONLY the path-not-found
+    AnalysisException means 'no output yet' (round-12 ADVICE fix: the
+    previous bare ``except Exception`` swallowed corrupt-sink files,
+    permission errors and transient FS failures too, making a real read
+    failure indistinguishable from an empty sink — downstream,
+    read_decontaminated_clean would then return the corpus UNCUT,
+    silently passing contaminated data as clean). Anything else
+    propagates."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return spark.createDataFrame([], schema)
+        raise
+
+
 def read_neardup_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     """Accumulated (doc_a, doc_b, jaccard) result of stream_neardup_pairs;
     empty-but-typed when no pair ever cleared the threshold."""
@@ -883,7 +907,6 @@ def read_neardup_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
-    pairs_dir = os.path.join(state_dir, "pairs")
     schema = T.StructType(
         [
             T.StructField("doc_a", T.LongType()),
@@ -891,10 +914,7 @@ def read_neardup_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
             T.StructField("jaccard", T.DoubleType()),
         ]
     )
-    try:
-        return spark.read.schema(schema).parquet(pairs_dir)
-    except Exception:  # noqa: BLE001 — no batch produced any pair file
-        return spark.createDataFrame([], schema)
+    return _read_sink_or_empty(spark, os.path.join(state_dir, "pairs"), schema)
 
 
 # --------------------------------------------------------------------------
@@ -1029,14 +1049,10 @@ def read_duplicated_spans(spark: SparkSession, state_dir: str, k: int = 16) -> D
 
     from iodf_spark.operators.dedup import windows_to_spans
 
-    dups_dir = os.path.join(state_dir, "dups")
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("pos", T.LongType())]
     )
-    try:
-        df = spark.read.schema(schema).parquet(dups_dir)
-    except Exception:  # noqa: BLE001 — no batch emitted any duplicate yet
-        df = spark.createDataFrame([], schema)
+    df = _read_sink_or_empty(spark, os.path.join(state_dir, "dups"), schema)
     return windows_to_spans(df, k)
 
 
@@ -1124,10 +1140,7 @@ def _read_hit_windows(spark: SparkSession, state_dir: str) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("pos", T.LongType())]
     )
-    try:
-        return spark.read.schema(schema).parquet(os.path.join(state_dir, "hits"))
-    except Exception:  # noqa: BLE001 — no batch emitted any hit yet
-        return spark.createDataFrame([], schema)
+    return _read_sink_or_empty(spark, os.path.join(state_dir, "hits"), schema)
 
 
 def read_contaminated_spans(

@@ -17,19 +17,23 @@ def sf_dir():
     return SF_DIR
 
 
-@pytest.fixture(params=["posix", "objectstore"])
+@pytest.fixture(params=["posix", "objectstore", "strictobjectstore"])
 def fsio_backend(request):
     """Run a test against each fsio backend: the POSIX one (rename/link
-    atomicity) and the object-store one (conditional-put/copy-list-delete
-    semantics, no rename(2)/link(2)/exclusive-mkdir anywhere). The OCC and
-    ANN-maintenance suites opt in with an autouse shim so every
-    crash-safety claim is proven against both."""
+    atomicity), the object-store one (conditional-put/copy-list-delete
+    semantics, no rename(2)/link(2)/exclusive-mkdir anywhere), and the
+    STRICT object-store one (round 12: metadata objects live ONLY in an
+    in-memory dict — a store code path that reads metadata with a bare
+    open()/os.path.* instead of the fsio seam sees nothing and fails
+    loudly, instead of silently working against emulator-local files).
+    The OCC and ANN-maintenance suites opt in with an autouse shim so
+    every crash-safety claim is proven against all three."""
     from iodf_spark.sources import fsio
 
-    backend = (
-        fsio.PosixBackend()
-        if request.param == "posix"
-        else fsio.ObjectStoreBackend()
-    )
+    backend = {
+        "posix": fsio.PosixBackend,
+        "objectstore": fsio.ObjectStoreBackend,
+        "strictobjectstore": fsio.StrictObjectStoreBackend,
+    }[request.param]()
     with fsio.using_backend(backend):
         yield request.param

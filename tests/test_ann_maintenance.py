@@ -673,3 +673,32 @@ def test_ann_compaction_survives_objectstore_crash_at_every_mutation(
                 f"post-recovery drift at op {k}"
             )
         shutil.rmtree(os.path.dirname(dst), ignore_errors=True)
+
+
+def test_manifest_history_pruning_is_age_aware(tmp_path, monkeypatch):
+    """Round-12 ADVICE fix: _manifest_commit's history pruning was
+    count-only (MANIFEST_RETAIN), so a standing maintainer committing
+    more than RETAIN times inside a vacuum retention window deleted
+    history that ann_vacuum(min_age_seconds) still needed for its
+    concurrent-reader spare set. Pruning now has an AGE floor: a version
+    younger than MANIFEST_RETAIN_SECONDS survives any commit rate; with
+    the floor off, count pruning applies as before."""
+    from iodf_spark.operators import ann_maintenance as M
+    from iodf_spark.sources import fsio
+
+    path = str(tmp_path / "store")
+    monkeypatch.setattr(M, "MANIFEST_RETAIN", 2)
+    doc = {"cells": {}, "deletes": set(), "stale": []}
+    for _ in range(8):
+        M._manifest_commit(path, dict(doc))
+    d = M._manifest_dir(path)
+    # every version is younger than the age floor: NONE pruned, even
+    # though 6 of them are past the count horizon
+    assert len(fsio.list_files(d, ".json")) == 8
+    # the spare-set derivation can therefore still see all of them
+    assert M.ann_manifest_read(path)["version"] == 8
+    # floor off -> count pruning bites exactly as documented
+    monkeypatch.setattr(M, "MANIFEST_RETAIN_SECONDS", 0.0)
+    M._manifest_commit(path, dict(doc))
+    kept = sorted(fsio.list_files(d, ".json"))
+    assert kept == ["v00000007.json", "v00000008.json", "v00000009.json"]
