@@ -937,6 +937,74 @@ def _trained_pq() -> list[list[list[float]]]:
     return _TRAINED_Q["pq"]
 
 
+CHUNKIVF_CELLS = 8  # coarse cells of the chunk-grain IVF store
+# serving n_probe: probes read 3/8 of the chunk corpus at the file level.
+# Chosen from a measured sweep on the trained store (hashed-TF vectors
+# are weakly clustered on this fixture): recall@15 vs the exact chunkvec
+# ranking = 0.6/0.6 at n_probe=2, 1.0/0.8 at 3, 1.0/1.0 at 4
+# (sf0.001/sf0.01) — 3 is the knee; the floor is pinned in
+# tests/test_chunk_retrieval.py via ann_recall.
+CHUNKIVF_PROBE = 3
+
+
+def _chunk_emb_table_sql(doc_table: str = "documents", include_query: bool = True) -> str:
+    """SQL for the embedded chunk corpus (cid, vec) — optionally with the
+    free-text query embedded as id -1 through the same transform — shared
+    by the chunkvec (brute-force) and chunkivf (store-probed) oracles and
+    by the chunk-quantizer training sample."""
+    from iodf_spark.operators import packing, similarity
+
+    chunks = (
+        "(SELECT doc_id * " + str(CHUNKVEC_ENC)
+        + " + chunk_idx AS cid, chunk_text FROM ("
+        + packing.chunk_documents_oracle(
+            "doc_id", "text", doc_table,
+            chunk_toks=CHUNK_TOKS, overlap=CHUNK_OVERLAP)
+        + ")"
+        + (
+            " UNION ALL SELECT * FROM (VALUES (-1, '" + SEMVEC_QUERY + "')) "
+            "AS _q(cid, chunk_text)"
+            if include_query
+            else ""
+        )
+        + ")"
+    )
+    return "(" + similarity.hash_embed_oracle(
+        "cid", "chunk_text", chunks, dim=SEMVEC_DIM
+    ) + ")"
+
+
+def _trained_chunk_cent() -> list[list[float]]:
+    """Trained coarse quantizer for the CHUNK-grain IVF store (round-12
+    verdict #3): CHUNKIVF_CELLS spherical-Lloyd's centroids over a
+    hash-ordered 256-vector sample of the sf0.01 CHUNK embeddings —
+    derived via duckdb with the SAME chunk/embed SQL the oracle twin uses
+    (the hash_embed dialects are bit-equal), so oracle_sql(), which has
+    no SparkSession, reproduces identical full-precision literals. Same
+    freeze-once-per-process discipline as _trained_sample."""
+    if "chunkivf" not in _TRAINED_Q:
+        import duckdb
+
+        from iodf_spark.functions.kmeans import train_ivf_centroids
+
+        emb_sql = _chunk_emb_table_sql(
+            "read_parquet('/root/testdata/sf0.01/documents.parquet')",
+            include_query=False,
+        )
+        rows = duckdb.sql(
+            f"SELECT vec FROM {emb_sql} "
+            # all-cancelled (zero) vectors are untrainable under the cos
+            # metric; chunks always carry >= 1 token so this filter is a
+            # guard, not a selector
+            "WHERE list_sum(list_transform(vec, _x -> abs(_x))) > 0 "
+            "ORDER BY (cid * 2654435761) % 4294967296, cid LIMIT 256"
+        ).fetchall()
+        _TRAINED_Q["chunkivf"] = train_ivf_centroids(
+            [[float(x) for x in r[0]] for r in rows], CHUNKIVF_CELLS, iters=8
+        )
+    return _TRAINED_Q["chunkivf"]
+
+
 ANN_LIFE_DELETED = [210, 211, 310]  # all >= the training prefix (4/16)
 
 # the lifecycle oracle's corpus: embeddings minus the taken-down ids —
@@ -3049,6 +3117,27 @@ def _text_search_arms(spark: SparkSession, sf_dir: str):
             F.col("cos").alias("score"),
         )
 
+    def chunk_emb() -> DataFrame:
+        # the embedded chunk corpus, shared by BOTH chunk-grain arms
+        # (chunkvec ranks it brute-force; chunkivf builds the IVF store
+        # from it) and cached: without the cache the ~10x-corpus-row
+        # embed aggregation runs twice per sweep — measured 14.9 -> 8.7 s
+        # on the chunkivf arm at sf0.1. The first chunk arm to run pays
+        # the embed (the memoized-build convention this factory documents
+        # for the text index).
+        if "chunk_emb" not in memo:
+            from iodf_spark.operators.packing import chunk_documents
+            from iodf_spark.operators.similarity import hash_embed
+
+            ch = chunk_documents(
+                docs().select("doc_id", "text"), "doc_id", "text",
+                chunk_toks=CHUNK_TOKS, overlap=CHUNK_OVERLAP,
+            )
+            cids = ch.select(_chunk_cid_expr().alias("cid"), "chunk_text")
+            emb = hash_embed(cids, "cid", "chunk_text", dim=SEMVEC_DIM).cache()
+            memo["chunk_emb"] = emb
+        return memo["chunk_emb"]
+
     def arm_chunkvec() -> DataFrame:
         # CHUNK-grain retrieval with DOC-grain hits (round 11) — THE
         # serving shape for RAG corpora: long documents are chunked into
@@ -3062,17 +3151,10 @@ def _text_search_arms(spark: SparkSession, sf_dir: str):
         # (doc_id, chunk_idx) into one int64 at radix 1e6. Top-15 docs,
         # score-desc / id-asc tie-break. Composition pytest: a9527e4's
         # chunk->embed->retrieve pin; this arm gives it the oracle grade.
-        from iodf_spark.operators.packing import chunk_documents
-        from iodf_spark.operators.similarity import ann_brute_force, hash_embed
+        from iodf_spark.operators.similarity import ann_brute_force
 
-        ch = chunk_documents(
-            docs().select("doc_id", "text"), "doc_id", "text",
-            chunk_toks=CHUNK_TOKS, overlap=CHUNK_OVERLAP,
-        )
-        cids = ch.select(_chunk_cid_expr().alias("cid"), "chunk_text")
-        emb = hash_embed(cids, "cid", "chunk_text", dim=SEMVEC_DIM)
         hits = ann_brute_force(
-            emb, "cid", "vec", [], k=CHUNKVEC_ALL, dim=SEMVEC_DIM,
+            chunk_emb(), "cid", "vec", [], k=CHUNKVEC_ALL, dim=SEMVEC_DIM,
             query_vecs={-1: qvec()},
         )
         return (
@@ -3089,6 +3171,62 @@ def _text_search_arms(spark: SparkSession, sf_dir: str):
             .select(F.lit("chunkvec").alias("variant"), "row_id", "score")
         )
 
+    def chunk_store():
+        # the chunk corpus embedded and materialized as a cell-PARTITIONED
+        # IVF store (similarity.ivf_build_store) around the TRAINED chunk
+        # quantizer — built once per process/sf (bench clears the cache
+        # between sweeps, so each sweep pays the build inside this arm's
+        # timing, honestly)
+        key = ("chunkivf_store", sf_dir)
+        if key not in _cache:
+            import tempfile
+
+            from iodf_spark.operators.similarity import ivf_build_store
+
+            emb = chunk_emb()
+            path = tempfile.mkdtemp(prefix="iodf_chunkivf_")
+            ivf_build_store(
+                emb, "cid", "vec", path,
+                n_centroids=CHUNKIVF_CELLS, dim=SEMVEC_DIM,
+                cent_vecs=_trained_chunk_cent(),
+            )
+            _cache[key] = (path, emb)
+        return _cache[key]
+
+    def arm_chunkivf() -> DataFrame:
+        # chunk retrieval THROUGH the ANN store (round 12, verdict #3) —
+        # the 100 TB RAG serving shape: same chunk geometry, embedding and
+        # doc-grain best-chunk semantics as chunkvec, but ranking probes
+        # the cell-partitioned IVF store (n_probe/n_centroids of the chunk
+        # corpus at the FILE level — PartitionFilters prune before any IO;
+        # plan-pinned in test_plans) against the frozen TRAINED quantizer
+        # read from the store's own sidecar, instead of chunkvec's
+        # brute-force full-corpus cosine — the one retrieval arm whose
+        # plan read every vector per query. Recall floor vs the exact
+        # chunkvec ranking pinned via ann_recall in
+        # tests/test_chunk_retrieval.py.
+        from iodf_spark.operators.similarity import ann_ivf_store
+
+        path, emb = chunk_store()
+        hits = ann_ivf_store(
+            emb, "cid", "vec", path, [], k=CHUNKVEC_ALL,
+            n_centroids=CHUNKIVF_CELLS, n_probe=CHUNKIVF_PROBE,
+            dim=SEMVEC_DIM, query_vecs={-1: qvec()},
+        )
+        return (
+            hits.select(
+                F.expr(
+                    f"cast(neighbor_id div {CHUNKVEC_ENC} as bigint)"
+                ).alias("row_id"),
+                "cos",
+            )
+            .groupBy("row_id")
+            .agg(F.max("cos").alias("score"))
+            .orderBy(F.col("score").desc(), F.col("row_id"))
+            .limit(15)
+            .select(F.lit("chunkivf").alias("variant"), "row_id", "score")
+        )
+
     return [
         ("probe", arm_probe),
         ("bm25", arm_bm25),
@@ -3097,6 +3235,7 @@ def _text_search_arms(spark: SparkSession, sf_dir: str):
         ("rrf", arm_rrf),
         ("semvec", arm_semvec),
         ("chunkvec", arm_chunkvec),
+        ("chunkivf", arm_chunkivf),
     ]
 
 
@@ -4066,20 +4205,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT neighbor_id // {CHUNKVEC_ENC} AS row_id,
                      max(cos) AS score
               FROM ({similarity.ann_brute_force_oracle(
-                "cid", "vec",
-                "(" + similarity.hash_embed_oracle(
-                    "cid", "chunk_text",
-                    "(SELECT doc_id * " + str(CHUNKVEC_ENC)
-                    + " + chunk_idx AS cid, chunk_text FROM ("
-                    + packing.chunk_documents_oracle(
-                        "doc_id", "text", "documents",
-                        chunk_toks=CHUNK_TOKS, overlap=CHUNK_OVERLAP)
-                    + ") UNION ALL SELECT * FROM (VALUES (-1, '"
-                    + SEMVEC_QUERY + "')) AS _q(cid, chunk_text))",
-                    dim=SEMVEC_DIM,
-                ) + ")",
+                "cid", "vec", _chunk_emb_table_sql(),
                 [-1], k=CHUNKVEC_ALL, dim=SEMVEC_DIM)})
               GROUP BY 1 ORDER BY score DESC, row_id LIMIT 15) cv
+            UNION ALL
+            SELECT 'chunkivf' AS variant, row_id, score FROM (
+              SELECT neighbor_id // {CHUNKVEC_ENC} AS row_id,
+                     max(cos) AS score
+              FROM ({similarity.ann_ivf_oracle(
+                "cid", "vec", _chunk_emb_table_sql(),
+                [-1], k=CHUNKVEC_ALL, n_centroids=CHUNKIVF_CELLS,
+                n_probe=CHUNKIVF_PROBE, dim=SEMVEC_DIM,
+                cent_vecs=_trained_chunk_cent())})
+              GROUP BY 1 ORDER BY score DESC, row_id LIMIT 15) ci
         """,
         "text_stats": f"""
             SELECT s.*, r.n_bigrams, r.top_token_frac, r.dup_bigram_frac,

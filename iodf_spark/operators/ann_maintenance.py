@@ -764,6 +764,165 @@ def _maint_dir(store_path: str) -> str:
     return os.path.join(store_path, MAINT_DIR)
 
 
+# -- serving sidecar: the tuned n_probe -------------------------------------
+
+
+def _serving_path(store_path: str) -> str:
+    return os.path.join(_maint_dir(store_path), "serving.json")
+
+
+def read_serving_sidecar(store_path: str) -> dict | None:
+    """The store's tuned serving parameters ({"n_probe": ..,
+    "recall_target": .., "measured_recall": .., "k": .., "n_cells": ..}),
+    or None for an untuned store. Driver-side metadata through the fsio
+    seam, like the ledger it lives next to."""
+    import json
+
+    try:
+        return json.loads(fsio.read_text(_serving_path(store_path)))
+    except FileNotFoundError:
+        return None
+
+
+def ann_tune_n_probe(
+    spark: SparkSession,
+    store_path: str,
+    k: int = 10,
+    recall_target: float = 0.9,
+    n_queries: int = 32,
+    query_vecs: dict[int, list[float]] | None = None,
+) -> dict:
+    """Derive the store's serving ``n_probe`` from a measured recall@k
+    target and freeze it in the serving sidecar (round-12 verdict #4: a
+    static n_probe is a guess — the right value is data-dependent, cell
+    skew being the whole point). ann_ivf_store(n_probe="auto") reads it.
+
+    Closed form, not a probe sweep: because probed cells are nested in
+    the query's cell ranking and cosine ranking is global, an exact top-k
+    neighbor is recovered at probe width p IFF the rank of its cell in
+    the query's centroid ranking is <= p (any candidate that could
+    displace it inside the probed set would be globally better, i.e.
+    already in the exact top-k). So ONE brute-force truth job plus the
+    (tiny) query x centroid ranking yields recall@k as a function of
+    n_probe for ALL widths at once — O(corpus) total, vs O(n_cells)
+    probe jobs for a sweep, and exactly what the serving probe will
+    measure. Queries default to a hash-ordered sample of the store's own
+    live rows (functions/kmeans.hash_order_key — the de-biased sample
+    discipline), self-excluded like every ann_* ranking; pass
+    ``query_vecs`` to tune on an external query distribution instead.
+
+    The tuned value rides takedown/compaction untouched (the sidecar
+    lives in _maintenance next to the ledger; compaction rewrites cell
+    files only) — re-tune after material distribution drift, e.g. on the
+    compaction cadence. Returns the sidecar doc it wrote."""
+    import json
+
+    from pyspark.sql import Window
+
+    from .similarity import _dot
+
+    cent = read_centroid_sidecar(spark, store_path)
+    if cent is None:
+        raise ValueError(
+            f"{store_path}: no centroid sidecar — tune runs against the "
+            "frozen quantizer (seed/build always writes one)"
+        )
+    n_cells = cent.count()
+    codes = live_codes(spark, store_path)
+    if query_vecs is not None:
+        rows = [
+            (int(i), [float(x) for x in v]) for i, v in sorted(query_vecs.items())
+        ]
+        q = spark.createDataFrame(rows, "query_id bigint, _qv array<double>")
+        q = q.select(
+            "query_id", "_qv",
+            F.sqrt(F.expr(_dot("_qv", "_qv", "spark"))).alias("_qn"),
+        )
+    else:
+        # hash-ordered sample of the store's own live rows: deterministic,
+        # unbiased on id-correlated corpora, no external dependency.
+        # xxhash64, not the Knuth multiply (hash_order_key): store ids may
+        # be packed composites (chunk cids = doc_id * 1e6 + idx) whose
+        # int64 multiply overflows under ANSI; this sample never has to
+        # reproduce cross-engine, so the Spark-native hash is the safe
+        # deterministic order
+        q = (
+            codes.select(
+                F.col("neighbor_id").alias("query_id"),
+                F.col("_cv").alias("_qv"),
+                F.col("_cvn").alias("_qn"),
+            )
+            .orderBy(F.xxhash64(F.col("query_id")), "query_id")
+            .limit(n_queries)
+        )
+    # every query's FULL centroid ranking (n_queries x n_cells — tiny),
+    # same score and tie rule as the serving probe's _ivf_query_cells
+    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), "cid")
+    qrank = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "ccos", F.expr(_dot("_qv", "_ce", "spark")) / (F.col("_qn") * F.col("_cen"))
+        )
+        .withColumn("cell_rank", F.row_number().over(wq))
+        .select("query_id", "cid", "cell_rank")
+    )
+    # exact top-k per query over the LIVE store (self-excluded, the same
+    # ranking ann_brute_force/_ivf_score use), carrying each neighbor's
+    # cell
+    scored = (
+        F.broadcast(q)
+        .join(codes, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos", F.expr(_dot("_qv", "_cv", "spark")) / (F.col("_qn") * F.col("_cvn"))
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    truth = (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("cid").cast("int").alias("cid"))
+    )
+    # needed probe width per truth pair -> per-query recall per width
+    # (n_queries x k rows: driver-side math on a tiny frame)
+    pairs = [
+        (r["query_id"], r["cell_rank"])
+        for r in truth.join(qrank, ["query_id", "cid"]).select(
+            "query_id", "cell_rank"
+        ).collect()
+    ]
+    if not pairs:
+        raise ValueError(f"{store_path}: no truth pairs — empty or 1-row store")
+    by_q: dict[int, list[int]] = {}
+    for qid, need in pairs:
+        by_q.setdefault(qid, []).append(need)
+    chosen, measured = n_cells, 0.0
+    for p in range(1, n_cells + 1):
+        recalls = [
+            sum(1 for need in needs if need <= p) / len(needs)
+            for needs in by_q.values()
+        ]
+        mean = sum(recalls) / len(recalls)
+        if mean >= recall_target or p == n_cells:
+            chosen, measured = p, mean
+            break
+    doc = {
+        "n_probe": int(chosen),
+        "k": int(k),
+        "recall_target": float(recall_target),
+        "measured_recall": float(round(measured, 6)),
+        "n_cells": int(n_cells),
+        "n_queries": int(len(by_q)),
+    }
+    if measured < recall_target:
+        # even probing everything missed the target (k > live rows, say):
+        # record honestly rather than fail — the sidecar says what the
+        # store can deliver
+        doc["target_unreachable"] = True
+    fsio.makedirs(_maint_dir(store_path))
+    fsio.atomic_write_text(_serving_path(store_path), json.dumps(doc))
+    return doc
+
+
 # -- applied-window ledger -------------------------------------------------
 #
 # The round-9 weak mark: insert-apply made itself replay-idempotent by

@@ -770,7 +770,7 @@ def ann_ivf_store(
     query_ids: list[int],
     k: int = 10,
     n_centroids: int = 4,
-    n_probe: int = 2,
+    n_probe: int | str = 2,
     dim: int | None = None,
     cent_vecs: list[list[float]] | None = None,
     query_vecs: dict[int, list[float]] | None = None,
@@ -782,6 +782,12 @@ def ann_ivf_store(
     bit-identical to ann_ivf on the same corpus/params (same float ops on
     the same values; parquet round-trips doubles exactly).
 
+    ``n_probe="auto"`` (round-12 verdict #4) reads the store's TUNED
+    serving width from the sidecar ann_maintenance.ann_tune_n_probe
+    froze next to the ledger — the data-dependent knob (cell skew)
+    derived from a measured recall@k target instead of a guess. Raises
+    on an untuned store rather than silently guessing.
+
     Centroid precedence (matching ann_ivfpq_store): explicit ``cent_vecs``
     literals > the store's frozen sidecar (every ivf_build_store /
     ann_store_seed writes one) > the source-derived id-prefix sample —
@@ -792,8 +798,17 @@ def ann_ivf_store(
     ann_ivfpq_store."""
     spark = df.sparkSession
     dim = dim or _infer_dim(df, vec_col)
-    from .ann_maintenance import read_centroid_sidecar
+    from .ann_maintenance import read_centroid_sidecar, read_serving_sidecar
 
+    if n_probe == "auto":
+        serving = read_serving_sidecar(store_path)
+        if serving is None:
+            raise ValueError(
+                f"{store_path}: n_probe='auto' but the store has no "
+                "serving sidecar — run ann_maintenance.ann_tune_n_probe "
+                "after build/seed (or pass an explicit n_probe)"
+            )
+        n_probe = int(serving["n_probe"])
     cent = (
         _ivf_centroids(df, id_col, vec_col, n_centroids, dim, cent_vecs)
         if cent_vecs is not None

@@ -110,6 +110,14 @@ def test_bench_arm_factories_cover_their_query_variants():
     assert [a for a, _ in _arm_names("contamination")] == [
         "ngram", "spans", "clean", "sdecon",
     ]
+    # round 12: chunk retrieval routed through the cell-partitioned IVF
+    # store (chunkivf) joins the retrieval cell next to its brute-force
+    # exact twin (chunkvec) — same doc-grain best-chunk semantics,
+    # cell-pruned file-level reads
+    assert [a for a, _ in _arm_names("text_search")] == [
+        "probe", "bm25", "phrase", "prefix", "rrf", "semvec",
+        "chunkvec", "chunkivf",
+    ]
 
 
 def test_segments_compact_arm_budget():
