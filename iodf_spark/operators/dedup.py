@@ -1058,6 +1058,16 @@ def line_dedup(
         .filter(F.col("_ldf") > F.lit(max_df))
         .select("_lh", F.lit(True).alias("_bp"))
     )
+    return _line_verdict(lines, boiler)
+
+
+def _line_verdict(lines: DataFrame, boiler: DataFrame) -> DataFrame:
+    """The per-doc verdict given a (_lh, _bp) boilerplate frame — shared
+    by the batch operator (boiler = the corpus frequency aggregate) and
+    the streaming reader (boiler = the accumulated sink of line hashes
+    whose doc frequency crossed the gate; streaming/ingest
+    read_line_dedup), so stream == batch is equality by construction
+    once the boilerplate SETS agree."""
     keep = F.col("_bp").isNull()
     enc = F.col("_pos") * F.lit(_POS_ENC) + F.col("_lh")
     per_doc = (

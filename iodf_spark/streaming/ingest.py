@@ -1057,6 +1057,141 @@ def read_duplicated_spans(spark: SparkSession, state_dir: str, k: int = 16) -> D
 
 
 # --------------------------------------------------------------------------
+# Incremental line-level boilerplate dedup (the streaming twin of
+# operators/dedup.line_dedup — round-12 verdict #5: the last dedup-family
+# member without an incremental path)
+
+
+def stream_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    state_dir: str,
+    max_df: int = None,  # type: ignore[assignment]
+    shuffle_partitions: int | None = None,
+) -> None:
+    """Incremental discovery of BOILERPLATE LINES over a document stream:
+    a line hash is emitted EXACTLY ONCE, in the micro-batch where its
+    corpus-wide distinct-doc frequency first exceeds ``max_df`` — so the
+    accumulated sink equals the batch operator's boilerplate set over the
+    corpus-so-far for ANY micro-batch split (the dedup_minhash
+    stream == batch contract, at line granularity). Verdicts are then
+    derived by :func:`read_line_dedup`, which is the batch per-doc
+    machinery fed from the sink — the retroactive-verdict problem (a doc
+    scored clean before its footer crossed the gate) dissolves because
+    verdicts are always RE-derived from the monotone boilerplate set,
+    never emitted per-doc.
+
+    Engine shape: the line stream is the batch operator's own
+    tokenization (operators/dedup._line_rows — split + posexplode +
+    polynomial hash, all codegen; fan_out no-ops on a stream); the ONLY
+    stateful primitive is applyInPandasWithState keyed by the 8-byte
+    line hash. State per key is the distinct doc-id set ONLY WHILE it is
+    still below the gate — bounded at max_df+1 ids (24-32 B at the
+    default gate) — and collapses to a 1-bit 'crossed' flag forever
+    after: hot boilerplate (every page's footer, the exact skew case)
+    carries the SMALLEST state. No per-batch scan of anything
+    corpus-sized; per-delivery cost is the delivery's own lines plus
+    state lookups.
+
+    State lives forever (one row per distinct line hash ever seen below
+    the gate): exact global frequencies, the same trade
+    stream_duplicated_windows documents — boilerplate is defined by
+    all-time frequency, so event-time GC would silently re-admit it.
+
+    Output sink: parquet (_lh) rows under state_dir/boiler with the
+    checkpoint under state_dir/_checkpoint — exactly-once end to end."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from iodf_spark.operators.dedup import LINE_MAX_DF, _line_rows
+
+    if max_df is None:
+        max_df = LINE_MAX_DF
+
+    lines = _line_rows(docs, id_col, text_col).select("_id", "_lh")
+
+    def fn(key, pdfs, state):
+        crossed, seen = state.get if state.exists else (False, [])
+        if crossed:
+            for _ in pdfs:  # drain the iterator; verdict is already out
+                pass
+            yield pd.DataFrame({"_lh": []}).astype({"_lh": "int64"})
+            return
+        s = {int(x) for x in seen}
+        for pdf in pdfs:
+            s.update(int(d) for d in pdf["_id"])
+        if len(s) > max_df:
+            # the crossing batch: emit the hash once, drop the id set
+            state.update((True, []))
+            yield pd.DataFrame({"_lh": [int(key[0])]})
+        else:
+            state.update((False, sorted(s)))
+            yield pd.DataFrame({"_lh": []}).astype({"_lh": "int64"})
+
+    emitted = lines.groupBy("_lh").applyInPandasWithState(
+        fn,
+        "_lh long",
+        "crossed boolean, seen array<long>",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    spark = docs.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            emitted.writeStream.format("parquet")
+            .option("path", os.path.join(state_dir, "boiler"))
+            .option(
+                "checkpointLocation", os.path.join(state_dir, "_checkpoint")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def read_line_dedup(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    state_dir: str,
+    max_df: int = None,  # type: ignore[assignment]
+) -> DataFrame:
+    """Per-doc line-dedup verdicts for the drained corpus-so-far: the
+    batch operator's own verdict machinery (operators/dedup._line_verdict
+    — same counts, same cleaned_fp fold) fed by the ACCUMULATED
+    boilerplate sink instead of a fresh corpus-wide frequency aggregate,
+    so after any availableNow drain covering ``docs``:
+    read_line_dedup(spark, docs, ...) == line_dedup(docs, ...).
+    Empty-but-typed sink before the first boilerplate line."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from iodf_spark.operators.dedup import _line_rows, _line_verdict
+
+    del max_df  # the gate was applied at stream time; kept for symmetry
+    schema = T.StructType([T.StructField("_lh", T.LongType())])
+    boiler = (
+        _read_sink_or_empty(spark, os.path.join(state_dir, "boiler"), schema)
+        # the sink is exactly-once, but dropDuplicates costs nothing on a
+        # set this small and makes the reader safe under a manually
+        # copied/merged sink dir
+        .dropDuplicates(["_lh"])
+        .select("_lh", F.lit(True).alias("_bp"))
+    )
+    return _line_verdict(_line_rows(docs, id_col, text_col), boiler)
+
+
+# --------------------------------------------------------------------------
 # Incremental benchmark decontamination (streaming ExactSubstr vs a STATIC
 # benchmark — the live-crawl twin of operators/dedup.contaminated_spans /
 # decontaminate_clean)
