@@ -312,6 +312,102 @@ def test_strict_copy_gets_fresh_lastmodified(tmp_path):
     assert svc.head(dst) > t0
 
 
+class FaultyStrictService(fsio.StrictObjectStore):
+    """The strict (in-memory) twin of FaultyService: dies after N
+    mutating operations (PUT / COPY / DELETE — COPY is its own service
+    call here, unlike FakeObjectStore where it routes through PUT, so
+    the two backends' mutation schedules differ and each sweep dry-runs
+    its own count)."""
+
+    def __init__(self, fail_after=None):
+        super().__init__()
+        self.fail_after = fail_after
+        self.mutations = 0
+
+    def _tick(self):
+        self.mutations += 1
+        if self.fail_after is not None and self.mutations > self.fail_after:
+            raise OSError("injected object-store outage")
+
+    def put(self, key, data, if_none_match=False):
+        self._tick()
+        return super().put(key, data, if_none_match=if_none_match)
+
+    def copy(self, src, dst, if_none_match=False):
+        self._tick()
+        return super().copy(src, dst, if_none_match=if_none_match)
+
+    def delete(self, key):
+        self._tick()
+        return super().delete(key)
+
+
+def test_strictobjectstore_compaction_survives_crash_at_every_mutation(
+    spark, tmp_path_factory
+):
+    """The crash sweep on the STRICT backend: metadata exists only in the
+    in-memory service, so this proves the commit choreography's crash
+    safety does not lean on any local-file shadow of the manifests —
+    recovery reads exactly the objects that survived the outage. The
+    outage 'ends' by clearing fail_after on the SAME service (an object
+    store outage loses no durable objects)."""
+    import shutil
+
+    from iodf_spark.sources.segments import SegmentStore
+
+    tpl_root = str(tmp_path_factory.mktemp("sfaulty") / "template")
+    tpl_svc = fsio.StrictObjectStore()
+    with fsio.using_backend(fsio.StrictObjectStoreBackend(tpl_svc)):
+        store = SegmentStore(tpl_root)
+        for lo, hi in [(0, 10), (10, 25), (25, 30)]:
+            store.write_segment(
+                spark.createDataFrame(
+                    [(i, i * 3) for i in range(lo, hi)], "k long, v long"
+                ),
+                order_keys=["k"],
+            )
+    expected = list(range(30))
+
+    def clone(tag, fail_after):
+        # both planes: data files via copytree, metadata via a key-remapped
+        # copy of the template service's dict into a fresh faulty service
+        dst = str(tmp_path_factory.mktemp(f"sfaulty_{tag}") / "store")
+        shutil.copytree(tpl_root, dst)
+        svc = FaultyStrictService(fail_after)
+        with tpl_svc._lock:
+            for key, val in tpl_svc._objs.items():
+                if key.startswith(tpl_root + os.sep):
+                    svc._objs[key.replace(tpl_root, dst, 1)] = val
+        return dst, svc
+
+    dry, svc = clone("dry", None)
+    with fsio.using_backend(fsio.StrictObjectStoreBackend(svc)):
+        SegmentStore(dry).compact(spark)
+    n_ops = svc.mutations
+    assert n_ops >= 3  # claim marker + version claim + pointer at minimum
+
+    for k in range(n_ops):
+        dst, svc = clone(k, k)
+        with fsio.using_backend(fsio.StrictObjectStoreBackend(svc)):
+            try:
+                SegmentStore(dst).compact(spark)
+            except Exception:
+                pass  # the injected outage (or Spark's wrapping of it)
+        svc.fail_after = None  # outage over; durable objects all survive
+        with fsio.using_backend(fsio.StrictObjectStoreBackend(svc)):
+            store = SegmentStore(dst)
+            got = sorted(r["k"] for r in store.open(spark).collect())
+            assert got == expected, f"torn snapshot after crash at op {k}"
+            if len(store.manifest()) > 1:
+                store.compact(spark)  # the retry
+            assert len(SegmentStore(dst).manifest()) == 1
+            store.vacuum(keep_last=1)
+            store.reconcile(grace_seconds=0)
+            got2 = sorted(r["k"] for r in SegmentStore(dst).open(spark).collect())
+            assert got2 == expected, f"post-recovery drift at op {k}"
+        shutil.rmtree(dst, ignore_errors=True)
+
+
 def test_objectstore_compaction_survives_crash_at_every_mutation(
     spark, tmp_path_factory
 ):

@@ -173,6 +173,27 @@ def test_segment_store_lifecycle_model_on_objectstore(spark, ops, tmp_path_facto
         _run_store_lifecycle_model(spark, ops, tmp_path_factory)
 
 
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=STORE_OPS)
+def test_segment_store_lifecycle_model_on_strict_objectstore(
+    spark, ops, tmp_path_factory
+):
+    """The generative lifecycle model on the STRICT backend (round 12):
+    manifests, claims and pointers exist ONLY in the in-memory service —
+    any lifecycle path that still read store metadata through the local
+    filesystem would see nothing and fail loudly here, so arbitrary
+    interleavings prove the READ side of the seam, not just the commit
+    choreography."""
+    from iodf_spark.sources import fsio
+
+    with fsio.using_backend(fsio.StrictObjectStoreBackend()):
+        _run_store_lifecycle_model(spark, ops, tmp_path_factory)
+
+
 def _run_store_lifecycle_model(spark, ops, tmp_path_factory):
     import shutil
 
