@@ -638,6 +638,9 @@ class SegmentStore:
                     "renumber_epoch": doc["renumber_epoch"],
                     "rows_delta": rows - prev_rows,
                     "segments_delta": len(entries) - prev_segs,
+                    # commit wall-clock from the doc itself (round 12);
+                    # None for pre-timestamp manifests
+                    "committed_at": doc.get("committed_at"),
                 }
             )
             prev_rows, prev_segs = rows, len(entries)
