@@ -37,3 +37,16 @@ def fsio_backend(request):
     }[request.param]()
     with fsio.using_backend(backend):
         yield request.param
+
+
+def backdate_tree(path, ts):
+    """Test harness for grace windows: age a path the way fsio.mtime now
+    measures it — the NEWEST write under the prefix (object stores have
+    no directory inodes) — so every file AND dir gets the old timestamp,
+    not just the top-level inode."""
+    import os
+
+    os.utime(path, (ts, ts))
+    for root, dirs, files in os.walk(path):
+        for n in dirs + files:
+            os.utime(os.path.join(root, n), (ts, ts))

@@ -79,6 +79,84 @@ def test_chunkivf_probe_prunes_cell_partitions(spark, arms):
     assert entrymod.CHUNKIVF_PROBE < entrymod.CHUNKIVF_CELLS
 
 
+def test_chunk_store_incremental_append_equals_rebuild(spark):
+    """The standing RAG indexer shape: NEW documents' chunks append to
+    the chunk store against the FROZEN sidecar quantizer (ivf_append) —
+    byte-identical store rows and probe results to a one-shot rebuild
+    over the full corpus. At 100 TB the store is maintained by deltas,
+    never rebuilt; frozen centroids make append == rebuild exact."""
+    import tempfile
+
+    from iodf_spark.operators.ann_maintenance import read_centroid_sidecar
+    from iodf_spark.operators.packing import chunk_documents
+    from iodf_spark.operators.similarity import (
+        ann_ivf_store,
+        hash_embed,
+        ivf_append,
+        ivf_build_store,
+    )
+
+    docs = entrymod._documents(spark, SF).select("doc_id", "text")
+    ch = chunk_documents(docs, "doc_id", "text", chunk_toks=64, overlap=8)
+    emb = hash_embed(
+        ch.select(entrymod._chunk_cid_expr().alias("cid"), "chunk_text"),
+        "cid", "chunk_text", dim=entrymod.SEMVEC_DIM,
+    ).cache()
+    cents = entrymod._trained_chunk_cent()
+    mid = emb.agg(F.expr("percentile_approx(cid, 0.5)")).collect()[0][0]
+    first = emb.filter(F.col("cid") <= mid)
+    rest = emb.filter(F.col("cid") > mid)
+    inc = tempfile.mkdtemp(prefix="iodf_chunkinc_")
+    full = tempfile.mkdtemp(prefix="iodf_chunkfull_")
+    ivf_build_store(
+        first, "cid", "vec", inc,
+        n_centroids=entrymod.CHUNKIVF_CELLS, dim=entrymod.SEMVEC_DIM,
+        cent_vecs=cents,
+    )
+    ivf_append(
+        spark, inc, rest, "cid", "vec",
+        n_centroids=entrymod.CHUNKIVF_CELLS, dim=entrymod.SEMVEC_DIM,
+        cent=read_centroid_sidecar(spark, inc),
+    )
+    ivf_build_store(
+        emb, "cid", "vec", full,
+        n_centroids=entrymod.CHUNKIVF_CELLS, dim=entrymod.SEMVEC_DIM,
+        cent_vecs=cents,
+    )
+    assert sorted(map(tuple, spark.read.parquet(inc).collect())) == sorted(
+        map(tuple, spark.read.parquet(full).collect())
+    )
+    qv = {-1: [1.0] + [0.0] * (entrymod.SEMVEC_DIM - 1)}
+    probe = dict(
+        k=25, n_centroids=entrymod.CHUNKIVF_CELLS,
+        n_probe=entrymod.CHUNKIVF_PROBE, dim=entrymod.SEMVEC_DIM,
+        query_vecs=qv,
+    )
+    assert sorted(
+        map(tuple, ann_ivf_store(emb, "cid", "vec", inc, [], **probe).collect())
+    ) == sorted(
+        map(tuple, ann_ivf_store(emb, "cid", "vec", full, [], **probe).collect())
+    )
+
+
+def test_tuner_on_the_chunk_store(spark, arms):
+    """Round-12 composition: ann_tune_n_probe on the REAL chunk store —
+    the tuned width must hit its recall target end-to-end through
+    n_probe='auto' on the store's own sampled queries (the serving
+    default a standing maintainer would freeze after each compaction)."""
+    from iodf_spark.operators.ann_maintenance import (
+        ann_tune_n_probe,
+        read_serving_sidecar,
+    )
+
+    arms["chunkivf"]().count()  # ensure the store exists
+    path, _emb = entrymod._cache[("chunkivf_store", SF)]
+    doc = ann_tune_n_probe(spark, path, k=10, recall_target=0.9)
+    assert 1 <= doc["n_probe"] <= entrymod.CHUNKIVF_CELLS
+    assert doc["measured_recall"] >= 0.9 or doc.get("target_unreachable")
+    assert read_serving_sidecar(path) == doc
+
+
 def test_chunkivf_store_probe_reads_only_probed_cells_files(spark, arms):
     """File-grain proof of the pruning: the planned scan's input files
     all live under the probed cid= partition directories — strictly

@@ -144,7 +144,9 @@ def test_reconcile_sweeps_orphan_dirs(spark, store):
     assert os.path.exists(orphan)
     # ...until it ages past the grace window (backdate the mtime)
     old = _time.time() - store.orphan_grace_seconds - 1
-    os.utime(orphan, (old, old))
+    from tests.conftest import backdate_tree
+
+    backdate_tree(orphan, old)  # whole tree: fsio.mtime = newest write under the prefix
     removed = store.reconcile()
     assert removed == ["seg-00999"]
     assert not os.path.exists(orphan)
@@ -289,7 +291,9 @@ def test_open_sweeps_crash_orphans(spark, store):
     with open(os.path.join(orphan, "data", "junk"), "w") as fh:
         fh.write("x")
     old = _time.time() - store.orphan_grace_seconds - 1
-    os.utime(orphan, (old, old))  # aged past the in-flight grace window
+    from tests.conftest import backdate_tree
+
+    backdate_tree(orphan, old)  # aged past the in-flight grace window
     opened = store.open(spark)
     assert not os.path.exists(orphan)
     assert opened.count() == 50
