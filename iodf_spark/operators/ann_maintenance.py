@@ -733,7 +733,7 @@ def write_centroid_sidecar(cent: DataFrame, store_path: str) -> None:
 
 def read_centroid_sidecar(spark: SparkSession, store_path: str) -> DataFrame | None:
     p = os.path.join(store_path, CENTROIDS_DIR)
-    if not os.path.isdir(p):
+    if not fsio.is_dir(p):
         return None
     return spark.read.parquet(p).select("cid", "_ce", "_cen")
 
@@ -755,7 +755,7 @@ def write_codebook_sidecar(cb: DataFrame, store_path: str) -> None:
 
 def read_codebook_sidecar(spark: SparkSession, store_path: str) -> DataFrame | None:
     p = os.path.join(store_path, CODEBOOKS_DIR)
-    if not os.path.isdir(p):
+    if not fsio.is_dir(p):
         return None
     return spark.read.parquet(p).select("code", "m", "csub", "_cn2")
 
