@@ -3204,7 +3204,11 @@ def _text_search_arms(spark: SparkSession, sf_dir: str):
         # brute-force full-corpus cosine — the one retrieval arm whose
         # plan read every vector per query. Recall floor vs the exact
         # chunkvec ranking pinned via ann_recall in
-        # tests/test_chunk_retrieval.py.
+        # tests/test_chunk_retrieval.py. n_probe is the STATIC constant,
+        # not n_probe='auto': the oracle twin must embed the same width
+        # as a deterministic literal; the tuner path
+        # (ann_maintenance.ann_tune_n_probe -> serving sidecar -> 'auto')
+        # is pytest-attested on THIS store in test_chunk_retrieval.py.
         from iodf_spark.operators.similarity import ann_ivf_store
 
         path, emb = chunk_store()

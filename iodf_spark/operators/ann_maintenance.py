@@ -895,21 +895,27 @@ def ann_tune_n_probe(
     by_q: dict[int, list[int]] = {}
     for qid, need in pairs:
         by_q.setdefault(qid, []).append(need)
-    chosen, measured = n_cells, 0.0
+    curve: dict[str, float] = {}
     for p in range(1, n_cells + 1):
         recalls = [
             sum(1 for need in needs if need <= p) / len(needs)
             for needs in by_q.values()
         ]
-        mean = sum(recalls) / len(recalls)
-        if mean >= recall_target or p == n_cells:
-            chosen, measured = p, mean
-            break
+        curve[str(p)] = float(round(sum(recalls) / len(recalls), 6))
+    chosen = next(
+        (p for p in range(1, n_cells + 1) if curve[str(p)] >= recall_target),
+        n_cells,
+    )
+    measured = curve[str(chosen)]
     doc = {
         "n_probe": int(chosen),
         "k": int(k),
         "recall_target": float(recall_target),
-        "measured_recall": float(round(measured, 6)),
+        "measured_recall": measured,
+        # the FULL width->recall curve (monotone by construction: probed
+        # sets are nested) — the ops signal for "how much headroom does
+        # widening buy", free since the closed form computes every width
+        "recall_curve": curve,
         "n_cells": int(n_cells),
         "n_queries": int(len(by_q)),
     }
@@ -1229,5 +1235,9 @@ def ann_store_describe(spark: SparkSession, store_path: str) -> dict:
         "has_codebook_sidecar": read_codebook_sidecar(spark, store_path)
         is not None,
         "sidecar_k": None if side is None else side.count(),
+        # the tuned serving width + its measured recall (round 12):
+        # None until ann_tune_n_probe has run — the answer to the skew
+        # signal above lives next to it
+        "serving": read_serving_sidecar(store_path),
         "cursor": cursor,
     }

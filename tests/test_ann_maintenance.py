@@ -610,6 +610,14 @@ def test_ann_store_describe(spark, emb, corpus, tmp_path):
     assert d2["pending_deletes"] == 0
     assert d2["n_rows"] == 450 - len(DELETED)
 
+    # the serving sidecar surfaces once the tuner has run (None before)
+    from iodf_spark.operators.ann_maintenance import ann_tune_n_probe
+
+    assert d2["serving"] is None
+    tuned = ann_tune_n_probe(spark, path, k=5, recall_target=0.8)
+    d3 = ann_store_describe(spark, path)
+    assert d3["serving"] == tuned and 1 <= d3["serving"]["n_probe"] <= 4
+
 
 def test_ann_compaction_survives_objectstore_crash_at_every_mutation(
     spark, emb, tmp_path_factory

@@ -95,6 +95,9 @@ def test_skewed_store_auto_selects_wider_probe(spark, tight_store, straddle_stor
     # the sidecar is durable, readable metadata
     assert read_serving_sidecar(straddle_store)["n_probe"] == s["n_probe"]
     assert read_serving_sidecar(straddle_store)["n_cells"] == 4
+    # the full width->recall curve rides along, monotone (nested probes)
+    curve = [s["recall_curve"][str(p)] for p in range(1, 5)]
+    assert curve == sorted(curve) and curve[0] < 0.9 <= curve[s["n_probe"] - 1]
 
 
 def test_auto_probe_hits_recall_floor_end_to_end(spark, straddle_store):
