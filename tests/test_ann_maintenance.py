@@ -710,3 +710,69 @@ def test_manifest_history_pruning_is_age_aware(tmp_path, monkeypatch):
     M._manifest_commit(path, dict(doc))
     kept = sorted(fsio.list_files(d, ".json"))
     assert kept == ["v00000007.json", "v00000008.json", "v00000009.json"]
+
+
+def test_ann_compaction_survives_strict_objectstore_crash_at_every_mutation(
+    spark, emb, tmp_path_factory
+):
+    """The ANN-store compaction crash sweep on the STRICT backend (the
+    corpus-store strict twin lives in test_fsio): the store's manifest,
+    ledger and deletion-list METADATA exist only in the in-memory
+    service, so this proves the delete-aware probe's old-or-new snapshot
+    guarantee holds with no local-file shadow of the commit protocol —
+    the outage ends by clearing fail_after on the SAME service (durable
+    objects survive an outage)."""
+    import shutil
+
+    from iodf_spark.sources import fsio
+    from tests.test_fsio import FaultyStrictService
+
+    template_root = tmp_path_factory.mktemp("sannfaulty")
+    corpus_t = str(template_root / "corpus")
+    store_t = str(template_root / "ivf")
+    tpl_svc = fsio.StrictObjectStore()
+    with fsio.using_backend(fsio.StrictObjectStoreBackend(tpl_svc)):
+        corpus = SegmentStore(corpus_t)
+        corpus.write_segment(emb.filter(F.col("vec_id") < 450), order_keys=["vec_id"])
+        ann_store_seed(spark, corpus, store_t, "vec_id", "embedding", dim=DIM)
+        corpus.delete_where(spark, F.col("vec_id").isin(DELETED))
+        ann_store_sync(spark, corpus, store_t, "vec_id", "embedding", dim=DIM)
+        want = _probe(spark, emb, store_t)
+    assert all(nid not in DELETED for nid in want.values())
+
+    def clone(tag, fail_after):
+        dst = str(tmp_path_factory.mktemp(f"sannfaulty_{tag}") / "ivf")
+        shutil.copytree(store_t, dst)
+        svc = FaultyStrictService(fail_after)
+        with tpl_svc._lock:
+            for key, val in tpl_svc._objs.items():
+                if key.startswith(store_t + os.sep):
+                    svc._objs[key.replace(store_t, dst, 1)] = val
+        return dst, svc
+
+    dry, svc = clone("dry", None)
+    with fsio.using_backend(fsio.StrictObjectStoreBackend(svc)):
+        ann_compact_deletes(spark, dry)
+    n_ops = svc.mutations
+    assert n_ops >= 2  # vN.json + CURRENT at minimum
+
+    for k in range(n_ops):
+        dst, svc = clone(k, k)
+        with fsio.using_backend(fsio.StrictObjectStoreBackend(svc)):
+            try:
+                ann_compact_deletes(spark, dst)
+            except Exception:
+                pass  # the injected outage
+        svc.fail_after = None  # outage over; durable objects all survive
+        with fsio.using_backend(fsio.StrictObjectStoreBackend(svc)):
+            assert _probe(spark, emb, dst) == want, (
+                f"probe drifted after crash at op {k}"
+            )
+            ann_compact_deletes(spark, dst)  # the retry
+            if read_ann_deletes(spark, dst) is not None:
+                ann_compact_deletes(spark, dst)
+            assert read_ann_deletes(spark, dst) is None
+            assert _probe(spark, emb, dst) == want, (
+                f"post-recovery drift at op {k}"
+            )
+        shutil.rmtree(os.path.dirname(dst), ignore_errors=True)
