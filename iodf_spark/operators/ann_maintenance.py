@@ -829,6 +829,14 @@ def ann_tune_n_probe(
         )
     n_cells = cent.count()
     codes = live_codes(spark, store_path)
+    if "_cv" not in codes.columns:
+        raise ValueError(
+            f"{store_path}: ann_tune_n_probe needs a full-vector IVF "
+            "store (_cv column); IVF-PQ stores carry m-byte codes only — "
+            "tune the coarse quantizer on the SOURCE vectors before "
+            "encoding (build a plain IVF store from the training slice), "
+            "then reuse the tuned width"
+        )
     if query_vecs is not None:
         rows = [
             (int(i), [float(x) for x in v]) for i, v in sorted(query_vecs.items())

@@ -157,6 +157,92 @@ def test_tuner_on_the_chunk_store(spark, arms):
     assert read_serving_sidecar(path) == doc
 
 
+def test_chunk_store_doc_takedown_removes_every_chunk(spark):
+    """The RAG compliance story: taking down a DOCUMENT must remove all
+    of its chunks from retrieval. The takedown ids are recomputed
+    deterministically from the doc's own text (the same chunk geometry
+    that built the store — no store scan needed to resolve them), applied
+    through the ordinary deletion-list path, and compaction reclaims the
+    codes; the surviving corpus still ranks identically to a fresh build
+    without the doc."""
+    import tempfile
+
+    from iodf_spark.operators.ann_maintenance import (
+        ann_apply_deletes,
+        ann_compact_deletes,
+        read_ann_deletes,
+    )
+    from iodf_spark.operators.packing import chunk_documents
+    from iodf_spark.operators.similarity import (
+        ann_ivf_store,
+        hash_embed,
+        ivf_build_store,
+    )
+
+    docs = entrymod._documents(spark, SF).select("doc_id", "text")
+    ch = chunk_documents(docs, "doc_id", "text", chunk_toks=64, overlap=8)
+    emb = hash_embed(
+        ch.select(entrymod._chunk_cid_expr().alias("cid"), "chunk_text"),
+        "cid", "chunk_text", dim=entrymod.SEMVEC_DIM,
+    ).cache()
+    path = tempfile.mkdtemp(prefix="iodf_chunkdel_")
+    ivf_build_store(
+        emb, "cid", "vec", path,
+        n_centroids=entrymod.CHUNKIVF_CELLS, dim=entrymod.SEMVEC_DIM,
+        cent_vecs=entrymod._trained_chunk_cent(),
+    )
+    qv = {-1: [1.0] + [0.0] * (entrymod.SEMVEC_DIM - 1)}
+    probe = dict(
+        k=1_000_000_000, n_centroids=entrymod.CHUNKIVF_CELLS,
+        n_probe=entrymod.CHUNKIVF_CELLS,  # exhaustive: EVERY live chunk
+        dim=entrymod.SEMVEC_DIM, query_vecs=qv,
+    )
+    pre = ann_ivf_store(emb, "cid", "vec", path, [], **probe)
+    victim = int(
+        pre.select(
+            F.expr(f"neighbor_id div {entrymod.CHUNKVEC_ENC}").alias("d")
+        ).first()["d"]
+    )
+    # resolve the doc's chunk ids from its TEXT (same deterministic
+    # geometry the store was built with) — no store scan
+    victim_cids = (
+        chunk_documents(
+            docs.filter(F.col("doc_id") == victim), "doc_id", "text",
+            chunk_toks=64, overlap=8,
+        )
+        .select(entrymod._chunk_cid_expr().alias("cid"))
+    )
+    n_victim = victim_cids.count()
+    assert n_victim >= 1
+    assert ann_apply_deletes(spark, path, victim_cids) == n_victim
+    # immediately delete-aware (list path, before any rewrite)
+    live = ann_ivf_store(emb, "cid", "vec", path, [], **probe)
+    got_docs = {
+        int(r["d"])
+        for r in live.select(
+            F.expr(f"neighbor_id div {entrymod.CHUNKVEC_ENC}").alias("d")
+        ).collect()
+    }
+    assert victim not in got_docs
+    # compaction reclaims; ranking equals a fresh build without the doc
+    ann_compact_deletes(spark, path)
+    assert read_ann_deletes(spark, path) is None
+    clean = tempfile.mkdtemp(prefix="iodf_chunkclean_")
+    ivf_build_store(
+        emb.filter(
+            F.expr(f"cid div {entrymod.CHUNKVEC_ENC}") != victim
+        ),
+        "cid", "vec", clean,
+        n_centroids=entrymod.CHUNKIVF_CELLS, dim=entrymod.SEMVEC_DIM,
+        cent_vecs=entrymod._trained_chunk_cent(),
+    )
+    assert sorted(
+        map(tuple, ann_ivf_store(emb, "cid", "vec", path, [], **probe).collect())
+    ) == sorted(
+        map(tuple, ann_ivf_store(emb, "cid", "vec", clean, [], **probe).collect())
+    )
+
+
 def test_chunkivf_store_probe_reads_only_probed_cells_files(spark, arms):
     """File-grain proof of the pruning: the planned scan's input files
     all live under the probed cid= partition directories — strictly

@@ -144,6 +144,21 @@ def test_tuned_n_probe_survives_takedown_and_compaction(spark, straddle_store):
     assert got.isdisjoint(set(gone))
 
 
+def test_tuner_refuses_codes_only_stores_loudly(spark, tmp_path):
+    """IVF-PQ stores carry m-byte codes, not vectors — the tuner's
+    brute-force truth is impossible there and must refuse with guidance,
+    never fail with a missing-column plan error."""
+    from iodf_spark.operators.similarity import ivfpq_build_store
+
+    path = str(tmp_path / "ivfpq")
+    ivfpq_build_store(
+        _ring(spark, _tight_angles()), "vid", "vec", path,
+        n_centroids=4, m_subspaces=2, n_codes=4, dim=2,
+    )
+    with pytest.raises(ValueError, match="full-vector IVF store"):
+        ann_tune_n_probe(spark, path, k=5, recall_target=0.9)
+
+
 def test_tune_is_deterministic_and_self_contained(spark, tight_store):
     """Same store, same params -> byte-identical sidecar (the tuner
     samples queries hash-ordered from the store itself; no RNG)."""
