@@ -931,3 +931,55 @@ def test_contaminated_spans_model_based(spark, corpus, k):
         for r in contaminated_spans(train, "doc_id", "text", bench, k=k).collect()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(0, (1 << 63) // 1_000_000 - 1),
+            st.integers(0, 1_000_000 - 1),
+        ),
+        min_size=1,
+        max_size=16,
+        unique=True,
+    )
+)
+def test_chunk_cid_pack_roundtrips_in_range(spark, pairs):
+    """The guarded (doc_id, chunk_idx) -> int64 cid pack
+    (__spark_entry__._chunk_cid_expr): for ANY in-range pair the pack is
+    injective and unpacks exactly (div/mod round-trip); out-of-range
+    inputs raise instead of aliasing (the fused when/raise_error guard —
+    round-12 ADVICE fix)."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pairs, "doc_id long, chunk_idx long")
+    got = (
+        df.select(
+            "doc_id", "chunk_idx", entrymod._chunk_cid_expr().alias("cid")
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr(f"cid div {entrymod.CHUNKVEC_ENC}").alias("d2"),
+            F.expr(f"cid % {entrymod.CHUNKVEC_ENC}").alias("c2"),
+            "cid",
+        )
+        .collect()
+    )
+    assert all(r["doc_id"] == r["d2"] and r["chunk_idx"] == r["c2"] for r in got)
+    assert len({r["cid"] for r in got}) == len(pairs)  # injective
+
+
+def test_chunk_cid_pack_raises_out_of_range(spark):
+    import pytest
+
+    import __spark_entry__ as entrymod
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    for doc, idx in [(-1, 0), (0, -1), (0, 1_000_000), ((1 << 63) // 1_000_000, 0)]:
+        df = spark.createDataFrame([(doc, idx)], "doc_id long, chunk_idx long")
+        with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+            df.select(entrymod._chunk_cid_expr().alias("cid")).collect()
