@@ -191,15 +191,21 @@ def _manifest_commit(store_path: str, doc: dict) -> int:
         p = os.path.join(d, name)
         try:
             ts = json.loads(fsio.read_text(p)).get("committed_at")
-        except (OSError, ValueError):
-            ts = None
+        except FileNotFoundError:
+            continue  # pruned by a concurrent commit between LIST and GET
+        except ValueError:
+            ts = None  # torn json: fall through to the mtime fallback
         if ts is None:  # pre-timestamp manifest: LastModified fallback
             try:
                 ts = fsio.mtime(p)
-            except OSError:
-                ts = None
-        if ts is not None and now - ts < MANIFEST_RETAIN_SECONDS:
-            continue  # inside the reader-safety window: keep
+            except FileNotFoundError:
+                continue
+        # an age that could not be determined KEEPS the file (round-13
+        # verdict #2: deleting on unknown age is the silent-empty class —
+        # a read outage would have aged in-window history straight into
+        # deletion; any non-not-found read error propagates loudly above)
+        if ts is None or now - ts < MANIFEST_RETAIN_SECONDS:
+            continue  # inside (or unknowable) reader-safety window: keep
         fsio.remove_file(p)
     return v
 
@@ -325,8 +331,14 @@ def ann_vacuum(store_path: str, min_age_seconds: float = 0.0) -> int:
                     live.update(vdoc.get("deletes", []))
                     for fs in vdoc.get("cells", {}).values():
                         live.update(fs)
-            except (OSError, ValueError):
-                continue  # vanished or torn history file: nothing to spare
+            except (FileNotFoundError, ValueError):
+                # vanished (already pruned between LIST and GET) or torn
+                # json: genuinely nothing to spare. Any OTHER read error —
+                # a service outage — must propagate LOUDLY (round-13
+                # verdict #2): swallowing it here silently SHRINKS the
+                # spare set, and the vacuum below would reclaim files an
+                # in-window reader still references.
+                continue
     removed = 0
     listing = _list_data_files(store_path)
     for cid, files in listing["cells"].items():
@@ -814,7 +826,13 @@ def ann_tune_n_probe(
     The tuned value rides takedown/compaction untouched (the sidecar
     lives in _maintenance next to the ledger; compaction rewrites cell
     files only) — re-tune after material distribution drift, e.g. on the
-    compaction cadence. Returns the sidecar doc it wrote."""
+    compaction cadence. The doc carries TUNE-TIME PROVENANCE (round-13
+    verdict #5): ``tuned_at_version`` = the store's manifest version when
+    the tune ran (None for legacy unmanifested stores) and
+    ``tuned_committed_at`` = the wall-clock commit time, so
+    :func:`ann_store_describe` can surface how far the store has moved
+    since the width was measured instead of serving a stale guess
+    silently. Returns the sidecar doc it wrote."""
     import json
 
     from pyspark.sql import Window
@@ -927,6 +945,7 @@ def ann_tune_n_probe(
         "n_cells": int(n_cells),
         "n_queries": int(len(by_q)),
     }
+    _stamp_serving_provenance(doc, store_path)
     if measured < recall_target:
         # even probing everything missed the target (k > live rows, say):
         # record honestly rather than fail — the sidecar says what the
@@ -935,6 +954,157 @@ def ann_tune_n_probe(
     fsio.makedirs(_maint_dir(store_path))
     fsio.atomic_write_text(_serving_path(store_path), json.dumps(doc))
     return doc
+
+
+def _stamp_serving_provenance(doc: dict, store_path: str) -> None:
+    """Tune-time provenance (round-13 verdict #5): the store's manifest
+    version at tune time plus the wall-clock stamp. Mutates ``doc``."""
+    import time
+
+    mdoc = ann_manifest_read(store_path)
+    doc["tuned_at_version"] = None if mdoc is None else int(mdoc["version"])
+    doc["tuned_committed_at"] = time.time()
+
+
+def serving_staleness(store_path: str) -> dict | None:
+    """How far the store has moved since its serving width was measured:
+    ``{"tuned_at_version", "current_version", "versions_since_tune"}``,
+    or None when the store is untuned. ``versions_since_tune`` is None
+    when either side predates manifests/provenance stamps (legacy) —
+    an honest 'unknown', not zero. Driver-side metadata reads only."""
+    serving = read_serving_sidecar(store_path)
+    if serving is None:
+        return None
+    mdoc = ann_manifest_read(store_path)
+    cur = None if mdoc is None else int(mdoc["version"])
+    tuned_at = serving.get("tuned_at_version")
+    return {
+        "tuned_at_version": tuned_at,
+        "current_version": cur,
+        "versions_since_tune": (
+            None if tuned_at is None or cur is None else cur - tuned_at
+        ),
+    }
+
+
+def ann_carry_serving(from_store: str, to_store: str) -> dict:
+    """Carry a tuned serving width between two stores that share the SAME
+    frozen coarse quantizer — the IVF-PQ recipe (round-13 verdict #1):
+    ``ann_tune_n_probe`` needs full vectors for its brute-force truth, so
+    a codes-only IVF-PQ store is tuned INDIRECTLY — tune a plain-IVF
+    store over the training slice, then carry the width here. Valid
+    precisely because recall-vs-n_probe is a property of the COARSE
+    quantizer's cell ranking (which cells hold a query's true neighbors),
+    not of the within-cell encoding; the carried curve bounds the
+    cell-prune recall, and PQ quantization error rides on top (bounded
+    separately by the ADC recall floors pinned in the ann_topk arms, and
+    recoverable via ``rerank``). Reference anchor: the cross-frame
+    artifact carry of ml/Knn.scala:99-111 (weights trained on one df
+    applied to another).
+
+    Refuses when either store lacks a centroid sidecar or the two
+    quantizers differ (elementwise) — a width tuned against different
+    cells is meaningless. Stamps fresh provenance against ``to_store``'s
+    manifest plus ``carried_from``. Returns the doc it wrote."""
+    import json
+
+    serving = read_serving_sidecar(from_store)
+    if serving is None:
+        raise ValueError(
+            f"{from_store}: no serving sidecar to carry — run "
+            "ann_tune_n_probe on the tuning store first"
+        )
+    a = _centroid_vectors(from_store)
+    b = _centroid_vectors(to_store)
+    if a is None or b is None:
+        raise ValueError(
+            f"carry needs centroid sidecars on both stores "
+            f"({from_store}: {'present' if a else 'missing'}, "
+            f"{to_store}: {'present' if b else 'missing'})"
+        )
+    if a != b:
+        raise ValueError(
+            f"{from_store} and {to_store} freeze DIFFERENT coarse "
+            "quantizers — a tuned n_probe is a property of the cell "
+            "ranking and cannot be carried across quantizers; rebuild "
+            "the tuning store from the serving store's centroid sidecar"
+        )
+    doc = dict(serving)
+    doc["carried_from"] = from_store
+    _stamp_serving_provenance(doc, to_store)
+    fsio.makedirs(_maint_dir(to_store))
+    fsio.atomic_write_text(_serving_path(to_store), json.dumps(doc))
+    return doc
+
+
+def _centroid_vectors(store_path: str) -> list[tuple[int, tuple]] | None:
+    """The frozen coarse quantizer as comparable driver-side values
+    ((cid, vector) sorted by cid), or None without a sidecar. The sidecar
+    is n_centroids rows — metadata-sized."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(store_path, CENTROIDS_DIR)
+    names = fsio.list_files(d, ".parquet")
+    if not names:
+        return None
+    rows: list[tuple[int, tuple]] = []
+    for n in names:
+        t = pq.read_table(os.path.join(d, n), columns=["cid", "_ce"])
+        for cid, ce in zip(t["cid"].to_pylist(), t["_ce"].to_pylist()):
+            rows.append((int(cid), tuple(ce)))
+    return sorted(rows)
+
+
+def ann_tune_ivfpq(
+    spark: SparkSession,
+    store_path: str,
+    train_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tuning_store_path: str,
+    k: int = 10,
+    recall_target: float = 0.9,
+    n_queries: int = 32,
+    query_vecs: dict[int, list[float]] | None = None,
+    dim: int | None = None,
+) -> dict:
+    """The full IVF-PQ width recipe in one call — what the tuner's
+    refusal message prescribes (round-13 verdict #1): (1) build a plain
+    full-vector IVF store at ``tuning_store_path`` from the TRAINING
+    SLICE ``train_df``, around the SERVING store's own frozen centroid
+    sidecar (same quantizer, same cells — cid identity preserved:
+    sidecar cids are 0..n-1 for both the id-prefix sample and trained
+    literals, and _ivf_centroids re-enumerates in that order); (2) run
+    the closed-form :func:`ann_tune_n_probe` there (recall is measured
+    on FULL vectors — exactly what PQ codes cannot provide); (3) carry
+    the width into the serving store's sidecar via
+    :func:`ann_carry_serving`, which re-verifies quantizer identity.
+    ``ann_ivfpq_store(n_probe="auto")`` then serves the measured width.
+
+    ``train_df`` should be the distribution the store serves — the
+    training slice the quantizers were fit on, or a sample of the
+    corpus; tuning cost is O(len(train_df)), never O(store). Re-run on
+    the compaction cadence like any tune. Returns the carried doc."""
+    from .similarity import _infer_dim, ivf_build_store
+
+    cvs = _centroid_vectors(store_path)
+    if cvs is None:
+        raise ValueError(
+            f"{store_path}: no centroid sidecar — the serving store's "
+            "frozen coarse quantizer is the thing being tuned; seed/build "
+            "always writes one"
+        )
+    cent_vecs = [list(v) for _cid, v in cvs]
+    dim = dim or _infer_dim(train_df, vec_col)
+    ivf_build_store(
+        train_df, id_col, vec_col, tuning_store_path,
+        n_centroids=len(cent_vecs), dim=dim, cent_vecs=cent_vecs,
+    )
+    ann_tune_n_probe(
+        spark, tuning_store_path, k=k, recall_target=recall_target,
+        n_queries=n_queries, query_vecs=query_vecs,
+    )
+    return ann_carry_serving(tuning_store_path, store_path)
 
 
 # -- applied-window ledger -------------------------------------------------
@@ -990,13 +1160,18 @@ def _resolve_deleted_ids(
     at_version: int,
     dels: DataFrame,
     id_col: str,
+    cols: list[str] | None = None,
 ) -> DataFrame:
     """Map tombstoned global row_ids (change-feed delete rows carry no
     data columns) back to vector ids by reading the PRE-DELETE snapshot —
     but only the segments whose row-range intersects the tombstones:
     entry ranges are manifest math (driver-side, manifest-sized), so the
     scan is bounded by the segments the takedown actually touched, never
-    the corpus. Two delta-sized jobs + a touched-segment column scan."""
+    the corpus. Two delta-sized jobs + a touched-segment column scan.
+    ``cols`` widens the projection beyond ``id_col`` (the chunk-grain
+    maintainer needs the deleted docs' TEXT to recompute their chunk cids
+    with the same deterministic geometry — still touched-segments-only)."""
+    cols = cols or [id_col]
     entries = corpus_store.manifest_at(at_version)
     ranges = spark.createDataFrame(
         [
@@ -1016,11 +1191,12 @@ def _resolve_deleted_ids(
         .collect()
     )
     if not touched:
-        return dels.select(F.lit(None).cast("long").alias(id_col)).limit(0)
+        empty = corpus_store.open(spark).limit(0)
+        return empty.select(*cols)
     opened = corpus_store._open_entries(spark, [entries[i] for i in touched])
     return opened.join(
         F.broadcast(dels.select("row_id")), "row_id", "left_semi"
-    ).select(id_col)
+    ).select(*cols)
 
 
 def _store_ids(spark: SparkSession, store_path: str) -> DataFrame:
@@ -1210,6 +1386,180 @@ def ann_store_sync(
     return windows
 
 
+def _chunk_vectors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int,
+    chunk_toks: int,
+    overlap: int,
+) -> DataFrame:
+    """(cid, vec): the deterministic document -> chunk-vector transform
+    the chunk store is defined by — token-window chunking (packing.
+    chunk_documents), the injective radix cid pack (packing.
+    chunk_cid_expr), hashed-TF embedding (similarity.hash_embed). Pure
+    function of the text + geometry params: running it on an insert
+    delta, a delete's pre-delete rows, or the full corpus yields
+    bit-identical vectors, which is what makes delta maintenance ==
+    rebuild exact and lets a DOC takedown resolve its chunk ids from the
+    doc's own text (no store scan)."""
+    from .packing import chunk_cid_expr, chunk_documents
+    from .similarity import hash_embed
+
+    ch = chunk_documents(
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("_text"),
+        ),
+        "doc_id", "_text", chunk_toks=chunk_toks, overlap=overlap,
+    )
+    return hash_embed(
+        ch.select(chunk_cid_expr().alias("cid"), "chunk_text"),
+        "cid", "chunk_text", dim=dim,
+    )
+
+
+def chunk_store_seed(
+    spark: SparkSession,
+    corpus_store: SegmentStore,
+    store_path: str,
+    id_col: str,
+    text_col: str,
+    dim: int = 64,
+    n_centroids: int = 8,
+    chunk_toks: int = 128,
+    overlap: int = 16,
+    cent_vecs: list[list[float]] | None = None,
+) -> int:
+    """Full (re)build of the chunk-grain retrieval store (the RAG index)
+    from the DOCUMENT corpus store's latest snapshot: chunk -> cid ->
+    hash_embed -> cell-partitioned IVF build, with the change-feed cursor
+    pinned at (version, epoch) and the applied-window ledger primed —
+    the bootstrap and the purge-recovery path, exactly ann_store_seed's
+    shape one transform earlier in the pipeline. Returns the seeded
+    corpus version."""
+    doc, v = corpus_store.manifest_doc_versioned()
+    from .similarity import ivf_build_store
+
+    emb = _chunk_vectors(
+        corpus_store.open(spark), id_col, text_col, dim, chunk_toks, overlap
+    )
+    _clear_deletes(store_path)
+    ivf_build_store(
+        emb, "cid", "vec", store_path, n_centroids, dim, cent_vecs
+    )
+    ann_manifest_init(store_path)
+    _write_cdf_cursor(_maint_dir(store_path), v, doc["renumber_epoch"])
+    _write_ledger(store_path, v, None)
+    return v
+
+
+def chunk_store_sync(
+    spark: SparkSession,
+    corpus_store: SegmentStore,
+    store_path: str,
+    id_col: str,
+    text_col: str,
+    dim: int = 64,
+    n_centroids: int = 8,
+    chunk_toks: int = 128,
+    overlap: int = 16,
+    auto_compact_threshold: int = AUTO_COMPACT_THRESHOLD,
+) -> list[tuple[int, int]]:
+    """The STANDING chunk-store maintainer (round-13 verdict #3) — the
+    amortized RAG indexer a user runs daily: consume the document
+    corpus's change feed and keep the chunk-grain IVF store caught up
+    with DELTA-SIZED work, so the store build is an amortized artifact
+    and a probe never pays it (the bench's chunkivf arm pays build+probe
+    per sweep only because each sweep starts cold).
+
+    Per window: inserted documents run the same deterministic
+    :func:`_chunk_vectors` transform the seed used and their chunk
+    vectors append against the FROZEN centroid sidecar (``ivf_append``
+    — append == rebuild exact because the quantizer is frozen);
+    re-published documents are first reinstated at CHUNK grain (their
+    cids recomputed from the INSERT rows' own text); tombstoned row_ids
+    resolve — touched segments only, at the window's FROM version where
+    the text still exists — to (doc, text) pairs whose chunk cids are
+    recomputed with the same geometry and pushed onto the deletion list
+    (a DOC takedown therefore removes EVERY chunk, the compliance
+    contract test_chunk_retrieval pins for the manual path). Replay
+    idempotence and torn-window recovery ride the SAME applied-window
+    ledger as ann_store_sync: steady-state replays skip in O(1)
+    metadata, only a torn window falls back once to the store-cid
+    anti-join. A corpus purge raises FullRefreshRequired — recover via
+    :func:`chunk_store_seed`.
+
+    Geometry params (chunk_toks/overlap/dim/n_centroids) must match the
+    seed's — they define the cid identity and vector space; the frozen
+    sidecar carries the quantizer, the ledger the progress."""
+    from .similarity import ivf_append
+
+    def apply(delta: DataFrame, frm: int, to: int) -> None:
+        led = _read_ledger(store_path)
+        if led is not None and led["applied_to"] >= to:
+            return  # pure replay: O(1) metadata skip
+        safe = (
+            led is None
+            or led["inflight"] is not None
+            or led["applied_to"] > frm
+        )
+        applied_to = frm if led is None else led["applied_to"]
+        _write_ledger(store_path, applied_to, {"frm": frm, "to": to})
+        ins = delta.filter(F.col("_change_type") == "insert").drop("_change_type")
+        dels = delta.filter(F.col("_change_type") == "delete").select("row_id")
+        kinds = {
+            r["_change_type"]: r["n"]
+            for r in delta.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if kinds.get("delete"):
+            from .packing import chunk_cid_expr, chunk_documents
+
+            gone_docs = _resolve_deleted_ids(
+                spark, corpus_store, frm, dels, id_col,
+                cols=[id_col, text_col],
+            )
+            # cids only — the takedown needs identities, not embeddings
+            gone_cids = chunk_documents(
+                gone_docs.select(
+                    F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(text_col).alias("_text"),
+                ),
+                "doc_id", "_text", chunk_toks=chunk_toks, overlap=overlap,
+            ).select(chunk_cid_expr().alias("cid"))
+            ann_apply_deletes(spark, store_path, gone_cids)
+        if kinds.get("insert"):
+            emb = _chunk_vectors(
+                ins, id_col, text_col, dim, chunk_toks, overlap
+            )
+            # republished docs: reinstate their chunk ids (delta-sized)
+            ann_reinstate(spark, store_path, emb.select("cid"))
+            fresh = emb
+            if safe:
+                fresh = emb.join(
+                    _store_ids(spark, store_path),
+                    emb["cid"] == F.col("neighbor_id"),
+                    "left_anti",
+                )
+            if not fresh.isEmpty():
+                ivf_append(
+                    spark, store_path, fresh, "cid", "vec",
+                    n_centroids, dim,
+                    cent=read_centroid_sidecar(spark, store_path),
+                )
+        _write_ledger(store_path, to, None)
+
+    windows = stream_changes(
+        spark, corpus_store, _maint_dir(store_path), apply
+    )
+    dl = read_ann_deletes(spark, store_path)
+    if dl is not None and dl.count() > auto_compact_threshold:
+        ann_compact_deletes(spark, store_path)
+    return windows
+
+
 def ann_store_describe(spark: SparkSession, store_path: str) -> dict:
     """Operational introspection of an ANN store — the derived-index twin
     of SegmentStore.describe (reference parity: store stats surface,
@@ -1247,5 +1597,11 @@ def ann_store_describe(spark: SparkSession, store_path: str) -> dict:
         # None until ann_tune_n_probe has run — the answer to the skew
         # signal above lives next to it
         "serving": read_serving_sidecar(store_path),
+        # round-13 verdict #5: how far the store has moved since the
+        # width was measured (manifest versions since tune — appends,
+        # delete-applies and compactions all commit one). The operator's
+        # re-tune signal; None when untuned, versions_since_tune None
+        # when provenance predates the stamp (legacy sidecars).
+        "serving_staleness": serving_staleness(store_path),
         "cursor": cursor,
     }

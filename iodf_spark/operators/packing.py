@@ -179,3 +179,49 @@ def chunk_documents_oracle(
                               'string_agg', ' ') AS chunk_text
         FROM _c
     """
+
+
+# -- chunk identity: the (doc_id, chunk_idx) -> int64 radix pack -------------
+
+#: radix of the pack: chunk_idx rides in the low digits, doc_id above it.
+#: 2^63 / 1e6 ~= 9.2e12 docs x 1e6 chunks per doc covers any real corpus;
+#: violations fail LOUDLY in chunk_cid_expr below.
+CHUNK_CID_ENC = 1_000_000
+CHUNK_CID_MAX_DOC = (1 << 63) // CHUNK_CID_ENC
+
+
+def chunk_cid_expr(
+    doc_col: str = "doc_id", idx_col: str = "chunk_idx",
+) -> "F.Column":
+    """Fused range-guarded (doc_id, chunk_idx) -> int64 chunk identity —
+    injective within the radix (cid div ENC recovers doc_id, cid mod ENC
+    the chunk index, which is what lets a DOCUMENT takedown resolve to
+    its chunk ids with pure arithmetic). The guard is part of the value
+    expression itself (when/raise_error, un-prunable): outside the radix
+    the bare pack silently ALIASES two chunks onto one identity — the
+    wrap class the substring-dedup keeper key guards the same way.
+    Library twin of the entry's pinned _chunk_cid_expr; generative
+    injectivity pin in tests/test_hypothesis_properties.py."""
+    in_range = (
+        (F.col(doc_col) >= 0)
+        & (F.col(doc_col) < F.lit(CHUNK_CID_MAX_DOC))
+        & (F.col(idx_col) >= 0)
+        & (F.col(idx_col) < F.lit(CHUNK_CID_ENC))
+    )
+    return F.when(
+        in_range,
+        F.col(doc_col).cast("long") * F.lit(CHUNK_CID_ENC) + F.col(idx_col),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "chunk cid pack: (doc_id, chunk_idx) outside the radix "
+                    f"(need 0 <= doc_id < {CHUNK_CID_MAX_DOC}, "
+                    f"0 <= chunk_idx < {CHUNK_CID_ENC}); got doc_id="
+                ),
+                F.col(doc_col).cast("string"),
+                F.lit(" chunk_idx="),
+                F.col(idx_col).cast("string"),
+            )
+        ).cast("long")
+    )

@@ -1892,7 +1892,7 @@ def ann_ivfpq_store(
     query_ids: list[int],
     k: int = 10,
     n_centroids: int = 4,
-    n_probe: int = 2,
+    n_probe: int | str = 2,
     m_subspaces: int = 4,
     n_codes: int = 16,
     dim: int | None = None,
@@ -1921,9 +1921,31 @@ def ann_ivfpq_store(
     lookup tables instead of one — per-(query, cell) centroid dots, the
     per-(query, m, code) residual distance table, and the per-(cell, m,
     code) centroid-residual cross terms — all tiny, all join-keyed; the
-    scanned candidate row is still just cid + m codes."""
+    scanned candidate row is still just cid + m codes.
+
+    ``n_probe="auto"`` (round-13 verdict #1) serves the MEASURED width
+    from the store's serving sidecar — which, for a codes-only store, is
+    written by the width-carry recipe (ann_maintenance.ann_tune_ivfpq:
+    tune a plain-IVF store over the training slice against this store's
+    frozen centroids, carry the width here), since the tuner's
+    brute-force truth needs full vectors. Raises on an untuned store
+    rather than silently guessing, naming the recipe."""
     spark = df.sparkSession
     dim = dim or _infer_dim(df, vec_col)
+    if n_probe == "auto":
+        from .ann_maintenance import read_serving_sidecar
+
+        serving = read_serving_sidecar(store_path)
+        if serving is None:
+            raise ValueError(
+                f"{store_path}: n_probe='auto' but the store has no "
+                "serving sidecar — codes-only stores are tuned via the "
+                "width-carry recipe (ann_maintenance.ann_tune_ivfpq: "
+                "plain-IVF tuning store over the training slice, same "
+                "frozen centroids, then carry), or pass an explicit "
+                "n_probe"
+            )
+        n_probe = int(serving["n_probe"])
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
     sub_dim = dim // m_subspaces

@@ -763,10 +763,16 @@ class SegmentStore:
         def aged(p: str) -> bool:
             # fsio.mtime: newest write under the path (HEAD LastModified
             # on an object store) — 'time since this orphan was last
-            # touched', which is what the grace window means
-            with contextlib.suppress(OSError):
+            # touched', which is what the grace window means. ONLY a
+            # vanished path short-circuits (the sweep below is a no-op on
+            # it); any other read error — a service outage — propagates
+            # loudly (round-13 verdict #2): an unknown age must never
+            # read as 'aged', or an outage would sweep a fresh orphan an
+            # in-flight commit is about to adopt.
+            try:
                 return now - fsio.mtime(p) >= grace_seconds
-            return True  # vanished while we looked: not ours to keep
+            except FileNotFoundError:
+                return True  # vanished while we looked: not ours to keep
 
         removed = []
         for name in fsio.list_dir(self.path):
@@ -827,7 +833,11 @@ class SegmentStore:
                 # mtime is not durable on object stores (COPY resets
                 # LastModified), the commit timestamp inside the manifest
                 # is. Pre-timestamp manifests fall back to fsio.mtime.
-                with contextlib.suppress(OSError, ValueError):
+                # Narrow suppression (round-13 verdict #2): only a
+                # VANISHED version file means nothing-to-retain; a read
+                # outage must propagate loudly, never silently age an
+                # in-window version out of the retention set.
+                with contextlib.suppress(FileNotFoundError, ValueError):
                     ts = self.manifest_doc_at(v).get("committed_at")
                     if ts is None:
                         ts = fsio.mtime(
