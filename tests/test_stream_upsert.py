@@ -15,6 +15,15 @@ from iodf_spark.sources.segments import SegmentStore
 from iodf_spark.streaming.ingest import stream_upsert
 
 
+@pytest.fixture(autouse=True)
+def _both_backends(fsio_backend):
+    """Round-13 verdict #4: the upsert sink's checkpoint-cursor and
+    merge-commit metadata I/O runs against all three fsio backends — the
+    strict in-memory one makes any seam bypass fail loudly instead of
+    silently passing on emulator-local files."""
+    yield
+
+
 @pytest.fixture()
 def store(tmp_path):
     return SegmentStore(str(tmp_path / "store"))
