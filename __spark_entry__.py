@@ -3231,6 +3231,74 @@ def _text_search_arms(spark: SparkSession, sf_dir: str):
             .select(F.lit("chunkivf").alias("variant"), "row_id", "score")
         )
 
+    def arm_chunksync() -> DataFrame:
+        # the STANDING chunk-store maintainer at oracle grade (round 13,
+        # verdict #3) — the amortized RAG indexer a deployment actually
+        # runs: the chunk store is NOT built in one shot. A document
+        # corpus store is seeded from half the docs
+        # (ann_maintenance.chunk_store_seed: chunk -> cid -> hash_embed
+        # -> IVF build around the trained quantizer, change-feed cursor
+        # + applied-window ledger pinned), the other half lands as a
+        # later segment commit, and chunk_store_sync consumes the change
+        # feed — delta-sized chunk/embed/append against the FROZEN
+        # sidecar centroids. Because frozen quantizers make delta ==
+        # rebuild exact (pytest twin: tests/test_chunk_maintainer.py,
+        # incl. takedown/republish/torn-window, which this insert-only
+        # arm deliberately omits so the oracle stays the full corpus),
+        # the maintained store's probe hash-matches the SAME closed-form
+        # DuckDB IVF oracle as chunkivf's one-shot build — the 100 TB
+        # claim (daily cost = day's documents, not the corpus), verified
+        # by value.
+        import tempfile
+
+        from iodf_spark.operators.ann_maintenance import (
+            chunk_store_seed,
+            chunk_store_sync,
+        )
+        from iodf_spark.operators.similarity import ann_ivf_store
+        from iodf_spark.sources.segments import SegmentStore
+
+        key = ("chunksync_store", sf_dir)
+        if key not in _cache:
+            d = docs().select("doc_id", "text")
+            croot = tempfile.mkdtemp(prefix="iodf_chunksync_corpus_")
+            store = SegmentStore(croot + "/docs")
+            store.write_segment(
+                d.filter(F.col("doc_id") % 2 == 0), order_keys=["doc_id"]
+            )
+            spath = tempfile.mkdtemp(prefix="iodf_chunksync_store_")
+            geo = dict(
+                dim=SEMVEC_DIM, n_centroids=CHUNKIVF_CELLS,
+                chunk_toks=CHUNK_TOKS, overlap=CHUNK_OVERLAP,
+            )
+            chunk_store_seed(
+                spark, store, spath, "doc_id", "text",
+                cent_vecs=_trained_chunk_cent(), **geo,
+            )
+            store.write_segment(
+                d.filter(F.col("doc_id") % 2 == 1), order_keys=["doc_id"]
+            )
+            chunk_store_sync(spark, store, spath, "doc_id", "text", **geo)
+            _cache[key] = spath
+        hits = ann_ivf_store(
+            chunk_emb(), "cid", "vec", _cache[key], [], k=CHUNKVEC_ALL,
+            n_centroids=CHUNKIVF_CELLS, n_probe=CHUNKIVF_PROBE,
+            dim=SEMVEC_DIM, query_vecs={-1: qvec()},
+        )
+        return (
+            hits.select(
+                F.expr(
+                    f"cast(neighbor_id div {CHUNKVEC_ENC} as bigint)"
+                ).alias("row_id"),
+                "cos",
+            )
+            .groupBy("row_id")
+            .agg(F.max("cos").alias("score"))
+            .orderBy(F.col("score").desc(), F.col("row_id"))
+            .limit(15)
+            .select(F.lit("chunksync").alias("variant"), "row_id", "score")
+        )
+
     return [
         ("probe", arm_probe),
         ("bm25", arm_bm25),
@@ -3240,6 +3308,7 @@ def _text_search_arms(spark: SparkSession, sf_dir: str):
         ("semvec", arm_semvec),
         ("chunkvec", arm_chunkvec),
         ("chunkivf", arm_chunkivf),
+        ("chunksync", arm_chunksync),
     ]
 
 
@@ -3247,7 +3316,7 @@ def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I2/§2.12 analyzers + ranked retrieval in one attested entry (former
     index_text_tokens): the text column indexed with the whitespace
     tokenizer (the reference's test analyzer, DfTest.scala:69-70 — one
-    value fans out to N index tokens), then seven retrieval variants over
+    value fans out to N index tokens), then nine retrieval variants over
     it — boolean probe, BM25 top-15, exact phrase, key-range prefix,
     hybrid BM25+ANN reciprocal-rank fusion, free-text SEMANTIC retrieval
     (semvec: the query string embeds through the same hashed-TF transform
@@ -4222,6 +4291,20 @@ def oracle_sql() -> dict[str, str]:
                 n_probe=CHUNKIVF_PROBE, dim=SEMVEC_DIM,
                 cent_vecs=_trained_chunk_cent())})
               GROUP BY 1 ORDER BY score DESC, row_id LIMIT 15) ci
+            UNION ALL
+            -- the MAINTAINED store (seed half + change-feed sync half,
+            -- round 13): delta == rebuild exact under the frozen trained
+            -- quantizer, so the same closed-form IVF ranking is the twin
+            -- — the oracle hash IS the proof the maintainer converges
+            SELECT 'chunksync' AS variant, row_id, score FROM (
+              SELECT neighbor_id // {CHUNKVEC_ENC} AS row_id,
+                     max(cos) AS score
+              FROM ({similarity.ann_ivf_oracle(
+                "cid", "vec", _chunk_emb_table_sql(),
+                [-1], k=CHUNKVEC_ALL, n_centroids=CHUNKIVF_CELLS,
+                n_probe=CHUNKIVF_PROBE, dim=SEMVEC_DIM,
+                cent_vecs=_trained_chunk_cent())})
+              GROUP BY 1 ORDER BY score DESC, row_id LIMIT 15) cs
         """,
         "text_stats": f"""
             SELECT s.*, r.n_bigrams, r.top_token_frac, r.dup_bigram_frac,

@@ -113,10 +113,12 @@ def test_bench_arm_factories_cover_their_query_variants():
     # round 12: chunk retrieval routed through the cell-partitioned IVF
     # store (chunkivf) joins the retrieval cell next to its brute-force
     # exact twin (chunkvec) — same doc-grain best-chunk semantics,
-    # cell-pruned file-level reads
+    # cell-pruned file-level reads. Round 13: the MAINTAINED store
+    # (chunksync — seed half, change-feed sync half; delta == rebuild
+    # exact, so the one-shot build's oracle is its twin too)
     assert [a for a, _ in _arm_names("text_search")] == [
         "probe", "bm25", "phrase", "prefix", "rrf", "semvec",
-        "chunkvec", "chunkivf",
+        "chunkvec", "chunkivf", "chunksync",
     ]
 
 
