@@ -213,3 +213,37 @@ def test_purge_demands_full_refresh_and_seed_recovers(spark, corpus, tmp_path):
     corpus.write_segment(_docs(spark, [20]), order_keys=["doc_id"])
     assert chunk_store_sync(spark, corpus, path, "doc_id", "text", **GEO)
     assert any(nid // ENC == 20 for _r, nid in _probe_all(spark, path))
+
+
+def test_maintained_store_probe_keeps_partition_pruning(spark, corpus, tmp_path):
+    """The serving plan property survives maintenance: a probe against
+    the SYNCED store (seed half + delta appends) still carries the
+    static cid predicate as PartitionFilters — file-level pruning before
+    any IO, reading strictly fewer cells than the store holds — and no
+    exchange anywhere in the chain keys on text."""
+    import contextlib
+    import io
+
+    path = str(tmp_path / "chunks")
+    chunk_store_seed(spark, corpus, path, "doc_id", "text",
+                     cent_vecs=CENTS, **GEO)
+    corpus.write_segment(_docs(spark, range(6, 9)), order_keys=["doc_id"])
+    chunk_store_sync(spark, corpus, path, "doc_id", "text", **GEO)
+    dummy = spark.createDataFrame(
+        [(0, [0.0] * DIM)], "cid long, vec array<double>"
+    )
+    df = ann_ivf_store(
+        dummy, "cid", "vec", path, [], k=15,
+        n_centroids=CELLS, n_probe=2, dim=DIM,
+        query_vecs={-1: [1.0, 0.4] + [0.1] * (DIM - 2)},
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    tail = plan.split("PartitionFilters", 1)[1][:400]
+    assert "cid" in tail, tail
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        keys = seg.split(")", 1)[0]
+        assert "text" not in keys, keys
