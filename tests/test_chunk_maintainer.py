@@ -247,3 +247,26 @@ def test_maintained_store_probe_keeps_partition_pruning(spark, corpus, tmp_path)
     for seg in plan.split("Exchange hashpartitioning(")[1:]:
         keys = seg.split(")", 1)[0]
         assert "text" not in keys, keys
+
+
+def test_describe_covers_the_maintained_chunk_store(spark, corpus, tmp_path):
+    """ann_store_describe is the chunk store's ops surface too (same
+    layout, same manifest/ledger/sidecar files): cursor tracks the
+    corpus version the store reflects, pending deletes surface after a
+    takedown window, and the staleness field rides along for the tuner
+    composition test_chunk_retrieval pins."""
+    from iodf_spark.operators.ann_maintenance import ann_store_describe
+
+    path = str(tmp_path / "chunks")
+    v = chunk_store_seed(spark, corpus, path, "doc_id", "text",
+                         cent_vecs=CENTS, **GEO)
+    d0 = ann_store_describe(spark, path)
+    assert d0["cursor"]["version"] == v
+    assert d0["n_cells"] >= 1 and d0["has_centroid_sidecar"]
+    assert d0["pending_deletes"] == 0
+    corpus.delete_where(spark, F.col("doc_id") == 0)
+    chunk_store_sync(spark, corpus, path, "doc_id", "text", **GEO)
+    d1 = ann_store_describe(spark, path)
+    assert d1["cursor"]["version"] == v + 1
+    assert d1["pending_deletes"] >= 1  # doc 0's chunks await compaction
+    assert d1["serving"] is None and d1["serving_staleness"] is None

@@ -297,11 +297,16 @@ def test_ann_vacuum_spare_set_survives_read_outage(spark, strict):
 
 
 def test_sync_window_read_outage_then_recovery_converges(spark, strict):
-    """The standing maintainer's window under a read outage: every read
-    index either raises or applies the window exactly; after the outage
-    clears, ONE retry converges the store to the same final state a
-    fault-free sync produces (the ledger's torn-window fallback does the
-    exact-once repair)."""
+    """The standing maintainer's window under a read outage: at every
+    swept index the sync either raises or applies exactly; after the
+    outage clears, ONE retry converges the store to the same final state
+    a fault-free sync produces (the ledger's torn-window fallback does
+    the exact-once repair). Unlike the pure-read sweeps above (every
+    index — cheap trials), each sync trial rebuilds corpus + seeded
+    store, so this sweeps a boundary + spread SAMPLE of the read
+    schedule; the loud-or-exact property of the underlying read
+    primitives is already exhaustively swept by the other five tests,
+    and this adds the convergence-after-outage claim on top."""
     from iodf_spark.operators.ann_maintenance import (
         ann_store_seed,
         ann_store_sync,
