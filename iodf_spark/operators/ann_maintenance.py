@@ -1430,24 +1430,42 @@ def chunk_store_seed(
     chunk_toks: int = 128,
     overlap: int = 16,
     cent_vecs: list[list[float]] | None = None,
+    kind: str = "ivf",
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    residual: bool = False,
+    codebook_vecs: list[list[list[float]]] | None = None,
 ) -> int:
     """Full (re)build of the chunk-grain retrieval store (the RAG index)
     from the DOCUMENT corpus store's latest snapshot: chunk -> cid ->
-    hash_embed -> cell-partitioned IVF build, with the change-feed cursor
+    hash_embed -> cell-partitioned build, with the change-feed cursor
     pinned at (version, epoch) and the applied-window ledger primed —
     the bootstrap and the purge-recovery path, exactly ann_store_seed's
-    shape one transform earlier in the pipeline. Returns the seeded
+    shape one transform earlier in the pipeline. ``kind="ivfpq"`` builds
+    the codes-only store (the 100 TB serving configuration: the chunk
+    corpus stored as m one-byte codes per chunk, both training
+    artifacts frozen into sidecars; rerank against the recomputable
+    chunk embeddings recovers exactness, and the serving width comes
+    from the carry recipe — see ann_tune_ivfpq). Returns the seeded
     corpus version."""
     doc, v = corpus_store.manifest_doc_versioned()
-    from .similarity import ivf_build_store
+    from .similarity import ivf_build_store, ivfpq_build_store
 
     emb = _chunk_vectors(
         corpus_store.open(spark), id_col, text_col, dim, chunk_toks, overlap
     )
     _clear_deletes(store_path)
-    ivf_build_store(
-        emb, "cid", "vec", store_path, n_centroids, dim, cent_vecs
-    )
+    if kind == "ivf":
+        ivf_build_store(
+            emb, "cid", "vec", store_path, n_centroids, dim, cent_vecs
+        )
+    elif kind == "ivfpq":
+        ivfpq_build_store(
+            emb, "cid", "vec", store_path, n_centroids,
+            m_subspaces, n_codes, dim, residual, cent_vecs, codebook_vecs,
+        )
+    else:
+        raise ValueError(f"unknown chunk store kind {kind!r}")
     ann_manifest_init(store_path)
     _write_cdf_cursor(_maint_dir(store_path), v, doc["renumber_epoch"])
     _write_ledger(store_path, v, None)
@@ -1465,6 +1483,10 @@ def chunk_store_sync(
     chunk_toks: int = 128,
     overlap: int = 16,
     auto_compact_threshold: int = AUTO_COMPACT_THRESHOLD,
+    kind: str = "ivf",
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    residual: bool = False,
 ) -> list[tuple[int, int]]:
     """The STANDING chunk-store maintainer (round-13 verdict #3) — the
     amortized RAG indexer a user runs daily: consume the document
@@ -1490,10 +1512,14 @@ def chunk_store_sync(
     anti-join. A corpus purge raises FullRefreshRequired — recover via
     :func:`chunk_store_seed`.
 
-    Geometry params (chunk_toks/overlap/dim/n_centroids) must match the
+    Geometry params (chunk_toks/overlap/dim/n_centroids, and for
+    ``kind="ivfpq"`` m_subspaces/n_codes/residual) must match the
     seed's — they define the cid identity and vector space; the frozen
-    sidecar carries the quantizer, the ledger the progress."""
-    from .similarity import ivf_append
+    sidecars carry the quantizers, the ledger the progress. The ivfpq
+    path appends against BOTH frozen sidecars (centroids + codebooks) —
+    a store missing either predates the freeze and raises
+    FullRefreshRequired, same contract as ann_store_sync."""
+    from .similarity import ivf_append, ivfpq_append
 
     def apply(delta: DataFrame, frm: int, to: int) -> None:
         led = _read_ledger(store_path)
@@ -1544,11 +1570,27 @@ def chunk_store_sync(
                     "left_anti",
                 )
             if not fresh.isEmpty():
-                ivf_append(
-                    spark, store_path, fresh, "cid", "vec",
-                    n_centroids, dim,
-                    cent=read_centroid_sidecar(spark, store_path),
-                )
+                if kind == "ivf":
+                    ivf_append(
+                        spark, store_path, fresh, "cid", "vec",
+                        n_centroids, dim,
+                        cent=read_centroid_sidecar(spark, store_path),
+                    )
+                else:
+                    side_cent = read_centroid_sidecar(spark, store_path)
+                    side_cb = read_codebook_sidecar(spark, store_path)
+                    if side_cent is None or side_cb is None:
+                        raise FullRefreshRequired(
+                            f"ivfpq chunk store {store_path} lacks frozen "
+                            "training sidecars: appending would re-derive "
+                            "quantizers and drift — re-seed via "
+                            "chunk_store_seed"
+                        )
+                    ivfpq_append(
+                        spark, store_path, fresh, None, "cid", "vec",
+                        n_centroids, m_subspaces, n_codes, dim, residual,
+                        cent=side_cent, cb=side_cb,
+                    )
         _write_ledger(store_path, to, None)
 
     windows = stream_changes(

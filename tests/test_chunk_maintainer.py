@@ -63,6 +63,15 @@ def _rows(spark, path):
     return sorted(map(tuple, spark.read.parquet(path).collect()))
 
 
+@pytest.fixture(autouse=True)
+def _both_backends(fsio_backend):
+    """The maintainer suite runs against all three fsio backends (the
+    r12/r13 store-suite discipline): its cursor/ledger/manifest/sidecar
+    metadata choreography must hold on object-store semantics, and the
+    strict in-memory backend makes any seam bypass fail loudly."""
+    yield
+
+
 @pytest.fixture()
 def corpus(spark, tmp_path):
     from iodf_spark.sources.segments import SegmentStore
@@ -270,3 +279,76 @@ def test_describe_covers_the_maintained_chunk_store(spark, corpus, tmp_path):
     assert d1["cursor"]["version"] == v + 1
     assert d1["pending_deletes"] >= 1  # doc 0's chunks await compaction
     assert d1["serving"] is None and d1["serving_staleness"] is None
+
+
+def _chunk_emb_of(spark, corpus):
+    """The recomputable chunk embeddings of the corpus's live docs —
+    the rerank source for codes-only chunk stores (hash_embed is a pure
+    function of text, so the float vectors never need storing)."""
+    from iodf_spark.operators.packing import chunk_cid_expr, chunk_documents
+    from iodf_spark.operators.similarity import hash_embed
+
+    ch = chunk_documents(
+        corpus.open(spark).select("doc_id", "text"), "doc_id", "text",
+        chunk_toks=GEO["chunk_toks"], overlap=GEO["overlap"],
+    )
+    return hash_embed(
+        ch.select(chunk_cid_expr().alias("cid"), "chunk_text"),
+        "cid", "chunk_text", dim=DIM,
+    )
+
+
+def test_ivfpq_chunk_store_delta_equals_rebuild_with_carried_width(
+    spark, corpus, tmp_path
+):
+    """The 100 TB RAG serving configuration end-to-end: the chunk store
+    holds m one-byte PQ codes per chunk (no float vectors), is
+    maintained by deltas off the document change feed, gets its serving
+    width from the carry recipe (tune a plain-IVF store over the chunk
+    training slice sharing the frozen centroids), and serves
+    n_probe='auto' with rerank against the RECOMPUTED chunk embeddings.
+    Delta == rebuild exact (both frozen quantizers), takedown propagates
+    at chunk grain through the feed."""
+    from iodf_spark.operators.ann_maintenance import ann_tune_ivfpq
+    from iodf_spark.operators.similarity import ann_ivfpq_store
+
+    pq_geo = dict(kind="ivfpq", m_subspaces=4, n_codes=2)
+    path = str(tmp_path / "pqchunks")
+    chunk_store_seed(spark, corpus, path, "doc_id", "text",
+                     cent_vecs=CENTS, **GEO, **pq_geo)
+    corpus.write_segment(_docs(spark, range(6, 9)), order_keys=["doc_id"])
+    corpus.delete_where(spark, F.col("doc_id") == 3)
+    assert chunk_store_sync(spark, corpus, path, "doc_id", "text",
+                            **GEO, **pq_geo)
+    ctl = str(tmp_path / "rebuild")
+    chunk_store_seed(spark, corpus, ctl, "doc_id", "text",
+                     cent_vecs=CENTS, **GEO, **pq_geo)
+    # width carry: the training slice is the recomputable chunk corpus
+    emb = _chunk_emb_of(spark, corpus)
+    doc = ann_tune_ivfpq(
+        spark, path, emb, "cid", "vec", str(tmp_path / "tuning"),
+        k=5, recall_target=0.8, dim=DIM,
+    )
+    assert 1 <= doc["n_probe"] <= CELLS and "carried_from" in doc
+
+    def probe(p):
+        # rerank large = exact ranking over every probed candidate, so
+        # the serving result is pure cell-prune + exact cosine — the
+        # equality instrument for delta == rebuild on a codes-only store
+        return sorted(
+            (r["rank"], r["neighbor_id"])
+            for r in ann_ivfpq_store(
+                emb, "cid", "vec", p, [], k=25,
+                n_centroids=CELLS, n_probe="auto" if p == path else doc["n_probe"],
+                m_subspaces=4, n_codes=2, dim=DIM, rerank=100000,
+                query_vecs={-1: [1.0, 0.4] + [0.1] * (DIM - 2)},
+            ).collect()
+        )
+
+    got, want = probe(path), probe(ctl)
+    assert got == want
+    # takedown propagated through the feed: doc 3 serves no chunk
+    assert all(nid // ENC != 3 for _r, nid in got)
+    # the maintained store is codes-only: no float vector column on disk
+    cols = set(spark.read.parquet(path).columns)
+    assert "_cv" not in cols and "vec" not in cols
