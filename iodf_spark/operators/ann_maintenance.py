@@ -1334,13 +1334,18 @@ def ann_store_sync(
         if kinds.get("insert"):
             ann_reinstate(spark, store_path, ins.select(id_col))
             fresh = ins
+            probe_empty = False
             if safe:
                 fresh = ins.join(
                     _store_ids(spark, store_path),
                     ins[id_col] == F.col("neighbor_id"),
                     "left_anti",
                 )
-            if not fresh.isEmpty():
+                # only the anti-join can empty a known-nonempty insert set
+                # — on the clean path the isEmpty probe would re-run the
+                # whole delta scan just to learn what kinds already said
+                probe_empty = True
+            if not probe_empty or not fresh.isEmpty():
                 if kind == "ivf":
                     ivf_append(
                         spark, store_path, fresh, id_col, vec_col,
@@ -1557,19 +1562,27 @@ def chunk_store_sync(
             ).select(chunk_cid_expr().alias("cid"))
             ann_apply_deletes(spark, store_path, gone_cids)
         if kinds.get("insert"):
+            # localCheckpoint: the delta's chunk->embed chain fed THREE
+            # consumers (reinstate's cid list, the emptiness gate, the
+            # append's assign+write) and was re-planned — i.e. re-chunked
+            # and re-embedded — by each; materializing the delta-sized
+            # (cid, vec) rows once turns those into cheap local scans.
+            # Delta-bounded at any scale: this is the day's documents,
+            # never the corpus.
             emb = _chunk_vectors(
                 ins, id_col, text_col, dim, chunk_toks, overlap
-            )
+            ).localCheckpoint()
             # republished docs: reinstate their chunk ids (delta-sized)
             ann_reinstate(spark, store_path, emb.select("cid"))
             fresh = emb
+            probe_empty = True  # a delta of tokenless docs chunks to zero
             if safe:
                 fresh = emb.join(
                     _store_ids(spark, store_path),
                     emb["cid"] == F.col("neighbor_id"),
                     "left_anti",
                 )
-            if not fresh.isEmpty():
+            if not probe_empty or not fresh.isEmpty():
                 if kind == "ivf":
                     ivf_append(
                         spark, store_path, fresh, "cid", "vec",

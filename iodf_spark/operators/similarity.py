@@ -528,6 +528,66 @@ def ann_ivf(
     return _ivf_score(qcells, assigned, k, dim)
 
 
+
+# --- narrow (shuffle-free) quantizer kernels -------------------------------
+# When the quantizer is SMALL (every store geometry this engine serves:
+# n_centroids * dim and n_codes * dim bounded), cell assignment and PQ
+# encoding need no crossJoin/aggregate/self-join at all: the centroids /
+# codewords enter the plan as full-precision double literals and the
+# argmax/argmin is ONE narrow projection (array_max/array_min over per-
+# candidate score structs) — the corpus is scanned once, nothing is
+# shuffled, and the embed chain feeding a store build is planned exactly
+# once instead of twice (the agg branch + the re-attach join branch of the
+# previous plan). Bit-equality: the literals are collect()ed from the SAME
+# centroid/codebook frames the broadcast path used (Spark computed _cen /
+# _cn2 itself; repr() round-trips every float64 exactly and the 'd'-suffix
+# literal parses back to the identical bits), the dot terms keep _dot's
+# exact shape and order, and array_max/array_min use the same struct
+# ordering as the max/min aggregates they replace (ccos then -cid; _d then
+# code). Geometries past the cap fall back to the broadcast crossJoin +
+# argmax-aggregate plan, which handles any quantizer size.
+_NARROW_QUANTIZER_MAX_TERMS = 1024
+
+
+def _dlit(x: float) -> str:
+    """repr(float) as an exact Spark SQL double literal ('d' suffix for
+    fixed-point forms; exponent forms already lex as double)."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "d"
+
+
+def _cent_literal_rows(cent, n_centroids: int, dim: int):
+    """The centroid frame collected driver-side for the narrow kernel, or
+    None when the geometry is past the unroll cap. The collect is bounded
+    at n_centroids rows — the same rows the broadcast build shipped."""
+    if n_centroids * dim > _NARROW_QUANTIZER_MAX_TERMS:
+        return None
+    rows = cent.select("cid", "_ce", "_cen").collect()
+    cid_type = dict(
+        (f.name, f.dataType.simpleString()) for f in cent.schema.fields
+    )["cid"]
+    out = [(int(r["cid"]), [float(x) for x in r["_ce"]], float(r["_cen"])) for r in rows]
+    out.sort(key=lambda t: t[0])
+    return out, cid_type
+
+
+def _assign_cid_sql(rows, cid_type: str, dim: int, vec: str = "_cv", vecn: str = "_cvn") -> str:
+    """SQL for the narrow argmax cell assignment: per centroid the SAME
+    ccos expression the crossJoin path computed (unrolled _dot / (vecn *
+    cen)), best-of via array_max over struct(ccos, -cid) — the identical
+    ordering (and NaN semantics) of max(struct(ccos, -cid))."""
+    suf = "L" if cid_type == "bigint" else ""
+    structs = []
+    for cid, ce, cen in rows:
+        dot = " + ".join(
+            f"cast({vec}[{i}] as double) * {_dlit(ce[i])}" for i in range(dim)
+        )
+        structs.append(
+            f"struct((({dot})) / ({vecn} * {_dlit(cen)}) as ccos, {-cid}{suf} as _nc)"
+        )
+    return f"(-(array_max(array({', '.join(structs)}))._nc))"
+
+
 def _ivf_centroids(
     df: DataFrame, id_col: str, vec_col: str, n_centroids: int, dim: int,
     cent_vecs: list[list[float]] | None = None,
@@ -572,7 +632,7 @@ def _ivf_centroids(
 
 def _ivf_assign(
     df: DataFrame, id_col: str, vec_col: str, n_centroids: int, dim: int,
-    cent: DataFrame | None = None,
+    cent: DataFrame | None = None, allow_narrow: bool = True,
 ) -> DataFrame:
     """(cid, neighbor_id, _cv, _cvn): each corpus row assigned to its
     nearest centroid's inverted list. Cell assignment is an argmax
@@ -598,6 +658,15 @@ def _ivf_assign(
     # 6.5 s at 64 centroids x 50 K rows vs ~0.5 s scalar); ccos is computed
     # in the same narrow stage and the arrays are projected away before the
     # shuffle, then the winner's vector re-attaches by one corpus-size join
+    lit_rows = (
+        _cent_literal_rows(cent, n_centroids, dim) if allow_narrow else None
+    )
+    if lit_rows is not None:
+        rows, cid_type = lit_rows
+        return corpus.select(
+            F.expr(_assign_cid_sql(rows, cid_type, dim)).alias("cid"),
+            "neighbor_id", "_cv", "_cvn",
+        )
     scored = (
         corpus.crossJoin(F.broadcast(cent))
         .withColumn("ccos", F.expr(f"({_dot('_cv', '_ce', 'spark', dim)}) / (_cvn * _cen)"))
@@ -1004,11 +1073,13 @@ def ann_lsh_oracle(
 # Product quantization (PQ) ADC — the compressed-scan half of IVF-PQ
 
 
-def _pq_subspaces(df, id_col, vec_col, m_subspaces, sub_dim, out_id):
-    """(out_id, m, sub): one row per (vector, subspace), sub = the
-    subspace's slice of the vector. The m literals live inside an
+def _pq_subspaces(df, id_col, vec_col, m_subspaces, sub_dim, out_id,
+                  carry_cols=()):
+    """(out_id, [carry...], m, sub): one row per (vector, subspace), sub =
+    the subspace's slice of the vector. The m literals live inside an
     exploded struct array (the band_structs pattern), so every slice is a
     STATIC offset — whole-stage-codegen, no runtime-offset slicing."""
+    carry = list(carry_cols)
     structs = [
         F.struct(
             F.lit(j).alias("m"),
@@ -1017,8 +1088,9 @@ def _pq_subspaces(df, id_col, vec_col, m_subspaces, sub_dim, out_id):
         for j in range(m_subspaces)
     ]
     return df.select(
-        F.col(id_col).alias(out_id), F.explode(F.array(*structs)).alias("s")
-    ).select(out_id, "s.m", "s.sub")
+        F.col(id_col).alias(out_id), *carry,
+        F.explode(F.array(*structs)).alias("s"),
+    ).select(out_id, *carry, "s.m", "s.sub")
 
 
 def ann_pq(
@@ -1140,20 +1212,31 @@ def _pq_codebook(df, id_col, vec_col, m_subspaces, sub_dim, n_codes,
     )
 
 
-def _pq_encode(df, id_col, vec_col, m_subspaces, sub_dim, cb):
-    """(neighbor_id, code0..codeM-1): per (vector, subspace) the
-    argmin-distance codeword. The ||x_sub||^2 term is constant within the
-    argmin, so the compared quantity is ||c||^2 - 2<x,c>; min over
+def _pq_encode(df, id_col, vec_col, m_subspaces, sub_dim, cb, carry_cols=()):
+    """(neighbor_id, [carry...], code0..codeM-1): per (vector, subspace)
+    the argmin-distance codeword. The ||x_sub||^2 term is constant within
+    the argmin, so the compared quantity is ||c||^2 - 2<x,c>; min over
     struct(_d, code) collapses map-side (partial agg) and tie-breaks by
-    smallest code."""
-    corpus_sub = _pq_subspaces(fan_out(df), id_col, vec_col, m_subspaces, sub_dim, "neighbor_id")
+    smallest code. ``carry_cols`` threads extra columns of ``df`` (e.g. a
+    precomputed cell id) through the aggregation as grouping keys, so
+    store builds need no codes-to-cells re-join afterwards. (A fully
+    unrolled literal-codebook projection was A/B'd here and LOST 2x: the
+    n_codes * dim expression tree is past the codegen comfort zone and
+    the interpreted fallback re-evaluates subexpressions — notably a
+    residual vec_col — per subscript; the explode + broadcast join +
+    scalar argmin-agg below stays codegen'd at any codebook size.)"""
+    carry = list(carry_cols)
+    corpus_sub = _pq_subspaces(
+        fan_out(df), id_col, vec_col, m_subspaces, sub_dim, "neighbor_id",
+        carry_cols=carry,
+    )
     return (
         corpus_sub.join(F.broadcast(cb), "m")
         .withColumn(
             "_d",
             F.col("_cn2") - 2 * F.expr(_dot("sub", "csub", "spark", sub_dim)),
         )
-        .groupBy("neighbor_id")
+        .groupBy("neighbor_id", *carry)
         .agg(
             *[
                 F.min(F.when(F.col("m") == j, F.struct("_d", "code"))).alias(f"_a{j}")
@@ -1162,6 +1245,7 @@ def _pq_encode(df, id_col, vec_col, m_subspaces, sub_dim, cb):
         )
         .select(
             "neighbor_id",
+            *carry,
             *[F.col(f"_a{j}.code").alias(f"code{j}") for j in range(m_subspaces)],
         )
     )
@@ -1759,19 +1843,27 @@ def ivfpq_build_store(
             cb = _pq_codebook(
                 res_s, "neighbor_id", "_rv", m_subspaces, sub_dim, n_codes
             )
-        codes = _pq_encode(res, "neighbor_id", "_rv", m_subspaces, sub_dim, cb)
-        cells = res.select("cid", "neighbor_id")
+        codes = _pq_encode(
+            res, "neighbor_id", "_rv", m_subspaces, sub_dim, cb,
+            carry_cols=["cid"],
+        )
     else:
         cb = _pq_codebook(
             df, id_col, vec_col, m_subspaces, sub_dim, n_codes, codebook_vecs
         )
-        codes = _pq_encode(df, id_col, vec_col, m_subspaces, sub_dim, cb)
-        cells = _ivf_assign(df, id_col, vec_col, n_centroids, dim, cent=cent).select(
-            "cid", "neighbor_id"
+        # encode on the ASSIGNED frame (same vectors, renamed) so the cell
+        # id rides the encode as a carry column — the previous
+        # codes-join-cells re-join replanned the corpus twice and shuffled
+        # both sides by neighbor_id just to reunite columns computed from
+        # the same row
+        assigned = _ivf_assign(df, id_col, vec_col, n_centroids, dim, cent=cent)
+        codes = _pq_encode(
+            assigned, "neighbor_id", "_cv", m_subspaces, sub_dim, cb,
+            carry_cols=["cid"],
         )
     # cluster by cell before the partitioned write (one file per cell, not
     # one fragment per assign partition per cell)
-    codes.join(cells, "neighbor_id").repartition("cid").write.mode(
+    codes.repartition("cid").write.mode(
         "overwrite"
     ).partitionBy("cid").parquet(path)
     # freeze BOTH training artifacts into the store's sidecars: the codes
@@ -1790,8 +1882,19 @@ def ivfpq_build_store(
 def _ivf_residuals(df, id_col, vec_col, n_centroids, dim, cent):
     """(cid, neighbor_id, _rv): each corpus vector's residual to its
     assigned centroid — the thing IVFADC quantizes. zip_with keeps the
-    subtraction elementwise-exact in both engines."""
-    assigned = _ivf_assign(df, id_col, vec_col, n_centroids, dim, cent=cent)
+    subtraction elementwise-exact in both engines.
+
+    allow_narrow=False: downstream of a residual frame sits the PQ-encode
+    explode + codebook join, and project-collapse re-inlines a narrow
+    assign's unrolled argmax past those operators — measured 2x SLOWER
+    than the agg-based assign whose shuffle materializes the cell id
+    before the expansion (A/B'd at sf0.1: residual build 6.6 s agg vs
+    14.4 s narrow). The plain build/append paths keep the narrow kernel:
+    there the projection feeds the partitioned write directly.
+    """
+    assigned = _ivf_assign(
+        df, id_col, vec_col, n_centroids, dim, cent=cent, allow_narrow=False
+    )
     return assigned.join(F.broadcast(cent), "cid").select(
         "cid",
         "neighbor_id",
@@ -1867,17 +1970,22 @@ def ivfpq_append(
             )
     if residual:
         res_new = _ivf_residuals(new_df, id_col, vec_col, n_centroids, dim, cent)
-        codes = _pq_encode(res_new, "neighbor_id", "_rv", m_subspaces, sub_dim, cb)
-        cells = res_new.select("cid", "neighbor_id")
+        codes = _pq_encode(
+            res_new, "neighbor_id", "_rv", m_subspaces, sub_dim, cb,
+            carry_cols=["cid"],
+        )
     else:
-        codes = _pq_encode(new_df, id_col, vec_col, m_subspaces, sub_dim, cb)
-        cells = _ivf_assign(
+        assigned = _ivf_assign(
             new_df, id_col, vec_col, n_centroids, dim, cent=cent
-        ).select("cid", "neighbor_id")
+        )
+        codes = _pq_encode(
+            assigned, "neighbor_id", "_cv", m_subspaces, sub_dim, cb,
+            carry_cols=["cid"],
+        )
     from .ann_maintenance import _commit_append_diff, _snapshot_for_append
 
     before = _snapshot_for_append(store_path)
-    codes.join(cells, "neighbor_id").repartition("cid").write.mode(
+    codes.repartition("cid").write.mode(
         "append"
     ).partitionBy("cid").parquet(store_path)
     # manifest-tracked stores register the appended files (no-op legacy)

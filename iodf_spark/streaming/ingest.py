@@ -862,11 +862,24 @@ def stream_neardup_pairs(
         # (repartition, not coalesce: coalesce would cap the upstream
         # join/agg stages to the output width)
         n_out = max(1, spark.sparkContext.defaultParallelism // 8)
-        verify_jaccard(cands, all_sized, threshold).repartition(n_out).write.mode(
-            "append"
-        ).parquet(pairs_dir)
-        new_bands.repartition(n_out).write.mode("append").parquet(bands_dir)
-        sized.repartition(n_out).write.mode("append").parquet(sh_dir)
+        pairs = verify_jaccard(cands, all_sized, threshold)
+        # the three per-batch writes are independent jobs over already-
+        # persisted inputs (the accumulated-store reads captured their file
+        # listings above, so the state appends cannot leak into this
+        # batch's own candidate join) — submitting them from a small
+        # thread pool lets the two tiny state appends back-fill the
+        # verify job's straggler tail instead of paying three sequential
+        # job latencies per micro-batch (guide: overlap independent jobs)
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = (
+            lambda: pairs.repartition(n_out).write.mode("append").parquet(pairs_dir),
+            lambda: new_bands.repartition(n_out).write.mode("append").parquet(bands_dir),
+            lambda: sized.repartition(n_out).write.mode("append").parquet(sh_dir),
+        )
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for fut in [pool.submit(w) for w in writes]:
+                fut.result()
         sized.unpersist()
         new_bands.unpersist()
 
@@ -921,6 +934,9 @@ def read_neardup_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
 # Incremental substring-level dedup (streaming ExactSubstr)
 
 
+_SSTREAM_BUCKETS = 512  # state buckets for stream_duplicated_windows (see fn)
+
+
 def stream_duplicated_windows(
     docs: DataFrame,
     id_col: str,
@@ -938,16 +954,18 @@ def stream_duplicated_windows(
     batch==stream contract, at substring granularity).
 
     Engine shape: the ONLY stateful primitive is applyInPandasWithState
-    keyed by the two-column ~2^112 wide-fold window identity (operators/
-    dedup _gram_stream2's array form, two int64 key columns — window
-    functions are unavailable on a streaming DataFrame). State per key is
-    12 bytes: (count, pending
-    doc, pending pos); while a window has exactly one occurrence, that
-    occurrence is HELD; the batch delivering the second emits both (the
-    held one retroactively) and later arrivals emit themselves — no
-    per-batch scan of anything corpus-sized, no foreachBatch parquet
-    state: per-delivery cost is the delivery's own windows plus state
-    lookups (RocksDB/HDFS state store, delta-bounded natively).
+    keyed by a HASH BUCKET of the two-column ~2^112 wide-fold window
+    identity (operators/dedup _gram_stream2's array form — window
+    functions are unavailable on a streaming DataFrame); the bucket
+    amortizes the per-key Python invocation cost over ~100 windows (see
+    the inline note at fn) while the per-WINDOW state stays (count,
+    pending doc, pending pos), stored as parallel arrays per bucket.
+    While a window has exactly one occurrence, that occurrence is HELD;
+    the batch delivering the second emits both (the held one
+    retroactively) and later arrivals emit themselves — no per-batch
+    scan of anything corpus-sized, no foreachBatch parquet state:
+    per-delivery cost is the delivery's own windows plus its touched
+    buckets' state rows (RocksDB/HDFS state store, delta-bounded).
 
     State lives forever (one row per DISTINCT window ever seen): exact
     global dedup, the same trade stream_dedup documents for its
@@ -989,28 +1007,67 @@ def stream_duplicated_windows(
         "_id", "_pos", F.col("_w.s1").alias("_s"), F.col("_w.s2").alias("_s2")
     )
 
-    def fn(key, pdfs, state):
-        occ: list[tuple[int, int]] = []
-        for pdf in pdfs:
-            occ.extend(
-                (int(d), int(p)) for d, p in zip(pdf["_id"], pdf["_pos"])
-            )
-        cnt, pend_doc, pend_pos = state.get if state.exists else (0, -1, -1)
-        out: list[tuple[int, int]] = []
-        total = cnt + len(occ)
-        if total >= 2:
-            if cnt == 1:
-                out.append((pend_doc, pend_pos))  # retroactive emission
-            out.extend(occ)
-            state.update((total, -1, -1))
-        elif total == 1 and cnt == 0:
-            state.update((1, occ[0][0], occ[0][1]))
-        yield pd.DataFrame(out, columns=["doc_id", "pos"])
+    # State is keyed by a HASH BUCKET of the window identity, not the
+    # identity itself: applyInPandasWithState invokes the Python function
+    # once per key per batch, and a corpus delivery carries one key per
+    # DISTINCT window — measured ~50 K keys at sf0.1, i.e. ~50 K pandas-
+    # frame constructions and state round-trips per drain, every one of
+    # them a fixed-cost Python call for 1-2 rows of work (the guide's
+    # per-row-UDF anti-pattern in state-store form). Bucketing the key
+    # space to _SSTREAM_BUCKETS groups amortizes that fixed cost ~100x:
+    # the per-WINDOW verdict logic below is unchanged (same held-first /
+    # retroactive-emission transitions per window, applied in arrival
+    # order), the bucket state is the parallel-array rendition of its
+    # windows' (cnt, pending) rows, and the emitted row set is identical
+    # for any micro-batch split — the stream==batch pytest twins pin it.
+    # Collision-free by construction: the bucket only GROUPS windows; the
+    # full two-column identity stays the dict key inside.
+    bucketed = windows.withColumn(
+        "_bk", F.pmod(F.col("_s"), F.lit(_SSTREAM_BUCKETS))
+    )
 
-    emitted = windows.groupBy("_s", "_s2").applyInPandasWithState(
+    def fn(key, pdfs, state):
+        if state.exists:
+            s1a, s2a, cnta, pda, ppa = state.get
+            st = {
+                (int(s1a[i]), int(s2a[i])): [int(cnta[i]), int(pda[i]), int(ppa[i])]
+                for i in range(len(s1a))
+            }
+        else:
+            st = {}
+        out_d: list[int] = []
+        out_p: list[int] = []
+        for pdf in pdfs:
+            for d, p, w1, w2 in zip(pdf["_id"], pdf["_pos"], pdf["_s"], pdf["_s2"]):
+                wk = (int(w1), int(w2))
+                e = st.get(wk)
+                if e is None:
+                    st[wk] = [1, int(d), int(p)]
+                elif e[0] == 1:
+                    out_d.append(e[1])  # retroactive emission of the held first
+                    out_p.append(e[2])
+                    out_d.append(int(d))
+                    out_p.append(int(p))
+                    e[0], e[1], e[2] = 2, -1, -1
+                else:
+                    out_d.append(int(d))
+                    out_p.append(int(p))
+                    e[0] += 1
+        keys = list(st.keys())
+        state.update((
+            [k0 for k0, _ in keys],
+            [k1 for _, k1 in keys],
+            [st[k][0] for k in keys],
+            [st[k][1] for k in keys],
+            [st[k][2] for k in keys],
+        ))
+        yield pd.DataFrame({"doc_id": out_d, "pos": out_p})
+
+    emitted = bucketed.groupBy("_bk").applyInPandasWithState(
         fn,
         "doc_id long, pos long",
-        "cnt long, pend_doc long, pend_pos long",
+        "s1 array<long>, s2 array<long>, cnt array<long>, "
+        "pdoc array<long>, ppos array<long>",
         "append",
         GroupStateTimeout.NoTimeout,
     )
@@ -1235,10 +1292,17 @@ def stream_contaminated_windows(
     from iodf_spark.functions import texthash as TH
     from iodf_spark.operators.dedup import _gram_stream2, packed_grams_expr
 
+    # localCheckpoint: the static side of the stream-static join is
+    # re-planned (re-tokenized, re-deduped) for EVERY micro-batch's
+    # broadcast build; materializing the benchmark's distinct window
+    # identities once makes each batch's broadcast a cheap local scan.
+    # Benchmark suites are MBs at any corpus scale, so the checkpoint is
+    # bounded.
     bench = (
         _gram_stream2(benchmark, id_col, text_col, k)
         .select("_s", "_s2")
         .distinct()
+        .localCheckpoint()
     )
     h1m = TH.mix(TH.text_hash("_tok", "spark"), "spark")
     h2m = TH.mix(TH.text_hash2("_tok", "spark"), "spark", mod=TH.MOD2)

@@ -109,22 +109,76 @@ def test_open_index_aligned_is_union_without_shuffle(spark, tmp_path):
 
 
 def test_ivf_assignment_aggregates_scalars_only(spark):
-    """Cell assignment must be an argmax AGGREGATION over scalar columns —
-    not a row_number window over the centroid expansion, and not an
-    aggregate whose buffer carries the corpus vector (an array in a
-    max/max_by buffer demotes to SortAggregate over the expansion WITH its
-    arrays — the measured 10x regression this pin guards)."""
-    from iodf_spark.operators.similarity import ann_ivf
+    """Cell assignment, BOTH kernels (round-13 optimization):
+
+    * small quantizers take the NARROW literal-argmax projection — zero
+      Exchange, zero Aggregate between the corpus projection and the
+      (cid, neighbor_id, _cv, _cvn) output (the previous plan's
+      agg + re-attach self-join replanned the corpus twice);
+    * the fallback (any quantizer size) must stay an argmax AGGREGATION
+      over scalar columns — not a row_number window over the centroid
+      expansion, and not an aggregate whose buffer carries the corpus
+      vector (an array in a max/max_by buffer demotes to SortAggregate
+      over the expansion WITH its arrays — the measured 10x regression
+      this pin guards).
+
+    Both kernels must return IDENTICAL rows (same floats, same cells) —
+    the narrow literals are collected from the same centroid frame the
+    broadcast path shipped, so this equality is bit-exact, and it is what
+    lets every store build/append switch kernels freely."""
+    from iodf_spark.operators.similarity import _ivf_assign, _ivf_centroids
 
     emb = load_table(spark, SF, "embeddings")
-    plan = plan_of(ann_ivf(emb, "vec_id", "embedding", [0, 1], n_centroids=4))
+    cent = _ivf_centroids(emb, "vec_id", "embedding", 4, 64)
+    narrow = _ivf_assign(emb, "vec_id", "embedding", 4, 64, cent=cent)
+    nplan = plan_of(narrow)
+    assert "hashpartitioning" not in nplan, nplan  # no shuffle at all
+    assert "Aggregate" not in nplan, nplan
+    fallback = _ivf_assign(
+        emb, "vec_id", "embedding", 4, 64, cent=cent, allow_narrow=False
+    )
+    fplan = plan_of(fallback)
     agg_lines = [
-        ln for ln in plan.splitlines()
+        ln for ln in fplan.splitlines()
         if "Aggregate" in ln or ln.strip().startswith("Functions")
     ]
-    assert agg_lines, plan
+    assert agg_lines, fplan
     # no aggregate buffer may mention the vector columns
     assert not any("_cv" in ln or "_ce" in ln for ln in agg_lines), agg_lines
+    # kernel parity: identical rows, identical floats
+    cols = ["cid", "neighbor_id", "_cv", "_cvn"]
+    a = sorted(narrow.select(*cols).collect(), key=lambda r: r["neighbor_id"])
+    b = sorted(fallback.select(*cols).collect(), key=lambda r: r["neighbor_id"])
+    assert a == b
+
+
+def test_ivf_narrow_assign_parity_on_computed_vectors(spark):
+    """Kernel parity where it is hardest: the corpus vector is a COMPUTED
+    column (hash_embed output), so the narrow projection's unrolled
+    subscripts reference a derived expression, not a scan attribute —
+    exactly the shape the chunk-store builds feed the assign. Rows must
+    be bit-identical to the aggregate kernel's."""
+    from iodf_spark.operators.similarity import (
+        _ivf_assign,
+        _ivf_centroids,
+        hash_embed,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(200)
+    emb = hash_embed(docs, "doc_id", "text", dim=16)
+    cent = _ivf_centroids(emb, "doc_id", "vec", 4, 16)
+    cols = ["cid", "neighbor_id", "_cv", "_cvn"]
+    a = sorted(
+        _ivf_assign(emb, "doc_id", "vec", 4, 16, cent=cent)
+        .select(*cols).collect(),
+        key=lambda r: r["neighbor_id"],
+    )
+    b = sorted(
+        _ivf_assign(emb, "doc_id", "vec", 4, 16, cent=cent, allow_narrow=False)
+        .select(*cols).collect(),
+        key=lambda r: r["neighbor_id"],
+    )
+    assert a == b
 
 
 def test_cosine_pairs_is_distributed(spark):
