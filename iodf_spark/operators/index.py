@@ -358,16 +358,15 @@ def probe(index_df: DataFrame, col: str, value, n: int,
     if encoding_hint == "auto":
         if "words" not in df.columns:
             return PostingSet(df, n, bucket_size, {"sparse"})
-        flags = df.agg(
-            F.max(F.col("words").isNotNull()).alias("_d"),
-            F.max(F.col("row_ids").isNotNull()).alias("_s"),
-        ).collect()[0]
-        encs = set()
-        if flags["_d"]:
-            encs.add("dense")
-        if flags["_s"]:
-            encs.add("sparse")
-        return PostingSet(df, n, bucket_size, encs or {"sparse"})
+        # adaptive index, encodings unknown at plan time: hand the set to
+        # the dual-kernel PostingSet (encodings=BOTH) instead of paying an
+        # eager discovery aggregation per probe — the discovery job's only
+        # payoff was swapping the general CASE kernels for specialized
+        # ones, a per-row constant, while its cost was a full Spark job on
+        # EVERY auto probe (measured ~0.2 s each; the planner arms pay it
+        # 2-3x per query). Callers with static knowledge still pass an
+        # explicit hint and get the specialized kernels.
+        return PostingSet(df, n, bucket_size)
     if encoding_hint is not None:
         if encoding_hint not in ("sparse", "dense"):
             raise ValueError(f"encoding_hint must be sparse|dense, got {encoding_hint!r}")
