@@ -55,7 +55,12 @@ def _lineitem_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
             idx.IndexConf(include=["l_returnflag", "l_linestatus", "l_quantity"]),
             n_rows=n,
         ).cache()
-        ix.count()
+        # one full-scan action materializes the cache AND stamps the exact
+        # per-key encoding map (bounded: <=256 dense keys per column), so
+        # every encoding_hint="auto" probe compiles the bare specialized
+        # posting kernels job-free — same action count as the bare count()
+        # this replaces
+        idx.stamp_key_encodings(ix)
         _cache[key] = (ix, n)
     return _cache[key]  # type: ignore[return-value]
 
@@ -271,10 +276,13 @@ def q_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     I5 selectivity f(l_returnflag='R') — same popcount kernel the reference
     exposes as `f(idValue)` (the former separate index_f entry).
 
-    encoding_hint="auto" derives each key's true stored encoding with one
-    near-point aggregation, unlocking the bare specialized kernels without
-    coupling correctness to the adaptive build threshold (a hardcoded hint
-    would; the general dual-dispatch plans cost ~4x in dead sub-plans)."""
+    encoding_hint="auto" resolves each key's true stored encoding job-free
+    from the encoding map stamped at index build time
+    (index.stamp_key_encodings), unlocking the bare specialized kernels
+    without coupling correctness to the adaptive build threshold (a
+    hardcoded hint would; the general dual-dispatch plans cost ~4x in dead
+    sub-plans across this query's nine combinator results — the round-13
+    regression that motivated the stamp)."""
     from iodf_spark.plans.rowset import intersect_all, union_all
 
     ix, n = _lineitem_index(spark, sf_dir)

@@ -1568,7 +1568,14 @@ def chunk_store_sync(
             # and re-embedded — by each; materializing the delta-sized
             # (cid, vec) rows once turns those into cheap local scans.
             # Delta-bounded at any scale: this is the day's documents,
-            # never the corpus.
+            # never the corpus. Cluster caveat: localCheckpoint blocks
+            # are UNREPLICATED with lineage truncated — losing an
+            # executor mid-sync (spot nodes, dynamic allocation) fails
+            # the sync with unrecoverable-block errors instead of
+            # recomputing; the sync is replay-safe (the ledger converges
+            # the retried window), but where executor loss is routine
+            # prefer persist(StorageLevel.MEMORY_AND_DISK_2) or a
+            # reliable checkpoint here.
             emb = _chunk_vectors(
                 ins, id_col, text_col, dim, chunk_toks, overlap
             ).localCheckpoint()

@@ -309,6 +309,63 @@ def read_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def stamp_key_encodings(index_df: DataFrame) -> DataFrame:
+    """Record the index's exact per-key encoding map on the DataFrame
+    object, so ``encoding_hint="auto"`` probes compile the bare specialized
+    posting kernels with ZERO per-probe discovery jobs (the round-13
+    dual-dispatch fallback kept probes job-free but dragged both kernels'
+    dead sub-plans through every downstream combinator — ~1.7x on
+    combinator-fan-out consumers like q_bitmap_ops).
+
+    ONE aggregation job over the index: group by the typed key and keep
+    only keys storing ANY dense (packed-words) bucket row. The output is
+    bounded no matter the corpus size — the density rule f*256 > n admits
+    at most 256 dense keys per column (per group) — so the collect is a
+    few KB. Keys absent from the map are all-sparse (or missing = empty
+    probe); keys present are dense, or mixed when they also store sparse
+    rows (multi-segment indexes). The full-scan aggregation doubles as
+    cache materialization for callers that previously paid a bare
+    ``count()`` for exactly that — same action count, strictly more
+    information.
+
+    The stamp lives on THIS DataFrame object only (a plan attribute, like
+    a join hint — not a cross-run cache): rebuilding or re-reading the
+    index yields an unstamped frame, which probes handle with the
+    dual-kernel fallback."""
+    if "words" not in index_df.columns:
+        index_df._iodf_dense_keys = []
+        return index_df
+    rows = (
+        index_df.groupBy(*INDEX_KEY_COLS)
+        .agg(
+            F.max(F.col("words").isNotNull()).alias("_has_dense"),
+            F.max(F.col("row_ids").isNotNull()).alias("_has_sparse"),
+        )
+        .filter(F.col("_has_dense"))
+        .collect()
+    )
+    index_df._iodf_dense_keys = rows
+    return index_df
+
+
+def _key_matches_row(row, col: str, value) -> bool:
+    """Python twin of :func:`_key_pred` over a collected index-key row —
+    the two MUST agree on which typed keys a probe value matches (bool
+    before int: bool is an int subclass). Row slots are None when not
+    populated; ``None == x`` is False, matching SQL null semantics here."""
+    if row["col_name"] != col:
+        return False
+    if isinstance(value, bool):
+        return row["value_kind"] == KIND_BOOL and row["value_bool"] == value
+    if isinstance(value, int):
+        return row["value_kind"] == KIND_NUM and (
+            row["value_long"] == value or row["value_double"] == float(value)
+        )
+    if isinstance(value, float):
+        return row["value_kind"] == KIND_NUM and row["value_double"] == value
+    return row["value_kind"] == KIND_STR and row["value_str"] == str(value)
+
+
 def _key_pred(col: str, value) -> Column:
     """Typed probe predicate on the index key columns."""
     p = F.col("col_name") == col
@@ -340,15 +397,20 @@ def probe(index_df: DataFrame, col: str, value, n: int,
 
     ``encoding_hint``:
 
-    * ``"auto"`` — DERIVE the exact encoding set from the stored bucket
-      rows with one tiny aggregation over the pruned probe rows (a key has
-      at most n/bucket_size bucket rows; with col_name partition pruning
-      and value row-group skipping this is a near-point read). Downstream
-      set algebra then compiles the bare specialized kernels — the general
-      dual-dispatch plans carry scatter sub-plans and extra shuffles that
-      cost real time even when statically dead. Exact (reads the truth,
-      not the density heuristic), and handles multi-segment indexes where
-      the same key is dense in one segment and sparse in another.
+    * ``"auto"`` — resolve the key's exact stored encoding JOB-FREE from
+      the index's stamped encoding map (:func:`stamp_key_encodings`) and
+      compile the bare specialized kernels; the general dual-dispatch
+      plans carry scatter sub-plans and extra shuffles that cost real time
+      even when statically dead. A key absent from the dense map is
+      provably all-sparse (the stamp enumerates EVERY dense key); a key
+      present is dense, or keeps the dual kernels when genuinely mixed
+      (dense in one segment, sparse in another). Resolved encodings go
+      through the same execution-time validation as explicit hints, so a
+      stale stamp raises instead of silently dropping rows. On an
+      UNSTAMPED adaptive index, auto falls back to the dual-kernel
+      PostingSet — still zero discovery jobs (the round-13 trade: a
+      per-probe discovery job was measured ~0.2 s, worse than the dual
+      CASE kernels for once-materialized probes).
     * ``"sparse"``/``"dense"`` — expert plan hint, like ``broadcast()``,
       zero extra jobs; VALIDATED at execution: a bucket row stored in the
       other encoding raises instead of silently producing empty results
@@ -358,15 +420,16 @@ def probe(index_df: DataFrame, col: str, value, n: int,
     if encoding_hint == "auto":
         if "words" not in df.columns:
             return PostingSet(df, n, bucket_size, {"sparse"})
-        # adaptive index, encodings unknown at plan time: hand the set to
-        # the dual-kernel PostingSet (encodings=BOTH) instead of paying an
-        # eager discovery aggregation per probe — the discovery job's only
-        # payoff was swapping the general CASE kernels for specialized
-        # ones, a per-row constant, while its cost was a full Spark job on
-        # EVERY auto probe (measured ~0.2 s each; the planner arms pay it
-        # 2-3x per query). Callers with static knowledge still pass an
-        # explicit hint and get the specialized kernels.
-        return PostingSet(df, n, bucket_size)
+        dense_rows = getattr(index_df, "_iodf_dense_keys", None)
+        if dense_rows is None:
+            return PostingSet(df, n, bucket_size)
+        hits = [r for r in dense_rows if _key_matches_row(r, col, value)]
+        if any(r["_has_sparse"] for r in hits):
+            # genuinely mixed key (e.g. dense in one segment, sparse in
+            # another): the dual kernels are the exact plan
+            return PostingSet(df, n, bucket_size)
+        # exact single encoding; fall through to the validated hint path
+        encoding_hint = "dense" if hits else "sparse"
     if encoding_hint is not None:
         if encoding_hint not in ("sparse", "dense"):
             raise ValueError(f"encoding_hint must be sparse|dense, got {encoding_hint!r}")

@@ -559,14 +559,30 @@ def _dlit(x: float) -> str:
 def _cent_literal_rows(cent, n_centroids: int, dim: int):
     """The centroid frame collected driver-side for the narrow kernel, or
     None when the geometry is past the unroll cap. The collect is bounded
-    at n_centroids rows — the same rows the broadcast build shipped."""
+    at n_centroids rows — the same rows the broadcast build shipped.
+
+    Also returns None (round-13 ADVICE) when the collected rows cannot be
+    rendered as valid SQL literals: an EMPTY centroid set would emit
+    ``array_max(array())`` (analysis error) and a non-finite component
+    would render via ``repr`` as 'nand'/'infd' (parse error) — the
+    aggregate fallback kernel handles both shapes, so fall back instead
+    of raising at plan time."""
+    import math
+
     if n_centroids * dim > _NARROW_QUANTIZER_MAX_TERMS:
         return None
     rows = cent.select("cid", "_ce", "_cen").collect()
+    if not rows:
+        return None
     cid_type = dict(
         (f.name, f.dataType.simpleString()) for f in cent.schema.fields
     )["cid"]
     out = [(int(r["cid"]), [float(x) for x in r["_ce"]], float(r["_cen"])) for r in rows]
+    if any(
+        not math.isfinite(cn) or any(not math.isfinite(x) for x in ce)
+        for _, ce, cn in out
+    ):
+        return None
     out.sort(key=lambda t: t[0])
     return out, cid_type
 

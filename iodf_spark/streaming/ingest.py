@@ -863,22 +863,25 @@ def stream_neardup_pairs(
         # join/agg stages to the output width)
         n_out = max(1, spark.sparkContext.defaultParallelism // 8)
         pairs = verify_jaccard(cands, all_sized, threshold)
-        # the three per-batch writes are independent jobs over already-
-        # persisted inputs (the accumulated-store reads captured their file
-        # listings above, so the state appends cannot leak into this
-        # batch's own candidate join) — submitting them from a small
-        # thread pool lets the two tiny state appends back-fill the
-        # verify job's straggler tail instead of paying three sequential
-        # job latencies per micro-batch (guide: overlap independent jobs)
+        # write ordering (round-13 ADVICE): the pairs write must commit
+        # BEFORE any state append — if a state append committed and the
+        # batch then failed before the pairs commit, the foreachBatch
+        # retry would re-append bands/shingles (duplicate shingle rows
+        # inflate verify_jaccard's join multiplicity and emit duplicate
+        # pair rows on later batches). Pre-round-13 got this by writing
+        # 'sized' last; here pairs commits first, then the two tiny state
+        # appends overlap EACH OTHER from a thread pool (the inputs are
+        # persisted, and the store reads above captured their file
+        # listings, so the appends cannot leak into this batch's join)
         from concurrent.futures import ThreadPoolExecutor
 
-        writes = (
-            lambda: pairs.repartition(n_out).write.mode("append").parquet(pairs_dir),
+        pairs.repartition(n_out).write.mode("append").parquet(pairs_dir)
+        state_writes = (
             lambda: new_bands.repartition(n_out).write.mode("append").parquet(bands_dir),
             lambda: sized.repartition(n_out).write.mode("append").parquet(sh_dir),
         )
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            for fut in [pool.submit(w) for w in writes]:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for fut in [pool.submit(w) for w in state_writes]:
                 fut.result()
         sized.unpersist()
         new_bands.unpersist()
@@ -944,6 +947,7 @@ def stream_duplicated_windows(
     state_dir: str,
     k: int = 16,
     shuffle_partitions: int | None = None,
+    state_buckets: int | None = None,
 ) -> None:
     """Incremental ExactSubstr discovery over a document stream: every
     k-token window that reaches >= 2 corpus-wide occurrences is emitted
@@ -981,7 +985,23 @@ def stream_duplicated_windows(
     lifetime (restored afterwards) — size bounded drains with
     :func:`bounded_state_partitions`, NOT the session default: one state
     store per shuffle partition means a tiny drain on a 32-core session
-    otherwise pays 32 stores x per-batch delta commits of fixed I/O."""
+    otherwise pays 32 stores x per-batch delta commits of fixed I/O.
+
+    ``state_buckets`` sizes the state key space (default
+    ``_SSTREAM_BUCKETS`` = 512, right for ~50 K lifetime windows). The
+    bucket count trades per-key Python fixed cost against per-VALUE state
+    size: each touched bucket's FULL lifetime state is rebuilt and
+    rewritten every batch, so with B buckets and W distinct windows ever
+    seen, a delta touching most buckets pays O(W) state I/O and each
+    state value holds ~W/B windows. At scale choose B ~ expected distinct
+    windows / 100: per-value size stays bounded (~100 windows) and a
+    delta of d windows touches at most d buckets, keeping per-batch state
+    I/O proportional to the DELTA (d x ~100 rows), not to lifetime state
+    (round-13 ADVICE). B is part of the stream's durable identity — state
+    rows are keyed by pmod(window, B), so changing it on an existing
+    ``state_dir`` orphans prior state; pick it when the stream is born
+    (emitted rows are identical for ANY B: the bucket only groups, the
+    full window identity stays the per-window key inside the value)."""
     import os
 
     import pandas as pd
@@ -1022,8 +1042,9 @@ def stream_duplicated_windows(
     # for any micro-batch split — the stream==batch pytest twins pin it.
     # Collision-free by construction: the bucket only GROUPS windows; the
     # full two-column identity stays the dict key inside.
+    n_buckets = int(state_buckets) if state_buckets else _SSTREAM_BUCKETS
     bucketed = windows.withColumn(
-        "_bk", F.pmod(F.col("_s"), F.lit(_SSTREAM_BUCKETS))
+        "_bk", F.pmod(F.col("_s"), F.lit(n_buckets))
     )
 
     def fn(key, pdfs, state):
@@ -1297,7 +1318,11 @@ def stream_contaminated_windows(
     # broadcast build; materializing the benchmark's distinct window
     # identities once makes each batch's broadcast a cheap local scan.
     # Benchmark suites are MBs at any corpus scale, so the checkpoint is
-    # bounded.
+    # bounded. Cluster caveat: localCheckpoint blocks are unreplicated
+    # with lineage cut — an executor loss mid-stream fails the query
+    # instead of recomputing; restart recovers (availableNow + the
+    # checkpointed sink), but on lossy clusters prefer
+    # persist(StorageLevel.MEMORY_AND_DISK_2) for the static side.
     bench = (
         _gram_stream2(benchmark, id_col, text_col, k)
         .select("_s", "_s2")

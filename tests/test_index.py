@@ -115,3 +115,86 @@ def test_udtf_analyzer_equals_expression_analyzer(spark, sf_dir):
     a = sorted(map(tuple, via_expr.collect()))
     b = sorted(map(tuple, via_udtf.collect()))
     assert a == b and len(a) > 0
+
+
+def test_stamped_auto_probe_specialized_and_validated(spark):
+    """stamp_key_encodings: auto probes on a stamped index resolve each
+    key's exact stored encoding JOB-FREE (specialized kernels, no
+    per-probe discovery aggregation), keys absent from the dense map are
+    provably all-sparse, mixed keys keep the dual kernels, and a stale
+    stamp fails LOUD at execution (the validated-hint raise) instead of
+    silently dropping rows."""
+    from pyspark.sql import functions as F
+
+    from iodf_spark.plans.rowset import PostingSet
+
+    n = 70_000
+    df = spark.range(n).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") < 60_000, "hot")
+        .when(F.col("id") < 60_005, "cold")
+        .otherwise("mid")
+        .alias("k"),
+    )
+    ix = idx.build_index(df, idx.IndexConf(include=["k"]), n_rows=n).cache()
+    try:
+        idx.stamp_key_encodings(ix)
+        stamped = {r["value_str"] for r in ix._iodf_dense_keys}
+        # density rule f*256 > n: hot (60000) and mid (9995) dense, cold (5) sparse
+        assert stamped == {"hot", "mid"}
+        assert not any(r["_has_sparse"] for r in ix._iodf_dense_keys)
+
+        hot = idx.probe(ix, "k", "hot", n, encoding_hint="auto")
+        cold = idx.probe(ix, "k", "cold", n, encoding_hint="auto")
+        miss = idx.probe(ix, "k", "zzz", n, encoding_hint="auto")
+        assert hot.encodings == frozenset({"dense"})
+        assert cold.encodings == frozenset({"sparse"})
+        assert miss.encodings == frozenset({"sparse"})
+        assert hot.f() == 60_000 and cold.f() == 5 and miss.f() == 0
+        assert (hot & cold).f() == 0 and (hot | cold).f() == 60_005
+        assert cold.to_list() == list(range(60_000, 60_005))
+
+        # unstamped frame (fresh read of the same rows): dual-kernel
+        # fallback, identical results
+        ix2 = ix.filter(F.lit(True))
+        dual = idx.probe(ix2, "k", "hot", n, encoding_hint="auto")
+        assert dual.encodings == PostingSet.BOTH
+        assert dual.f() == hot.f()
+
+        # stale/wrong stamp (claims 'hot' is all-sparse): the validated
+        # hint path must raise on the dense bucket rows, never return
+        ix3 = ix.filter(F.lit(True))
+        ix3._iodf_dense_keys = []
+        bad = idx.probe(ix3, "k", "hot", n, encoding_hint="auto")
+        with pytest.raises(Exception, match="other encoding"):
+            bad.f()
+    finally:
+        ix.unpersist()
+
+
+def test_stamped_mixed_key_keeps_dual_kernels(spark):
+    """A key dense in one segment and sparse in another (multi-segment
+    union) must resolve to the dual kernels — claiming either single
+    encoding would raise at execution."""
+    from pyspark.sql import functions as F
+
+    n = 70_000
+    d1 = spark.range(n).select(
+        F.col("id").alias("row_id"), F.lit("dup").alias("k")
+    )
+    ix_dense = idx.build_index(d1, idx.IndexConf(include=["k"]), n_rows=n)
+    d2 = spark.range(5).select(F.col("id").alias("row_id"), F.lit("dup").alias("k"))
+    ix_sparse = idx.build_index(d2, idx.IndexConf(include=["k"]), n_rows=n, adaptive=False)
+    union = ix_dense.unionByName(ix_sparse).cache()
+    try:
+        idx.stamp_key_encodings(union)
+        assert [
+            (r["value_str"], bool(r["_has_sparse"])) for r in union._iodf_dense_keys
+        ] == [("dup", True)]
+        ps = idx.probe(union, "k", "dup", n, encoding_hint="auto")
+        from iodf_spark.plans.rowset import PostingSet
+
+        assert ps.encodings == PostingSet.BOTH
+        assert ps.f() == n + 5  # duplicate ids counted per posting row (union of spaces)
+    finally:
+        union.unpersist()

@@ -208,3 +208,32 @@ def test_decon_stream_restart_is_exactly_once(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_state_bucket_count_is_output_invariant(spark, tmp_path):
+    """``state_buckets`` (round-13 ADVICE: the count must scale with
+    expected window cardinality at corpus scale) only GROUPS state — the
+    per-window transition logic keys on the full window identity inside
+    the bucket value, so ANY bucket count yields the identical emitted
+    row set."""
+    docs = _corpus(spark)
+    k = 4
+    batch = sorted(
+        tuple(r) for r in duplicated_spans(docs, "doc_id", "text", k=k).collect()
+    )
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state_b3")
+    docs.withColumn(
+        "_f",
+        F.when(F.col("doc_id").isin(1, 4), 0)
+        .when(F.col("doc_id").isin(3, 204), 2)
+        .otherwise(1),
+    ).repartition(3, "_f").drop("_f").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_duplicated_windows(stream, "doc_id", "text", state, k=k, state_buckets=3)
+    got = sorted(tuple(r) for r in read_duplicated_spans(spark, state, k=k).collect())
+    assert got == batch
