@@ -50,16 +50,24 @@ def _lineitem_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     if key not in _cache:
         li = _lineitem(spark, sf_dir)
         n = li.count()
+        # localCheckpoint, not cache(): .cache() keeps the full ~200-op
+        # build tree as the DataFrame's logical plan, and EVERY probe
+        # re-analyzes it before the cache substitution kicks in —
+        # q_bitmap_ops alone plans ~27 copies (9 combinators x 2-3 probe
+        # subtrees), pure driver-side Catalyst time (guide §7.3 'very
+        # large plans'). The checkpoint truncates the plan to a leaf scan
+        # of the same materialized partitions; the posting rows are KiB-
+        # to-MiB-sized at any corpus (bounded by key cardinality x
+        # buckets), so local blocks are safe where caching was.
         ix = idx.build_index(
             li,
             idx.IndexConf(include=["l_returnflag", "l_linestatus", "l_quantity"]),
             n_rows=n,
-        ).cache()
-        # one full-scan action materializes the cache AND stamps the exact
-        # per-key encoding map (bounded: <=256 dense keys per column), so
-        # every encoding_hint="auto" probe compiles the bare specialized
-        # posting kernels job-free — same action count as the bare count()
-        # this replaces
+        ).localCheckpoint()
+        # stamp the exact per-key encoding map (bounded: <=256 dense keys
+        # per column) over the checkpointed leaf — every
+        # encoding_hint="auto" probe then compiles the bare specialized
+        # posting kernels job-free
         idx.stamp_key_encodings(ix)
         _cache[key] = (ix, n)
     return _cache[key]  # type: ignore[return-value]
@@ -2940,12 +2948,17 @@ def _doc_text_index(spark: SparkSession, sf_dir: str):
     if key not in _cache:
         docs = _documents(spark, sf_dir)
         n = docs.count()
+        # localCheckpoint + stamp, as in _lineitem_index: the checkpoint
+        # truncates the melt/route/aggregate build tree out of every
+        # probe's logical plan (pure driver-side Catalyst cost per arm),
+        # and the stamped encoding map gives auto probes the bare
+        # specialized kernels job-free
         ix = idx.build_index(
             docs,
             idx.IndexConf(include=["text"], analyzers={"text": idx.text_analyzer}),
             n_rows=n,
-        ).cache()
-        ix.count()
+        ).localCheckpoint()
+        idx.stamp_key_encodings(ix)
         _cache[key] = (ix, n)
     return _cache[key]
 
